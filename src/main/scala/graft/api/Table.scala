@@ -1,0 +1,289 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sort key with ibis's null-ordering defaults: ascending puts nulls LAST
+  * (ibis SortKey.nulls_first=False, ibis/expr/operations/sortkeys.py:16-41),
+  * whereas Spark's plain asc is nulls-first — so we always emit an explicit
+  * null ordering. */
+final case class SortKey(col: Column, ascending: Boolean = true, nullsFirst: Boolean = false) {
+  def spark: Column = (ascending, nullsFirst) match {
+    case (true, false)  => col.asc_nulls_last
+    case (true, true)   => col.asc_nulls_first
+    case (false, false) => col.desc_nulls_last
+    case (false, true)  => col.desc_nulls_first
+  }
+}
+
+object SortKey {
+  def asc(c: Column): SortKey = SortKey(c, ascending = true)
+  def desc(c: Column): SortKey = SortKey(c, ascending = false)
+}
+
+/** The single relational abstraction, mirroring ibis `Table`
+  * (ibis/expr/operations/relations.py:36 — tables of named typed columns are
+  * the only collection type). Thin, immutable façade over a Spark
+  * `DataFrame`: every verb is a declarative plan transformation, so Catalyst
+  * keeps full pushdown/pruning/join-strategy freedom — this is the Spark-first
+  * replacement for ibis's expression-graph + SQL transpilation pipeline
+  * (SURVEY.md §3.2).
+  */
+final class Table(val df: DataFrame) {
+  import Table._
+
+  def spark: SparkSession = df.sparkSession
+  def schema = df.schema
+  def columns: Seq[String] = df.columns.toSeq
+
+  // ------------------------------------------------------------ projection
+
+  /** ibis Table.select (expr/types/relations.py:2449). */
+  def select(cols: Column*): Table = new Table(df.select(cols: _*))
+  def selectNames(names: String*): Table = new Table(df.select(names.map(df.col): _*))
+
+  /** ibis Table.mutate (relations.py:2340): add/replace derived columns. */
+  def mutate(cols: (String, Column)*): Table =
+    new Table(cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+
+  /** ibis DropColumns (operations/relations.py:149). */
+  def dropColumns(names: String*): Table = new Table(df.drop(names: _*))
+
+  /** ibis Table.rename (relations.py:2646). */
+  def rename(pairs: (String, String)*): Table =
+    new Table(pairs.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+
+  /** ibis Table.relocate (relations.py:5010): move columns to the front. */
+  def relocate(names: String*): Table = {
+    val rest = df.columns.filterNot(names.contains)
+    new Table(df.select((names ++ rest).map(df.col): _*))
+  }
+
+  // ------------------------------------------------------------- filtering
+
+  /** ibis Filter: conjunctive predicates (operations/relations.py:271). */
+  def filter(preds: Column*): Table = new Table(df.filter(preds.reduce(_ && _)))
+
+  /** ibis Limit with offset (operations/relations.py:296). */
+  def limit(n: Int, offset: Int = 0): Table =
+    if (offset == 0) new Table(df.limit(n)) else new Table(df.offset(offset).limit(n))
+
+  /** ibis Distinct (operations/relations.py:494). */
+  def distinct(): Table = new Table(df.distinct())
+  def distinctOn(subset: Seq[String], keep: String = "first"): Table =
+    // ibis distinct(on=…, keep="first") — deterministic only under an order;
+    // we use dropDuplicates semantics (arbitrary row per key), same as ibis
+    // on engines without ordered distinct.
+    new Table(df.dropDuplicates(subset))
+
+  /** ibis Sample (operations/relations.py:485) — row method lowers to a
+    * rand() filter on engines without TABLESAMPLE (rewrites.py:618-659). */
+  def sample(fraction: Double, seed: Option[Long] = None): Table =
+    new Table(seed.fold(df.sample(fraction))(s => df.sample(fraction, s)))
+
+  /** ibis FillNull (operations/relations.py:470). */
+  def fillNull(replacements: Map[String, Any]): Table = new Table(df.na.fill(replacements))
+
+  /** ibis DropNull(how, subset) (operations/relations.py:477). */
+  def dropNull(how: String = "any", subset: Option[Seq[String]] = None): Table =
+    new Table(subset.fold(df.na.drop(how))(s => df.na.drop(how, s)))
+
+  // --------------------------------------------------------------- sorting
+
+  /** ibis Sort (operations/relations.py:260) with ibis null-ordering. */
+  def sort(keys: SortKey*): Table = new Table(df.orderBy(keys.map(_.spark): _*))
+  def orderBy(cols: Column*): Table = sort(cols.map(SortKey.asc): _*)
+
+  // ----------------------------------------------------------- aggregation
+
+  /** ibis GroupedTable (ibis/expr/types/groupby.py). */
+  def groupBy(keys: Column*): GroupedTable = new GroupedTable(df, keys)
+  def groupByNames(names: String*): GroupedTable = new GroupedTable(df, names.map(df.col))
+
+  /** Ungrouped aggregation → 1-row table. */
+  def aggregate(metrics: Column*): Table = new Table(df.agg(metrics.head, metrics.tail: _*))
+
+  /** ibis Table.count (relations.py:3038) as a deferred 1-row relation. */
+  def countTable(): Table = aggregate(count(lit(1)).as("count"))
+
+  /** ibis Table.nunique (relations.py:2995). */
+  def nunique(col: Column): Table = aggregate(countDistinct(col).as("nunique"))
+
+  /** ibis value_counts (relations.py:5247). */
+  def valueCounts(cols: Column*): Table = {
+    val named = cols.map(_.toString)
+    new Table(df.groupBy(cols: _*).agg(count(lit(1)).as(named.mkString("_") + "_count")))
+  }
+
+  /** ibis topk (relations.py:5320): group-count-sort-limit, fully
+    * distributed (no driver collect — SURVEY.md §7.4). */
+  def topk(by: Column, k: Int, name: String = "count"): Table =
+    new Table(
+      df.groupBy(by).agg(count(lit(1)).as(name))
+        .orderBy(col(name).desc_nulls_last, by.asc_nulls_last)
+        .limit(k))
+
+  // ----------------------------------------------------------------- joins
+
+  /** ibis JoinChain link (operations/relations.py:195-257). Supported kinds:
+    * inner/left/right/outer/cross/semi/anti (JoinKind :201-213). */
+  def join(right: Table, on: Column, how: String = "inner"): Table = {
+    val sparkHow = how match {
+      case "semi" => "left_semi"
+      case "anti" => "left_anti"
+      case h      => h
+    }
+    new Table(df.join(right.df, on, sparkHow))
+  }
+
+  def crossJoin(right: Table): Table = new Table(df.crossJoin(right.df))
+
+  /** ClickHouse-style any_left/any_inner join (SURVEY.md §2.1): at most one
+    * right match per row — right side deduped by row_number()==1 first. */
+  def anyJoin(right: Table, leftKeys: Seq[String], rightKeys: Seq[String], how: String,
+      orderCols: Seq[String] = Seq.empty): Table = {
+    val ord = if (orderCols.nonEmpty) orderCols else rightKeys
+    val w = Window.partitionBy(rightKeys.map(right.df.col): _*).orderBy(ord.map(right.df.col): _*)
+    val dedup = right.df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cond = leftKeys.zip(rightKeys).map { case (l, r) => df.col(l) === dedup.col(r) }.reduce(_ && _)
+    val kind = if (how == "any_left") "left" else "inner"
+    new Table(df.join(dedup, cond, kind))
+  }
+
+  /** Positional join (SURVEY.md §2.1 `positional`): align rows by position
+    * via zipWithIndex on both sides. Requires deterministic input order —
+    * callers sort first. */
+  def positionalJoin(right: Table): Table = {
+    val l = withRowIndex(df, "__pos")
+    val r = withRowIndex(right.df, "__pos_r")
+    new Table(l.join(r, l.col("__pos") === r.col("__pos_r"), "inner").drop("__pos", "__pos_r"))
+  }
+
+  /** As-of join — see graft.operators.AsofJoin for the implementation. */
+  def asofJoin(
+      right: Table,
+      leftOn: Column,
+      rightOn: Column,
+      by: Seq[(String, String)] = Seq.empty,
+      tolerance: Option[String] = None): Table =
+    new Table(graft.operators.AsofJoin(df, right.df, leftOn, rightOn, by, tolerance))
+
+  // --------------------------------------------------------------- set ops
+
+  /** ibis Union (operations/relations.py:368-379) — schema-aligned by name. */
+  def union(other: Table, distinct: Boolean = false): Table = {
+    val u = df.unionByName(other.df)
+    new Table(if (distinct) u.distinct() else u)
+  }
+  def intersect(other: Table, distinct: Boolean = true): Table =
+    new Table(if (distinct) df.intersect(other.df) else df.intersectAll(other.df))
+  def difference(other: Table, distinct: Boolean = true): Table =
+    new Table(if (distinct) df.except(other.df) else df.exceptAll(other.df))
+
+  // ------------------------------------------------------------- reshaping
+
+  /** ibis TableUnnest (operations/relations.py:499-520): cross-join unnest
+    * of an array column with optional position and keep-empty. */
+  def unnest(column: String, offset: Option[String] = None, keepEmpty: Boolean = false): Table = {
+    val arr = df.col(column)
+    val exploded = (offset, keepEmpty) match {
+      case (Some(off), true)  => df.select(col("*"), posexplode_outer(arr).as(Seq(off, s"__u_$column")))
+      case (Some(off), false) => df.select(col("*"), posexplode(arr).as(Seq(off, s"__u_$column")))
+      case (None, true)       => df.select(col("*"), explode_outer(arr).as(s"__u_$column"))
+      case (None, false)      => df.select(col("*"), explode(arr).as(s"__u_$column"))
+    }
+    new Table(exploded.drop(column).withColumnRenamed(s"__u_$column", column))
+  }
+
+  /** ibis unpack (relations.py:3262): struct column → top-level columns. */
+  def unpack(column: String): Table = {
+    val fields = df.schema(column).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cols = df.columns.filterNot(_ == column).map(df.col) ++
+      fields.map(f => df.col(column).getField(f.name).as(f.name))
+    new Table(df.select(cols.toIndexedSeq: _*))
+  }
+
+  /** ibis pivot_wider (relations.py:4540) → groupBy().pivot().agg(). */
+  def pivotWider(keys: Seq[String], namesFrom: String, valuesFrom: Column, agg: Column => Column,
+      values: Seq[Any] = Seq.empty): Table = {
+    val g = df.groupBy(keys.map(df.col): _*)
+    val p = if (values.nonEmpty) g.pivot(namesFrom, values) else g.pivot(namesFrom)
+    new Table(p.agg(agg(valuesFrom)))
+  }
+
+  /** ibis pivot_longer (relations.py:4209): columns → (name, value) rows via
+    * stack, the unnest-of-struct-array lowering. */
+  def pivotLonger(idCols: Seq[String], valueCols: Seq[String],
+      namesTo: String = "name", valuesTo: String = "value"): Table = {
+    val stackArgs = valueCols.map(c => s"'$c', `$c`").mkString(", ")
+    val stacked = df.selectExpr(
+      (idCols :+ s"stack(${valueCols.size}, $stackArgs) as (`$namesTo`, `$valuesTo`)"): _*)
+    new Table(stacked)
+  }
+
+  // ------------------------------------------------------------------ misc
+
+  /** ibis Table.cache (relations.py:4133). */
+  def cache(): Table = new Table(df.cache())
+
+  /** ibis Table.alias + .sql (relations.py:3957,4004): run SQL against this
+    * table under a name — Spark-native via temp view. */
+  def sql(query: String, alias: String): Table = {
+    df.createOrReplaceTempView(alias)
+    new Table(df.sparkSession.sql(query))
+  }
+
+  /** ibis Table.describe (relations.py:3408). */
+  def describe(): Table = new Table(df.describe())
+}
+
+object Table {
+  def apply(df: DataFrame): Table = new Table(df)
+
+  /** ibis read_parquet (backends/pyspark/__init__.py:838). */
+  def readParquet(spark: SparkSession, path: String): Table = new Table(spark.read.parquet(path))
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): Table =
+    new Table(spark.read.option("header", header.toString).option("inferSchema", "true").csv(path))
+  def readJson(spark: SparkSession, path: String): Table = new Table(spark.read.json(path))
+
+  /** ibis memtable (ibis/expr/api.py). */
+  def memtable(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): Table =
+    new Table(spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+
+  /** Distributed 0-based row index that preserves the incoming sort order:
+    * zipWithIndex is a narrow transformation (one pass + per-partition
+    * offsets), unlike monotonically_increasing_id which is not contiguous.
+    * Scale note: no driver materialization; safe at any row count. */
+  private[graft] def withRowIndex(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}
+
+/** ibis GroupedTable (ibis/expr/types/groupby.py). */
+final class GroupedTable(df: DataFrame, keys: Seq[Column]) {
+  /** aggregate (groupby.py:60). */
+  def aggregate(metrics: Column*): Table = new Table(df.groupBy(keys: _*).agg(metrics.head, metrics.tail: _*))
+  def agg(metrics: Column*): Table = aggregate(metrics: _*)
+
+  /** having (groupby.py:69): post-aggregation filter. */
+  def having(metrics: Seq[Column], predicate: Column): Table =
+    new Table(df.groupBy(keys: _*).agg(metrics.head, metrics.tail: _*).filter(predicate))
+
+  /** count (groupby.py:273). */
+  def count(name: String = "count"): Table =
+    new Table(df.groupBy(keys: _*).agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as(name)))
+
+  /** mutate (groupby.py:134): group-windowed analytics appended as columns. */
+  def mutate(cols: (String, Column)*): Table =
+    new Table(cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+
+  def window: org.apache.spark.sql.expressions.WindowSpec = Window.partitionBy(keys: _*)
+}

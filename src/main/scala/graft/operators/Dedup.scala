@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All variants are pure DataFrame plans: tokenize/shingle/sketch steps are
+  * codegen'd higher-order array expressions (no UDFs, no driver collect),
+  * candidate generation is a bucket equi-join (shuffle on bucket key, never
+  * an all-pairs cross product). At 100 TB the only wide stages are
+  * (a) the bucket-key shuffle and (b) the final pair-verify join — both
+  * hash-partitioned and AQE-skew-splittable.
+  */
+object Dedup {
+
+  /** Exact dedup, "keep first by `orderCol`" semantics: one pass,
+    * hash-partitioned by the dedup key (single shuffle). */
+  def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate groups (hash-groupBy): content hash → ids + count. */
+  def exactGroups(df: DataFrame, id: String, key: Column): DataFrame =
+    df.groupBy(md5(key.cast("string")).as("content_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col(id)).as("keeper_id"),
+        sort_array(collect_list(col(id))).as("member_ids"))
+      .filter(col("dup_count") > 1)
+
+  /** Lower-cased word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Distinct k-word shingles of a token array. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+
+  /** 32-bit murmur hash per shingle (Spark's codegen'd `hash`). */
+  def shingleHashes(sh: Column): Column = transform(sh, s => hash(s).cast("long"))
+
+  private val MinhashPrime = 2038074743L // large 31-bit prime, fits long math
+
+  /** Deterministic (a,b) parameter pairs for the minhash family
+    * h_i(x) = (a_i*x + b_i) mod p — the standard universal-hash minhash
+    * construction (Broder '97; same scheme as Spark MLlib MinHashLSH). */
+  private def minhashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    var s = seed
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.abs(s) }
+    (0 until numHashes).map(_ => (next() % (MinhashPrime - 1) + 1, next() % MinhashPrime))
+  }
+
+  /** Minhash signature (array<bigint>, length numHashes) of a shingle-hash
+    * array — one nested higher-order expression, fully codegen'd. */
+  def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val params = minhashParams(numHashes, seed)
+    val paramArr = array(params.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    transform(paramArr, p =>
+      array_min(transform(hashes, x =>
+        pmod(p.getField("a") * pmod(x, lit(MinhashPrime)) + p.getField("b"), lit(MinhashPrime)))))
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle → minhash(numHashes) → band into `bands` groups of
+    * numHashes/bands rows → explode (band_idx, band_hash) → equi-join on the
+    * bucket → verify true Jaccard on the shingle-hash sets → pairs with
+    * jaccard >= threshold. Candidate generation cost is |buckets| join, not
+    * |docs|² — the LSH banding bound.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      id: String,
+      text: String,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val sketched = df
+      .select(col(id).as("doc"), shingleHashes(shingles(tokens(col(text)), shingleK)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    val banded = sketched.select(
+      col("doc"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+
+    val l = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    val candidates = l
+      .join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact pairwise n-gram Jaccard within a blocking key (e.g. language or
+    * length bucket) — the verify-everything baseline for small blocks. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      blockBy: Column,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(col(id).as("doc"), blockBy.as("block"),
+      shingleHashes(shingles(tokens(col(text)), n)).as("sh"))
+    val l = docs.select(col("block"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val r = docs.select(col("block"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token multiset: per-token xxhash64, each of the
+    * 64 bit-lanes accumulates ±1, sign vector re-packed into a bigint.
+    * Near-dups = signatures within small Hamming distance; candidate pairs
+    * via b-bit band buckets like minhash. */
+  def simhash(toks: Column): Column = {
+    val lanes = aggregate(
+      transform(toks, t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(lanes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: bucket on 16-bit quadrants of the signature
+    * (any pair within Hamming distance 3 of 64 shares ≥1 exact quadrant). */
+  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(id).as("doc"), simhash(tokens(col(text))).as("sig"))
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        q => call_function("shiftright", col("sig"), q * 16).bitwiseAND(0xFFFFL))).as(Seq("q", "bucket")))
+    val l = banded.select(col("q"), col("bucket"), col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("q"), col("bucket"), col("doc").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("q", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, LSH-bucketed by
+    * random-hyperplane sign bits so the join is bucket-local. */
+  def embeddingNearDups(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      planes: Int = 8,
+      threshold: Double = 0.95,
+      seed: Long = 7L): DataFrame = {
+    val withBucket = df.select(col(id).as("doc"), col(vec).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, seed))
+    val l = withBucket.select(col("bucket"), col("doc").as("doc_a"), col("v").as("v_a"))
+    val r = withBucket.select(col("bucket"), col("doc").as("doc_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+}

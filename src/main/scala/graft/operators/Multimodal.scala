@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns + a typed metadata struct —
+  * the Spark-native layout for 100 TB multimodal corpora (payload stays in
+  * parquet/columnar storage, metadata prunes without touching bytes).
+  *
+  * The actual codec work (JPEG decode, resampling, frame extraction) needs
+  * native libraries that are NOT in this container — those steps are
+  * STUBBED with deterministic fakes, clearly marked below. Everything
+  * around them (schema, batching, partition behavior, pipeline shape) is
+  * real and tested.
+  */
+object Multimodal {
+
+  /** Canonical media metadata struct carried alongside every payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image|audio|video
+    StructField("format", StringType),       // jpeg|png|wav|mp4|...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("size_bytes", LongType)))
+
+  /** Wrap a raw binary column into the canonical (payload, meta) pair. */
+  def asMedia(payload: Column, mediaType: String, format: String): Column =
+    struct(
+      payload.as("payload"),
+      struct(
+        lit(mediaType).as("media_type"), lit(format).as("format"),
+        lit(null).cast(IntegerType).as("width"), lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms"), lit(null).cast(IntegerType).as("sample_rate"),
+        length(payload).cast(LongType).as("size_bytes")).as("meta"))
+
+  // ------------------------------------------------------------------ STUBS
+  // STUB: real implementations require image/audio codecs absent from this
+  // container. Each fake is deterministic (derived from the payload bytes)
+  // so the distributed plumbing is fully testable end-to-end.
+
+  /** STUB image decode → (width, height, channels) header probe. A real
+    * implementation parses the format header (pure-JVM for JPEG/PNG). */
+  def probeImageDims(payload: Column): Column = struct(
+    (pmod(xxhash64(payload), lit(1920L)) + 1L).cast(IntegerType).as("width"),
+    (pmod(xxhash64(payload, lit(1)), lit(1080L)) + 1L).cast(IntegerType).as("height"),
+    lit(3).as("channels"))
+
+  /** STUB perceptual hash (would be DCT over decoded pixels); here a
+    * deterministic 64-bit digest so dedup-by-phash plumbing runs. */
+  def perceptualHash(payload: Column): Column = xxhash64(payload)
+
+  /** STUB feature extraction via mapPartitions-shaped batching: returns a
+    * fixed-length float vector derived deterministically from the bytes.
+    * The real path swaps `fakeEmbed` for an ONNX/JNI batch call — the
+    * batching, schema, and partitioning stay identical. */
+  def extractFeatures(df: DataFrame, payloadCol: String, dim: Int = 8): DataFrame = {
+    val fakeEmbed = transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(col(payloadCol), i), lit(1000L)).cast("double") / 500.0) - 1.0)
+    df.withColumn("features", fakeEmbed)
+  }
+
+  /** STUB video frame sampling: emits (frame_idx, frame_payload) rows every
+    * `everyMs`. Real impl: container demux per partition; here frames are
+    * byte-slices so the explode/partition shape is real. */
+  def sampleFrames(df: DataFrame, payloadCol: String, durationMsCol: String, everyMs: Long): DataFrame =
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0L), greatest((col(durationMsCol) / everyMs).cast("long") - 1, lit(0L)))))
+      .withColumn("frame_payload",
+        col(payloadCol).substr((col("frame_idx") * 16 + 1).cast("int"), lit(16)))
+}

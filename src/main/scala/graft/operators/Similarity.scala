@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate & exact nearest-neighbor search over embedding columns
+  * (`array<float>`), for training-data similarity/retrieval pipelines.
+  *
+  * Vector math is expressed with `zip_with`/`aggregate` higher-order
+  * functions — codegen'd per-row loops, no UDF serialization, no driver
+  * collect. Layouts:
+  *   - brute force: broadcast the (small) query set against the corpus —
+  *     one map-side pass over the corpus, a top-k window per query;
+  *   - LSH-bucketed: random-hyperplane sign buckets co-partition corpus and
+  *     probes, so each probe only scans its bucket (the 100 TB path).
+  */
+object Similarity {
+
+  /** dot(a, b) via zip_with + aggregate (left-to-right, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v))
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (LCG, fixed seed) —
+    * literal arrays baked into the plan, broadcast-free. */
+  private[operators] def randomPlanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(planes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-bit bucket id of `v` under `planes` fixed random hyperplanes.
+    * Dimension-agnostic: each plane's coefficients are cycled with pmod, so
+    * any vector length works against the same literal plane matrix. */
+  def hyperplaneBucket(v: Column, planes: Int, seed: Long = 7L, dim: Int = 64): Column = {
+    val mat = randomPlanes(planes, dim, seed)
+    val bits = mat.zipWithIndex.map { case (plane, i) =>
+      val planeArr = array(plane.map(lit): _*)
+      val proj = aggregate(
+        zip_with(v, slice(concat(planeArr, planeArr), 1, dim), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact brute-force top-k cosine neighbors for each probe vector.
+    * `probes` is expected to be small → explicitly broadcast; the corpus is
+    * scanned once map-side, then one shuffle ranks per probe. */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(probeId).as("probe_id"), col(probeVec).as("probe_vec")))
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .crossJoin(p)
+      .withColumn("cosine", cosine(col("cv"), col("probe_vec")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"), (col("rk") - 1).as("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and probes are both assigned
+    * hyperplane buckets; candidate scan = bucket-equi-join (shuffle on the
+    * bucket key; at scale, pre-bucket + bucketBy table layout makes this a
+    * co-located join with zero probe-time corpus shuffle). */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      k: Int, planes: Int = 6, seed: Long = 7L): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), planes, seed))
+    val p = broadcast(probes.select(col(probeId).as("probe_id"), col(probeVec).as("probe_vec"))
+      .withColumn("bucket", hyperplaneBucket(col("probe_vec"), planes, seed)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc)
+    c.join(p, Seq("bucket"))
+      .withColumn("cosine", cosine(col("cv"), col("probe_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"), (col("rk") - 1).as("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign every corpus vector to its
+    * nearest of `centroids` (a small literal set, e.g. sampled offline),
+    * probes search only the nProbe nearest cells. */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      probes: DataFrame, probeId: String, probeVec: String,
+      centroids: Seq[Seq[Double]], k: Int, nProbe: Int = 2): DataFrame = {
+    val centArr = array(centroids.zipWithIndex.map { case (cvec, i) =>
+      struct(lit(i).as("cell"), array(cvec.map(lit): _*).as("cv"))
+    }: _*)
+    def nearestCells(v: Column, n: Int): Column =
+      slice(transform(array_sort(transform(centArr, c =>
+        struct(l2Distance(v, c.getField("cv")).as("d"), c.getField("cell").as("cell")))),
+        s => s.getField("cell")), 1, n)
+
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1))
+    val p = broadcast(probes.select(col(probeId).as("probe_id"), col(probeVec).as("probe_vec"))
+      .withColumn("cell", explode(nearestCells(col("probe_vec"), nProbe))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id").asc)
+    c.join(p, Seq("cell"))
+      .withColumn("cosine", cosine(col("cv"), col("probe_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"), (col("rk") - 1).as("rank"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators for training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure
+  * codegen'd column expressions — run map-side at any scale. */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(Dedup.tokens(text))
+
+  /** BPE-ish subword token estimate: word-piece regex split (letters runs,
+    * digit runs, single punctuation), the common pre-tokenizer shape. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|\\s+|(?=[\\p{Punct}])|(?<=[\\p{Punct}])"),
+      t => length(t) > 0))
+
+  def charCount(text: Column): Column = length(text)
+
+  def avgWordLength(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    when(size(toks) === 0, lit(null)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Fraction of characters that are punctuation / digits / uppercase. */
+  def punctRatio(text: Column): Column = charClassRatio(text, "[\\p{Punct}]")
+  def digitRatio(text: Column): Column = charClassRatio(text, "[0-9]")
+  def upperRatio(text: Column): Column = charClassRatio(text, "[A-Z]")
+  def whitespaceRatio(text: Column): Column = charClassRatio(text, "\\s")
+
+  private def charClassRatio(text: Column, cls: String): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("double") / length(text))
+
+  private val EnglishStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this", "be", "from")
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal (Gopher/C4-style filters). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = Dedup.tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * low punctuation/digit noise (C4/Gopher-inspired heuristic mix). */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCount(text).between(10, 100000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val digitOk = when(digitRatio(text) < 0.3, 1.0).otherwise(0.0)
+    (lenOk + stopOk + punctOk + digitOk) / 4.0
+  }
+
+  /** Character n-gram profiles per language for heuristic language ID.
+    * Tiny deterministic profiles — real deployments would plug larger
+    * tables in; the operator shape (score-every-language, argmax) is what
+    * matters at scale. */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", " to"),
+    "de" -> Seq("en ", "er ", " de", "der", "ie ", "die", "sch", "ein", "ich", "nde"),
+    "fr" -> Seq(" de", "de ", " le", "es ", "le ", "ent", "ne ", "la ", " la", "tio"),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " co", "es ", "ión", "el ", " el"),
+    "zh" -> Seq("的", "是", "了", "在", "人", "有", "我", "他", "这", "中"))
+
+  /** Heuristic language ID: count profile-n-gram hits per language, argmax
+    * (ties broken by profile order). */
+  def langId(text: Column): Column = {
+    val lowered = lower(text)
+    val scored = LangProfiles.map { case (langCode, grams) =>
+      val score = grams.map(g =>
+        when(lowered.contains(g), lit(1)).otherwise(lit(0)): Column).reduce(_ + _)
+      struct(score.as("score"), lit(langCode).as("lang"))
+    }
+    // max_by over a literal array of (score, lang) structs
+    element_at(array_sort(array(scored: _*),
+      (a, b) => when(a.getField("score") > b.getField("score"), -1)
+        .when(a.getField("score") < b.getField("score"), 1).otherwise(0)), 1)
+      .getField("lang")
+  }
+
+  /** OpenRefine-style key fingerprint: sorted distinct lowercase tokens
+    * joined — canonical form for clustering near-identical records. */
+  def fingerprintKey(text: Column): Column =
+    array_join(array_sort(array_distinct(Dedup.tokens(text))), " ")
+
+  /** 64-bit rolling content fingerprint (order-sensitive, xxhash64-based
+    * polynomial roll over tokens). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(Dedup.tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}

@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One engine query + its DuckDB oracle SQL (None → driver records a
+  * rows-only check; used for ops whose sketch/hash internals aren't
+  * reproducible in SQL). */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  /** Read a test table. events.parquet carries TIMESTAMP(NANOS) which Spark
+    * refuses by default — read nanos as long and truncate to µs (matching
+    * DuckDB's ns→µs cast truncation in the oracle). */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = t(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = t(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = t(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = t(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame = t(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = t(s, dir, "region")
+  def events(s: SparkSession, dir: String): DataFrame = t(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** Money-sum policy for cross-engine hash-stability: sum in DECIMAL(38,4)
+    * (exact, order-independent) then cast to double. Oracle mirror:
+    * CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE). */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(38,4)")).cast("double")
+
+  /** Decimal-stable mean: exact decimal sum / count, in double at the end. */
+  def dmean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(c.cast("decimal(38,4)")).cast("double") / count(c), 6)
+}

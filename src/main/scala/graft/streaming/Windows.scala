@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming surface: watermark spec + tumble/hop windowed aggregation,
+  * mirroring ibis `Table.window_by` → `WindowedTable.tumble/hop`
+  * (/root/reference/ibis/expr/types/temporal_windows.py:20-100) and
+  * `ibis.watermark` (/root/reference/ibis/expr/api.py:2308-2324).
+  *
+  * The same plan works in batch (groupBy(window(...))) and streaming
+  * (readStream + withWatermark) — like ibis's PySpark backend, where
+  * batch/streaming is a connection-mode property, not a different API
+  * (/root/reference/ibis/backends/pyspark/__init__.py:161-199).
+  */
+final case class Watermark(timeCol: String, allowedDelay: String)
+
+object Windows {
+
+  def withWatermark(df: DataFrame, wm: Watermark): DataFrame =
+    if (df.isStreaming) df.withWatermark(wm.timeCol, wm.allowedDelay) else df
+
+  /** Tumbling window aggregation → window_start/window_end + keys + metrics
+    * (pyspark compile path: backends/sql/compilers/pyspark.py:589-648). */
+  def tumble(df: DataFrame, timeCol: Column, size: String, keys: Seq[Column], metrics: Seq[Column]): DataFrame =
+    df.groupBy((window(timeCol, size) +: keys): _*)
+      .agg(metrics.head, metrics.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Hopping (sliding) window aggregation. */
+  def hop(df: DataFrame, timeCol: Column, size: String, slide: String,
+      keys: Seq[Column], metrics: Seq[Column]): DataFrame =
+    df.groupBy((window(timeCol, size, slide) +: keys): _*)
+      .agg(metrics.head, metrics.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Session windows — a Spark capability superset (ibis has tumble/hop
+    * only, SURVEY.md §2.6); exposed because gap-based sessionization is a
+    * core events-pipeline op. */
+  def session(df: DataFrame, timeCol: Column, gap: String,
+      keys: Seq[Column], metrics: Seq[Column]): DataFrame =
+    df.groupBy((session_window(timeCol, gap) +: keys): _*)
+      .agg(metrics.head, metrics.tail: _*)
+      .withColumn("window_start", col("session_window.start"))
+      .withColumn("window_end", col("session_window.end"))
+      .drop("session_window")
+
+  /** Kafka source (ibis read_kafka, backends/pyspark/__init__.py:1080):
+    * value parsed against a declared schema, optional watermark. */
+  def readKafka(spark: org.apache.spark.sql.SparkSession, bootstrap: String, topic: String,
+      valueSchema: org.apache.spark.sql.types.StructType, wm: Option[Watermark]): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+      .select(from_json(col("value").cast("string"), valueSchema).as("v"))
+      .select("v.*")
+    wm.fold(raw)(w => raw.withWatermark(w.timeCol, w.allowedDelay))
+  }
+
+  /** Kafka sink (ibis to_kafka, backends/pyspark/__init__.py:1144). */
+  def toKafka(df: DataFrame, bootstrap: String, topic: String, checkpoint: String) =
+    df.select(to_json(struct(col("*"))).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+}
