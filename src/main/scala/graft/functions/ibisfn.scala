@@ -238,4 +238,20 @@ object ibisfn {
     * functions (rewrites.py:480-533): (unbounded preceding, current row). */
   def cumulativeFrame(w: WindowSpec): WindowSpec =
     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** ibis Kurtosis(how="sample") (reductions.py:339) — the pyspark backend
+    * can't do it (compilers/pyspark.py:73); we compose it from Spark's
+    * population moments in ONE pass: G2 = ((n+1)·g2 + 6)·(n-1)/((n-2)(n-3))
+    * where g2 is Spark's (population, excess) `kurtosis`. */
+  def kurtosisSample(x: Column): Column = {
+    val n = count(x).cast("double")
+    ((n + 1) * kurtosis(x) + 6) * (n - 1) / ((n - 2) * (n - 3))
+  }
+
+  /** ibis sample skewness: G1 = g1 · sqrt(n(n-1))/(n-2), g1 = Spark's
+    * population `skewness`. Single pass, no custom Aggregator needed. */
+  def skewnessSample(x: Column): Column = {
+    val n = count(x).cast("double")
+    skewness(x) * sqrt(n * (n - 1)) / (n - 2)
+  }
 }
