@@ -9,7 +9,8 @@ import graft.queries._
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ AggregationQueries.defs ++ ScalarQueries.defs
+    RelationalQueries.defs ++ AggregationQueries.defs ++ ScalarQueries.defs ++
+      ComplexTypeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
