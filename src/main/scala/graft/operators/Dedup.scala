@@ -85,25 +85,35 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
+    // The sketch stage feeds three consumers (banding + both sides of the
+    // verify join) — persist it so shingling/minhashing runs once (the
+    // explicit-CTE materialization; spills to disk at scale).
     val sketched = df
       .select(col(id).as("doc"), shingleHashes(shingles(tokens(col(text)), shingleK)).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Bucket join carries ONLY (band, bucket, id) — the wide shingle arrays
+    // never enter the ×bands-duplicated shuffle. Shingle sets are re-joined
+    // after pair dedup, so verify-stage data volume is O(candidate pairs).
     val banded = sketched.select(
-      col("doc"), col("sh"),
+      col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    val l = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
     val candidates = l
       .join(r, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
 
+    val sets = sketched.select(col("doc"), col("sh"))
     candidates
+      .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

@@ -69,20 +69,21 @@ object TextAnalysis {
     "es" -> Seq(" de", "de ", " la", "la ", "os ", " co", "es ", "ión", "el ", " el"),
     "zh" -> Seq("的", "是", "了", "在", "人", "有", "我", "他", "这", "中"))
 
-  /** Heuristic language ID: count profile-n-gram hits per language, argmax
-    * (ties broken by profile order). */
-  def langId(text: Column): Column = {
+  /** Per-language profile hit count (for langId and its oracle). */
+  def langScore(text: Column, langCode: String): Column = {
+    val grams = LangProfiles.find(_._1 == langCode).get._2
     val lowered = lower(text)
-    val scored = LangProfiles.map { case (langCode, grams) =>
-      val score = grams.map(g =>
-        when(lowered.contains(g), lit(1)).otherwise(lit(0)): Column).reduce(_ + _)
-      struct(score.as("score"), lit(langCode).as("lang"))
-    }
-    // max_by over a literal array of (score, lang) structs
-    element_at(array_sort(array(scored: _*),
-      (a, b) => when(a.getField("score") > b.getField("score"), -1)
-        .when(a.getField("score") < b.getField("score"), 1).otherwise(0)), 1)
-      .getField("lang")
+    grams.map(g => when(lowered.contains(g), lit(1)).otherwise(lit(0)): Column).reduce(_ + _)
+  }
+
+  /** Heuristic language ID: profile-hit argmax, ties broken by profile
+    * order (deterministic first-wins when-chain, no sort-stability reliance). */
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (code, _) => code -> langScore(text, code) }
+    val m = greatest(scores.map(_._2): _*)
+    scores.tail.foldLeft(when(scores.head._2 === m, lit(scores.head._1))) {
+      case (chain, (code, sc)) => chain.when(sc === m, lit(code))
+    }.otherwise(lit("und"))
   }
 
   /** OpenRefine-style key fingerprint: sorted distinct lowercase tokens

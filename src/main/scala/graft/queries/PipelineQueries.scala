@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{SortKey, Table}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Tables._
+
+/** Training-data pipeline corpus: text analysis, dedup (exact / minhash-LSH /
+  * simhash / jaccard / embedding), similarity search, multimodal plumbing —
+  * the beyond-the-reference operators (BASELINE.json north star). */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Text quality/statistics battery (C4/Gopher-style signals).
+    QueryDef("q60_text_stats", (s, dir) => {
+      Table(documents(s, dir))
+        .filter(col("doc_id") < 50)
+        .mutate(
+          "n_tokens" -> TextAnalysis.tokenCount(col("text")),
+          "n_chars" -> TextAnalysis.charCount(col("text")),
+          "avg_wlen" -> round(TextAnalysis.avgWordLength(col("text")), 6),
+          "stop_ratio" -> round(TextAnalysis.stopwordRatio(col("text")), 6),
+          "ws_ratio" -> round(TextAnalysis.whitespaceRatio(col("text")), 6),
+          "quality" -> TextAnalysis.qualityScore(col("text")),
+          "fp_key_hash" -> md5(TextAnalysis.fingerprintKey(col("text"))))
+        .selectNames("doc_id", "n_tokens", "n_chars", "avg_wlen", "stop_ratio",
+          "ws_ratio", "quality", "fp_key_hash")
+        .sort(SortKey.asc(col("doc_id")))
+        .df
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, text,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id,
+        CAST(LEN(w) AS INT) AS n_tokens,
+        CAST(LENGTH(text) AS INT) AS n_chars,
+        ROUND(LIST_AGGREGATE(LIST_TRANSFORM(w, x -> CAST(LENGTH(x) AS BIGINT)), 'sum') / CAST(LEN(w) AS DOUBLE), 6) AS avg_wlen,
+        ROUND(LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','that','this','be','from'], x))) / CAST(LEN(w) AS DOUBLE), 6) AS stop_ratio,
+        ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\s', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE), 6) AS ws_ratio,
+        ((CASE WHEN LEN(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','that','this','be','from'], x))) / CAST(LEN(w) AS DOUBLE) > 0.01 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE) < 0.2 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+        MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(w)), ' ')) AS fp_key_hash
+      FROM toks ORDER BY doc_id""")),
+
+    // Heuristic language ID (profile n-gram argmax, first-wins ties).
+    QueryDef("q61_langid", (s, dir) => {
+      Table(documents(s, dir))
+        .filter(col("doc_id") < 100)
+        .mutate(
+          "s_en" -> TextAnalysis.langScore(col("text"), "en"),
+          "s_de" -> TextAnalysis.langScore(col("text"), "de"),
+          "pred_lang" -> TextAnalysis.langId(col("text")))
+        .selectNames("doc_id", "s_en", "s_de", "pred_lang")
+        .sort(SortKey.asc(col("doc_id")))
+        .df
+    }, Some("""
+      WITH scored AS (
+        SELECT doc_id, LOWER(text) AS t FROM documents WHERE doc_id < 100),
+      s AS (
+        SELECT doc_id,
+          (CASE WHEN CONTAINS(t, ' th') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'the') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'he ') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, ' an') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'and') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'nd ') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, ' of') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'of ') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'ing') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, ' to') THEN 1 ELSE 0 END) AS s_en,
+          (CASE WHEN CONTAINS(t, 'en ') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'er ') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, ' de') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'der') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'ie ') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'die') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'sch') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'ein') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'ich') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'nde') THEN 1 ELSE 0 END) AS s_de,
+          (CASE WHEN CONTAINS(t, ' de') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'de ') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, ' le') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'es ') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'le ') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'ent') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'ne ') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'la ') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, ' la') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'tio') THEN 1 ELSE 0 END) AS s_fr,
+          (CASE WHEN CONTAINS(t, ' de') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'de ') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, ' la') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'la ') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'os ') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, ' co') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'es ') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, 'ión') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, 'el ') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, ' el') THEN 1 ELSE 0 END) AS s_es,
+          (CASE WHEN CONTAINS(t, '的') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, '是') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, '了') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, '在') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, '人') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, '有') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, '我') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, '他') THEN 1 ELSE 0 END)
+          + (CASE WHEN CONTAINS(t, '这') THEN 1 ELSE 0 END) + (CASE WHEN CONTAINS(t, '中') THEN 1 ELSE 0 END) AS s_zh
+        FROM scored)
+      SELECT doc_id, CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de,
+        CASE WHEN s_en >= GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+             WHEN s_de >= GREATEST(s_de, s_fr, s_es, s_zh) THEN 'de'
+             WHEN s_fr >= GREATEST(s_fr, s_es, s_zh) THEN 'fr'
+             WHEN s_es >= GREATEST(s_es, s_zh) THEN 'es'
+             ELSE 'zh' END AS pred_lang
+      FROM s ORDER BY doc_id""")),
+
+    // Exact-duplicate groups by content key (hash-groupBy dedup).
+    QueryDef("q62_dedup_groups", (s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("key2", concat_ws(" ", slice(split(col("text"), " "), 1, 2)))
+      Dedup.exactGroups(d, "doc_id", col("key2"))
+        .withColumn("member_ids", concat_ws(",", transform(col("member_ids"), _.cast("string"))))
+        .orderBy(col("content_hash").asc)
+    }, Some("""
+      SELECT MD5(key2) AS content_hash, COUNT(*) AS dup_count,
+        MIN(doc_id) AS keeper_id,
+        ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), ',') AS member_ids
+      FROM (SELECT doc_id, ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:2], ' ') AS key2 FROM documents)
+      GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash""")),
+
+    // Keep-first dedup (one shuffle, row_number==1).
+    QueryDef("q63_dedup_keep_first", (s, dir) => {
+      Table(Dedup.exact(documents(s, dir), Seq("lang", "source"), "doc_id"))
+        .selectNames("doc_id", "lang", "source")
+        .sort(SortKey.asc(col("doc_id")))
+        .df
+    }, Some("""
+      SELECT doc_id, lang, source FROM documents
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+      ORDER BY doc_id""")),
+
+    // Sketches: minhash signature, simhash, rolling fingerprint, subword
+    // count — engine-specific hashes, not SQL-reproducible → rows-only.
+    QueryDef("q64_sketches", (s, dir) => {
+      val toks = Dedup.tokens(col("text"))
+      Table(documents(s, dir))
+        .filter(col("doc_id") < 20)
+        .mutate(
+          "minhash0" -> element_at(Dedup.minhashSignature(
+            Dedup.shingleHashes(Dedup.shingles(toks, 3)), 16), 1),
+          "simhash" -> Dedup.simhash(toks),
+          "rolling_fp" -> TextAnalysis.rollingFingerprint(col("text")),
+          "n_subwords" -> TextAnalysis.subwordCount(col("text")))
+        .selectNames("doc_id", "minhash0", "simhash", "rolling_fp", "n_subwords")
+        .sort(SortKey.asc(col("doc_id")))
+        .df
+    }, None),
+
+    // MinHash-LSH near-dup candidate pairs (banding + verify) — rows-only.
+    QueryDef("q65_minhash_pairs", (s, dir) => {
+      Dedup.minhashLsh(documents(s, dir), "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    }, None),
+
+    // Exact word-set Jaccard pairs within a language block — SQL-checkable
+    // twin of the LSH path (verifies the verify-stage math).
+    QueryDef("q66_jaccard_pairs", (s, dir) => {
+      Dedup.ngramJaccardPairs(
+          documents(s, dir).filter(col("doc_id") < 60), "doc_id", "text",
+          blockBy = col("lang"), n = 1, threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+          LIST_DISTINCT(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '')) AS w
+        FROM documents WHERE doc_id < 60)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        ROUND(LEN(LIST_INTERSECT(a.w, b.w)) / CAST(LEN(LIST_DISTINCT(a.w || b.w)) AS DOUBLE), 6) AS jaccard
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.w, b.w)) / CAST(LEN(LIST_DISTINCT(a.w || b.w)) AS DOUBLE) >= 0.6
+      ORDER BY doc_a, doc_b""")),
+
+    // SimHash hamming near-dup pairs — rows-only (xxhash64 sketch).
+    QueryDef("q67_simhash_pairs", (s, dir) => {
+      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 12)
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    }, None),
+
+    // Brute-force exact top-k cosine neighbors (broadcast probes, one
+    // corpus scan, per-probe rank) vs DuckDB list_cosine_similarity.
+    QueryDef("q68_embedding_topk", (s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.bruteForceTopK(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("probe_id").asc, col("rank").asc)
+    }, Some("""
+      WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 3),
+      scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+          ROUND(LIST_COSINE_SIMILARITY(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+                                       LIST_TRANSFORM(p.pv, x -> CAST(x AS DOUBLE))), 6) AS cosine
+        FROM embeddings e CROSS JOIN probes p),
+      ranked AS (
+        SELECT probe_id, neighbor_id, cosine,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) - 1 AS rank
+        FROM scored)
+      SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank < 5 ORDER BY probe_id, rank""")),
+
+    // LSH-bucketed + IVF approximate neighbors — rows-only (bucket layout
+    // is engine-specific); ScalaTest asserts recall vs brute force.
+    QueryDef("q69_ann_lsh", (s, dir) => {
+      val e = embeddings(s, dir)
+      Similarity.lshTopK(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, planes = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("probe_id").asc, col("rank").asc)
+    }, None),
+
+    // Embedding near-dup pairs via hyperplane buckets — rows-only.
+    QueryDef("q70_embedding_neardup", (s, dir) => {
+      Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
+          planes = 4, threshold = 0.25)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+    }, None),
+
+    // End-to-end quality-filter pipeline: score → filter → per-lang stats.
+    QueryDef("q71_quality_pipeline", (s, dir) => {
+      Table(documents(s, dir))
+        .mutate("quality" -> TextAnalysis.qualityScore(col("text")),
+          "n_tokens" -> TextAnalysis.tokenCount(col("text")))
+        .filter(col("quality") >= 0.75)
+        .groupBy(col("lang"))
+        .aggregate(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .sort(SortKey.asc(col("lang")))
+        .df
+    }, Some("""
+      WITH q AS (
+        SELECT lang, n_chars,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w,
+          text
+        FROM documents),
+      scored AS (
+        SELECT lang, n_chars, CAST(LEN(w) AS INT) AS n_tokens,
+          ((CASE WHEN LEN(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','that','this','be','from'], x))) / CAST(LEN(w) AS DOUBLE) > 0.01 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE) < 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+        FROM q)
+      SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_tokens), 6) AS avg_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM scored WHERE quality >= 0.75 GROUP BY lang ORDER BY lang""")),
+
+    // Multimodal plumbing: binary payload + typed metadata + stubbed
+    // decode/featurize/frame-sample (deterministic fakes; see Multimodal).
+    QueryDef("q72_multimodal", (s, dir) => {
+      val d = documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("media", Multimodal.asMedia(col("payload"), "image", "jpeg"))
+        .withColumn("dims", Multimodal.probeImageDims(col("payload")))
+        .withColumn("phash", Multimodal.perceptualHash(col("payload")))
+        .withColumn("duration_ms", lit(5000L))
+      val feat = Multimodal.extractFeatures(d, "payload", dim = 4)
+      Multimodal.sampleFrames(feat, "payload", "duration_ms", everyMs = 1000L)
+        .groupBy(col("doc_id"))
+        .agg(
+          first(col("media").getField("meta").getField("size_bytes")).as("size_bytes"),
+          first(col("dims").getField("width")).as("width"),
+          first(col("phash")).as("phash"),
+          round(first(element_at(col("features"), 1)), 6).as("feat0"),
+          count(lit(1)).as("n_frames"))
+        .orderBy(col("doc_id").asc)
+    }, None)
+  )
+}

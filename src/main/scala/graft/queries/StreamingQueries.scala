@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+import graft.streaming.Windows
+import Tables._
+
+/** Windowed-aggregation corpus (SURVEY.md §2.6): tumble/hop (ibis
+  * WindowedTable.tumble/hop) and session windows (Spark superset). The SAME
+  * graft.streaming.Windows plans run under readStream + withWatermark —
+  * batch/streaming is a source property, as in the reference's pyspark
+  * backend (mode="batch"|"streaming"). ScalaTest drives the streaming path
+  * with MemoryStream; here the driver verifies the batch semantics. */
+object StreamingQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1h windows per event_type.
+    QueryDef("q80_tumble", (s, dir) => {
+      Windows.tumble(events(s, dir), col("ts"), "1 hour",
+          keys = Seq(col("event_type")),
+          metrics = Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .withColumn("window_end", date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(col("window_start").asc, col("event_type").asc)
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,
+        STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+        STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts::TIMESTAMP) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end
+      FROM events GROUP BY event_type, TIME_BUCKET(INTERVAL '1 hour', ts::TIMESTAMP)
+      ORDER BY window_start, event_type""")),
+
+    // Hopping windows: 1h size / 30min slide (each event in 2 windows).
+    QueryDef("q81_hop", (s, dir) => {
+      Windows.hop(events(s, dir), col("ts"), "1 hour", "30 minutes",
+          keys = Seq.empty,
+          metrics = Seq(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value")))
+        .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .select("window_start", "n", "avg_value")
+        .orderBy(col("window_start").asc)
+    }, Some("""
+      WITH expanded AS (
+        SELECT value,
+          TIME_BUCKET(INTERVAL '30 minutes', ts::TIMESTAMP) - (k * INTERVAL 30 MINUTE) AS window_start
+        FROM events, UNNEST([0, 1]) AS t(k))
+      SELECT STRFTIME(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+        COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+      FROM expanded GROUP BY window_start ORDER BY window_start""")),
+
+    // Session windows (30min gap) per user: gaps-and-islands oracle.
+    QueryDef("q82_session", (s, dir) => {
+      Windows.session(events(s, dir), col("ts"), "30 minutes",
+          keys = Seq(col("user_id")),
+          metrics = Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value")))
+        .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .select("user_id", "window_start", "n_events", "session_value")
+        .orderBy(col("user_id").asc, col("window_start").asc)
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, ts::TIMESTAMP AS t, value,
+          CASE WHEN ts::TIMESTAMP - LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP) > INTERVAL 30 MINUTE
+               OR LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, t, value,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, STRFTIME(MIN(t), '%Y-%m-%d %H:%M:%S') AS window_start,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS session_value
+      FROM sessions GROUP BY user_id, sid ORDER BY user_id, window_start""")),
+
+    // Windowed funnel: tumble + per-window pivot of event types.
+    QueryDef("q83_windowed_funnel", (s, dir) => {
+      Windows.tumble(events(s, dir), col("ts"), "6 hours",
+          keys = Seq.empty,
+          metrics = Seq(
+            count(when(col("event_type") === "view", lit(1))).as("views"),
+            count(when(col("event_type") === "click", lit(1))).as("clicks"),
+            count(when(col("event_type") === "purchase", lit(1))).as("purchases"),
+            round(count(when(col("event_type") === "purchase", lit(1))).cast("double") /
+              greatest(count(when(col("event_type") === "view", lit(1))), lit(1L)), 6).as("conv_rate")))
+        .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .select("window_start", "views", "clicks", "purchases", "conv_rate")
+        .orderBy(col("window_start").asc)
+    }, Some("""
+      SELECT STRFTIME(TIME_BUCKET(INTERVAL '6 hours', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+        ROUND(COUNT(*) FILTER (WHERE event_type = 'purchase')
+          / CAST(GREATEST(COUNT(*) FILTER (WHERE event_type = 'view'), 1) AS DOUBLE), 6) AS conv_rate
+      FROM events GROUP BY 1 ORDER BY window_start""")),
+
+    // Stream-to-stream enrichment shape: per-user running aggregates via
+    // as-of join of purchases onto the running click count (batch twin of a
+    // stream-stream join with state).
+    QueryDef("q84_enrich_asof", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .withColumn("clicks_so_far",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").asc, col("event_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id").as("cu"), col("ts").as("cts"), col("clicks_so_far"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsofJoin(purchases, clicks, col("ts"), col("cts"), by = Seq("user_id" -> "cu"))
+        .select(col("event_id"), col("user_id"), coalesce(col("clicks_so_far"), lit(0L)).as("clicks_before"))
+        .orderBy(col("event_id").asc)
+    }, Some("""
+      SELECT p.event_id, p.user_id,
+        COALESCE(c.clicks_so_far, 0) AS clicks_before
+      FROM (SELECT event_id, user_id, ts::TIMESTAMP AS t FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (
+        SELECT user_id, ts::TIMESTAMP AS t,
+          COUNT(*) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clicks_so_far
+        FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.t >= c.t
+      ORDER BY p.event_id"""))
+  )
+}

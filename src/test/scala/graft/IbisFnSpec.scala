@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ibisfn
+
+class IbisFnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("substring0 is 0-indexed; negative start counts from end") {
+    assert(one[String](ibisfn.substring0(lit("abcdef"), 1, 3)) == "bcd")
+    assert(one[String](ibisfn.substring0(lit("abcdef"), 0, 2)) == "ab")
+    assert(one[String](ibisfn.substring0(lit("abcdef"), -2)) == "ef")
+  }
+
+  test("strFind0 returns 0-based position, -1 when absent") {
+    assert(one[Int](ibisfn.strFind0(lit("hello"), "ll")) == 2)
+    assert(one[Int](ibisfn.strFind0(lit("hello"), "zz")) == -1)
+  }
+
+  test("capitalize: first char upper, REST lower (not initcap)") {
+    assert(one[String](ibisfn.capitalize(lit("hello World"))) == "Hello world")
+  }
+
+  test("clip propagates nulls (Spark least/greatest would skip them)") {
+    val df = Seq(Some(5.0), Some(50.0), None).toDF("v")
+    val out = df.select(ibisfn.clip(col("v"), Some(10.0), Some(40.0)).as("c"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(out == Seq(Some(10.0), Some(40.0), None))
+  }
+
+  test("greatestStrict null-propagates") {
+    val df = Seq((Some(1.0), Some(2.0)), (Some(1.0), None)).toDF("a", "b")
+    val out = df.select(ibisfn.greatestStrict(col("a"), col("b")).as("g"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(out == Seq(Some(2.0), None))
+  }
+
+  test("bucket: closed-left edges, include_over adds the open bucket") {
+    val df = Seq(-5.0, 0.0, 49.9, 50.0, 99.9, 100.0).toDF("v")
+    val out = df.select(ibisfn.bucket(col("v"), Seq(0, 50, 100), includeOver = true).as("b"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(out == Seq(None, Some(0), Some(0), Some(1), Some(1), Some(2)))
+  }
+
+  test("integerRange: exclusive stop, empty on zero step") {
+    val df = Seq(1).toDF("x")
+    def range(start: Int, stop: Int, step: Int) =
+      df.select(ibisfn.integerRange(lit(start), lit(stop), lit(step)).as("r"))
+        .collect().head.getSeq[Long](0)
+    assert(range(0, 7, 2) == Seq(0L, 2L, 4L, 6L))
+    assert(range(0, 6, 2) == Seq(0L, 2L, 4L))
+    assert(range(5, 0, -2) == Seq(5L, 3L, 1L))
+    assert(range(0, 5, 0).isEmpty)
+    assert(range(3, 3, 1).isEmpty)
+  }
+
+  test("dayOfWeekIndex: Monday=0 ... Sunday=6") {
+    val df = Seq("2024-01-01", "2024-01-07").toDF("d") // Mon, Sun
+    val out = df.select(ibisfn.dayOfWeekIndex(col("d").cast("date")).as("i"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 6))
+  }
+
+  test("arrayIndex0 / arrayPosition0: 0-based, negative-from-end, -1 missing") {
+    val df = Seq(Seq("a", "b", "c")).toDF("arr")
+    assert(df.select(ibisfn.arrayIndex0(col("arr"), 1)).collect().head.getString(0) == "b")
+    assert(df.select(ibisfn.arrayIndex0(col("arr"), -1)).collect().head.getString(0) == "c")
+    assert(df.select(ibisfn.arrayPosition0(col("arr"), lit("c"))).collect().head.getLong(0) == 2L)
+    assert(df.select(ibisfn.arrayPosition0(col("arr"), lit("z"))).collect().head.getLong(0) == -1L)
+  }
+
+  test("unwrapJsonInt rejects bools and fractional floats (ibis json.py:86-89)") {
+    val df = Seq("""{"k": 3}""", """{"k": 3.5}""", """{"k": true}""", """{"k": "s"}""").toDF("j")
+    val out = df.select(ibisfn.unwrapJsonInt(col("j"), "k").as("v"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(out == Seq(Some(3L), None, None, None))
+  }
+
+  test("sample kurtosis/skewness match the textbook small-sample values") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 10.0).toDF("x")
+    val k = df.agg(ibisfn.kurtosisSample(col("x"))).collect().head.getDouble(0)
+    val sk = df.agg(ibisfn.skewnessSample(col("x"))).collect().head.getDouble(0)
+    // bias-corrected moments of [1,2,3,4,10]: G2=3.152, G1=1.6970562748
+    assert(math.abs(k - 3.152) < 1e-6)
+    assert(math.abs(sk - 1.6970562748) < 1e-6)
+  }
+}

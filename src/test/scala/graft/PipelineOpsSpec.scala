@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),   // near-dup of 1
+    (3L, "completely different content about spark query engines and columnar io"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first by order column") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("exactGroups finds the duplicate group with sorted members") {
+    val g = Dedup.exactGroups(docs, "doc_id", col("text")).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("keeper_id") == 1L)
+    assert(g.head.getAs[scala.collection.Seq[Long]]("member_ids").toSeq == Seq(1L, 4L))
+  }
+
+  test("minhash LSH surfaces near-dup and exact-dup pairs, not distinct docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always caught
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs → hamming 0; near-dups close; distinct far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(Dedup.tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("cosine similarity: identical=1, orthogonal=0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("c")).as("orth")).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK: self is rank 0 with cosine 1; k respected") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 5).collect()
+    assert(out.length == 5)
+    val top = out.find(_.getAs[Int]("rank") == 0).get
+    assert(top.getAs[Long]("neighbor_id") == 7L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("lshTopK recall: bucketed ANN finds most of brute-force top-10") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", probes, "vec_id", "embedding", 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", probes, "vec_id", "embedding", 10, planes = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"ANN recall too low: $recall") // 3 planes = 8 cells over 500 vecs
+  }
+
+  test("langId picks the obvious language") {
+    val df = Seq(
+      "the cat and the dog are playing in the garden together",
+      "der hund und die katze spielen zusammen ich sche im garten",
+      "的 是 了 在 人 有 我 他").toDF("t")
+    val out = df.select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    assert(out(0) == "en")
+    assert(out(1) == "de")
+    assert(out(2) == "zh")
+  }
+
+  test("quality score components behave") {
+    val good = "the quick brown fox jumps over a lazy dog and this text is long enough to pass the filters"
+    val bad = "x@#$ 12345 !!!! ####"
+    val df = Seq(good, bad).toDF("t")
+    val scores = df.select(TextAnalysis.qualityScore(col("t"))).as[Double].collect()
+    assert(scores(0) == 1.0)
+    assert(scores(1) < 0.5)
+  }
+
+  test("token counting: whitespace vs subword") {
+    val df = Seq("hello world foo2bar don't").toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")).as("w"),
+      TextAnalysis.subwordCount(col("t")).as("sw")).collect().head
+    assert(r.getInt(0) == 5) // hello world foo 2bar? -> tokens: hello world foo2bar? regex splits letters/digits boundaries only in subword
+    assert(r.getInt(1) > r.getInt(0)) // subword splits foo|2|bar and don|'|t
+  }
+
+  test("multimodal: frame sampling emits duration/every frames with payload slices") {
+    val df = Seq((1L, "some payload bytes for a fake video", 5000L))
+      .toDF("id", "txt", "duration_ms")
+      .withColumn("payload", encode(col("txt"), "UTF-8"))
+    val frames = Multimodal.sampleFrames(df, "payload", "duration_ms", 1000L)
+    assert(frames.count() == 5)
+    assert(frames.select("frame_idx").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+}

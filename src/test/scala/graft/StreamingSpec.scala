@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Watermark, Windows}
+
+/** Structured Streaming path: the same Windows.tumble plan as the batch
+  * corpus, driven through MemoryStream + watermark (ibis read_kafka(
+  * watermark=...) → windowed agg shape). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumble over a watermarked stream emits per-window counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val src = Windows.withWatermark(
+      input.toDF().toDF("ts", "event_type", "value"),
+      Watermark("ts", "10 minutes"))
+    val agg = Windows.tumble(src, col("ts"), "1 hour",
+      keys = Seq(col("event_type")),
+      metrics = Seq(count(lit(1)).as("n"), sum(col("value")).as("sv")))
+
+    val query = agg.writeStream
+      .format("memory").queryName("tumble_out").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.0),
+        (ts("2024-01-01 10:30:00"), "view", 8.0))
+      query.processAllAvailable()
+      val out = spark.table("tumble_out")
+        .select("event_type", "window_start", "n", "sv")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out == Set(
+        ("click", "2024-01-01 10:00:00.0", 2L, 3.0),
+        ("click", "2024-01-01 11:00:00.0", 1L, 4.0),
+        ("view", "2024-01-01 10:00:00.0", 1L, 8.0)))
+    } finally query.stop()
+  }
+
+  test("watermark is a no-op on batch frames (mode is a source property)") {
+    val batch = Seq((ts("2024-01-01 10:05:00"), "click", 1.0)).toDF("ts", "event_type", "value")
+    val out = Windows.tumble(
+      Windows.withWatermark(batch, Watermark("ts", "10 minutes")),
+      col("ts"), "1 hour", Seq.empty, Seq(count(lit(1)).as("n")))
+    assert(out.collect().head.getAs[Long]("n") == 1L)
+  }
+}

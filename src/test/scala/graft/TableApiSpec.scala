@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{SortKey, Table}
+
+class TableApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t = Table(Seq(
+    (1, Some("a"), Some(10.0)),
+    (2, None, Some(5.0)),
+    (3, Some("b"), None),
+    (4, Some("a"), Some(7.0))
+  ).toDF("id", "s", "v"))
+
+  test("sort: ibis default is asc NULLS LAST (Spark default is nulls-first)") {
+    val ids = t.sort(SortKey.asc(col("v"))).df.select("id").as[Int].collect().toSeq
+    assert(ids == Seq(2, 4, 1, 3)) // null v goes last
+    val idsDesc = t.sort(SortKey.desc(col("v"))).df.select("id").as[Int].collect().toSeq
+    assert(idsDesc == Seq(1, 4, 2, 3))
+  }
+
+  test("limit with offset") {
+    val ids = t.sort(SortKey.asc(col("id"))).limit(2, offset = 1)
+      .df.select("id").as[Int].collect().toSeq
+    assert(ids == Seq(2, 3))
+  }
+
+  test("fillNull / dropNull") {
+    assert(t.fillNull(Map("s" -> "?", "v" -> 0.0)).df.na.drop("any").count() == 4)
+    assert(t.dropNull("any").df.count() == 2)
+    assert(t.dropNull("all").df.count() == 4)
+    assert(t.dropNull("any", Some(Seq("s"))).df.count() == 3)
+  }
+
+  test("mutate/select/rename/relocate/dropColumns") {
+    val out = t.mutate("v2" -> (col("v") * 2))
+      .rename("s" -> "label")
+      .relocate("v2")
+      .dropColumns("v")
+    assert(out.columns == Seq("v2", "id", "label"))
+  }
+
+  test("semi/anti join kinds") {
+    val other = Seq(1, 3).toDF("id2")
+    val semi = t.join(Table(other), col("id") === col("id2"), "semi")
+    val anti = t.join(Table(other), col("id") === col("id2"), "anti")
+    assert(semi.df.select("id").as[Int].collect().toSet == Set(1, 3))
+    assert(anti.df.select("id").as[Int].collect().toSet == Set(2, 4))
+    assert(semi.columns == t.columns) // right columns dropped, like ibis
+  }
+
+  test("unnest with offset and keep_empty") {
+    val arr = Seq((1, Seq("x", "y")), (2, Seq.empty[String])).toDF("id", "a")
+    val kept = Table(arr).unnest("a", offset = Some("pos"), keepEmpty = true).df
+    assert(kept.count() == 3) // empty array kept as null row
+    val dropped = Table(arr).unnest("a", offset = Some("pos")).df
+    assert(dropped.count() == 2)
+    assert(dropped.select("pos").as[Int].collect().toSet == Set(0, 1))
+  }
+
+  test("pivotWider / pivotLonger roundtrip shape") {
+    val df = Seq(("x", "m1", 1.0), ("x", "m2", 2.0), ("y", "m1", 3.0)).toDF("k", "m", "v")
+    val wide = Table(df).pivotWider(Seq("k"), "m", col("v"), c => sum(c), values = Seq("m1", "m2"))
+    assert(wide.columns == Seq("k", "m1", "m2"))
+    val long = wide.pivotLonger(Seq("k"), Seq("m1", "m2"), "m", "v")
+    assert(long.df.count() == 4) // 2 keys × 2 metrics (null cell kept)
+  }
+
+  test("topk is deterministic and distributed (no collect)") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("x")
+    val top = Table(df).topk(col("x"), 2).df.collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("positional join aligns by row order") {
+    val a = Table(Seq(1, 2, 3).toDF("n")).sort(SortKey.asc(col("n")))
+    val b = Table(Seq("one", "two", "three").toDF("w"))
+    val joined = a.positionalJoin(b).df.orderBy("n").collect()
+    assert(joined.length == 3)
+  }
+
+  test("set ops: union distinct, intersect, difference") {
+    val a = Table(Seq(1, 2, 2, 3).toDF("x"))
+    val b = Table(Seq(2, 3, 4).toDF("x"))
+    assert(a.union(b).df.count() == 7)
+    assert(a.union(b, distinct = true).df.count() == 4)
+    assert(a.intersect(b).df.as[Int].collect().toSet == Set(2, 3))
+    assert(a.difference(b).df.as[Int].collect().toSet == Set(1))
+  }
+
+  test("unpack struct to columns") {
+    val df = Seq((1, ("n", 2))).toDF("id", "st")
+    val out = Table(df).unpack("st")
+    assert(out.columns == Seq("id", "_1", "_2"))
+  }
+}
