@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{Selectors, SortKey, Table}
+import Tables._
+
+/** Remaining-surface corpus: impure expressions, sampling, typeof, base
+  * conversion, URL parsing, unix-epoch conversions, selectors, SQL
+  * passthrough, IO round-trips, memtable/DummyTable. */
+object MiscQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Impure expressions (ibis ops.Impure — RandomScalar/RandomUUID/
+    // TimestampNow): assert SHAPE deterministically, not values.
+    QueryDef("q90_impure", (s, dir) => {
+      val c = customer(s, dir)
+      val t = c
+        .withColumn("u", expr("uuid()"))
+        .withColumn("r", rand(42))
+        .withColumn("rid", monotonically_increasing_id())
+        .withColumn("now_ok", current_timestamp() >= lit("2020-01-01").cast("timestamp"))
+      t.agg(
+          count(when(col("u").rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"), 1)).as("n_valid_uuid"),
+          countDistinct(col("u")).as("nd_uuid"),
+          count(when(col("r") >= 0 && col("r") < 1, 1)).as("n_rand_in_range"),
+          countDistinct(col("rid")).as("nd_rowid"),
+          count(when(col("now_ok"), 1)).as("n_now_ok"))
+    }, Some("""
+      SELECT COUNT(*) AS n_valid_uuid, COUNT(*) AS nd_uuid, COUNT(*) AS n_rand_in_range,
+        COUNT(*) AS nd_rowid, COUNT(*) AS n_now_ok
+      FROM customer""")),
+
+    // Sample (relations.py:485): fraction bounds via binomial tail — the
+    // assertion is statistical shape, engine-seeded → counts only.
+    QueryDef("q91_sample", (s, dir) => {
+      val o = Table(orders(s, dir))
+      val sampled = o.sample(0.2, seed = Some(42))
+      sampled.aggregate(count(lit(1)).as("n_sampled")).df
+        .crossJoin(o.aggregate(count(lit(1)).as("n_total")).df)
+        .select((col("n_sampled") > col("n_total") * 0.1).as("lower_ok"),
+          (col("n_sampled") < col("n_total") * 0.3).as("upper_ok"))
+    }, Some("SELECT TRUE AS lower_ok, TRUE AS upper_ok")),
+
+    // TypeOf (generic.py:72).
+    QueryDef("q92_typeof", (s, dir) => {
+      customer(s, dir).limit(1).select(
+        typeof(col("c_custkey")).as("t_key"),
+        typeof(col("c_name")).as("t_name"),
+        typeof(col("c_acctbal")).as("t_bal"),
+        typeof(array(col("c_name"))).as("t_arr"))
+    }, Some("""
+      SELECT 'bigint' AS t_key, 'string' AS t_name, 'double' AS t_bal,
+        'array<string>' AS t_arr""")),
+
+    // BaseConvert (numeric.py:191) + URL extraction (strings.py:316-353).
+    QueryDef("q93_conv_url", (s, dir) => {
+      Table(customer(s, dir))
+        .filter(col("c_custkey") < 30)
+        .mutate(
+          "hex_key" -> conv(col("c_custkey").cast("string"), 10, 16),
+          "bin_key" -> conv(col("c_custkey").cast("string"), 10, 2),
+          "url" -> concat(lit("https://shop.example.com/item/"), col("c_custkey").cast("string"),
+            lit("?seg="), col("c_mktsegment"), lit("#top")))
+        .mutate(
+          "proto" -> parse_url(col("url"), lit("PROTOCOL")),
+          "host" -> parse_url(col("url"), lit("HOST")),
+          "path" -> parse_url(col("url"), lit("PATH")),
+          "query" -> parse_url(col("url"), lit("QUERY")),
+          "frag" -> parse_url(col("url"), lit("REF")),
+          "qparam" -> parse_url(col("url"), lit("QUERY"), lit("seg")))
+        .selectNames("c_custkey", "hex_key", "bin_key", "proto", "host", "path",
+          "query", "frag", "qparam")
+        .sort(SortKey.asc(col("c_custkey")))
+        .df
+    }, Some("""
+      SELECT c_custkey,
+        UPPER(PRINTF('%x', c_custkey)) AS hex_key,
+        PRINTF('%b', c_custkey) AS bin_key,
+        'https' AS proto,
+        'shop.example.com' AS host,
+        '/item/' || c_custkey AS path,
+        'seg=' || c_mktsegment AS query,
+        'top' AS frag,
+        c_mktsegment AS qparam
+      FROM customer WHERE c_custkey < 30 ORDER BY c_custkey""")),
+
+    // Unix-epoch conversions (TimestampFromUNIX :267, epoch extract) and
+    // TimeFromHMS (emulated as seconds-since-midnight — Spark has no TIME).
+    QueryDef("q94_epoch_time", (s, dir) => {
+      Table(orders(s, dir))
+        .filter(col("o_orderkey") < 30)
+        .mutate("epoch_s" -> unix_timestamp(col("o_orderdate")))
+        .mutate(
+          "from_s" -> date_format(timestamp_seconds(col("epoch_s")), "yyyy-MM-dd HH:mm:ss"),
+          "from_ms" -> date_format(timestamp_millis(col("epoch_s") * 1000), "yyyy-MM-dd HH:mm:ss"),
+          "from_us" -> date_format(timestamp_micros(col("epoch_s") * 1000000L), "yyyy-MM-dd HH:mm:ss"),
+          "hms_sec" -> (hour(col("o_orderdate")) * 3600 + minute(col("o_orderdate")) * 60
+            + second(col("o_orderdate")) + lit(12 * 3600)))
+        .selectNames("o_orderkey", "epoch_s", "from_s", "from_ms", "from_us", "hms_sec")
+        .sort(SortKey.asc(col("o_orderkey")))
+        .df
+    }, Some("""
+      SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        STRFTIME(MAKE_TIMESTAMP(CAST(epoch(o_orderdate) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS from_s,
+        STRFTIME(MAKE_TIMESTAMP(CAST(epoch(o_orderdate) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS from_ms,
+        STRFTIME(MAKE_TIMESTAMP(CAST(epoch(o_orderdate) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS from_us,
+        CAST(HOUR(o_orderdate) * 3600 + MINUTE(o_orderdate) * 60 + SECOND(o_orderdate) + 43200 AS INT) AS hms_sec
+      FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey""")),
+
+    // Selectors: numeric()/across — sum every numeric lineitem column.
+    QueryDef("q95_selectors", (s, dir) => {
+      val l = lineitem(s, dir)
+      val sums = Selectors.across(l, Selectors.numeric,
+        c => sum(c.cast("decimal(38,4)")).cast("double"))
+      l.agg(sums.head, sums.tail: _*)
+    }, Some("""
+      SELECT
+        CAST(SUM(CAST(l_orderkey AS DECIMAL(38,4))) AS DOUBLE) AS l_orderkey,
+        CAST(SUM(CAST(l_partkey AS DECIMAL(38,4))) AS DOUBLE) AS l_partkey,
+        CAST(SUM(CAST(l_suppkey AS DECIMAL(38,4))) AS DOUBLE) AS l_suppkey,
+        CAST(SUM(CAST(l_linenumber AS DECIMAL(38,4))) AS DOUBLE) AS l_linenumber,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS l_quantity,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS l_extendedprice,
+        CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) AS l_discount,
+        CAST(SUM(CAST(l_tax AS DECIMAL(38,4))) AS DOUBLE) AS l_tax
+      FROM lineitem""")),
+
+    // if_any/if_all selector predicates as filters.
+    QueryDef("q96_if_any_all", (s, dir) => {
+      val l = lineitem(s, dir)
+      val anyBig = Selectors.ifAny(l, Selectors.numeric, c => c > 50000)
+      val allPos = Selectors.ifAll(l, Selectors.numeric, c => c >= 0)
+      l.agg(
+        count(when(anyBig, 1)).as("n_any_big"),
+        count(when(allPos, 1)).as("n_all_pos"))
+    }, Some("""
+      SELECT
+        COUNT(*) FILTER (WHERE l_orderkey > 50000 OR l_partkey > 50000 OR l_suppkey > 50000
+          OR l_linenumber > 50000 OR l_quantity > 50000 OR l_extendedprice > 50000
+          OR l_discount > 50000 OR l_tax > 50000) AS n_any_big,
+        COUNT(*) FILTER (WHERE l_orderkey >= 0 AND l_partkey >= 0 AND l_suppkey >= 0
+          AND l_linenumber >= 0 AND l_quantity >= 0 AND l_extendedprice >= 0
+          AND l_discount >= 0 AND l_tax >= 0) AS n_all_pos
+      FROM lineitem""")),
+
+    // SQL passthrough (Table.sql / ibis SQLStringView).
+    QueryDef("q97_sql_passthrough", (s, dir) => {
+      Table(nation(s, dir)).sql(
+        "SELECT n_regionkey, COUNT(*) AS n FROM nations GROUP BY n_regionkey ORDER BY n_regionkey",
+        alias = "nations").df
+    }, Some("""
+      SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // IO round-trip: to_parquet/read_parquet, to_csv/read_csv, to_json/
+    // read_json (backends/pyspark/__init__.py:838-1014) — written under
+    // target/ (inside the repo), counts must survive all three formats.
+    QueryDef("q98_io_roundtrip", (s, dir) => {
+      val base = "/root/repo/target/io_roundtrip"
+      val n = Table(nation(s, dir))
+      n.df.write.mode("overwrite").parquet(s"$base/parquet")
+      n.df.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      n.df.write.mode("overwrite").json(s"$base/json")
+      val p = Table.readParquet(s, s"$base/parquet").aggregate(count(lit(1)).as("n_parquet")).df
+      val c = Table.readCsv(s, s"$base/csv").aggregate(count(lit(1)).as("n_csv")).df
+      val j = Table.readJson(s, s"$base/json").aggregate(count(lit(1)).as("n_json")).df
+      p.crossJoin(c).crossJoin(j)
+    }, Some("""
+      SELECT COUNT(*) AS n_parquet, COUNT(*) AS n_csv, COUNT(*) AS n_json FROM nation""")),
+
+    // memtable (InMemoryTable) + DummyTable (1-row literals).
+    QueryDef("q99_memtable", (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val mem = Table.memtable(s,
+        Seq(Row(1L, "alpha"), Row(2L, "beta"), Row(3L, "gamma")),
+        StructType(Seq(StructField("id", LongType), StructField("name", StringType))))
+      val dummy = s.range(1).select(lit(42).as("answer"), lit("x").as("tag"))
+      mem.df.crossJoin(dummy)
+        .select(col("id"), col("name"), col("answer"), col("tag"))
+        .orderBy(col("id"))
+    }, Some("""
+      SELECT CAST(id AS BIGINT) AS id, name, 42 AS answer, 'x' AS tag
+      FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)
+      ORDER BY id"""))
+  )
+}
