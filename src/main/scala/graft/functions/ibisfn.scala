@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object ibisfn {
 
+  /** Evaluate `value` exactly once and use it repeatedly in `body`.
+    *
+    * Higher-order array functions re-evaluate any non-trivial expression
+    * referenced inside their lambda once PER ELEMENT (and CollapseProject
+    * happily inlines upstream projections into lambda bodies) — so e.g.
+    * `transform(idx, i => element_at(expensive, i))` recomputes `expensive`
+    * |idx| times. Wrapping it as the input of a 1-element transform binds it
+    * to a lambda variable: all reads in `body` are O(1) variable accesses.
+    * This is the expression-level `let`. */
+  def let1(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), x => body(x)), 1)
+
   // ---------------------------------------------------------------- strings
 
   /** ibis Substring: 0-indexed, negative start counts from the end

@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread an under-partitioned input across the cluster before a
+    * CPU-heavy per-row stage (tokenize/shingle/hash). Parquet can only
+    * split at row-group boundaries, so a source with few/large row groups
+    * yields fewer tasks than cores and the sketch stage serializes. A
+    * round-robin shuffle of the raw rows is cheap relative to the compute
+    * it parallelizes; when the scan already has ≥ defaultParallelism
+    * splits (the 100 TB case) this is a no-op. */
+  private[graft] def scatter(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup, "keep first by `orderCol`" semantics: one pass,
     * hash-partitioned by the dedup key (single shuffle). */
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
@@ -43,6 +55,24 @@ object Dedup {
   /** 32-bit murmur hash per shingle (Spark's codegen'd `hash`). */
   def shingleHashes(sh: Column): Column = transform(sh, s => hash(s).cast("long"))
 
+  /** Distinct k-shingle hash set computed arithmetically: murmur-hash each
+    * token ONCE, then combine k consecutive token-hashes with a polynomial
+    * multiply-add. Set-equivalent to `shingleHashes(shingles(toks, k))`
+    * (same distinct-shingle identity) but avoids materializing shingle
+    * strings — the interpreted concat_ws/array_distinct-on-strings path is
+    * the dominant cost of the sketch stage. Documents shorter than k tokens
+    * collapse to one whole-document hash, matching `shingles`' fallback. */
+  def shingleHashSet(toks: Column, k: Int): Column =
+    graft.functions.ibisfn.let1(transform(toks, t => hash(t).cast("long"))) { th =>
+      val rolled =
+        if (k == 1) th
+        else transform(sequence(lit(0), size(th) - k), i =>
+          (0 until k).map(j => element_at(th, i + j + 1) * lit(math.pow(31, k - 1 - j).toLong))
+            .reduce(_ + _))
+      val whole = array(aggregate(th, lit(7L), (a, x) => a * 31 + x))
+      array_distinct(when(size(th) < k, whole).otherwise(rolled))
+    }
+
   private val MinhashPrime = 2038074743L // large 31-bit prime, fits long math
 
   /** Deterministic (a,b) parameter pairs for the minhash family
@@ -55,15 +85,28 @@ object Dedup {
   }
 
   /** Minhash signature (array<bigint>, length numHashes) of a shingle-hash
-    * array — one nested higher-order expression, fully codegen'd. */
+    * array.
+    *
+    * Shape matters: a single `aggregate` pass over `hashes` that updates all
+    * numHashes running minima per element (via `zip_with` against the
+    * parameter array). The naive transpose — transform over params with an
+    * inner `array_min(transform(hashes, …))` — evaluates the `hashes`
+    * argument expression once PER PARAMETER when Catalyst inlines the
+    * upstream tokenize/shingle expression into the lambda (no projection
+    * boundary survives CollapseProject), i.e. a numHashes× blowup of the
+    * whole text-processing chain. The aggregate form reads `hashes` exactly
+    * once regardless of how callers compose it. */
   def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L): Column = {
     val params = minhashParams(numHashes, seed)
     val paramArr = array(params.map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
-    transform(paramArr, p =>
-      array_min(transform(hashes, x =>
-        pmod(p.getField("a") * pmod(x, lit(MinhashPrime)) + p.getField("b"), lit(MinhashPrime)))))
+    aggregate(
+      hashes,
+      array_repeat(lit(MinhashPrime), numHashes),
+      (acc, x) => zip_with(acc, paramArr, (m, p) =>
+        least(m, pmod(p.getField("a") * pmod(x, lit(MinhashPrime)) + p.getField("b"),
+          lit(MinhashPrime)))))
   }
 
   /** MinHash + LSH near-duplicate pairs.
@@ -87,12 +130,17 @@ object Dedup {
 
     // The sketch stage feeds three consumers (banding + both sides of the
     // verify join) — persist it so shingling/minhashing runs once (the
-    // explicit-CTE materialization; spills to disk at scale).
-    val sketched = df
-      .select(col(id).as("doc"), shingleHashes(shingles(tokens(col(text)), shingleK)).as("sh"))
+    // explicit-CTE materialization; spills to disk at scale). Materialize
+    // EAGERLY: the three consumers are independent shuffle stages that
+    // Spark schedules concurrently, and on a cold cache each would race to
+    // (re)compute the sketch partitions — a cheap count() up front makes
+    // every consumer a cache read.
+    val sketched = scatter(df)
+      .select(col(id).as("doc"), shingleHashSet(tokens(col(text)), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sketched.count()
 
     // Bucket join carries ONLY (band, bucket, id) — the wide shingle arrays
     // never enter the ×bands-duplicated shuffle. Shingle sets are re-joined
@@ -130,8 +178,8 @@ object Dedup {
       blockBy: Column,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val docs = df.select(col(id).as("doc"), blockBy.as("block"),
-      shingleHashes(shingles(tokens(col(text)), n)).as("sh"))
+    val docs = scatter(df).select(col(id).as("doc"), blockBy.as("block"),
+      shingleHashSet(tokens(col(text)), n).as("sh"))
     val l = docs.select(col("block"), col("doc").as("doc_a"), col("sh").as("sh_a"))
     val r = docs.select(col("block"), col("doc").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("block"))
@@ -162,7 +210,7 @@ object Dedup {
   /** SimHash near-dup pairs: bucket on 16-bit quadrants of the signature
     * (any pair within Hamming distance 3 of 64 shares ≥1 exact quadrant). */
   def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(id).as("doc"), simhash(tokens(col(text))).as("sig"))
+    val sigs = scatter(df).select(col(id).as("doc"), simhash(tokens(col(text))).as("sig"))
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         q => call_function("shiftright", col("sig"), q * 16).bitwiseAND(0xFFFFL))).as(Seq("q", "bucket")))
