@@ -9,9 +9,9 @@ import graft.queries._
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ AggregationQueries.defs ++ ScalarQueries.defs ++
-      ComplexTypeQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
-      MiscQueries.defs
+    RelationalQueries.defs ++ CoverageQueries.defs ++ AggregationQueries.defs ++
+      ScalarQueries.defs ++ ComplexTypeQueries.defs ++ PipelineQueries.defs ++
+      StreamingQueries.defs ++ MiscQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

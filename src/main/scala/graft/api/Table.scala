@@ -234,8 +234,83 @@ final class Table(val df: DataFrame) {
     new Table(df.sparkSession.sql(query))
   }
 
-  /** ibis Table.describe (relations.py:3408). */
-  def describe(): Table = new Table(df.describe())
+  /** ibis InSubquery (operations/subqueries.py:65): membership against a
+    * 1-column relation — left-semi join, never a driver collect
+    * (SURVEY.md §7.4: 100 TB safe). */
+  def inSubquery(expr: Column, sub: DataFrame): Table = {
+    val c = sub.columns.head
+    new Table(df.join(sub.select(col(c)).distinct(), expr === sub(c), "left_semi"))
+  }
+
+  /** SQL `NOT IN (subquery)` three-valued semantics: a row survives only if
+    * it matches NO subquery row AND neither side's comparison is unknown —
+    * any NULL in the subquery empties the result, a NULL probe never
+    * qualifies. The condition is written in the exact
+    * `l = r OR isnull(l = r)` shape Catalyst recognizes as a single-column
+    * null-aware anti join (planned as a broadcast-hash NAAJ, not a nested
+    * loop). */
+  def notInSubquery(expr: Column, sub: DataFrame): Table = {
+    val c = sub(sub.columns.head)
+    new Table(df.join(sub, expr === c || isnull(expr === c), "left_anti"))
+  }
+
+  /** ibis Table.describe (relations.py:3408): one row per column with
+    * count / nulls / unique and numeric moments+quantiles. Single
+    * aggregation pass over the table (count-distinct per column is the one
+    * genuinely multi-pass piece; Catalyst plans it with a single expand). */
+  def describe(): Table = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields
+    def m(f: StructField, what: String) = s"${f.name}__$what"
+    val aggs = Seq(count(lit(1)).as("__total")) ++ fields.flatMap { f =>
+      val c = df.col(f.name)
+      val base = Seq(count(c).as(m(f, "count")), countDistinct(c).as(m(f, "unique")))
+      val numeric = f.dataType match {
+        case _: NumericType => Seq(
+          avg(c.cast("double")).as(m(f, "mean")),
+          stddev_samp(c.cast("double")).as(m(f, "std")),
+          min(c.cast("double")).as(m(f, "min")),
+          percentile(c.cast("double"), lit(0.25)).as(m(f, "p25")),
+          percentile(c.cast("double"), lit(0.5)).as(m(f, "p50")),
+          percentile(c.cast("double"), lit(0.75)).as(m(f, "p75")),
+          max(c.cast("double")).as(m(f, "max")))
+        case _ => Seq.empty
+      }
+      base ++ numeric
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.map { f =>
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      def num(what: String) =
+        if (isNum) round(col(m(f, what)), 6) else lit(null).cast("double")
+      struct(
+        lit(f.name).as("name"), lit(f.dataType.simpleString).as("type"),
+        col(m(f, "count")).as("count"), (col("__total") - col(m(f, "count"))).as("nulls"),
+        col(m(f, "unique")).as("unique"), num("mean").as("mean"), num("std").as("std"),
+        num("min").as("min"), num("p25").as("p25"), num("p50").as("p50"),
+        num("p75").as("p75"), num("max").as("max"))
+    }
+    new Table(one.select(inline(array(rows: _*))))
+  }
+
+  /** ibis Table.info (relations.py:3360): per-column name/type/nullable/
+    * null counts/null fraction/position. */
+  def info(): Table = {
+    val fields = df.schema.fields
+    val aggs = Seq(count(lit(1)).as("__total")) ++
+      fields.map(f => count(df.col(f.name)).as(s"${f.name}__nn"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      val nn = col(s"${f.name}__nn")
+      struct(
+        lit(f.name).as("name"), lit(f.dataType.simpleString).as("type"),
+        lit(f.nullable).as("nullable"), (col("__total") - nn).as("nulls"),
+        nn.as("non_nulls"),
+        round((col("__total") - nn).cast("double") / col("__total"), 6).as("null_frac"),
+        lit(i).as("pos"))
+    }
+    new Table(one.select(inline(array(rows: _*))))
+  }
 }
 
 object Table {

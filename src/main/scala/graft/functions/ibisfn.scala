@@ -100,6 +100,19 @@ object ibisfn {
 
   // ----------------------------------------------------------------- math
 
+  /** ibis BetweenTime (temporal.py:440): is the time-of-day of `ts` within
+    * [lo, hi] inclusive ("HH:mm:ss" bounds). Compared as microseconds since
+    * midnight so sub-second timestamps sit on the correct side of the
+    * bounds (a string compare of "HH:mm:ss" would truncate). */
+  def betweenTime(ts: Column, lo: String, hi: String): Column = {
+    def us(t: String): Long = {
+      val p = t.split(":").map(_.toDouble)
+      ((p(0) * 3600 + p(1) * 60 + p(2)) * 1e6).toLong
+    }
+    val tod = unix_micros(ts) - unix_micros(date_trunc("DAY", ts))
+    tod.between(lit(us(lo)), lit(us(hi)))
+  }
+
   /** ibis FloorDivide returns int64 (numeric.py:69). */
   def floorDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
 
@@ -242,9 +255,16 @@ object ibisfn {
   def aggFiltered(aggFn: Column => Column, x: Column, where: Column): Column =
     aggFn(when(where, x))
 
-  /** ibis GroupConcat with order_by (reductions.py:82). */
+  /** ibis GroupConcat (reductions.py:82). NOTE: element order is the
+    * engine's arrival order — nondeterministic across partitioned runs;
+    * prefer [[groupConcatOrdered]] when a stable result matters. */
   def groupConcat(x: Column, sep: String): Column =
     array_join(collect_list(x), sep)
+
+  /** ibis GroupConcat(order_by=value) (reductions.py:82): deterministic,
+    * elements sorted ascending before joining. */
+  def groupConcatOrdered(x: Column, sep: String): Column =
+    array_join(sort_array(collect_list(x)), sep)
 
   /** Window spec helper matching ibis's default frame injection for ranking
     * functions (rewrites.py:480-533): (unbounded preceding, current row). */

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.api.{SortKey, Table}
+import graft.functions.ibisfn
+import Tables._
+
+/** Coverage widening: window frames (rows/range-interval, first/last/nth),
+  * ibis-shaped describe/info, IN / NOT IN subquery three-valued semantics,
+  * ordered group-concat + find_in_set, time-of-day predicates. */
+object CoverageQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Window FRAMES battery (SURVEY.md §2.3): trailing rows frame, range
+    // frame over days, first/last/nth value, lag with default.
+    QueryDef("q24_window_frames", (s, dir) => {
+      val o = Table(orders(s, dir)).filter(col("o_custkey") < 20)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wDays = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_date(to_date(col("o_orderdate"))))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      o.mutate(
+          "trail3_avg" -> round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 6),
+          "cnt_30d" -> count(lit(1)).over(wDays.rangeBetween(-30, 0)),
+          "first_price" -> first(col("o_totalprice")).over(ibisfn.cumulativeFrame(w)),
+          "last_price" -> last(col("o_totalprice")).over(full),
+          "second_price" -> ibisfn.nthValue0(col("o_totalprice"), 1, full),
+          "lag2" -> lag(col("o_totalprice"), 2, 0.0).over(w))
+        .selectNames("o_custkey", "o_orderkey", "trail3_avg", "cnt_30d",
+          "first_price", "last_price", "second_price", "lag2")
+        .sort(SortKey.asc(col("o_custkey")), SortKey.asc(col("o_orderkey")))
+        .df
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS trail3_avg,
+        COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS cnt_30d,
+        FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+        LAG(o_totalprice, 2, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS lag2
+      FROM orders WHERE o_custkey < 20 ORDER BY o_custkey, o_orderkey""")),
+
+    // ibis Table.describe (relations.py:3408): one aggregation pass, one
+    // output row per column.
+    QueryDef("q25_describe", (s, dir) => {
+      Table(customer(s, dir)).selectNames("c_custkey", "c_acctbal", "c_mktsegment")
+        .describe()
+        .sort(SortKey.asc(col("name")))
+        .df
+    }, Some("""
+      WITH t AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+      SELECT 'c_acctbal' AS "name", 'double' AS "type", COUNT(c_acctbal) AS "count",
+        COUNT(*) - COUNT(c_acctbal) AS "nulls", COUNT(DISTINCT c_acctbal) AS "unique",
+        ROUND(AVG(c_acctbal), 6) AS "mean", ROUND(STDDEV_SAMP(c_acctbal), 6) AS "std",
+        ROUND(CAST(MIN(c_acctbal) AS DOUBLE), 6) AS "min",
+        ROUND(CAST(QUANTILE_CONT(CAST(c_acctbal AS DOUBLE), 0.25) AS DOUBLE), 6) AS "p25",
+        ROUND(CAST(QUANTILE_CONT(CAST(c_acctbal AS DOUBLE), 0.5) AS DOUBLE), 6) AS "p50",
+        ROUND(CAST(QUANTILE_CONT(CAST(c_acctbal AS DOUBLE), 0.75) AS DOUBLE), 6) AS "p75",
+        ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 6) AS "max"
+      FROM t
+      UNION ALL
+      SELECT 'c_custkey', 'bigint', COUNT(c_custkey), COUNT(*) - COUNT(c_custkey),
+        COUNT(DISTINCT c_custkey), ROUND(AVG(c_custkey), 6), ROUND(STDDEV_SAMP(c_custkey), 6),
+        ROUND(CAST(MIN(c_custkey) AS DOUBLE), 6),
+        ROUND(CAST(QUANTILE_CONT(CAST(c_custkey AS DOUBLE), 0.25) AS DOUBLE), 6),
+        ROUND(CAST(QUANTILE_CONT(CAST(c_custkey AS DOUBLE), 0.5) AS DOUBLE), 6),
+        ROUND(CAST(QUANTILE_CONT(CAST(c_custkey AS DOUBLE), 0.75) AS DOUBLE), 6),
+        ROUND(CAST(MAX(c_custkey) AS DOUBLE), 6)
+      FROM t
+      UNION ALL
+      SELECT 'c_mktsegment', 'string', COUNT(c_mktsegment), COUNT(*) - COUNT(c_mktsegment),
+        COUNT(DISTINCT c_mktsegment), NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+        NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+      FROM t
+      ORDER BY "name"""")),
+
+    // ibis Table.info (relations.py:3360).
+    QueryDef("q25b_info", (s, dir) => {
+      Table(customer(s, dir)).selectNames("c_custkey", "c_acctbal", "c_mktsegment")
+        .info()
+        .sort(SortKey.asc(col("pos")))
+        .df
+    }, Some("""
+      WITH t AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+      SELECT 'c_custkey' AS "name", 'bigint' AS "type", TRUE AS "nullable",
+        COUNT(*) - COUNT(c_custkey) AS "nulls", COUNT(c_custkey) AS "non_nulls",
+        ROUND((COUNT(*) - COUNT(c_custkey)) / CAST(COUNT(*) AS DOUBLE), 6) AS "null_frac",
+        0 AS "pos" FROM t
+      UNION ALL
+      SELECT 'c_acctbal', 'double', TRUE, COUNT(*) - COUNT(c_acctbal), COUNT(c_acctbal),
+        ROUND((COUNT(*) - COUNT(c_acctbal)) / CAST(COUNT(*) AS DOUBLE), 6), 1 FROM t
+      UNION ALL
+      SELECT 'c_mktsegment', 'string', TRUE, COUNT(*) - COUNT(c_mktsegment), COUNT(c_mktsegment),
+        ROUND((COUNT(*) - COUNT(c_mktsegment)) / CAST(COUNT(*) AS DOUBLE), 6), 2 FROM t
+      ORDER BY "pos"""")),
+
+    // ibis InSubquery (subqueries.py:65) + SQL NOT IN three-valued logic:
+    // the null-poisoned variant must return zero rows (null-aware anti join).
+    QueryDef("q26_in_subquery", (s, dir) => {
+      val c = Table(customer(s, dir))
+      val sub = orders(s, dir).filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+      val subNull = sub.unionByName(
+        s.range(1).select(lit(null).cast("long").as("o_custkey")))
+      c.inSubquery(col("c_custkey"), sub).countTable().rename("count" -> "in_cnt")
+        .crossJoin(c.notInSubquery(col("c_custkey"), sub).countTable()
+          .rename("count" -> "not_in_cnt"))
+        .crossJoin(c.notInSubquery(col("c_custkey"), subNull).countTable()
+          .rename("count" -> "not_in_null_cnt"))
+        .df
+    }, Some("""
+      SELECT
+        (SELECT COUNT(*) FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)) AS in_cnt,
+        (SELECT COUNT(*) FROM customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)) AS not_in_cnt,
+        (SELECT COUNT(*) FROM customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+                                  UNION ALL SELECT NULL)) AS not_in_null_cnt""")),
+
+    // Ordered GroupConcat + FindInSet (0-indexed, -1 absent).
+    QueryDef("q27_concat_inset", (s, dir) => {
+      Table(orders(s, dir)).filter(col("o_custkey") < 200)
+        .mutate("prio_idx" -> ibisfn.findInSet0(col("o_orderpriority"),
+          lit("1-URGENT,2-HIGH,3-MEDIUM")))
+        .groupBy(col("o_orderstatus"))
+        .aggregate(
+          ibisfn.groupConcatOrdered(col("o_orderpriority"), ",").as("prios"),
+          max(col("prio_idx")).as("max_prio_idx"),
+          min(col("prio_idx")).as("min_prio_idx"),
+          count(lit(1)).as("n"))
+        .sort(SortKey.asc(col("o_orderstatus")))
+        .df
+    }, Some("""
+      SELECT o_orderstatus,
+        STRING_AGG(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+        MAX(COALESCE(LIST_POSITION(['1-URGENT','2-HIGH','3-MEDIUM'], o_orderpriority), 0) - 1) AS max_prio_idx,
+        MIN(COALESCE(LIST_POSITION(['1-URGENT','2-HIGH','3-MEDIUM'], o_orderpriority), 0) - 1) AS min_prio_idx,
+        COUNT(*) AS n
+      FROM orders WHERE o_custkey < 200
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // BetweenTime (µs-of-day exact) + IsInf on a synthesized infinity.
+    QueryDef("q28_time_of_day", (s, dir) => {
+      Table(events(s, dir)).filter(col("user_id") < 10)
+        .mutate(
+          "in_business" -> ibisfn.betweenTime(col("ts"), "09:00:00", "17:00:00"),
+          "maybe_inf" -> when(col("value") > 2, lit(Double.PositiveInfinity))
+            .otherwise(col("value")))
+        .groupBy(col("user_id"))
+        .aggregate(
+          count(lit(1)).as("n"),
+          count(when(col("in_business"), lit(1))).as("n_business"),
+          count(when(ibisfn.isInf(col("maybe_inf")), lit(1))).as("n_inf"))
+        .sort(SortKey.asc(col("user_id")))
+        .df
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n,
+        COUNT(CASE WHEN (epoch_us(ts::TIMESTAMP) - epoch_us(date_trunc('day', ts::TIMESTAMP)))
+          BETWEEN 32400000000 AND 61200000000 THEN 1 END) AS n_business,
+        COUNT(CASE WHEN ISINF(CASE WHEN "value" > 2 THEN 'inf'::DOUBLE ELSE "value" END)
+          THEN 1 END) AS n_inf
+      FROM events WHERE user_id < 10
+      GROUP BY user_id ORDER BY user_id"""))
+  )
+}
