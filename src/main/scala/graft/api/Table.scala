@@ -139,6 +139,37 @@ final class Table(val df: DataFrame) {
 
   def crossJoin(right: Table): Table = new Table(df.crossJoin(right.df))
 
+  /** ibis-style equi-join with the reference's output-column policy
+    * (ibis/expr/types/joins.py:34-111): left columns pass through unchanged;
+    * a right join key that is in the same equality class as a left key of
+    * the SAME name is dropped (inner joins — the values are provably equal);
+    * any other right column whose name collides with a left column is
+    * renamed via the `rname` template (default "{name}_right"). */
+  def joinOn(right: Table, keys: Seq[(String, String)], how: String = "inner",
+      rname: String = "{name}_right"): Table = {
+    val l = df
+    val r = right.df
+    val cond = keys.map { case (lk, rk) => l.col(lk) === r.col(rk) }.reduce(_ && _)
+    val kind = how match {
+      case "semi" => "left_semi"
+      case "anti" => "left_anti"
+      case h      => h
+    }
+    val joined = l.join(r, cond, kind)
+    if (kind == "left_semi" || kind == "left_anti") new Table(joined)
+    else {
+      val droppedRightKeys =
+        if (kind == "inner")
+          keys.collect { case (lk, rk) if lk == rk => rk }.toSet
+        else Set.empty[String] // outer joins: key values can differ (nulls) — keep both
+      val leftNames = l.columns.toSet
+      val rCols = r.columns.filterNot(droppedRightKeys).map { c =>
+        if (leftNames(c)) r.col(c).as(rname.replace("{name}", c)) else r.col(c)
+      }
+      new Table(joined.select((l.columns.map(l.col(_)) ++ rCols).toIndexedSeq: _*))
+    }
+  }
+
   /** ClickHouse-style any_left/any_inner join (SURVEY.md §2.1): at most one
     * right match per row — right side deduped by row_number()==1 first. */
   def anyJoin(right: Table, leftKeys: Seq[String], rightKeys: Seq[String], how: String,
@@ -226,6 +257,14 @@ final class Table(val df: DataFrame) {
 
   /** ibis Table.cache (relations.py:4133). */
   def cache(): Table = new Table(df.cache())
+
+  /** ibis to_parquet / to_csv / to_json (+ ORC)
+    * (backends/pyspark/__init__.py:993,1411). */
+  def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
+  def toCsv(path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+  def toJson(path: String): Unit = df.write.mode("overwrite").json(path)
+  def toOrc(path: String): Unit = df.write.mode("overwrite").orc(path)
 
   /** ibis Table.alias + .sql (relations.py:3957,4004): run SQL against this
     * table under a name — Spark-native via temp view. */
@@ -321,6 +360,9 @@ object Table {
   def readCsv(spark: SparkSession, path: String, header: Boolean = true): Table =
     new Table(spark.read.option("header", header.toString).option("inferSchema", "true").csv(path))
   def readJson(spark: SparkSession, path: String): Table = new Table(spark.read.json(path))
+  /** ORC — native in spark-sql (the DuckDB reference backend's extra-format
+    * role; delta/kafka need their connector jars on the cluster classpath). */
+  def readOrc(spark: SparkSession, path: String): Table = new Table(spark.read.orc(path))
 
   /** ibis memtable (ibis/expr/api.py). */
   def memtable(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],

@@ -148,6 +148,34 @@ object CoverageQueries {
       FROM orders WHERE o_custkey < 200
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Join output-column policy (ibis joins.py:34-111): same-named equi-key
+    // collapses to one column on inner joins; other collisions get the
+    // "{name}_right" rename.
+    QueryDef("q29_join_rename", (s, dir) => {
+      // `def`: the self-join below needs two independent Dataset lineages
+      // so column references resolve unambiguously.
+      def enriched = {
+        val c = Table(customer(s, dir)).filter(col("c_custkey") < 20)
+          .selectNames("c_custkey", "c_nationkey")
+        val n = Table(nation(s, dir)).rename("n_nationkey" -> "c_nationkey")
+          .selectNames("c_nationkey", "n_name")
+        c.joinOn(n, Seq("c_nationkey" -> "c_nationkey"))
+      }
+      enriched.joinOn(enriched, Seq("c_nationkey" -> "c_nationkey"))
+        .filter(col("c_custkey") < col("c_custkey_right"))
+        .selectNames("c_custkey", "c_custkey_right", "c_nationkey", "n_name")
+        .sort(SortKey.asc(col("c_custkey")), SortKey.asc(col("c_custkey_right")))
+        .df
+    }, Some("""
+      WITH e AS (
+        SELECT c_custkey, c_nationkey, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey < 20)
+      SELECT a.c_custkey, b.c_custkey AS c_custkey_right, a.c_nationkey, a.n_name
+      FROM e a JOIN e b ON a.c_nationkey = b.c_nationkey
+      WHERE a.c_custkey < b.c_custkey
+      ORDER BY a.c_custkey, c_custkey_right""")),
+
     // BetweenTime (µs-of-day exact) + IsInf on a synthesized infinity.
     QueryDef("q28_time_of_day", (s, dir) => {
       Table(events(s, dir)).filter(col("user_id") < 10)

@@ -159,15 +159,18 @@ object MiscQueries {
     QueryDef("q98_io_roundtrip", (s, dir) => {
       val base = "/root/repo/target/io_roundtrip"
       val n = Table(nation(s, dir))
-      n.df.write.mode("overwrite").parquet(s"$base/parquet")
-      n.df.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
-      n.df.write.mode("overwrite").json(s"$base/json")
+      n.toParquet(s"$base/parquet")
+      n.toCsv(s"$base/csv")
+      n.toJson(s"$base/json")
+      n.toOrc(s"$base/orc")
       val p = Table.readParquet(s, s"$base/parquet").aggregate(count(lit(1)).as("n_parquet")).df
       val c = Table.readCsv(s, s"$base/csv").aggregate(count(lit(1)).as("n_csv")).df
       val j = Table.readJson(s, s"$base/json").aggregate(count(lit(1)).as("n_json")).df
-      p.crossJoin(c).crossJoin(j)
+      val o = Table.readOrc(s, s"$base/orc").aggregate(count(lit(1)).as("n_orc")).df
+      p.crossJoin(c).crossJoin(j).crossJoin(o)
     }, Some("""
-      SELECT COUNT(*) AS n_parquet, COUNT(*) AS n_csv, COUNT(*) AS n_json FROM nation""")),
+      SELECT COUNT(*) AS n_parquet, COUNT(*) AS n_csv, COUNT(*) AS n_json,
+        COUNT(*) AS n_orc FROM nation""")),
 
     // memtable (InMemoryTable) + DummyTable (1-row literals).
     QueryDef("q99_memtable", (s, dir) => {

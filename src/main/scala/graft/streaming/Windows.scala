@@ -71,4 +71,32 @@ object Windows {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+
+  // Streaming directory readers (ibis read_parquet_dir / read_csv_dir /
+  // read_json_dir, backends/pyspark/__init__.py:1197-1306): file-watch
+  // sources with a declared schema, optional watermark at registration —
+  // the same Table surface then works unchanged on the stream.
+
+  private def watermarked(df: DataFrame, wm: Option[Watermark]): DataFrame =
+    wm.fold(df)(w => df.withWatermark(w.timeCol, w.allowedDelay))
+
+  def readParquetDir(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, wm: Option[Watermark] = None): DataFrame =
+    watermarked(spark.readStream.schema(schema).parquet(path), wm)
+
+  def readCsvDir(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, header: Boolean = true,
+      wm: Option[Watermark] = None): DataFrame =
+    watermarked(spark.readStream.schema(schema).option("header", header.toString).csv(path), wm)
+
+  def readJsonDir(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType, wm: Option[Watermark] = None): DataFrame =
+    watermarked(spark.readStream.schema(schema).json(path), wm)
+
+  /** Streaming file sink (ibis to_parquet_dir / to_csv_dir,
+    * backends/pyspark/__init__.py:1360-1411). */
+  def toFileDir(df: DataFrame, format: String, path: String, checkpoint: String) =
+    df.writeStream.format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
 }

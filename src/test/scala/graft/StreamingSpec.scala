@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming directory reader: parquet dir -> transform -> file sink") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "k", "v").write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+
+    val src = Windows.readParquetDir(spark, inDir, schema)
+    assert(src.isStreaming)
+    val query = Windows.toFileDir(
+      src.filter(col("v") > 15.0).withColumn("v2", col("v") * 2),
+      "parquet", outDir, ckpt).start()
+    try query.processAllAvailable() finally query.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2)
+    assert(out.filter(col("id") === 3L).select("v2").head().getDouble(0) == 60.0)
+  }
+
   test("watermark is a no-op on batch frames (mode is a source property)") {
     val batch = Seq((ts("2024-01-01 10:05:00"), "click", 1.0)).toDF("ts", "event_type", "value")
     val out = Windows.tumble(
