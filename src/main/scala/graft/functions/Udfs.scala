@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** UDF surface mapping (SURVEY.md §2.4; reference ibis/expr/operations/udf.py):
+  *
+  *   - `@udf.scalar.builtin`  → the function already exists in Spark's
+  *     catalog: call it with `expr(...)`/`call_function` — zero wrapper cost.
+  *   - `@udf.scalar.python`   → a Scala closure `udf(...)`; the JVM closure
+  *     is the fast path here (the reference needs Arrow batching only
+  *     because its UDFs live in a Python worker process).
+  *   - `@udf.agg`             → `Aggregator[IN, BUF, OUT]` registered via
+  *     `functions.udaf` — distributed partial aggregation with an explicit
+  *     mergeable buffer, the Spark-native equivalent of a custom reduction.
+  *
+  * The showcase Aggregator below computes SAMPLE excess kurtosis — an op the
+  * reference's PySpark backend cannot compile (compilers/pyspark.py:73) —
+  * with a single-pass, merge-anywhere central-moment buffer (Pébay's
+  * pairwise-update formulas), i.e. it scales like any built-in agg: partial
+  * buffers per partition, one shuffle to merge.
+  */
+object Udfs {
+
+  /** Mergeable central-moment state: count, mean, and 2nd..4th central
+    * moment sums. */
+  final case class Moments(n: Long, mean: Double, m2: Double, m3: Double, m4: Double)
+
+  private def mergeMoments(a: Moments, b: Moments): Moments = {
+    if (a.n == 0) b
+    else if (b.n == 0) a
+    else {
+      val na = a.n.toDouble; val nb = b.n.toDouble; val n = na + nb
+      val d = b.mean - a.mean
+      val d2 = d * d
+      Moments(
+        a.n + b.n,
+        a.mean + d * nb / n,
+        a.m2 + b.m2 + d2 * na * nb / n,
+        a.m3 + b.m3 + d * d2 * na * nb * (na - nb) / (n * n) +
+          3.0 * d * (na * b.m2 - nb * a.m2) / n,
+        a.m4 + b.m4 + d2 * d2 * na * nb * (na * na - na * nb + nb * nb) / (n * n * n) +
+          6.0 * d2 * (na * na * b.m2 + nb * nb * a.m2) / (n * n) +
+          4.0 * d * (na * b.m3 - nb * a.m3) / n)
+    }
+  }
+
+  /** Sample (bias-corrected, excess) kurtosis:
+    * G2 = ((n+1)·g2 + 6)·(n-1)/((n-2)(n-3)) with g2 = n·m4/m2² − 3.
+    * Null for n < 4 (the statistic is undefined). */
+  val kurtosisSample: Aggregator[java.lang.Double, Moments, java.lang.Double] =
+    new Aggregator[java.lang.Double, Moments, java.lang.Double] {
+      def zero: Moments = Moments(0L, 0.0, 0.0, 0.0, 0.0)
+      def reduce(buf: Moments, x: java.lang.Double): Moments =
+        if (x == null) buf
+        else mergeMoments(buf, Moments(1L, x.doubleValue(), 0.0, 0.0, 0.0))
+      def merge(a: Moments, b: Moments): Moments = mergeMoments(a, b)
+      def finish(m: Moments): java.lang.Double =
+        if (m.n < 4 || m.m2 == 0.0) null
+        else {
+          val n = m.n.toDouble
+          val g2 = n * m.m4 / (m.m2 * m.m2) - 3.0
+          ((n + 1) * g2 + 6.0) * (n - 1) / ((n - 2) * (n - 3))
+        }
+      def bufferEncoder: Encoder[Moments] = Encoders.product[Moments]
+      def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+    }
+
+  /** Scalar closure UDF example (the `@udf.scalar.python` analogue):
+    * URL-safe slug. Prefer built-in functions when one exists — a closure
+    * UDF is opaque to Catalyst (no pushdown through it, no codegen). */
+  val slugify: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) null
+      else s.toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("(^-|-$)", "")
+    }
+
+  /** Register both on a session (ibis's create-function surface). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("kurtosis_sample", org.apache.spark.sql.functions.udaf(kurtosisSample))
+    spark.udf.register("slugify", slugify)
+  }
+}

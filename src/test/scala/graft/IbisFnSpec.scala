@@ -88,4 +88,20 @@ class IbisFnSpec extends SparkSpec {
     assert(math.abs(k - 3.152) < 1e-6)
     assert(math.abs(sk - 1.6970562748) < 1e-6)
   }
+
+  test("kurtosis Aggregator (udaf) merges partial buffers to the same G2") {
+    graft.functions.Udfs.register(spark)
+    // repartition(4) forces cross-partition Moments merging
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 10.0).toDF("x").repartition(4)
+    val k = df.selectExpr("kurtosis_sample(x) as k").collect().head.getDouble(0)
+    assert(math.abs(k - 3.152) < 1e-6)
+    assert(df.limit(3).selectExpr("kurtosis_sample(x)").collect().head.isNullAt(0), "n<4 -> null")
+  }
+
+  test("scalar closure udf: slugify") {
+    graft.functions.Udfs.register(spark)
+    val out = Seq("Hello, World!", "  a  B c ").toDF("s")
+      .selectExpr("slugify(s) as r").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("hello-world", "a-b-c"))
+  }
 }
