@@ -1,0 +1,34 @@
+package graft.exts
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring for graft's custom Catalyst expressions
+  * (SURVEY.md §7.1 `exts/`). Activate with
+  * `.config("spark.sql.extensions", "graft.exts.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` — then `cosine_sim`/`dot_product`
+  * are callable from SQL text as well as the Column API below. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}
+
+/** Column-API access to the custom expressions — no registration needed. */
+object exprs {
+  private def ex(c: Column): Expression =
+    org.apache.spark.sql.GraftSqlBridge.expression(c)
+  private def co(e: Expression): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(e)
+
+  def cosineSim(a: Column, b: Column): Column = co(CosineSimilarity(ex(a), ex(b)))
+  def dotProduct(a: Column, b: Column): Column = co(DotProduct(ex(a), ex(b)))
+}

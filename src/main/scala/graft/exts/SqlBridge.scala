@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the classic API's package-private Column ⇄ Expression
+  * converters. Extension libraries that ship custom Catalyst expressions
+  * conventionally expose these through a same-package shim; the public
+  * alternative (registering every expression as a session function and
+  * round-tripping through `expr(...)` strings) loses type safety. */
+object GraftSqlBridge {
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+}

@@ -17,15 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate (left-to-right, deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) via zip_with + aggregate (left-to-right, deterministic) —
+    * the compose-from-built-ins fallback; [[dot]] uses the fused custom
+    * expression (graft.exts.DotProduct). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  def dot(a: Column, b: Column): Column = graft.exts.exprs.dotProduct(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Single fused codegen loop (dot + both norms in one pass) — see
+    * graft.exts.CosineSimilarity; ~3× fewer array scans than the HOF form. */
+  def cosine(a: Column, b: Column): Column = graft.exts.exprs.cosineSim(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {
