@@ -16,7 +16,8 @@ object Bench {
   private val headline = Seq(
     "q01_agg", "q03_join_agg_top", "q12_window_rank", "q19_asof_join",
     "q37_mode", "q60_text_stats", "q63_dedup_keep_first", "q65_minhash_pairs",
-    "q68_embedding_topk", "q71_quality_pipeline", "q80_tumble", "q82_session")
+    "q68_embedding_topk", "q71_quality_pipeline", "q80_tumble", "q82_session",
+    "q101_tpch5_local_volume", "q103_tpch13_custdist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

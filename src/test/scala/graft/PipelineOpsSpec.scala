@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -109,5 +109,27 @@ class PipelineOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(df, "payload", "duration_ms", 1000L)
     assert(frames.count() == 5)
     assert(frames.select("frame_idx").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("saltedJoin matches the plain join result on a hot key") {
+    val probe = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v") // key 1 is hot (100 rows)
+    val build = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("bk", "name")
+    val plain = probe.join(build, probe("k") === build("bk")).count()
+    val salted = Skew.saltedJoin(probe, build, "k", "bk", buckets = 8).count()
+    assert(salted == plain)
+  }
+
+  test("saltedAgg two-phase merge equals direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 2000).map(i => (if (i % 2 == 0) "hot" else s"k${i % 50}", i.toDouble))
+      .toDF("k", "x")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n"), sum("x").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedAgg(df, Seq("k"), buckets = 8,
+      partial = Seq(count(lit(1)).as("pn"), sum("x").as("ps")),
+      merge = Seq(sum("pn").as("n"), sum("ps").as("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
   }
 }
