@@ -54,10 +54,26 @@ final class Table(val df: DataFrame) {
   def rename(pairs: (String, String)*): Table =
     new Table(pairs.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
 
-  /** ibis Table.relocate (relations.py:5010): move columns to the front. */
-  def relocate(names: String*): Table = {
-    val rest = df.columns.filterNot(names.contains)
-    new Table(df.select((names ++ rest).map(df.col): _*))
+  /** ibis Table.relocate (relations.py:5010): move columns to the front, or
+    * before/after an anchor column. */
+  def relocate(names: String*): Table = relocateImpl(names, None, after = false)
+  def relocateBefore(anchor: String, names: String*): Table =
+    relocateImpl(names, Some(anchor), after = false)
+  def relocateAfter(anchor: String, names: String*): Table =
+    relocateImpl(names, Some(anchor), after = true)
+
+  private def relocateImpl(names: Seq[String], anchor: Option[String], after: Boolean): Table = {
+    val rest = df.columns.filterNot(names.contains).toSeq
+    val ordered = anchor match {
+      case None => names ++ rest
+      case Some(a) =>
+        require(rest.contains(a), s"anchor $a missing or being moved")
+        rest.flatMap { c =>
+          if (c == a) { if (after) c +: names else names :+ c }
+          else Seq(c)
+        }
+    }
+    new Table(df.select(ordered.map(df.col): _*))
   }
 
   // ------------------------------------------------------------- filtering
@@ -71,16 +87,41 @@ final class Table(val df: DataFrame) {
 
   /** ibis Distinct (operations/relations.py:494). */
   def distinct(): Table = new Table(df.distinct())
-  def distinctOn(subset: Seq[String], keep: String = "first"): Table =
-    // ibis distinct(on=…, keep="first") — deterministic only under an order;
-    // we use dropDuplicates semantics (arbitrary row per key), same as ibis
-    // on engines without ordered distinct.
-    new Table(df.dropDuplicates(subset))
+
+  /** ibis Table.distinct(on=…, keep=…) (relations.py): keep = "first"/"last"
+    * pick one row per key by `orderBy` (a window rank — deterministic and
+    * fully distributed); keep = "any" is dropDuplicates (arbitrary row, no
+    * sort — cheapest); keep = "none" drops every duplicated row entirely. */
+  def distinctOn(subset: Seq[String], keep: String = "any",
+      orderBy: Seq[SortKey] = Seq.empty): Table = keep match {
+    case "any" => new Table(df.dropDuplicates(subset))
+    case "none" =>
+      val w = Window.partitionBy(subset.map(df.col): _*)
+      new Table(df.withColumn("__cnt", count(lit(1)).over(w))
+        .filter(col("__cnt") === 1).drop("__cnt"))
+    case "first" | "last" =>
+      require(orderBy.nonEmpty, s"keep=$keep needs orderBy for a deterministic pick")
+      val keys = orderBy.map(k => if (keep == "last") k.copy(ascending = !k.ascending) else k)
+      val w = Window.partitionBy(subset.map(df.col): _*).orderBy(keys.map(_.spark): _*)
+      new Table(df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+    case other => throw new IllegalArgumentException(s"keep=$other")
+  }
 
   /** ibis Sample (operations/relations.py:485) — row method lowers to a
     * rand() filter on engines without TABLESAMPLE (rewrites.py:618-659). */
   def sample(fraction: Double, seed: Option[Long] = None): Table =
     new Table(seed.fold(df.sample(fraction))(s => df.sample(fraction, s)))
+
+  /** ibis Sample(method="block"): whole-split sampling via TABLESAMPLE —
+    * skips entire input splits instead of filtering rows, so a 1% block
+    * sample of 100 TB reads ~1 TB. Routed through SQL text (the DataFrame
+    * API has no TABLESAMPLE). */
+  def sampleBlock(percent: Double, alias: String = "__graft_block_sample"): Table = {
+    df.createOrReplaceTempView(alias)
+    new Table(df.sparkSession.sql(
+      s"SELECT * FROM $alias TABLESAMPLE ($percent PERCENT)"))
+  }
 
   /** ibis FillNull (operations/relations.py:470). */
   def fillNull(replacements: Map[String, Any]): Table = new Table(df.na.fill(replacements))

@@ -1,0 +1,66 @@
+package graft
+
+/** Plan-quality regressions: the optimizations we rely on at 100 TB must be
+  * visible in the physical plan — filters reaching the parquet scan, column
+  * pruning, broadcast strategies for dimension sides, TakeOrderedAndProject
+  * for order+limit, null-aware anti join for NOT IN, whole-stage codegen on
+  * the hot path, and no accidental cartesian products. A change that
+  * silently degrades one of these passes correctness but fails here.
+  *
+  * Plans are rendered with AQE off: the adaptive wrapper hides the concrete
+  * operators (and codegen markers) until runtime, while the statically
+  * planned tree shows exactly what AQE starts from. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Column list of the first FileScan over the named table. */
+  private def scanColumns(p: String, table: String): Seq[String] = {
+    val line = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains(s"$table.parquet"))
+      .getOrElse(fail(s"no FileScan for $table in:\n$p"))
+    val cols = line.substring(line.indexOf('[') + 1, line.indexOf(']'))
+    cols.split(",").toSeq
+  }
+
+  test("q01 scan: filter pushed down and schema pruned to the used columns") {
+    val p = plan("q01_agg")
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters on the lineitem scan")
+    val cols = scanColumns(p, "lineitem")
+    assert(cols.size <= 7, s"lineitem has 11 columns; q01 should read <=7, got $cols")
+  }
+
+  test("q03 three-way join broadcasts the dimension sides") {
+    val p = plan("q03_join_agg_top")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins for customer/orders")
+    assert(!p.contains("CartesianProduct"), "cartesian product in a key equi-join")
+  }
+
+  test("q14 topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q14_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q101 six-way TPC-H join: all equi-joins, no cartesian") {
+    val p = plan("q101_tpch5_local_volume")
+    assert(!p.contains("CartesianProduct"), "cartesian product in TPC-H Q5 shape")
+    assert(p.contains("BroadcastHashJoin"), "region/nation should broadcast")
+  }
+
+  test("q26 NOT IN plans as a broadcast null-aware anti join, not a nested loop") {
+    val p = plan("q26_in_subquery")
+    // BroadcastHashJoinExec prints `..., LeftAnti, BuildRight, true` when
+    // isNullAwareAntiJoin is set
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"null-aware anti join shape not found:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan+filter+agg pipeline of q01") {
+    val p = plan("q01_agg")
+    assert(p.contains("*("), "q01 lost whole-stage codegen (no *(n) stages in plan)")
+  }
+}

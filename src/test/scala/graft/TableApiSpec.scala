@@ -95,4 +95,30 @@ class TableApiSpec extends SparkSpec {
     val out = Table(df).unpack("st")
     assert(out.columns == Seq("id", "_1", "_2"))
   }
+
+  test("distinctOn keep first/last/none with explicit order") {
+    val t = Table(Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)).toDF("k", "v", "x"))
+    val first = t.distinctOn(Seq("k"), keep = "first", orderBy = Seq(SortKey.asc(col("v"))))
+      .df.select("v").as[Int].collect().toSet
+    assert(first == Set(1, 3))
+    val last = t.distinctOn(Seq("k"), keep = "last", orderBy = Seq(SortKey.asc(col("v"))))
+      .df.select("v").as[Int].collect().toSet
+    assert(last == Set(2, 3))
+    val none = t.distinctOn(Seq("k"), keep = "none").df.select("v").as[Int].collect().toSet
+    assert(none == Set(3))
+    assert(t.distinctOn(Seq("k")).df.count() == 2) // keep="any"
+  }
+
+  test("relocate before/after an anchor") {
+    val t = Table(Seq((1, 2, 3, 4)).toDF("a", "b", "c", "d"))
+    assert(t.relocate("c").columns == Seq("c", "a", "b", "d"))
+    assert(t.relocateBefore("b", "d").columns == Seq("a", "d", "b", "c"))
+    assert(t.relocateAfter("b", "d").columns == Seq("a", "b", "d", "c"))
+  }
+
+  test("sampleBlock runs TABLESAMPLE and returns a subset") {
+    val t = Table(spark.range(10000).toDF("id"))
+    val n = t.sampleBlock(50.0).df.count()
+    assert(n > 0 && n <= 10000)
+  }
 }
