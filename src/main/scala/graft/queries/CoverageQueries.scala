@@ -176,6 +176,54 @@ object CoverageQueries {
       WHERE a.c_custkey < b.c_custkey
       ORDER BY a.c_custkey, c_custkey_right""")),
 
+    // Inequality-predicate (range) join: ibis JoinLink predicates are
+    // arbitrary boolean exprs; here each order is matched to a price band.
+    // The band table is tiny → broadcast nested-loop, a map-side pass over
+    // the fact side (the scalable shape for interval lookups; an SMJ range
+    // join would shuffle the fact table for nothing).
+    QueryDef("q110_range_join", (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val bands = Table.memtable(s,
+        Seq(Row("low", 0.0, 100000.0), Row("mid", 100000.0, 300000.0),
+          Row("high", 300000.0, 1e18)),
+        StructType(Seq(StructField("band", StringType), StructField("lo", DoubleType),
+          StructField("hi", DoubleType))))
+      val o = orders(s, dir)
+      Table(o)
+        .join(bands, o("o_totalprice") >= bands.df("lo") &&
+          o("o_totalprice") < bands.df("hi"))
+        .groupBy(col("band"))
+        .aggregate(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .sort(SortKey.asc(col("band")))
+        .df
+    }, Some("""
+      WITH bands(band, lo, hi) AS (VALUES
+        ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0), ('high', 300000.0, 1e18))
+      SELECT band, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band ORDER BY band""")),
+
+    // ROLLUP — not in ibis (SURVEY.md §7.3: no GroupingSets op); exposed as
+    // a Spark-native capability superset with grouping() null-vs-total
+    // disambiguation.
+    QueryDef("q111_rollup", (s, dir) => {
+      val o = orders(s, dir)
+      Table(o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("int").as("lvl")))
+        .sort(SortKey.asc(col("lvl")), SortKey.asc(col("o_orderstatus")),
+          SortKey.asc(col("o_orderpriority")))
+        .df
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS lvl
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY lvl, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
+
     // BetweenTime (µs-of-day exact) + IsInf on a synthesized infinity.
     QueryDef("q28_time_of_day", (s, dir) => {
       Table(events(s, dir)).filter(col("user_id") < 10)
