@@ -188,6 +188,15 @@ object ibisfn {
   // ------------------------------------------------------------------ maps
 
   /** ibis MapGet with default (maps.py:39; oracle compilers/pyspark.py:379-383). */
+  /** ibis MapMerge (maps.py:87) — FIRST-wins on duplicate keys (ibis docs
+    * maps.py:88-91). The pyspark backend needs the session-level
+    * `spark.sql.mapKeyDedupPolicy=LAST_WIN` + argument swap
+    * (backends/pyspark/__init__.py:212); filtering `b` down to keys absent
+    * from `a` instead makes the expression policy-independent — it works
+    * under Spark's default EXCEPTION dedup policy too. */
+  def mapMerge(a: Column, b: Column): Column =
+    map_concat(a, map_filter(b, (k, _) => !map_contains_key(a, k)))
+
   def mapGet(col: Column, key: Column, default: Column): Column =
     coalesce(try_element_at(col, key), default)
 

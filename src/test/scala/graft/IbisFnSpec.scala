@@ -89,6 +89,16 @@ class IbisFnSpec extends SparkSpec {
     assert(math.abs(sk - 1.6970562748) < 1e-6)
   }
 
+  test("mapMerge keeps the FIRST map's value on duplicate keys") {
+    val df = Seq(1).toDF("x").select(
+      map(lit("a"), lit(1), lit("b"), lit(2)).as("m1"),
+      map(lit("b"), lit(99), lit("c"), lit(3)).as("m2"))
+    val merged = df.select(ibisfn.mapMerge(col("m1"), col("m2")).as("m"))
+      .select(explode(col("m"))).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(merged == Map("a" -> 1, "b" -> 2, "c" -> 3))
+  }
+
   test("kurtosis Aggregator (udaf) merges partial buffers to the same G2") {
     graft.functions.Udfs.register(spark)
     // repartition(4) forces cross-partition Moments merging
