@@ -65,6 +65,36 @@ object Multimodal {
     df.withColumn("features", fakeEmbed)
   }
 
+  /** Batched feature extraction through `mapPartitions` — the Scala
+    * analogue of the reference's `mapInPandas` path (SURVEY.md §2.4 UDF
+    * surface): rows stream through in `batchSize` groups, ONE model
+    * invocation per batch (amortizing JNI/ONNX call overhead), iterator-in/
+    * iterator-out so no partition is materialized in memory. STUB: the
+    * per-batch "model" is a deterministic murmur-hash embedding; a real
+    * deployment swaps only the `embedBatch` body. */
+  def extractFeaturesBatched(df: DataFrame, payloadCol: String,
+      dim: Int = 8, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
+
+    // STUB model call: batch of payloads -> batch of embeddings
+    def embedBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { bytes =>
+        Array.tabulate(dim) { i =>
+          (scala.util.hashing.MurmurHash3.bytesHash(bytes, i) % 1000) / 500.0f
+        }
+      }
+
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = embedBatch(batch.map(_.getAs[Array[Byte]](idx)))
+        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** STUB video frame sampling: emits (frame_idx, frame_payload) rows every
     * `everyMs`. Real impl: container demux per partition; here frames are
     * byte-slices so the explode/partition shape is real. */

@@ -111,6 +111,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.select("frame_idx").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("batched mapPartitions feature extraction preserves rows, emits fixed-dim vectors") {
+    val df = (1 to 150).map(i => (i.toLong, s"payload_$i".getBytes)).toDF("id", "payload")
+      .repartition(3)
+    val out = Multimodal.extractFeaturesBatched(df, "payload", dim = 8, batchSize = 16)
+    assert(out.count() == 150)
+    val feats = out.select("features").head().getSeq[Float](0)
+    assert(feats.length == 8)
+    // deterministic: same payload -> same embedding on rerun
+    val again = Multimodal.extractFeaturesBatched(df, "payload", dim = 8, batchSize = 16)
+      .select("id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val first = out.select("id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == first)
+  }
+
   test("saltedJoin matches the plain join result on a hot key") {
     val probe = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // key 1 is hot (100 rows)
