@@ -113,6 +113,16 @@ object ibisfn {
     tod.between(lit(us(lo)), lit(us(hi)))
   }
 
+  /** ibis TimeDelta/DateDelta/TimestampDelta(part) (temporal.py:457-477):
+    * whole `part`-boundaries crossed between start and end. */
+  def timestampDelta(part: String, start: Column, end: Column): Column = {
+    // `timestampdiff` is parser syntax, not a registered function — build
+    // the Catalyst expression directly.
+    import org.apache.spark.sql.GraftSqlBridge._
+    column(org.apache.spark.sql.catalyst.expressions.TimestampDiff(
+      part.toUpperCase, expression(start), expression(end)))
+  }
+
   /** ibis FloorDivide returns int64 (numeric.py:69). */
   def floorDiv(a: Column, b: Column): Column = floor(a / b).cast("long")
 

@@ -89,6 +89,15 @@ class IbisFnSpec extends SparkSpec {
     assert(math.abs(sk - 1.6970562748) < 1e-6)
   }
 
+  test("timestampDelta counts whole part-boundaries crossed") {
+    val df = Seq(("2024-01-01 23:00:00", "2024-01-02 01:30:00")).toDF("a", "b")
+      .select(col("a").cast("timestamp").as("a"), col("b").cast("timestamp").as("b"))
+    val r = df.select(
+      ibisfn.timestampDelta("HOUR", col("a"), col("b")).as("h"),
+      ibisfn.timestampDelta("DAY", col("a"), col("b")).as("d")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
+  }
+
   test("mapMerge keeps the FIRST map's value on duplicate keys") {
     val df = Seq(1).toDF("x").select(
       map(lit("a"), lit(1), lit("b"), lit(2)).as("m1"),
