@@ -73,11 +73,12 @@ object Multimodal {
     * per-batch "model" is a deterministic murmur-hash embedding; a real
     * deployment swaps only the `embedBatch` body. */
   def extractFeaturesBatched(df: DataFrame, payloadCol: String,
-      dim: Int = 8, batchSize: Int = 64): DataFrame = {
+      dim: Int = 8, batchSize: Int = 64, outputCol: String = "features"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
+    require(!df.columns.contains(outputCol), s"column $outputCol already exists")
     val idx = df.schema.fieldIndex(payloadCol)
     val outSchema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
+      StructField(outputCol, ArrayType(FloatType, containsNull = false), nullable = false))
 
     // STUB model call: batch of payloads -> batch of embeddings
     def embedBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =

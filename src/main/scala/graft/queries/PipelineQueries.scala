@@ -255,13 +255,18 @@ object PipelineQueries {
         .withColumn("phash", Multimodal.perceptualHash(col("payload")))
         .withColumn("duration_ms", lit(5000L))
       val feat = Multimodal.extractFeatures(d, "payload", dim = 4)
-      Multimodal.sampleFrames(feat, "payload", "duration_ms", everyMs = 1000L)
+      // the mapPartitions batch path (iterator-in/out, one model call per
+      // batch) alongside the expression-only path
+      val batched = Multimodal.extractFeaturesBatched(feat, "payload",
+        dim = 4, batchSize = 8, outputCol = "features_b")
+      Multimodal.sampleFrames(batched, "payload", "duration_ms", everyMs = 1000L)
         .groupBy(col("doc_id"))
         .agg(
           first(col("media").getField("meta").getField("size_bytes")).as("size_bytes"),
           first(col("dims").getField("width")).as("width"),
           first(col("phash")).as("phash"),
           round(first(element_at(col("features"), 1)), 6).as("feat0"),
+          round(first(element_at(col("features_b"), 1)).cast("double"), 6).as("featb0"),
           count(lit(1)).as("n_frames"))
         .orderBy(col("doc_id").asc)
     }, None)

@@ -11,6 +11,10 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 RUN_VERIFY = os.environ.get("SKIP_VERIFY") != "1"
 
 if RUN_VERIFY:
+    # stale per-query dirs from a previous run would mask a query that now
+    # fails in Verify — always start clean
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
                        capture_output=True, text=True, cwd="/root/repo")
     errs = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l or "error]" in l.lower()]
