@@ -299,6 +299,17 @@ final class Table(val df: DataFrame) {
   /** ibis Table.cache (relations.py:4133). */
   def cache(): Table = new Table(df.cache())
 
+  /** Bucketed catalog table (hash-bucketed by `keys` into `buckets` files
+    * per partition, sorted within buckets): two tables bucketed the same
+    * way equi-join WITHOUT a shuffle — the co-located join layout for
+    * repeatedly-joined 100 TB fact tables. Catalyst drops both exchanges
+    * (and both sorts, with sortBy) from the SortMergeJoin. */
+  def toBucketedTable(name: String, buckets: Int, keys: String*): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(name)
+
   /** ibis to_parquet / to_csv / to_json (+ ORC)
     * (backends/pyspark/__init__.py:993,1411). */
   def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)

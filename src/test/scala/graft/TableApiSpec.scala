@@ -116,6 +116,35 @@ class TableApiSpec extends SparkSpec {
     assert(t.relocateAfter("b", "d").columns == Seq("a", "b", "d", "c"))
   }
 
+  test("co-bucketed tables equi-join with no shuffle exchange") {
+    for (t <- Seq("graft_facts_b", "graft_dims_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val facts = Table(spark.range(1000).toDF("k").withColumn("v", col("k") * 2))
+    val dims = Table(spark.range(100).toDF("k").withColumn("name", concat(lit("n"), col("k"))))
+    facts.toBucketedTable("graft_facts_b", 4, "k")
+    dims.toBucketedTable("graft_dims_b", 4, "k")
+    val f = spark.table("graft_facts_b"); val d = spark.table("graft_dims_b")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = f.join(d, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 100)
+    }
+  }
+
+  private def withConf[T](kv: (String, String))(body: => T): T = {
+    val old = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try body finally old match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None    => spark.conf.unset(kv._1)
+    }
+  }
+
   test("sampleBlock runs TABLESAMPLE and returns a subset") {
     val t = Table(spark.range(10000).toDF("id"))
     val n = t.sampleBlock(50.0).df.count()
