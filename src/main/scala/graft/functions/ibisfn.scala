@@ -154,6 +154,19 @@ object ibisfn {
 
   // ---------------------------------------------------------------- arrays
 
+  /** ibis ArrayRemove (arrays.py:159): remove every occurrence of `value`
+    * but KEEP null elements — Spark's array_remove drops them. */
+  def arrayRemove(col: Column, value: Column): Column =
+    filter(col, x => x.isNull || x =!= value)
+
+  /** ibis ArrayZip (arrays.py:212): zip to structs with positional field
+    * names f1, f2, … (Spark's arrays_zip uses the source column names);
+    * zips to the LONGEST input, null-padding the shorter ones. `get` is
+    * 0-based and null-on-out-of-bounds (ANSI-safe). */
+  def arrayZip(cols: Column*): Column =
+    transform(sequence(lit(0), greatest(cols.map(size): _*) - 1), i =>
+      struct(cols.zipWithIndex.map { case (c, j) => get(c, i).as(s"f${j + 1}") }: _*))
+
   /** ibis ArrayIndex: 0-indexed, negative from end, null out-of-bounds
     * (arrays.py:55; oracle compilers/pyspark.py:406). */
   def arrayIndex0(col: Column, i: Int): Column =

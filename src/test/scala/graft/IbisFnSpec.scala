@@ -89,6 +89,20 @@ class IbisFnSpec extends SparkSpec {
     assert(math.abs(sk - 1.6970562748) < 1e-6)
   }
 
+  test("arrayRemove keeps nulls; arrayZip names fields f1/f2 and pads to longest") {
+    val df = Seq(1).toDF("x").select(
+      array(lit(1), lit(null).cast("int"), lit(2), lit(1)).as("a"),
+      array(lit("p"), lit("q"), lit("r")).as("s"),
+      array(lit(10), lit(20)).as("b"))
+    val removed = df.select(ibisfn.arrayRemove(col("a"), lit(1)).as("r"))
+      .head().getSeq[Any](0)
+    assert(removed == Seq(null, 2))
+    val zipped = df.select(ibisfn.arrayZip(col("s"), col("b")).as("z")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(zipped.length == 3)
+    assert(zipped(0).schema.fieldNames.toSeq == Seq("f1", "f2"))
+    assert(zipped(2).getString(0) == "r" && zipped(2).isNullAt(1))
+  }
+
   test("timestampDelta counts whole part-boundaries crossed") {
     val df = Seq(("2024-01-01 23:00:00", "2024-01-02 01:30:00")).toDF("a", "b")
       .select(col("a").cast("timestamp").as("a"), col("b").cast("timestamp").as("b"))
