@@ -54,6 +54,19 @@ final class Table(val df: DataFrame) {
   def rename(pairs: (String, String)*): Table =
     new Table(pairs.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
 
+  /** ibis Table.cast / try_cast (relations.py): re-type columns in place by
+    * (name → type-DDL string); unlisted columns pass through. */
+  def castColumns(types: Map[String, String], strict: Boolean = true): Table =
+    new Table(df.select(df.columns.map { c =>
+      types.get(c) match {
+        case Some(t) if strict => df.col(c).cast(t).as(c)
+        case Some(t)           => try_cast_col(df.col(c), t).as(c)
+        case None              => df.col(c)
+      }
+    }.toIndexedSeq: _*))
+
+  private def try_cast_col(c: Column, t: String): Column = c.try_cast(t)
+
   /** ibis Table.relocate (relations.py:5010): move columns to the front, or
     * before/after an anchor column. */
   def relocate(names: String*): Table = relocateImpl(names, None, after = false)

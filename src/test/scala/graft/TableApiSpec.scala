@@ -145,6 +145,15 @@ class TableApiSpec extends SparkSpec {
     }
   }
 
+  test("castColumns re-types in place; strict=false null-safes bad casts") {
+    val t = Table(Seq(("1", "x"), ("2", "oops")).toDF("a", "b"))
+    val strict = t.castColumns(Map("a" -> "int"))
+    assert(strict.schema("a").dataType == org.apache.spark.sql.types.IntegerType)
+    val lax = t.castColumns(Map("b" -> "int"), strict = false)
+    assert(lax.df.select("b").collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+      == Seq(None, None))
+  }
+
   test("sampleBlock runs TABLESAMPLE and returns a subset") {
     val t = Table(spark.range(10000).toDF("id"))
     val n = t.sampleBlock(50.0).df.count()
