@@ -154,6 +154,84 @@ object TpchQueries {
           SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
           WHERE l2.l_partkey = lineitem.l_partkey)""")),
 
+    // Q4 shape: priority distribution of orders having at least one line
+    // shipped after the order date (EXISTS → left-semi join).
+    QueryDef("q107_tpch4_order_priority", (s, dir) => {
+      val o = orders(s, dir); val l = lineitem(s, dir)
+      Table(o)
+        .filter(o("o_orderdate") >= lit("1996-01-01") && o("o_orderdate") < lit("1996-07-01"))
+        .join(Table(l), o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), how = "semi")
+        .groupBy(o("o_orderpriority"))
+        .count("order_count")
+        .sort(SortKey.asc(col("o_orderpriority")))
+        .df
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Q6 shape: forecast revenue — pure scan + pushed filters + one agg.
+    QueryDef("q108_tpch6_forecast_revenue", (s, dir) => {
+      val l = lineitem(s, dir)
+      Table(l)
+        .filter(
+          l("l_shipdate") >= lit("1995-01-01"), l("l_shipdate") < lit("1996-01-01"),
+          l("l_discount").between(0.05, 0.07), l("l_quantity") < 24)
+        .aggregate(dsum(l("l_extendedprice") * l("l_discount")).as("revenue"))
+        .df
+    }, Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // Q12 shape: shipping-mode-style split via conditional aggregation.
+    QueryDef("q109_tpch12_priority_split", (s, dir) => {
+      val o = orders(s, dir); val l = lineitem(s, dir)
+      Table(l)
+        .filter(l("l_shipdate") >= lit("1996-01-01") && l("l_shipdate") < lit("1997-01-01"))
+        .join(Table(o), l("l_orderkey") === o("o_orderkey"))
+        .groupBy(l("l_returnflag"))
+        .aggregate(
+          count(when(o("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+            .as("high_line_count"),
+          count(when(!o("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+            .as("low_line_count"))
+        .sort(SortKey.asc(col("l_returnflag")))
+        .df
+    }, Some("""
+      SELECT l_returnflag,
+        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Q19 shape: disjunction of conjunctive band predicates across the
+    // join — Catalyst extracts the common join key and pushes the residual
+    // OR; no cartesian.
+    QueryDef("q112_tpch19_banded_revenue", (s, dir) => {
+      val l = lineitem(s, dir); val p = part(s, dir)
+      Table(l)
+        .join(Table(p), l("l_partkey") === p("p_partkey") && (
+          (p("p_size").between(1, 10) && l("l_quantity").between(1, 20)) ||
+          (p("p_size").between(11, 25) && l("l_quantity").between(10, 30)) ||
+          (p("p_size").between(26, 50) && l("l_quantity").between(20, 40))))
+        .aggregate(dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .df
+    }, Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+        (p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20) OR
+        (p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30) OR
+        (p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40))""")),
+
     // Q22 shape: high-balance customers with no orders — scalar average
     // subquery + null-aware-free anti join.
     QueryDef("q106_tpch22_global_sales", (s, dir) => {
