@@ -343,7 +343,9 @@ final class Table(val df: DataFrame) {
     * (SURVEY.md §7.4: 100 TB safe). */
   def inSubquery(expr: Column, sub: DataFrame): Table = {
     val c = sub.columns.head
-    new Table(df.join(sub.select(col(c)).distinct(), expr === sub(c), "left_semi"))
+    // no distinct() on the subquery side: left-semi already has
+    // at-most-one-match semantics, deduping first would just add a shuffle
+    new Table(df.join(sub.select(col(c)), expr === sub(c), "left_semi"))
   }
 
   /** SQL `NOT IN (subquery)` three-valued semantics: a row survives only if
