@@ -206,6 +206,21 @@ object PipelineQueries {
         .orderBy(col("probe_id").asc, col("rank").asc)
     }, None),
 
+    // IVF-style coarse-quantized ANN: literal centroid set (as an offline
+    // k-means would supply), probes search nProbe nearest cells — rows-only.
+    QueryDef("q73_ivf_topk", (s, dir) => {
+      val e = embeddings(s, dir)
+      // deterministic pseudo-centroids spanning the unit cube corners
+      val centroids = (0 until 4).map(c =>
+        (0 until 64).map(j => if (((c >> (j % 2)) & 1) == 1) 0.5 else -0.5))
+      Similarity.ivfTopK(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          centroids = centroids.map(_.map(_.toDouble)), k = 3, nProbe = 2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("probe_id").asc, col("rank").asc)
+    }, None),
+
     // Embedding near-dup pairs via hyperplane buckets — rows-only.
     QueryDef("q70_embedding_neardup", (s, dir) => {
       Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
