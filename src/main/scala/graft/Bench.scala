@@ -42,17 +42,25 @@ object Bench {
     // one warm-up query to absorb JVM/codegen/first-scan startup cost
     run(SparkEntry.queries("q01_agg")(spark, sfDir))
 
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try run(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    def timeOne(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try run(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // cold = first run (plan + codegen + scan); warm = second run, which is
+    // the steady-state cost a long-lived session pays — the fixed JVM
+    // per-query overhead dominates cold numbers at small SF.
+    val cold = headline.filter(SparkEntry.queries.contains).map(n => n -> timeOne(n))
+    val warm = headline.filter(SparkEntry.queries.contains).map(n => n -> timeOne(n))
+    def fmt(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val total = cold.map(_._2).sum
+    val totalWarm = warm.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},""" +
+      f""""value_warm":$totalWarm%.3f,"queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
