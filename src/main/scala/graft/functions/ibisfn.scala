@@ -100,6 +100,47 @@ object ibisfn {
 
   // ----------------------------------------------------------------- math
 
+  /** ibis Strftime (temporal.py:65): C-strftime format string, converted to
+    * the Java DateTimeFormatter dialect Spark's date_format speaks
+    * (SURVEY.md §2.4 "format-string dialect conversion"). Unsupported
+    * specifiers throw rather than silently mis-format. */
+  def strftime(ts: Column, fmt: String): Column =
+    date_format(ts, strftimeToJava(fmt))
+
+  private[graft] def strftimeToJava(fmt: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS",
+      'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
+      'p' -> "a", 'z' -> "xx", 'Z' -> "zz", 'G' -> "YYYY", 'V' -> "ww",
+      'u' -> "e", '%' -> "%")
+    val out = new StringBuilder
+    var i = 0
+    var literal = new StringBuilder
+    def flush(): Unit = {
+      if (literal.nonEmpty) {
+        val s = literal.toString
+        // quote any run containing letters so they aren't pattern chars
+        out ++= (if (s.exists(_.isLetter)) "'" + s.replace("'", "''") + "'" else s)
+        literal = new StringBuilder
+      }
+    }
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        val c = fmt(i + 1)
+        if (c == '%') literal += '%'
+        else {
+          flush()
+          out ++= map.getOrElse(c,
+            throw new IllegalArgumentException(s"unsupported strftime specifier %$c"))
+        }
+        i += 2
+      } else { literal += fmt(i); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
   /** ibis BetweenTime (temporal.py:440): is the time-of-day of `ts` within
     * [lo, hi] inclusive ("HH:mm:ss" bounds). Compared as microseconds since
     * midnight so sub-second timestamps sit on the correct side of the

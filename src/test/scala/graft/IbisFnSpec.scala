@@ -89,6 +89,17 @@ class IbisFnSpec extends SparkSpec {
     assert(math.abs(sk - 1.6970562748) < 1e-6)
   }
 
+  test("strftime converts C format specifiers to Java patterns") {
+    assert(ibisfn.strftimeToJava("%Y-%m-%d") == "yyyy-MM-dd")
+    assert(ibisfn.strftimeToJava("%H:%M:%S.%f") == "HH:mm:ss.SSSSSS")
+    assert(ibisfn.strftimeToJava("at %I%p on %A") == "'at 'hha' on 'EEEE")
+    assert(ibisfn.strftimeToJava("100%%") == "100%")
+    intercept[IllegalArgumentException](ibisfn.strftimeToJava("%Q"))
+    val df = Seq(java.sql.Timestamp.valueOf("2024-03-05 09:07:01")).toDF("t")
+    val s = df.select(ibisfn.strftime(col("t"), "%Y/%m/%d %H:%M")).head().getString(0)
+    assert(s == "2024/03/05 09:07")
+  }
+
   test("arrayRemove keeps nulls; arrayZip names fields f1/f2 and pads to longest") {
     val df = Seq(1).toDF("x").select(
       array(lit(1), lit(null).cast("int"), lit(2), lit(1)).as("a"),
