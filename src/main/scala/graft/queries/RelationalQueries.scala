@@ -74,13 +74,20 @@ object RelationalQueries {
     // broadcast for the small build sides; at scale AQE re-plans.
     QueryDef("q03_join_agg_top", (s, dir) => {
       val c = customer(s, dir); val o = orders(s, dir); val l = lineitem(s, dir)
+      // countDistinct(orderkey) would expand every joined row ×2 through
+      // the aggregate; pre-grouping on the distinct key first halves the
+      // agg input and the count becomes a plain count (same result, the
+      // decimal partial sums re-sum exactly).
       Table(c)
         .join(Table(o), c("c_custkey") === o("o_custkey"))
         .join(Table(l), o("o_orderkey") === l("l_orderkey"))
-        .groupBy(c("c_custkey"), c("c_name"))
+        .groupBy(c("c_custkey"), c("c_name"), o("o_orderkey"))
+        .aggregate(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
+          .cast("decimal(38,4)")).as("rev"))
+        .groupBy(col("c_custkey"), col("c_name"))
         .aggregate(
-          dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
-          countDistinct(o("o_orderkey")).as("n_orders"))
+          sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .sort(SortKey.desc(col("revenue")), SortKey.asc(col("c_custkey")))
         .limit(10)
         .df
