@@ -145,6 +145,14 @@ class TableApiSpec extends SparkSpec {
     }
   }
 
+  test("bare reduction in a filter is rejected (ibis relations.py:276-292 parity)") {
+    val t = Table(Seq((1, 2.0), (2, 3.0)).toDF("k", "v"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      t.filter(sum(col("v")) > 1).df.collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("aggregate"))
+  }
+
   test("castColumns re-types in place; strict=false null-safes bad casts") {
     val t = Table(Seq(("1", "x"), ("2", "oops")).toDF("a", "b"))
     val strict = t.castColumns(Map("a" -> "int"))
