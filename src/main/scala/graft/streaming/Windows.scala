@@ -38,6 +38,18 @@ object Windows {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
+  /** Offset (phase-shifted) tumbling windows — the reference REJECTS
+    * window offsets on its spark backend (compilers/pyspark.py:602-605);
+    * Spark supports them natively as `window(..., startTime)`, so we expose
+    * the capability rather than mirroring the refusal. */
+  def tumbleOffset(df: DataFrame, timeCol: Column, size: String, offset: String,
+      keys: Seq[Column], metrics: Seq[Column]): DataFrame =
+    df.groupBy((window(timeCol, size, size, offset) +: keys): _*)
+      .agg(metrics.head, metrics.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
   /** Session windows — a Spark capability superset (ibis has tumble/hop
     * only, SURVEY.md §2.6); exposed because gap-based sessionization is a
     * core events-pipeline op. */

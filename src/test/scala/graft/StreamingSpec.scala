@@ -65,6 +65,18 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("id") === 3L).select("v2").head().getDouble(0) == 60.0)
   }
 
+  test("offset tumble shifts window boundaries by startTime") {
+    val batch = Seq(
+      (ts("2024-01-01 10:10:00"), 1.0),
+      (ts("2024-01-01 10:40:00"), 2.0)).toDF("ts", "v")
+    val out = Windows.tumbleOffset(batch, col("ts"), "1 hour", "30 minutes",
+      Seq.empty, Seq(sum(col("v")).as("sv")))
+      .select("window_start", "sv").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSet
+    // windows are [09:30,10:30) and [10:30,11:30)
+    assert(out == Set(("2024-01-01 09:30:00.0", 1.0), ("2024-01-01 10:30:00.0", 2.0)))
+  }
+
   test("watermark is a no-op on batch frames (mode is a source property)") {
     val batch = Seq((ts("2024-01-01 10:05:00"), "click", 1.0)).toDF("ts", "event_type", "value")
     val out = Windows.tumble(
