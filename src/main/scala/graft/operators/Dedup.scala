@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
 /** Large-scale deduplication operators for training-data pipelines.
   *
   * All variants are pure DataFrame plans: tokenize/shingle/sketch steps are
-  * codegen'd higher-order array expressions (no UDFs, no driver collect),
-  * candidate generation is a bucket equi-join (shuffle on bucket key, never
-  * an all-pairs cross product). At 100 TB the only wide stages are
-  * (a) the bucket-key shuffle and (b) the final pair-verify join — both
-  * hash-partitioned and AQE-skew-splittable.
+  * single-pass array expressions (no UDFs, no driver collect; higher-order
+  * lambdas are interpreted by Spark, so each op is shaped to touch its
+  * input once — see shingleHashSet/minhashSignature), candidate generation
+  * is a bucket equi-join (shuffle on bucket key, never an all-pairs cross
+  * product). At 100 TB the only wide stages are (a) the bucket-key shuffle
+  * and (b) the final pair-verify join — both hash-partitioned and
+  * AQE-skew-splittable.
   */
 object Dedup {
 
