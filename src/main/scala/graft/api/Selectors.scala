@@ -34,6 +34,9 @@ object Selectors {
   def endsWith(suffix: String): Selector = st =>
     st.fieldNames.filter(_.endsWith(suffix)).toSeq
 
+  def contains(sub: String): Selector = st =>
+    st.fieldNames.filter(_.contains(sub)).toSeq
+
   def matches(regex: String): Selector = st =>
     st.fieldNames.filter(_.matches(regex)).toSeq
 

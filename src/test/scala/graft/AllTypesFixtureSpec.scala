@@ -39,6 +39,8 @@ class AllTypesFixtureSpec extends SparkSpec {
     assert(Selectors.string(t.schema).toSet == Set("date_string_col", "string_col"))
     assert(Selectors.temporal(t.schema) == Seq("timestamp_col"))
     assert(Selectors.endsWith("_col")(t.schema).size == 10)
+    assert(Selectors.contains("int")(t.schema).toSet ==
+      Set("tinyint_col", "smallint_col", "int_col", "bigint_col"))
   }
 
   test("per-type aggregate sweep via across") {
