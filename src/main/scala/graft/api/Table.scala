@@ -98,6 +98,9 @@ final class Table(val df: DataFrame) {
   def limit(n: Int, offset: Int = 0): Table =
     if (offset == 0) new Table(df.limit(n)) else new Table(df.offset(offset).limit(n))
 
+  /** ibis Table.head. */
+  def head(n: Int = 5): Table = limit(n)
+
   /** ibis Distinct (operations/relations.py:494). */
   def distinct(): Table = new Table(df.distinct())
 

@@ -65,6 +65,22 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("id") === 3L).select("v2").head().getDouble(0) == 60.0)
   }
 
+  test("streaming csv directory reader honors header + schema") {
+    val base = java.nio.file.Files.createTempDirectory("graft_csv_stream").toString
+    val inDir = s"$base/in"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+      .write.option("header", "true").csv(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType)))
+    val src = Windows.readCsvDir(spark, inDir, schema)
+    assert(src.isStreaming)
+    val q = src.writeStream.format("memory").queryName("csv_dir_out")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("csv_dir_out").count() == 2)
+  }
+
   test("offset tumble shifts window boundaries by startTime") {
     val batch = Seq(
       (ts("2024-01-01 10:10:00"), 1.0),
