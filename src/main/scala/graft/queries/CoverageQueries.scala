@@ -224,6 +224,29 @@ object CoverageQueries {
       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       ORDER BY lvl, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
 
+    // Hot-key mitigation operators produce exactly the plain-plan results:
+    // salted two-phase aggregation and salted join vs their direct forms.
+    QueryDef("q113_skew_salted", (s, dir) => {
+      val o = orders(s, dir)
+      val agg = graft.operators.Skew.saltedAgg(o, Seq("o_orderstatus"), buckets = 8,
+        partial = Seq(count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast("decimal(38,4)")).as("ps")),
+        merge = Seq(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("total")))
+      val joined = graft.operators.Skew.saltedJoin(
+          orders(s, dir), nation(s, dir).withColumn("nk", col("n_nationkey").cast("bigint")),
+          probeKey = "o_custkey", buildKey = "nk", buckets = 4)
+        .agg(count(lit(1)).as("n_joined"))
+      Table(agg).sort(SortKey.asc(col("o_orderstatus"))).df.crossJoin(joined)
+    }, Some("""
+      WITH a AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_orderstatus),
+      j AS (
+        SELECT COUNT(*) AS n_joined
+        FROM orders JOIN nation ON o_custkey = CAST(n_nationkey AS BIGINT))
+      SELECT * FROM a CROSS JOIN j ORDER BY o_orderstatus""")),
+
     // BetweenTime (µs-of-day exact) + IsInf on a synthesized infinity.
     QueryDef("q28_time_of_day", (s, dir) => {
       Table(events(s, dir)).filter(col("user_id") < 10)
