@@ -37,8 +37,13 @@ object Selectors {
   def contains(sub: String): Selector = st =>
     st.fieldNames.filter(_.contains(sub)).toSeq
 
-  def matches(regex: String): Selector = st =>
-    st.fieldNames.filter(_.matches(regex)).toSeq
+  /** ibis selectors.matches uses re.search (unanchored substring search,
+    * selectors.py:337 — its own docstring example `matches(r"ab+")` selects
+    * both "abc" and "acb"-like names), so use find(), not full-match. */
+  def matches(regex: String): Selector = { st =>
+    val p = java.util.regex.Pattern.compile(regex)
+    st.fieldNames.filter(n => p.matcher(n).find()).toSeq
+  }
 
   def all: Selector = st => st.fieldNames.toSeq
 

@@ -197,13 +197,14 @@ final class Table(val df: DataFrame) {
   def crossJoin(right: Table): Table = new Table(df.crossJoin(right.df))
 
   /** ibis-style equi-join with the reference's output-column policy
-    * (ibis/expr/types/joins.py:34-111): left columns pass through unchanged;
-    * a right join key that is in the same equality class as a left key of
-    * the SAME name is dropped (inner joins — the values are provably equal);
-    * any other right column whose name collides with a left column is
-    * renamed via the `rname` template (default "{name}_right"). */
+    * (ibis/expr/types/joins.py:34-111): a right join key that is in the same
+    * equality class as a left key of the SAME name is dropped (inner joins —
+    * the values are provably equal); remaining name collisions are resolved
+    * by the `lname`/`rname` templates ("" = keep unchanged, `{name}`
+    * interpolates); a collision surviving BOTH templates raises, like the
+    * reference's IntegrityError. */
   def joinOn(right: Table, keys: Seq[(String, String)], how: String = "inner",
-      rname: String = "{name}_right"): Table = {
+      rname: String = "{name}_right", lname: String = ""): Table = {
     val l = df
     val r = right.df
     val cond = keys.map { case (lk, rk) => l.col(lk) === r.col(rk) }.reduce(_ && _)
@@ -219,24 +220,26 @@ final class Table(val df: DataFrame) {
         if (kind == "inner")
           keys.collect { case (lk, rk) if lk == rk => rk }.toSet
         else Set.empty[String] // outer joins: key values can differ (nulls) — keep both
-      val leftNames = l.columns.toSet
-      val rCols = r.columns.filterNot(droppedRightKeys).map { c =>
-        if (leftNames(c)) r.col(c).as(rname.replace("{name}", c)) else r.col(c)
-      }
-      new Table(joined.select((l.columns.map(l.col(_)) ++ rCols).toIndexedSeq: _*))
+      new Table(Table.renamedJoinOutput(l, r, joined, droppedRightKeys, lname, rname))
     }
   }
 
   /** ClickHouse-style any_left/any_inner join (SURVEY.md §2.1): at most one
-    * right match per row — right side deduped by row_number()==1 first. */
+    * right match per row — right side deduped by row_number()==1 first.
+    * Output collisions follow the same lname/rname policy as [[joinOn]]. */
   def anyJoin(right: Table, leftKeys: Seq[String], rightKeys: Seq[String], how: String,
-      orderCols: Seq[String] = Seq.empty): Table = {
+      orderCols: Seq[String] = Seq.empty,
+      rname: String = "{name}_right", lname: String = ""): Table = {
     val ord = if (orderCols.nonEmpty) orderCols else rightKeys
     val w = Window.partitionBy(rightKeys.map(right.df.col): _*).orderBy(ord.map(right.df.col): _*)
     val dedup = right.df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
     val cond = leftKeys.zip(rightKeys).map { case (l, r) => df.col(l) === dedup.col(r) }.reduce(_ && _)
     val kind = if (how == "any_left") "left" else "inner"
-    new Table(df.join(dedup, cond, kind))
+    val droppedRightKeys =
+      if (kind == "inner") leftKeys.zip(rightKeys).collect { case (lk, rk) if lk == rk => rk }.toSet
+      else Set.empty[String]
+    new Table(Table.renamedJoinOutput(df, dedup, df.join(dedup, cond, kind),
+      droppedRightKeys, lname, rname))
   }
 
   /** Positional join (SURVEY.md §2.1 `positional`): align rows by position
@@ -254,8 +257,10 @@ final class Table(val df: DataFrame) {
       leftOn: Column,
       rightOn: Column,
       by: Seq[(String, String)] = Seq.empty,
-      tolerance: Option[String] = None): Table =
-    new Table(graft.operators.AsofJoin(df, right.df, leftOn, rightOn, by, tolerance))
+      tolerance: Option[String] = None,
+      lname: String = "",
+      rname: String = "{name}_right"): Table =
+    new Table(graft.operators.AsofJoin(df, right.df, leftOn, rightOn, by, tolerance, lname, rname))
 
   // --------------------------------------------------------------- set ops
 
@@ -365,15 +370,19 @@ final class Table(val df: DataFrame) {
 
   /** ibis Table.describe (relations.py:3408): one row per column with
     * count / nulls / unique and numeric moments+quantiles. Single
-    * aggregation pass over the table (count-distinct per column is the one
-    * genuinely multi-pass piece; Catalyst plans it with a single expand). */
-  def describe(): Table = {
+    * aggregation pass over the table. `unique` is approx_count_distinct by
+    * default — exact per-column distincts plan an Expand that multiplies the
+    * scan by the column count, a scale-killer on wide 100 TB tables, and
+    * ibis describe semantics don't promise exactness; pass
+    * `exactUnique = true` to get the exact (expensive) counts. */
+  def describe(exactUnique: Boolean = false): Table = {
     import org.apache.spark.sql.types._
     val fields = df.schema.fields
     def m(f: StructField, what: String) = s"${f.name}__$what"
     val aggs = Seq(count(lit(1)).as("__total")) ++ fields.flatMap { f =>
       val c = df.col(f.name)
-      val base = Seq(count(c).as(m(f, "count")), countDistinct(c).as(m(f, "unique")))
+      val uniq = if (exactUnique) countDistinct(c) else approx_count_distinct(c)
+      val base = Seq(count(c).as(m(f, "count")), uniq.as(m(f, "unique")))
       val numeric = f.dataType match {
         case _: NumericType => Seq(
           avg(c.cast("double")).as(m(f, "mean")),
@@ -438,6 +447,26 @@ object Table {
   def memtable(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
       schema: org.apache.spark.sql.types.StructType): Table =
     new Table(spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+
+  /** Shared join output-column policy (ibis/expr/types/joins.py:34-111):
+    * apply `lname` to left names and `rname` to right names that collide
+    * ("" keeps the name, `{name}` interpolates); raise if any name is still
+    * duplicated afterwards (reference IntegrityError parity). */
+  private[graft] def renamedJoinOutput(l: DataFrame, r: DataFrame, joined: DataFrame,
+      droppedRightKeys: Set[String], lname: String, rname: String): DataFrame = {
+    def fmt(t: String, c: String) = if (t.isEmpty) c else t.replace("{name}", c)
+    val rightKept = r.columns.filterNot(droppedRightKeys).toSeq
+    val leftNames = l.columns.toSet
+    val rightNames = rightKept.toSet
+    val lOut = l.columns.toSeq.map(c => c -> (if (rightNames(c)) fmt(lname, c) else c))
+    val rOut = rightKept.map(c => c -> (if (leftNames(c)) fmt(rname, c) else c))
+    val outNames = lOut.map(_._2) ++ rOut.map(_._2)
+    require(outNames.distinct.size == outNames.size,
+      s"join output would duplicate columns ${outNames.diff(outNames.distinct).distinct.mkString(", ")}; " +
+        "disambiguate with lname/rname templates")
+    joined.select((lOut.map { case (c, n) => l.col(c).as(n) } ++
+      rOut.map { case (c, n) => r.col(c).as(n) }).toIndexedSeq: _*)
+  }
 
   /** Distributed 0-based row index that preserves the incoming sort order:
     * zipWithIndex is a narrow transformation (one pass + per-partition

@@ -112,16 +112,21 @@ object ibisfn {
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
       'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS",
       'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
-      'p' -> "a", 'z' -> "xx", 'Z' -> "zz", 'G' -> "YYYY", 'V' -> "ww",
-      'u' -> "e", '%' -> "%")
+      // %G/%V/%u deliberately absent: week-based Java patterns (YYYY/ww/e)
+      // are rejected at execution since Spark 3.0, so they must throw here
+      // at conversion time per the documented contract.
+      'p' -> "a", 'z' -> "xx", 'Z' -> "zz", '%' -> "%")
     val out = new StringBuilder
     var i = 0
     var literal = new StringBuilder
     def flush(): Unit = {
       if (literal.nonEmpty) {
         val s = literal.toString
-        // quote any run containing letters so they aren't pattern chars
-        out ++= (if (s.exists(_.isLetter)) "'" + s.replace("'", "''") + "'" else s)
+        // Single quotes are Java-pattern metacharacters in ANY run, so they
+        // are always doubled; runs containing letters additionally need
+        // quoting so the letters aren't pattern chars.
+        val esc = s.replace("'", "''")
+        out ++= (if (s.exists(_.isLetter)) "'" + esc + "'" else esc)
         literal = new StringBuilder
       }
     }

@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *   1. tag both inputs and union them on (by-keys, time),
   *   2. one window sort per by-partition, ordered by (time, side) with the
   *      right side first at equal timestamps (inclusive match),
-  *   3. `last(right_col, ignoreNulls=true)` over (unbounded preceding →
-  *      current row) propagates the most recent right row forward,
-  *   4. keep only left rows; apply the tolerance post-filter.
+  *   3. `last(struct(right_cols), ignoreNulls=true)` over (unbounded
+  *      preceding → current row) propagates the most recent right row
+  *      forward AS ONE UNIT — a single struct per right row, so the output
+  *      never mixes column values from different right rows even when the
+  *      matched row holds NULLs (per-column `last(ignoreNulls)` would skip
+  *      back to an older row for just that column),
+  *   4. keep only left rows; the tolerance post-filter nulls the WHOLE
+  *      struct when the matched right time is out of range.
   *
   * Scale: ONE shuffle (the window's hash partition by `by`), no broadcast,
   * no driver materialization, no range cross-product — at 100 TB this
@@ -36,7 +41,9 @@ object AsofJoin {
       leftOn: Column,
       rightOn: Column,
       by: Seq[(String, String)] = Seq.empty,
-      tolerance: Option[String] = None): DataFrame = {
+      tolerance: Option[String] = None,
+      lname: String = "",
+      rname: String = "{name}_right"): DataFrame = {
 
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
@@ -71,24 +78,41 @@ object AsofJoin {
       .orderBy(col("__t").asc_nulls_last, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchCols = rOut.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__m_$c"))
-    val matchT = last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w).as("__m_t")
+    // One struct per right row (struct itself is never null for a right row,
+    // even if every field is null) → last(ignoreNulls) lands on exactly one
+    // right row; its time rides along for the tolerance check.
+    val rowStruct = when(col("__side") === 0,
+      struct((col("__t").as("__rt") +: rOut.map(c => col(s"__r_$c").as(c))): _*))
+    val matched = last(rowStruct, ignoreNulls = true).over(w).as("__m")
 
     val propagated = unioned
-      .select((unioned.columns.map(col).toSeq ++ matchCols :+ matchT): _*)
+      .select((unioned.columns.map(col).toSeq :+ matched): _*)
       .filter(col("__side") === 1)
 
     // Tolerance: match only if leftOn - rightOn <= tolerance (an interval
-    // literal, e.g. "INTERVAL 1 HOUR"); out-of-range matches become nulls.
+    // literal, e.g. "INTERVAL 1 HOUR"); an out-of-range match nulls the
+    // whole struct, so every right column of that row drops together.
     val withTol = tolerance match {
       case Some(tol) =>
-        val inRange = col("__m_t").isNotNull && col("__t") <= col("__m_t") + expr(tol)
-        rOut.foldLeft(propagated) { (d, c) =>
-          d.withColumn(s"__m_$c", when(inRange, col(s"__m_$c")))
-        }
+        val rt = col("__m").getField("__rt")
+        propagated.withColumn("__m",
+          when(rt.isNotNull && col("__t") <= rt + expr(tol), col("__m")))
       case None => propagated
     }
 
-    withTol.select((lCols.map(col) ++ rOut.map(c => col(s"__m_$c").as(c))): _*)
+    // Output-column collision policy shared with Table.joinOn
+    // (ibis/expr/types/joins.py:34-111, asof at relations.py:3736-3746).
+    def fmt(t: String, c: String) = if (t.isEmpty) c else t.replace("{name}", c)
+    val leftNames = lCols.toSet
+    val rightNames = rOut.toSet
+    val lNamed = lCols.map(c => c -> (if (rightNames(c)) fmt(lname, c) else c))
+    val rNamed = rOut.map(c => c -> (if (leftNames(c)) fmt(rname, c) else c))
+    val outNames = lNamed.map(_._2) ++ rNamed.map(_._2)
+    require(outNames.distinct.size == outNames.size,
+      s"asof join output would duplicate columns ${outNames.diff(outNames.distinct).distinct.mkString(", ")}")
+
+    withTol.select(
+      (lNamed.map { case (c, n) => col(c).as(n) } ++
+        rNamed.map { case (c, n) => col("__m").getField(c).as(n) }): _*)
   }
 }

@@ -56,8 +56,12 @@ object Similarity {
     val mat = randomPlanes(planes, dim, seed)
     val bits = mat.zipWithIndex.map { case (plane, i) =>
       val planeArr = array(plane.map(lit): _*)
+      // Cycle the dim coefficients over vectors of ANY length: element i of v
+      // pairs with plane[i mod dim] (1-based element_at). zip_with against a
+      // fixed-length plane would null-pad mismatched lengths and collapse
+      // every row into bucket 0.
       val proj = aggregate(
-        zip_with(v, slice(concat(planeArr, planeArr), 1, dim), (x, w) => x.cast("double") * w),
+        transform(v, (x, i) => x.cast("double") * element_at(planeArr, pmod(i, lit(dim)) + 1)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }

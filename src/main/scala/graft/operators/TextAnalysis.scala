@@ -91,9 +91,11 @@ object TextAnalysis {
   def fingerprintKey(text: Column): Column =
     array_join(array_sort(array_distinct(Dedup.tokens(text))), " ")
 
-  /** 64-bit rolling content fingerprint (order-sensitive, xxhash64-based
-    * polynomial roll over tokens). */
+  /** 64-bit rolling content fingerprint, order-sensitive: the fold
+    * acc' = xxhash64(acc, token). A polynomial roll (acc*P + h) would
+    * overflow int64 after two tokens and ANSI mode (Spark 4 default) throws
+    * on long overflow rather than wrapping — hash-chaining keeps the same
+    * order-sensitivity with no unchecked arithmetic. */
   def rollingFingerprint(text: Column): Column =
-    aggregate(Dedup.tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    aggregate(Dedup.tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 }

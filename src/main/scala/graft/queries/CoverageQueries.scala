@@ -53,7 +53,9 @@ object CoverageQueries {
     // output row per column.
     QueryDef("q25_describe", (s, dir) => {
       Table(customer(s, dir)).selectNames("c_custkey", "c_acctbal", "c_mktsegment")
-        .describe()
+        // exactUnique so DuckDB COUNT(DISTINCT) can oracle it; the default
+        // approx path is plan-asserted (no Expand) in PlanQualitySpec.
+        .describe(exactUnique = true)
         .sort(SortKey.asc(col("name")))
         .df
     }, Some("""

@@ -258,7 +258,7 @@ object ScalarQueries {
         CAST(HOUR(o_orderdate) AS INT) AS hr,
         CAST(MINUTE(o_orderdate) AS INT) AS mi,
         CAST(SECOND(o_orderdate) AS INT) AS sec,
-        epoch(o_orderdate) AS epoch_s,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
         STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso_str
       FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""")),
 
