@@ -57,6 +57,25 @@ object Dedup {
   /** 32-bit murmur hash per shingle (Spark's codegen'd `hash`). */
   def shingleHashes(sh: Column): Column = transform(sh, s => hash(s).cast("long"))
 
+  /** Default token hash: Spark's codegen'd 32-bit murmur — the fast path. */
+  val murmurHash: Column => Column = t => hash(t).cast("long")
+
+  /** 28-bit md5-derived token hash: first 7 hex chars of md5, parsed as a
+    * number. Slower than murmur but reproducible in ANY engine with md5 —
+    * the oracle-checkable hash for cross-engine verification of sketch
+    * math. 28 bits keeps every downstream polynomial combine far from
+    * int64 overflow (ANSI mode throws rather than wraps). */
+  val md5Hash28: Column => Column =
+    t => conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  /** 64-bit md5-derived hash (two 32-bit hex halves packed with shiftleft/
+    * or — bitwise ops, no overflow check applies). */
+  val md5Hash64: Column => Column = { t =>
+    val h = md5(t.cast("binary"))
+    shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+  }
+
   /** Distinct k-shingle hash set computed arithmetically: murmur-hash each
     * token ONCE, then combine k consecutive token-hashes with a polynomial
     * multiply-add. Set-equivalent to `shingleHashes(shingles(toks, k))`
@@ -64,8 +83,8 @@ object Dedup {
     * strings — the interpreted concat_ws/array_distinct-on-strings path is
     * the dominant cost of the sketch stage. Documents shorter than k tokens
     * collapse to one whole-document hash, matching `shingles`' fallback. */
-  def shingleHashSet(toks: Column, k: Int): Column =
-    graft.functions.ibisfn.let1(transform(toks, t => hash(t).cast("long"))) { th =>
+  def shingleHashSet(toks: Column, k: Int, tokenHash: Column => Column = murmurHash): Column =
+    graft.functions.ibisfn.let1(transform(toks, tokenHash)) { th =>
       val rolled =
         if (k == 1) th
         else transform(sequence(lit(0), size(th) - k), i =>
@@ -75,12 +94,12 @@ object Dedup {
       array_distinct(when(size(th) < k, whole).otherwise(rolled))
     }
 
-  private val MinhashPrime = 2038074743L // large 31-bit prime, fits long math
+  private[graft] val MinhashPrime = 2038074743L // large 31-bit prime, fits long math
 
   /** Deterministic (a,b) parameter pairs for the minhash family
     * h_i(x) = (a_i*x + b_i) mod p — the standard universal-hash minhash
     * construction (Broder '97; same scheme as Spark MLlib MinHashLSH). */
-  private def minhashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  private[graft] def minhashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     var s = seed
     def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.abs(s) }
     (0 until numHashes).map(_ => (next() % (MinhashPrime - 1) + 1, next() % MinhashPrime))
@@ -126,7 +145,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      tokenHash: Column => Column = murmurHash): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
@@ -138,7 +158,7 @@ object Dedup {
     // (re)compute the sketch partitions — a cheap count() up front makes
     // every consumer a cache read.
     val sketched = scatter(df)
-      .select(col(id).as("doc"), shingleHashSet(tokens(col(text)), shingleK).as("sh"))
+      .select(col(id).as("doc"), shingleHashSet(tokens(col(text)), shingleK, tokenHash).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -147,10 +167,14 @@ object Dedup {
     // Bucket join carries ONLY (band, bucket, id) — the wide shingle arrays
     // never enter the ×bands-duplicated shuffle. Shingle sets are re-joined
     // after pair dedup, so verify-stage data volume is O(candidate pairs).
+    // The bucket key is the signature band itself (`rows` longs), not a
+    // re-hash of it: exact keys add a few bytes per row to the shuffle but
+    // eliminate band-hash collisions AND keep the whole pipeline
+    // reproducible in any engine for oracle checks.
     val banded = sketched.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bucket")))
+        b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
 
     val l = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
@@ -197,9 +221,9 @@ object Dedup {
     * 64 bit-lanes accumulates ±1, sign vector re-packed into a bigint.
     * Near-dups = signatures within small Hamming distance; candidate pairs
     * via b-bit band buckets like minhash. */
-  def simhash(toks: Column): Column = {
+  def simhash(toks: Column, tokenHash: Column => Column = t => xxhash64(t)): Column = {
     val lanes = aggregate(
-      transform(toks, t => xxhash64(t)),
+      transform(toks, tokenHash),
       array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
         (a, b) => a + when(call_function("shiftright", h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
@@ -211,8 +235,9 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket on 16-bit quadrants of the signature
     * (any pair within Hamming distance 3 of 64 shares ≥1 exact quadrant). */
-  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = scatter(df).select(col(id).as("doc"), simhash(tokens(col(text))).as("sig"))
+  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int = 3,
+      tokenHash: Column => Column = t => xxhash64(t)): DataFrame = {
+    val sigs = scatter(df).select(col(id).as("doc"), simhash(tokens(col(text)), tokenHash).as("sig"))
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         q => call_function("shiftright", col("sig"), q * 16).bitwiseAND(0xFFFFL))).as(Seq("q", "bucket")))

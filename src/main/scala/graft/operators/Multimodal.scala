@@ -40,19 +40,23 @@ object Multimodal {
 
   // ------------------------------------------------------------------ STUBS
   // STUB: real implementations require image/audio codecs absent from this
-  // container. Each fake is deterministic (derived from the payload bytes)
-  // so the distributed plumbing is fully testable end-to-end.
+  // container. Each fake is deterministic (derived from the payload bytes
+  // via md5, which every oracle engine also implements — so even the stub
+  // outputs are cross-engine verifiable) so the distributed plumbing is
+  // fully testable end-to-end.
 
   /** STUB image decode → (width, height, channels) header probe. A real
     * implementation parses the format header (pure-JVM for JPEG/PNG). */
   def probeImageDims(payload: Column): Column = struct(
-    (pmod(xxhash64(payload), lit(1920L)) + 1L).cast(IntegerType).as("width"),
-    (pmod(xxhash64(payload, lit(1)), lit(1080L)) + 1L).cast(IntegerType).as("height"),
+    (pmod(Dedup.md5Hash28(payload), lit(1920L)) + 1L).cast(IntegerType).as("width"),
+    (pmod(Dedup.md5Hash28(concat(payload, lit("h").cast(BinaryType))), lit(1080L)) + 1L)
+      .cast(IntegerType).as("height"),
     lit(3).as("channels"))
 
   /** STUB perceptual hash (would be DCT over decoded pixels); here a
-    * deterministic 64-bit digest so dedup-by-phash plumbing runs. */
-  def perceptualHash(payload: Column): Column = xxhash64(payload)
+    * deterministic md5-derived 64-bit digest so dedup-by-phash plumbing
+    * runs (and oracles can reproduce it). */
+  def perceptualHash(payload: Column): Column = Dedup.md5Hash64(payload)
 
   /** STUB feature extraction via mapPartitions-shaped batching: returns a
     * fixed-length float vector derived deterministically from the bytes.
@@ -61,7 +65,8 @@ object Multimodal {
   def extractFeatures(df: DataFrame, payloadCol: String, dim: Int = 8): DataFrame = {
     val fakeEmbed = transform(
       sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(col(payloadCol), i), lit(1000L)).cast("double") / 500.0) - 1.0)
+      i => (pmod(Dedup.md5Hash28(concat(col(payloadCol), i.cast(StringType).cast(BinaryType))),
+        lit(1000L)).cast("double") / 500.0) - 1.0)
     df.withColumn("features", fakeEmbed)
   }
 
@@ -80,11 +85,20 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+
       StructField(outputCol, ArrayType(FloatType, containsNull = false), nullable = false))
 
-    // STUB model call: batch of payloads -> batch of embeddings
+    // STUB model call: batch of payloads -> batch of embeddings. Same
+    // md5-derived formula as extractFeatures so the two code paths (pure
+    // expression vs mapPartitions batch) are mutually checkable AND both
+    // reproducible by an md5-capable oracle engine.
     def embedBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
       payloads.map { bytes =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
         Array.tabulate(dim) { i =>
-          (scala.util.hashing.MurmurHash3.bytesHash(bytes, i) % 1000) / 500.0f
+          digest.reset()
+          digest.update(bytes)
+          digest.update(i.toString.getBytes("UTF-8"))
+          val hex = digest.digest().take(4).map(b => f"${b & 0xff}%02x").mkString.take(7)
+          val h = java.lang.Long.parseLong(hex, 16)
+          ((h % 1000L) / 500.0 - 1.0).toFloat
         }
       }
 

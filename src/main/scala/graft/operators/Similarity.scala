@@ -40,7 +40,7 @@ object Similarity {
 
   /** Deterministic pseudo-random unit-ish hyperplanes (LCG, fixed seed) —
     * literal arrays baked into the plan, broadcast-free. */
-  private[operators] def randomPlanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def randomPlanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     var s = seed
     def next(): Double = {
       s = s * 6364136223846793005L + 1442695040888963407L

@@ -11,6 +11,12 @@ import Tables._
   * the beyond-the-reference operators (BASELINE.json north star). */
 object PipelineQueries {
 
+  /** Deterministic pseudo-centroids spanning unit-cube corners — shared by
+    * the q73 engine query and its generated oracle. (Defined before `defs`:
+    * the defs initializer reads it.) */
+  val IvfCentroids: Seq[Seq[Double]] = (0 until 4).map(c =>
+    (0 until 64).map(j => if (((c >> (j % 2)) & 1) == 1) 0.5 else -0.5).toSeq)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Text quality/statistics battery (C4/Gopher-style signals).
@@ -139,13 +145,16 @@ object PipelineQueries {
         .df
     }, None),
 
-    // MinHash-LSH near-dup candidate pairs (banding + verify) — rows-only.
+    // MinHash-LSH near-dup candidate pairs (banding + verify), md5 token
+    // hash → the FULL pipeline (signature minima with the engine's (a,b)
+    // params, band buckets, jaccard verify) is oracle-checked in DuckDB.
     QueryDef("q65_minhash_pairs", (s, dir) => {
       Dedup.minhashLsh(documents(s, dir), "doc_id", "text",
-          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          tokenHash = Dedup.md5Hash28)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("doc_a").asc, col("doc_b").asc)
-    }, None),
+    }, Some(SketchOracles.minhashLsh(numHashes = 32, bands = 8, threshold = 0.5))),
 
     // Exact word-set Jaccard pairs within a language block — SQL-checkable
     // twin of the LSH path (verifies the verify-stage math).
@@ -166,11 +175,13 @@ object PipelineQueries {
       WHERE LEN(LIST_INTERSECT(a.w, b.w)) / CAST(LEN(LIST_DISTINCT(a.w || b.w)) AS DOUBLE) >= 0.6
       ORDER BY doc_a, doc_b""")),
 
-    // SimHash hamming near-dup pairs — rows-only (xxhash64 sketch).
+    // SimHash hamming near-dup pairs, md5-64 token hash → bit-lane math,
+    // quadrant banding, and Hamming verify all oracle-checked in DuckDB.
     QueryDef("q67_simhash_pairs", (s, dir) => {
-      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 12)
+      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 12,
+          tokenHash = Dedup.md5Hash64)
         .orderBy(col("doc_a").asc, col("doc_b").asc)
-    }, None),
+    }, Some(SketchOracles.simhashPairs(maxHamming = 12))),
 
     // Brute-force exact top-k cosine neighbors (broadcast probes, one
     // corpus scan, per-probe rank) vs DuckDB list_cosine_similarity.
@@ -195,8 +206,11 @@ object PipelineQueries {
       SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank < 5 ORDER BY probe_id, rank""")),
 
-    // LSH-bucketed + IVF approximate neighbors — rows-only (bucket layout
-    // is engine-specific); ScalaTest asserts recall vs brute force.
+    // LSH-bucketed approximate neighbors: the hyperplane matrix is a
+    // deterministic literal, so the oracle rebuilds the SAME buckets from
+    // the same plane constants — bucket assignment, candidate join, and
+    // ranking are all DuckDB-checked. ScalaTest asserts recall vs brute
+    // force separately.
     QueryDef("q69_ann_lsh", (s, dir) => {
       val e = embeddings(s, dir)
       Similarity.lshTopK(
@@ -204,30 +218,29 @@ object PipelineQueries {
           e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, planes = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("probe_id").asc, col("rank").asc)
-    }, None),
+    }, Some(SketchOracles.lshTopK("vec_id < 5", k = 3, planes = 4, dim = 64, seed = 7L))),
 
     // IVF-style coarse-quantized ANN: literal centroid set (as an offline
-    // k-means would supply), probes search nProbe nearest cells — rows-only.
+    // k-means would supply), probes search nProbe nearest cells — centroid
+    // assignment and ranking oracle-checked from the same literals.
     QueryDef("q73_ivf_topk", (s, dir) => {
       val e = embeddings(s, dir)
-      // deterministic pseudo-centroids spanning the unit cube corners
-      val centroids = (0 until 4).map(c =>
-        (0 until 64).map(j => if (((c >> (j % 2)) & 1) == 1) 0.5 else -0.5))
       Similarity.ivfTopK(
           e, "vec_id", "embedding",
           e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          centroids = centroids.map(_.map(_.toDouble)), k = 3, nProbe = 2)
+          centroids = PipelineQueries.IvfCentroids, k = 3, nProbe = 2)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("probe_id").asc, col("rank").asc)
-    }, None),
+    }, Some(SketchOracles.ivfTopK("vec_id < 5", PipelineQueries.IvfCentroids, k = 3, nProbe = 2))),
 
-    // Embedding near-dup pairs via hyperplane buckets — rows-only.
+    // Embedding near-dup pairs via hyperplane buckets — oracle rebuilds the
+    // buckets from the same plane literals.
     QueryDef("q70_embedding_neardup", (s, dir) => {
       Dedup.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding",
           planes = 4, threshold = 0.25)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("doc_a").asc, col("doc_b").asc)
-    }, None),
+    }, Some(SketchOracles.embeddingNearDups(planes = 4, dim = 64, seed = 7L, threshold = 0.25))),
 
     // End-to-end quality-filter pipeline: score → filter → per-lang stats.
     QueryDef("q71_quality_pipeline", (s, dir) => {
@@ -260,7 +273,10 @@ object PipelineQueries {
       FROM scored WHERE quality >= 0.75 GROUP BY lang ORDER BY lang""")),
 
     // Multimodal plumbing: binary payload + typed metadata + stubbed
-    // decode/featurize/frame-sample (deterministic fakes; see Multimodal).
+    // decode/featurize/frame-sample. The stubs are md5-derived
+    // deterministic fakes (see Multimodal), so the whole pipeline —
+    // including BOTH feature paths (pure expression and mapPartitions
+    // batch) — is oracle-checked.
     QueryDef("q72_multimodal", (s, dir) => {
       val d = documents(s, dir)
         .filter(col("doc_id") < 20)
@@ -284,6 +300,6 @@ object PipelineQueries {
           round(first(element_at(col("features_b"), 1)).cast("double"), 6).as("featb0"),
           count(lit(1)).as("n_frames"))
         .orderBy(col("doc_id").asc)
-    }, None)
+    }, Some(SketchOracles.multimodal(durationMs = 5000L, everyMs = 1000L)))
   )
 }

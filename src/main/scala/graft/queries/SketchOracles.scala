@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity}
+
+/** Generated DuckDB oracle SQL for the sketch/ANN operators.
+  *
+  * These pipelines were rows-only in round 1 because their hashes were
+  * engine-specific (Spark murmur/xxhash64). Every constant the engine bakes
+  * into its plan — minhash (a,b) parameter pairs, random hyperplanes, IVF
+  * centroids — is ALSO deterministic Scala data, so the oracle SQL is
+  * generated here from the same constants, and the corpus queries switch the
+  * token hash to an md5-derived number (`Dedup.md5Hash28`/`md5Hash64`) that
+  * DuckDB reproduces exactly. The operators keep their fast murmur/xxhash64
+  * defaults (exercised rows-only by q64); hash collisions affect both
+  * engines identically, so cross-engine equality is exact, not approximate.
+  */
+object SketchOracles {
+
+  /** DuckDB mirror of Dedup.tokens (same pattern the q66/q71 oracles use). */
+  private val Words =
+    "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '')"
+
+  /** DuckDB mirror of Dedup.md5Hash28 (28-bit hex prefix of md5). */
+  private def md528(e: String): String =
+    s"CAST(CONCAT('0x', SUBSTRING(MD5($e), 1, 7)) AS BIGINT)"
+
+  /** DuckDB mirror of Dedup.md5Hash64: two 32-bit hex halves packed into a
+    * SIGNED 64-bit value (via HUGEINT, since DuckDB << overflow-checks). */
+  private def md564(e: String): String =
+    s"""CAST(CAST(CAST(CONCAT('0x', SUBSTRING(MD5($e), 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
+       | + CAST(CONCAT('0x', SUBSTRING(MD5($e), 9, 8)) AS BIGINT)
+       | - CASE WHEN CAST(CONCAT('0x', SUBSTRING(MD5($e), 1, 8)) AS BIGINT) >= 2147483648
+       |        THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END
+       | AS BIGINT)""".stripMargin.replaceAll("\n", "")
+
+  /** DuckDB mirror of Dedup.shingleHashSet(tokens(text), k, md5Hash28) for
+    * k=3: md5-28 per token, polynomial 31-combine of consecutive triples,
+    * whole-doc fallback below k tokens, distinct. */
+  private def shingleSetCte(docFilter: String): String =
+    s"""d AS (SELECT doc_id AS doc, $Words AS w FROM documents$docFilter),
+       |th AS (SELECT doc, LIST_TRANSFORM(w, t -> ${md528("t")}) AS t FROM d),
+       |shs AS (SELECT doc, LIST_DISTINCT(CASE
+       |    WHEN LEN(t) = 0 THEN [CAST(7 AS BIGINT)]
+       |    WHEN LEN(t) = 1 THEN [7*31 + t[1]]
+       |    WHEN LEN(t) = 2 THEN [(7*31 + t[1])*31 + t[2]]
+       |    ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t)-2),
+       |           i -> t[i]*961 + t[i+1]*31 + t[i+2])
+       |  END) AS sh FROM th)""".stripMargin
+
+  /** Oracle for q65: full minhash-LSH pipeline — signature minima with the
+    * engine's exact (a,b) parameters, banding on the signature slices,
+    * bucket self-join, exact-jaccard verify. */
+  def minhashLsh(numHashes: Int, bands: Int, threshold: Double): String = {
+    val p = Dedup.MinhashPrime
+    val params = Dedup.minhashParams(numHashes, 42L)
+    val rows = numHashes / bands
+    val mins = params.zipWithIndex.map { case ((a, b), j) =>
+      // reduce x mod p BEFORE the multiply (shingle hashes are ~38-bit
+      // polynomial combines; a*(x%p) stays under 2^62, same as the engine)
+      s"LIST_MIN(LIST_TRANSFORM(sh, x -> (${a} * (x % ${p}) + ${b}) % ${p})) AS m$j"
+    }.mkString(",\n    ")
+    val banded = (0 until bands).map { bnd =>
+      val key = (0 until rows).map(r => s"m${bnd * rows + r}").mkString(", ")
+      s"SELECT doc, $bnd AS band, [$key] AS bucket FROM sigs"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH
+       |${shingleSetCte("")},
+       |sigs AS (SELECT doc, sh,
+       |    $mins
+       |  FROM shs WHERE LEN(sh) > 0),
+       |banded AS (
+       |    $banded),
+       |cand AS (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc)
+       |SELECT doc_a, doc_b,
+       |  ROUND(LEN(LIST_INTERSECT(sa.sh, sb.sh))
+       |    / CAST(LEN(LIST_DISTINCT(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+       |FROM cand
+       |JOIN sigs sa ON sa.doc = doc_a
+       |JOIN sigs sb ON sb.doc = doc_b
+       |WHERE LEN(LIST_INTERSECT(sa.sh, sb.sh))
+       |    / CAST(LEN(LIST_DISTINCT(sa.sh || sb.sh)) AS DOUBLE) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle for q67: simhash over md5-64 token hashes — 64 ±1 bit-lanes,
+    * sign-packed signature (via HUGEINT), 16-bit quadrant banding, Hamming
+    * verify. */
+  def simhashPairs(maxHamming: Int): String = {
+    val lanes = (0 until 64).map { b =>
+      s"COALESCE(LIST_SUM(LIST_TRANSFORM(t, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) AS lane$b"
+    }.mkString(",\n    ")
+    val pack = (0 until 64).map { b =>
+      s"CASE WHEN lane$b > 0 THEN CAST('${java.math.BigInteger.ONE.shiftLeft(b)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END"
+    }.mkString(" + ")
+    s"""WITH
+       |d AS (SELECT doc_id AS doc, $Words AS w FROM documents),
+       |th AS (SELECT doc, LIST_TRANSFORM(w, t -> ${md564("t")}) AS t FROM d),
+       |lanes AS (SELECT doc,
+       |    $lanes
+       |  FROM th),
+       |sigs AS (SELECT doc,
+       |    CAST(($pack)
+       |      - CASE WHEN lane63 > 0 THEN CAST('18446744073709551616' AS HUGEINT)
+       |             ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sig
+       |  FROM lanes),
+       |banded AS (
+       |  SELECT doc, sig, q, (sig >> (q * 16)) & 65535 AS bucket
+       |  FROM sigs CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS q)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.q = b.q AND a.bucket = b.bucket AND a.doc < b.doc)
+       |SELECT doc_a, doc_b, CAST(BIT_COUNT(XOR(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand WHERE BIT_COUNT(XOR(sig_a, sig_b)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Hyperplane-bucket SQL expression over column `v` — the engine's exact
+    * plane matrix (same LCG seed), coefficients cycled by element index. */
+  private def bucketExpr(v: String, planes: Int, dim: Int, seed: Long): String = {
+    val mat = Similarity.randomPlanes(planes, dim, seed)
+    mat.zipWithIndex.map { case (plane, i) =>
+      val arr = plane.map(_.toString).mkString("[", ", ", "]")
+      s"""(CASE WHEN LIST_SUM(LIST_TRANSFORM($v,
+         | (x, ix) -> CAST(x AS DOUBLE) * ($arr)[((ix - 1) % $dim) + 1])) >= 0
+         | THEN ${1L << i} ELSE 0 END)""".stripMargin.replaceAll("\n", "")
+    }.mkString(" + ")
+  }
+
+  private val CosDouble =
+    "LIST_COSINE_SIMILARITY(LIST_TRANSFORM(cv, x -> CAST(x AS DOUBLE)), LIST_TRANSFORM(pv, x -> CAST(x AS DOUBLE)))"
+
+  /** Oracle for q69: LSH top-k — bucket both sides with the plane literals,
+    * bucket-equi-join, rank by cosine within probe. */
+  def lshTopK(probeFilter: String, k: Int, planes: Int, dim: Int, seed: Long): String = {
+    s"""WITH
+       |corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+       |    ${bucketExpr("embedding", planes, dim, seed)} AS bucket FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, embedding AS pv,
+       |    ${bucketExpr("embedding", planes, dim, seed)} AS bucket
+       |  FROM embeddings WHERE $probeFilter),
+       |scored AS (
+       |  SELECT probe_id, neighbor_id, ROUND($CosDouble, 6) AS cosine
+       |  FROM corpus JOIN probes USING (bucket)),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) - 1 AS rank
+       |  FROM scored)
+       |SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank < $k ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Oracle for q70: near-dup pairs — same bucket, cosine above threshold. */
+  def embeddingNearDups(planes: Int, dim: Int, seed: Long, threshold: Double): String = {
+    s"""WITH
+       |b AS (SELECT vec_id, embedding,
+       |    ${bucketExpr("embedding", planes, dim, seed)} AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+       |    LIST_COSINE_SIMILARITY(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE)),
+       |      LIST_TRANSFORM(b2.embedding, x -> CAST(x AS DOUBLE))) AS cos
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT doc_a, doc_b, ROUND(cos, 6) AS cosine
+       |FROM pairs WHERE cos >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle for q73: IVF — nearest-cell assignment against the literal
+    * centroid set (argmin by (distance, cell), the engine's array_sort
+    * tie-break), probes explode their nProbe nearest cells. */
+  def ivfTopK(probeFilter: String, centroids: Seq[Seq[Double]], k: Int, nProbe: Int): String = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toString).mkString("[", ", ", "]")
+      s"""{'d': SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+         | (x, ix) -> (CAST(x AS DOUBLE) - ($arr)[ix]) * (CAST(x AS DOUBLE) - ($arr)[ix])))),
+         | 'cell': $i}""".stripMargin.replaceAll("\n", "")
+    }.mkString("[", ", ", "]")
+    s"""WITH
+       |assigned AS (SELECT vec_id, embedding, LIST_SORT($cells) AS cells FROM embeddings),
+       |corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv, cells[1].cell AS cell FROM assigned),
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pv,
+       |    UNNEST([${(1 to nProbe).map(i => s"cells[$i].cell").mkString(", ")}]) AS cell
+       |  FROM assigned WHERE $probeFilter),
+       |scored AS (
+       |  SELECT probe_id, neighbor_id, ROUND($CosDouble, 6) AS cosine
+       |  FROM corpus JOIN probes USING (cell)),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) - 1 AS rank
+       |  FROM scored)
+       |SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank < $k ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Oracle for q72: every stub output is an md5-derived deterministic
+    * value over the payload bytes (= the utf-8 text), so the whole
+    * multimodal pipeline — metadata, probed dims, perceptual hash, both
+    * feature-extraction paths, frame sampling — mirrors exactly. */
+  def multimodal(durationMs: Long, everyMs: Long): String = {
+    val nFrames = math.max(durationMs / everyMs, 1L)
+    s"""SELECT doc_id,
+       |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS size_bytes,
+       |  CAST((${md528("text")} % 1920) + 1 AS INT) AS width,
+       |  ${md564("text")} AS phash,
+       |  ROUND((${md528("text || '0'")} % 1000) / 500.0 - 1.0, 6) AS feat0,
+       |  ROUND(CAST(CAST((${md528("text || '0'")} % 1000) / 500.0 - 1.0 AS REAL) AS DOUBLE), 6) AS featb0,
+       |  CAST($nFrames AS BIGINT) AS n_frames
+       |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+  }
+}

@@ -215,7 +215,7 @@ object TpchQueries2 {
       val su = supplier(s, dir); val n = nation(s, dir)
       val natPs = Table(ps)
         .join(Table(su), ps("ps_suppkey") === su("s_suppkey"))
-        .join(Table(n).filter(n("n_name") === "NATION_7"), su("s_nationkey") === n("n_nationkey"))
+        .join(Table(n).filter(n("n_name") === "NATION_15"), su("s_nationkey") === n("n_nationkey"))
         .mutate("value" -> ps("ps_supplycost") * ps("ps_availqty"))
       val grouped = natPs.groupBy(ps("ps_partkey")).aggregate(dsum(col("value")).as("value"))
       val threshold = natPs.aggregate((dsum(col("value")) * lit(0.001)).as("threshold"))
@@ -229,7 +229,7 @@ object TpchQueries2 {
       natps AS (
         SELECT ps_partkey, ps_supplycost * ps_availqty AS value
         FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
+        JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_15')
       SELECT ps_partkey, CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS value
       FROM natps GROUP BY ps_partkey
       HAVING CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) >
@@ -337,7 +337,7 @@ object TpchQueries2 {
         .filter(ps("ps_availqty") > shipped("half_qty"))
         .df.select(ps("ps_suppkey"))
       Table(su)
-        .join(Table(n).filter(n("n_name") === "NATION_5"), su("s_nationkey") === n("n_nationkey"))
+        .join(Table(n).filter(n("n_name") === "NATION_19"), su("s_nationkey") === n("n_nationkey"))
         .inSubquery(su("s_suppkey"), qualifying)
         .selectNames("s_name", "s_acctbal")
         .sort(SortKey.asc(col("s_name")))
@@ -346,7 +346,7 @@ object TpchQueries2 {
       WITH $PsCte
       SELECT s_name, s_acctbal
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_5' AND s_suppkey IN (
+      WHERE n_name = 'NATION_19' AND s_suppkey IN (
         SELECT ps_suppkey FROM partsupp
         WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
           AND ps_availqty > (
@@ -371,7 +371,7 @@ object TpchQueries2 {
         .join(Table(o).filter(o("o_orderstatus") === "F"), l("l_orderkey") === o("o_orderkey"))
         .filter(l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .join(Table(su), l("l_suppkey") === su("s_suppkey"))
-        .join(Table(n).filter(n("n_name") === "NATION_2"), su("s_nationkey") === n("n_nationkey"))
+        .join(Table(n).filter(n("n_name") === "NATION_19"), su("s_nationkey") === n("n_nationkey"))
         .join(Table(l2), l("l_orderkey") === l2("l_orderkey") &&
           l2("l_suppkey") =!= l("l_suppkey"), how = "semi")
         .join(Table(l3), l("l_orderkey") === l3("l_orderkey") &&
@@ -387,7 +387,7 @@ object TpchQueries2 {
       FROM lineitem l1
       JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
       JOIN supplier ON s_suppkey = l1.l_suppkey
-      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_19'
       WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
         AND EXISTS (SELECT 1 FROM lineitem l2
           WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
