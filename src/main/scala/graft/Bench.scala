@@ -59,8 +59,43 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val totalWarm = warm.map(_._2).sum
+
+    // Large-SF sections (round-1 verdict: sf0.1 is all JVM floor — the 2×
+    // gate is only measurable where compute dominates). data/sfN is emitted
+    // by graft.tools.DataGen; bench/duckdb_sfN.json by tools/bench_duckdb.py
+    // on the SAME files (warm best-of-3). Ratio = spark_warm / duckdb.
+    val extra = new StringBuilder
+    for (tag <- Seq("sf1", "sf10")) {
+      val dir = sys.env.getOrElse(s"SPARK_GRAFT_${tag.toUpperCase}_DIR", s"/root/repo/data/$tag")
+      if (new java.io.File(dir).exists() && !sys.env.contains("SPARK_GRAFT_SKIP_BIG")) {
+        def timeAt(name: String): Double = {
+          val t0 = System.nanoTime()
+          try run(SparkEntry.queries(name)(spark, dir))
+          catch { case e: Throwable => System.err.println(s"[bench] $tag $name: ${e.getMessage}") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val names = headline.filter(SparkEntry.queries.contains)
+        names.foreach(timeAt) // cold pass warms caches/codegen
+        val w = names.map(n => n -> timeAt(n))
+        extra ++= s""","queries_${tag}_warm":${fmt(w)}"""
+        val dj = new java.io.File(s"bench/duckdb_$tag.json")
+        if (dj.exists()) {
+          val txt = new String(java.nio.file.Files.readAllBytes(dj.toPath))
+          val pat = "\"(q\\w+)\":\\s*([0-9.]+)".r
+          val duck = pat.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val ratios = w.collect { case (n, s) if duck.get(n).exists(_ > 0) => n -> s / duck(n) }
+          if (ratios.nonEmpty) {
+            val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+            extra ++= s""","duckdb_$tag":${fmt(w.map(n => n._1 -> duck.getOrElse(n._1, -1.0)))}"""
+            extra ++= s""","ratio_$tag":${fmt(ratios)},"ratio_geomean_$tag":${f"$geo%.3f"}"""
+          }
+        }
+      }
+    }
+
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},""" +
-      f""""value_warm":$totalWarm%.3f,"queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
+      f""""value_warm":$totalWarm%.3f,"queries_warm":${fmt(warm)}""" +
+      extra.toString + f""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -151,18 +151,21 @@ object Dedup {
     val rows = numHashes / bands
 
     // The sketch stage feeds three consumers (banding + both sides of the
-    // verify join) — persist it so shingling/minhashing runs once (the
-    // explicit-CTE materialization; spills to disk at scale). Materialize
-    // EAGERLY: the three consumers are independent shuffle stages that
-    // Spark schedules concurrently, and on a cold cache each would race to
-    // (re)compute the sketch partitions — a cheap count() up front makes
-    // every consumer a cache read.
+    // verify join) — materialize it EAGERLY so shingling/minhashing runs
+    // once (the explicit-CTE materialization): the three consumers are
+    // independent shuffle stages that Spark schedules concurrently, and
+    // without materialization each would race to (re)compute the sketch.
+    // localCheckpoint (not persist+count): a persist is pinned in the
+    // CacheManager until an explicit unpersist nobody can call on a lazily
+    // returned result — repeated minhashLsh calls in a long-lived session
+    // would accumulate sketch caches until eviction thrash (observed: a
+    // 4× slowdown of UNRELATED bench queries at SF1). Checkpoint blocks
+    // are freed by the ContextCleaner as soon as the plan is unreachable.
     val sketched = scatter(df)
       .select(col(id).as("doc"), shingleHashSet(tokens(col(text)), shingleK, tokenHash).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sketched.count()
+      .localCheckpoint()
 
     // Bucket join carries ONLY (band, bucket, id) — the wide shingle arrays
     // never enter the ×bands-duplicated shuffle. Shingle sets are re-joined

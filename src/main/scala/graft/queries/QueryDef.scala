@@ -18,7 +18,10 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // driver testdata events carry TIMESTAMP(NANOS) → read as long under the
+    // flag and truncated to µs; DataGen dirs may carry a plain timestamp
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }

@@ -1,0 +1,27 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Debug: time one corpus query (noop write) + optional explain. */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .withExtensions(new graft.exts.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "64k")
+      .config("spark.sql.autoBroadcastJoinThreshold", sys.env.getOrElse("BT", "10485760"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(args(0))
+    if (args.length > 2 && args(2) == "explain") fn(spark, args(1)).explain("formatted")
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      fn(spark, args(1)).write.format("noop").mode("overwrite").save()
+      println(f"[time] run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Time the bench headline queries in DuckDB over the same parquet dir the
+Spark bench reads (BASELINE.md methodology: same machine, same files, warm =
+best of 3). Writes bench/duckdb_<tag>.json, which graft.Bench embeds into
+its JSON line as the baseline side of the 2x ratio gate.
+
+Usage: python3 tools/bench_duckdb.py <sfDir> <tag>
+       (oracle SQL map is dumped via: sbt "runMain graft.tools.DumpOracle ALL /tmp/oracle_all.json")
+"""
+import duckdb, glob, json, os, subprocess, sys, time
+
+SF = sys.argv[1]
+TAG = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+
+HEADLINE = [
+    "q01_agg", "q03_join_agg_top", "q12_window_rank", "q19_asof_join",
+    "q37_mode", "q60_text_stats", "q63_dedup_keep_first", "q65_minhash_pairs",
+    "q68_embedding_topk", "q71_quality_pipeline", "q80_tumble", "q82_session",
+    "q101_tpch5_local_volume", "q103_tpch13_custdist"]
+
+if not os.path.exists("/tmp/oracle_all.json"):
+    subprocess.run(["sbt", "-batch", "runMain graft.tools.DumpOracle ALL /tmp/oracle_all.json"],
+                   capture_output=True, cwd="/root/repo")
+oracle = json.load(open("/tmp/oracle_all.json"))
+
+con = duckdb.connect()
+con.execute(f"SET threads TO {os.cpu_count()}")
+for p in glob.glob(f"{SF}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+                if os.path.isdir(p) else
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+out = {}
+for q in HEADLINE:
+    if q not in oracle:
+        continue
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(oracle[q]).fetchall()
+        times.append(time.time() - t0)
+    out[q] = round(min(times), 3)
+    print(q, out[q])
+
+os.makedirs("bench", exist_ok=True)
+with open(f"bench/duckdb_{TAG}.json", "w") as f:
+    json.dump({"sf_dir": SF, "unit": "sec", "warm_min_of_3": out}, f, indent=1)
+print("wrote", f"bench/duckdb_{TAG}.json")

@@ -1,0 +1,16 @@
+#!/usr/bin/env python3
+"""Rewrite a DataGen events.parquet's ts column from TIMESTAMP(MICROS) to
+TIMESTAMP(NANOS) so generated dirs read identically to the driver's testdata
+(graft.queries.Tables.t expects nanos-as-long)."""
+import sys, glob, pyarrow as pa, pyarrow.parquet as pq
+d = sys.argv[1]
+t = pq.read_table(f"{d}/events.parquet")
+i = t.schema.get_field_index("ts")
+t = t.set_column(i, pa.field("ts", pa.timestamp("ns")), t.column("ts").cast(pa.timestamp("ns")))
+# drop the Spark-written row metadata: Spark trusts it over footer logical
+# types, so a retained 'ts: timestamp' would defeat the nanos-as-long read
+t = t.replace_schema_metadata(None)
+import shutil
+shutil.rmtree(f"{d}/events.parquet", ignore_errors=True)
+pq.write_table(t, f"{d}/events.parquet")
+print("events.parquet rewritten to ns,", t.num_rows, "rows")
