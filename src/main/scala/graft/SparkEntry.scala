@@ -11,7 +11,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ CoverageQueries.defs ++ AggregationQueries.defs ++
       ScalarQueries.defs ++ ComplexTypeQueries.defs ++ PipelineQueries.defs ++
-      StreamingQueries.defs ++ MiscQueries.defs ++ TpchQueries.defs ++ TpchQueries2.defs
+      StreamingQueries.defs ++ MiscQueries.defs ++ TpchQueries.defs ++ TpchQueries2.defs ++
+      TpcdsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
