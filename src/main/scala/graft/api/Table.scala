@@ -37,26 +37,53 @@ final class Table(val df: DataFrame) {
   def schema = df.schema
   def columns: Seq[String] = df.columns.toSeq
 
+  /** Eager ibis-style validation (expr/operations/relations.py:276-292
+    * raises IbisTypeError/IntegrityError at EXPRESSION BUILD time, before
+    * any backend round-trip): name-taking verbs pre-check membership and
+    * raise a message listing what exists, instead of deferring to a Spark
+    * AnalysisException at action time. Pure driver-side set membership —
+    * no analysis pass, no job. */
+  private def requireColumns(verb: String, names: Seq[String]): Unit = {
+    val have = df.columns.toSet
+    val missing = names.filterNot(have)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$verb: column${if (missing.size > 1) "s" else ""} " +
+          missing.mkString("'", "', '", "'") +
+          s" not found; existing columns: ${df.columns.mkString(", ")}")
+  }
+
   // ------------------------------------------------------------ projection
 
   /** ibis Table.select (expr/types/relations.py:2449). */
   def select(cols: Column*): Table = new Table(df.select(cols: _*))
-  def selectNames(names: String*): Table = new Table(df.select(names.map(df.col): _*))
+  def selectNames(names: String*): Table = {
+    requireColumns("select", names)
+    new Table(df.select(names.map(df.col): _*))
+  }
 
   /** ibis Table.mutate (relations.py:2340): add/replace derived columns. */
   def mutate(cols: (String, Column)*): Table =
     new Table(cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
 
-  /** ibis DropColumns (operations/relations.py:149). */
-  def dropColumns(names: String*): Table = new Table(df.drop(names: _*))
+  /** ibis DropColumns (operations/relations.py:149 — unknown names raise,
+    * unlike Spark's silently-ignoring drop). */
+  def dropColumns(names: String*): Table = {
+    requireColumns("drop", names)
+    new Table(df.drop(names: _*))
+  }
 
-  /** ibis Table.rename (relations.py:2646). */
-  def rename(pairs: (String, String)*): Table =
+  /** ibis Table.rename (relations.py:2646 — renaming a missing column
+    * raises, unlike Spark's silently-no-op withColumnRenamed). */
+  def rename(pairs: (String, String)*): Table = {
+    requireColumns("rename", pairs.map(_._1))
     new Table(pairs.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+  }
 
   /** ibis Table.cast / try_cast (relations.py): re-type columns in place by
     * (name → type-DDL string); unlisted columns pass through. */
-  def castColumns(types: Map[String, String], strict: Boolean = true): Table =
+  def castColumns(types: Map[String, String], strict: Boolean = true): Table = {
+    requireColumns("cast", types.keys.toSeq)
     new Table(df.select(df.columns.map { c =>
       types.get(c) match {
         case Some(t) if strict => df.col(c).cast(t).as(c)
@@ -64,6 +91,7 @@ final class Table(val df: DataFrame) {
         case None              => df.col(c)
       }
     }.toIndexedSeq: _*))
+  }
 
   private def try_cast_col(c: Column, t: String): Column = c.try_cast(t)
 
@@ -76,6 +104,7 @@ final class Table(val df: DataFrame) {
     relocateImpl(names, Some(anchor), after = true)
 
   private def relocateImpl(names: Seq[String], anchor: Option[String], after: Boolean): Table = {
+    requireColumns("relocate", names ++ anchor)
     val rest = df.columns.filterNot(names.contains).toSeq
     val ordered = anchor match {
       case None => names ++ rest
@@ -109,7 +138,9 @@ final class Table(val df: DataFrame) {
     * fully distributed); keep = "any" is dropDuplicates (arbitrary row, no
     * sort — cheapest); keep = "none" drops every duplicated row entirely. */
   def distinctOn(subset: Seq[String], keep: String = "any",
-      orderBy: Seq[SortKey] = Seq.empty): Table = keep match {
+      orderBy: Seq[SortKey] = Seq.empty): Table = {
+    requireColumns("distinct(on=…)", subset)
+    keep match {
     case "any" => new Table(df.dropDuplicates(subset))
     case "none" =>
       val w = Window.partitionBy(subset.map(df.col): _*)
@@ -122,6 +153,7 @@ final class Table(val df: DataFrame) {
       new Table(df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn"))
     case other => throw new IllegalArgumentException(s"keep=$other")
+  }
   }
 
   /** ibis Sample (operations/relations.py:485) — row method lowers to a
@@ -156,7 +188,10 @@ final class Table(val df: DataFrame) {
 
   /** ibis GroupedTable (ibis/expr/types/groupby.py). */
   def groupBy(keys: Column*): GroupedTable = new GroupedTable(df, keys)
-  def groupByNames(names: String*): GroupedTable = new GroupedTable(df, names.map(df.col))
+  def groupByNames(names: String*): GroupedTable = {
+    requireColumns("group_by", names)
+    new GroupedTable(df, names.map(df.col))
+  }
 
   /** Ungrouped aggregation → 1-row table. */
   def aggregate(metrics: Column*): Table = new Table(df.agg(metrics.head, metrics.tail: _*))
@@ -279,6 +314,7 @@ final class Table(val df: DataFrame) {
   /** ibis TableUnnest (operations/relations.py:499-520): cross-join unnest
     * of an array column with optional position and keep-empty. */
   def unnest(column: String, offset: Option[String] = None, keepEmpty: Boolean = false): Table = {
+    requireColumns("unnest", Seq(column))
     val arr = df.col(column)
     val exploded = (offset, keepEmpty) match {
       case (Some(off), true)  => df.select(col("*"), posexplode_outer(arr).as(Seq(off, s"__u_$column")))
@@ -291,6 +327,12 @@ final class Table(val df: DataFrame) {
 
   /** ibis unpack (relations.py:3262): struct column → top-level columns. */
   def unpack(column: String): Table = {
+    requireColumns("unpack", Seq(column))
+    df.schema(column).dataType match {
+      case _: org.apache.spark.sql.types.StructType => ()
+      case other => throw new IllegalArgumentException(
+        s"unpack: column '$column' is ${other.simpleString}, expected struct")
+    }
     val fields = df.schema(column).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     val cols = df.columns.filterNot(_ == column).map(df.col) ++
       fields.map(f => df.col(column).getField(f.name).as(f.name))

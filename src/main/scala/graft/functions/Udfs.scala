@@ -66,6 +66,50 @@ object Udfs {
       def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
     }
 
+  /** Mergeable co-moment state for correlation: counts, means, and the
+    * centered sums Sxx/Syy/Sxy (Pébay pairwise updates — same shape as
+    * [[Moments]], two variables). */
+  final case class CoMoments(n: Long, mx: Double, my: Double,
+      sxx: Double, syy: Double, sxy: Double)
+
+  private def mergeCoMoments(a: CoMoments, b: CoMoments): CoMoments = {
+    if (a.n == 0) b
+    else if (b.n == 0) a
+    else {
+      val na = a.n.toDouble; val nb = b.n.toDouble; val n = na + nb
+      val dx = b.mx - a.mx; val dy = b.my - a.my
+      CoMoments(
+        a.n + b.n,
+        a.mx + dx * nb / n,
+        a.my + dy * nb / n,
+        a.sxx + b.sxx + dx * dx * na * nb / n,
+        a.syy + b.syy + dy * dy * na * nb / n,
+        a.sxy + b.sxy + dx * dy * na * nb / n)
+    }
+  }
+
+  /** Sample Pearson correlation — ibis `Correlation(how="sample")`, which
+    * the reference's PySpark backend REFUSES to compile
+    * (compilers/pyspark.py:313-330 raises for how="sample"): r =
+    * Sxy/√(Sxx·Syy), null for n < 2 or a zero-variance side. Pairs with a
+    * null on either side are skipped (SQL CORR semantics). Single pass,
+    * merge-anywhere buffer → partial aggregation + one shuffle, like any
+    * built-in. */
+  val corrSample: Aggregator[(java.lang.Double, java.lang.Double), CoMoments, java.lang.Double] =
+    new Aggregator[(java.lang.Double, java.lang.Double), CoMoments, java.lang.Double] {
+      def zero: CoMoments = CoMoments(0L, 0.0, 0.0, 0.0, 0.0, 0.0)
+      def reduce(buf: CoMoments, xy: (java.lang.Double, java.lang.Double)): CoMoments =
+        if (xy._1 == null || xy._2 == null) buf
+        else mergeCoMoments(buf,
+          CoMoments(1L, xy._1.doubleValue(), xy._2.doubleValue(), 0.0, 0.0, 0.0))
+      def merge(a: CoMoments, b: CoMoments): CoMoments = mergeCoMoments(a, b)
+      def finish(m: CoMoments): java.lang.Double =
+        if (m.n < 2 || m.sxx == 0.0 || m.syy == 0.0) null
+        else m.sxy / math.sqrt(m.sxx * m.syy)
+      def bufferEncoder: Encoder[CoMoments] = Encoders.product[CoMoments]
+      def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+    }
+
   /** Scalar closure UDF example (the `@udf.scalar.python` analogue):
     * URL-safe slug. Prefer built-in functions when one exists — a closure
     * UDF is opaque to Catalyst (no pushdown through it, no codegen). */
@@ -78,6 +122,7 @@ object Udfs {
   /** Register both on a session (ibis's create-function surface). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("kurtosis_sample", org.apache.spark.sql.functions.udaf(kurtosisSample))
+    spark.udf.register("corr_sample", org.apache.spark.sql.functions.udaf(corrSample))
     spark.udf.register("slugify", slugify)
   }
 }

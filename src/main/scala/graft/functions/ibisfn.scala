@@ -159,6 +159,14 @@ object ibisfn {
     tod.between(lit(us(lo)), lit(us(hi)))
   }
 
+  /** ibis StringToTime (temporal.py:98) — unsupported by the reference's
+    * pyspark backend; we emulate TIME as µs-of-day int64 (the same
+    * convention as [[betweenTime]]): parse "HH:mm:ss[.fraction]" as a
+    * timestamp on the epoch date and take its microsecond offset. Invalid
+    * strings → null (to_timestamp parse semantics). */
+  def stringToTime(s: Column): Column =
+    unix_micros(try_to_timestamp(concat(lit("1970-01-01 "), s)))
+
   /** ibis TimeDelta/DateDelta/TimestampDelta(part) (temporal.py:457-477):
     * whole `part`-boundaries crossed between start and end. */
   def timestampDelta(part: String, start: Column, end: Column): Column = {

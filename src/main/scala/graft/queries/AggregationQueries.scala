@@ -107,7 +107,12 @@ object AggregationQueries {
           round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_s"),
           round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_p"),
           round(ibisfn.skewnessSample(col("l_extendedprice")), 6).as("skew"),
-          round(ibisfn.kurtosisSample(col("l_extendedprice")), 6).as("kurt"))
+          round(ibisfn.kurtosisSample(col("l_extendedprice")), 6).as("kurt"),
+          // Correlation(how="sample") via the mergeable-moments Aggregator
+          // (graft.functions.Udfs.corrSample) — the reference's pyspark
+          // backend raises on this; numerically ≡ CORR (the n-1 cancels).
+          round(udaf(graft.functions.Udfs.corrSample)
+            .apply(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp2"))
         .sort(SortKey.asc(col("l_returnflag")))
         .df
     }, Some("""
@@ -120,7 +125,8 @@ object AggregationQueries {
         ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_s,
         ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covar_p,
         ROUND(SKEWNESS(l_extendedprice), 6) AS skew,
-        ROUND(KURTOSIS(l_extendedprice), 6) AS kurt
+        ROUND(KURTOSIS(l_extendedprice), 6) AS kurt,
+        ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp2
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Exact quantiles: Median / Quantile / MultiQuantile (linear interp —

@@ -178,6 +178,28 @@ object CoverageQueries {
       WHERE a.c_custkey < b.c_custkey
       ORDER BY a.c_custkey, c_custkey_right""")),
 
+    // Both rename templates live (ibis joins.py lname="{name}_left" /
+    // rname="{name}_right"): a non-key column name shared by both sides is
+    // disambiguated on BOTH sides.
+    QueryDef("q29b_join_collision", (s, dir) => {
+      val p1 = Table(part(s, dir))
+        .selectNames("p_partkey", "p_retailprice").rename("p_retailprice" -> "price")
+        .filter(col("p_partkey") < 50)
+      val p2src = part(s, dir)
+      val p2 = Table(p2src.select(p2src("p_partkey").as("pk"),
+        (p2src("p_retailprice") * 2).as("price")))
+      p1.joinOn(p2, Seq("p_partkey" -> "pk"),
+          lname = "{name}_left", rname = "{name}_right")
+        .selectNames("p_partkey", "price_left", "pk", "price_right")
+        .sort(SortKey.asc(col("p_partkey")))
+        .df
+    }, Some("""
+      SELECT a.p_partkey, a.p_retailprice AS price_left,
+        b.p_partkey AS pk, b.p_retailprice * 2 AS price_right
+      FROM part a JOIN part b ON a.p_partkey = b.p_partkey
+      WHERE a.p_partkey < 50
+      ORDER BY a.p_partkey""")),
+
     // Inequality-predicate (range) join: ibis JoinLink predicates are
     // arbitrary boolean exprs; here each order is matched to a price band.
     // The band table is tiny → broadcast nested-loop, a map-side pass over

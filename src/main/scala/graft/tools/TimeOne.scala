@@ -12,6 +12,7 @@ object TimeOne {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.autoBroadcastJoinThreshold", sys.env.getOrElse("BT", "10485760"))
+      .config("spark.sql.join.preferSortMergeJoin", sys.env.getOrElse("SMJ", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -142,6 +142,28 @@ class IbisFnSpec extends SparkSpec {
     assert(df.limit(3).selectExpr("kurtosis_sample(x)").collect().head.isNullAt(0), "n<4 -> null")
   }
 
+  test("corr_sample Aggregator merges partial co-moment buffers to CORR") {
+    graft.functions.Udfs.register(spark)
+    val df = Seq((1.0, 2.0), (2.0, 4.1), (3.0, 5.9), (4.0, 8.2), (5.0, 9.8))
+      .toDF("x", "y").repartition(4) // force cross-partition CoMoments merging
+    val r = df.selectExpr("corr_sample(x, y) AS r").collect().head.getDouble(0)
+    val builtin = df.selectExpr("corr(x, y)").collect().head.getDouble(0)
+    assert(math.abs(r - builtin) < 1e-12)
+    // n < 2 and zero-variance sides are undefined → null
+    assert(df.limit(1).selectExpr("corr_sample(x, y)").collect().head.isNullAt(0))
+    val const = Seq((1.0, 1.0), (2.0, 1.0)).toDF("x", "y")
+    assert(const.selectExpr("corr_sample(x, y)").collect().head.isNullAt(0))
+  }
+
+  test("stringToTime: µs-of-day int64, null on unparseable input") {
+    val df = Seq("13:45:30", "00:00:00.250", "oops").toDF("t")
+      .select(graft.functions.ibisfn.stringToTime(col("t")).as("us"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == (13L * 3600 + 45 * 60 + 30) * 1000000L)
+    assert(rows(1).getLong(0) == 250000L)
+    assert(rows(2).isNullAt(0))
+  }
+
   test("scalar closure udf: slugify") {
     graft.functions.Udfs.register(spark)
     val out = Seq("Hello, World!", "  a  B c ").toDF("s")

@@ -145,6 +145,47 @@ class TableApiSpec extends SparkSpec {
     }
   }
 
+  test("name-taking verbs raise eagerly on unknown columns (ibis relations.py:276-292 parity)") {
+    for (bad <- Seq(
+        () => t.selectNames("id", "nope"),
+        () => t.dropColumns("nope"),
+        () => t.rename("nope" -> "x"),
+        () => t.groupByNames("nope"),
+        () => t.distinctOn(Seq("nope")),
+        () => t.relocate("nope"),
+        () => t.castColumns(Map("nope" -> "int")),
+        () => t.unnest("nope"),
+        () => t.unpack("nope"))) {
+      val e = intercept[IllegalArgumentException](bad())
+      assert(e.getMessage.contains("nope") && e.getMessage.contains("existing columns"))
+    }
+    // unpack on a non-struct column names the offending type
+    val e2 = intercept[IllegalArgumentException](t.unpack("id"))
+    assert(e2.getMessage.contains("expected struct"))
+  }
+
+  test("join output-collision policy: lname/rname templates, raise on unresolved duplicate") {
+    val l = Table(Seq((1, 10.0), (2, 20.0)).toDF("k", "price"))
+    val r = Table(Seq((1, 99.0), (2, 88.0)).toDF("rk", "price"))
+    // default: left unchanged, right gets {name}_right
+    val d = l.joinOn(r, Seq("k" -> "rk"))
+    assert(d.columns == Seq("k", "price", "rk", "price_right"))
+    // both templates applied
+    val both = l.joinOn(r, Seq("k" -> "rk"), rname = "r_{name}", lname = "{name}_left")
+    assert(both.columns == Seq("k", "price_left", "rk", "r_price"))
+    // templates that still collide raise (reference IntegrityError parity)
+    val e = intercept[IllegalArgumentException](l.joinOn(r, Seq("k" -> "rk"), rname = ""))
+    assert(e.getMessage.contains("price"))
+    // asof join applies the same policy instead of emitting duplicate names
+    val lt = Table(Seq((1, 1L, 5.0), (1, 3L, 6.0)).toDF("k", "t", "price"))
+    val rt = Table(Seq((1, 1L, 50.0), (1, 2L, 60.0)).toDF("k2", "t2", "price"))
+    val a = lt.asofJoin(rt, col("t"), col("t2"), by = Seq("k" -> "k2"))
+    assert(a.columns == Seq("k", "t", "price", "t2", "price_right"))
+    // anyJoin: same policy
+    val any = l.anyJoin(r, Seq("k"), Seq("rk"), "any_left")
+    assert(any.columns == Seq("k", "price", "rk", "price_right"))
+  }
+
   test("bare reduction in a filter is rejected (ibis relations.py:276-292 parity)") {
     val t = Table(Seq((1, 2.0), (2, 3.0)).toDF("k", "v"))
     val e = intercept[org.apache.spark.sql.AnalysisException] {

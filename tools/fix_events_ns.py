@@ -12,5 +12,8 @@ t = t.set_column(i, pa.field("ts", pa.timestamp("ns")), t.column("ts").cast(pa.t
 t = t.replace_schema_metadata(None)
 import shutil
 shutil.rmtree(f"{d}/events.parquet", ignore_errors=True)
-pq.write_table(t, f"{d}/events.parquet")
+# small row groups: a single parquet file can only parallelize at
+# row-group granularity — 1M-row pyarrow default caps the scan at ~10
+# threads for 10M rows; 128k rows ≈ full local[32] utilization
+pq.write_table(t, f"{d}/events.parquet", row_group_size=131072)
 print("events.parquet rewritten to ns,", t.num_rows, "rows")
