@@ -2,7 +2,7 @@ package graft.exts
 
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 
 /** Session extension wiring for graft's custom Catalyst expressions
   * (SURVEY.md §7.1 `exts/`). Activate with
@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("money_sum4"),
+      new ExpressionInfo(classOf[MoneySum4].getName, "money_sum4"),
+      (children: Seq[Expression]) =>
+        MoneySum4(children.head).toAggregateExpression()))
     ext.injectOptimizerRule(_ => AnchoredRegexSimplification)
   }
 }
@@ -32,4 +37,9 @@ object exprs {
 
   def cosineSim(a: Column, b: Column): Column = co(CosineSimilarity(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = co(DotProduct(ex(a), ex(b)))
+
+  /** Exact 4-decimal fixed-point money sum (see [[MoneySum4]]) — the fast
+    * equivalent of `sum(x.cast("decimal(38,4)")).cast("double")`. */
+  def moneySum4(x: Column): Column =
+    co(MoneySum4(Cast(ex(x), org.apache.spark.sql.types.DoubleType)).toAggregateExpression())
 }
