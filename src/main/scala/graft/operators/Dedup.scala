@@ -29,11 +29,17 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Exact dedup, "keep first by `orderCol`" semantics: one pass,
-    * hash-partitioned by the dedup key (single shuffle). */
+  /** Exact dedup, "keep first by `orderCol`" semantics (`orderCol` should
+    * be non-null and unique within a key, e.g. an id): ONE hash aggregation
+    * with map-side partial `min_by` — constant state per key, no sort. The
+    * window-rank formulation (`row_number() == 1`) sorts every key group;
+    * at 100 TB that is a full shuffle + sort where this plan combines on
+    * the map side and ships one candidate row per (mapper, key). */
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val allCols = df.columns.toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(allCols.map(col): _*), col(orderCol)).as("__row"))
+      .select(allCols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** Exact-duplicate groups (hash-groupBy): content hash → ids + count. */

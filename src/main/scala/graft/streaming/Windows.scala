@@ -20,14 +20,39 @@ object Windows {
   def withWatermark(df: DataFrame, wm: Watermark): DataFrame =
     if (df.isStreaming) df.withWatermark(wm.timeCol, wm.allowedDelay) else df
 
+  /** Microseconds of a day-or-smaller interval string like "6 hours". */
+  private def intervalMicros(size: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(size))
+    require(iv.months == 0, s"calendar-month windows are not fixed-width: $size")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
   /** Tumbling window aggregation → window_start/window_end + keys + metrics
-    * (pyspark compile path: backends/sql/compilers/pyspark.py:589-648). */
+    * (pyspark compile path: backends/sql/compilers/pyspark.py:589-648).
+    *
+    * Streaming uses Spark's `window()` (watermark integration needs the
+    * TimeWindow node); batch groups on a PRIMITIVE LONG bucket instead —
+    * hashing a long key is measurably cheaper than a struct key in the
+    * aggregate map, and the window bounds are reconstructed after the
+    * aggregation (identical alignment: floor to a size multiple from the
+    * epoch, which is what TimeWindowing lowers to). */
   def tumble(df: DataFrame, timeCol: Column, size: String, keys: Seq[Column], metrics: Seq[Column]): DataFrame =
-    df.groupBy((window(timeCol, size) +: keys): _*)
-      .agg(metrics.head, metrics.tail: _*)
-      .withColumn("window_start", col("window.start"))
-      .withColumn("window_end", col("window.end"))
-      .drop("window")
+    if (df.isStreaming)
+      df.groupBy((window(timeCol, size) +: keys): _*)
+        .agg(metrics.head, metrics.tail: _*)
+        .withColumn("window_start", col("window.start"))
+        .withColumn("window_end", col("window.end"))
+        .drop("window")
+    else {
+      val us = intervalMicros(size)
+      val t = unix_micros(timeCol)
+      df.groupBy(((t - pmod(t, lit(us))).as("__w") +: keys): _*)
+        .agg(metrics.head, metrics.tail: _*)
+        .withColumn("window_start", timestamp_micros(col("__w")))
+        .withColumn("window_end", timestamp_micros(col("__w") + us))
+        .drop("__w")
+    }
 
   /** Hopping (sliding) window aggregation. */
   def hop(df: DataFrame, timeCol: Column, size: String, slide: String,
