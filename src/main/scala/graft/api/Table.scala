@@ -359,6 +359,14 @@ final class Table(val df: DataFrame) {
 
   // ------------------------------------------------------------------ misc
 
+  /** ibis RowID (expr/operations/generic.py:25) — 0-based physical row id;
+    * the reference's pyspark backend refuses it. Deterministic and
+    * contiguous for the CURRENT row order (zipWithIndex, one extra pass) —
+    * callers who need a stable id across runs should sort first, same
+    * caveat as the reference's other backends. */
+  def withRowId(name: String = "rowid"): Table =
+    new Table(Table.withRowIndex(df, name))
+
   /** ibis Table.cache (relations.py:4133). */
   def cache(): Table = new Table(df.cache())
 

@@ -70,23 +70,23 @@ object RelationalQueries {
       FROM part WHERE p_size >= 20 AND p_retailprice > 905
       ORDER BY p_partkey""")),
 
-    // 3-way join → agg → order/limit (TPC-H Q10 shape). Catalyst picks
-    // broadcast for the small build sides; at scale AQE re-plans.
+    // 3-way join → agg → order/limit (TPC-H Q10 shape). EAGER AGGREGATION:
+    // lineitem collapses to one exact per-order revenue row BEFORE any join
+    // (map-side partial combine, fact table never enters a join at line
+    // granularity — the difference between shuffling 600B rows and 150B at
+    // the 100 TB target), the count-distinct becomes a plain count, and the
+    // per-order 4-decimal-exact revenues re-sum exactly per customer.
     QueryDef("q03_join_agg_top", (s, dir) => {
       val c = customer(s, dir); val o = orders(s, dir); val l = lineitem(s, dir)
-      // countDistinct(orderkey) would expand every joined row ×2 through
-      // the aggregate; pre-grouping on the distinct key first halves the
-      // agg input and the count becomes a plain count (same result, the
-      // decimal partial sums re-sum exactly).
-      Table(c)
-        .join(Table(o), c("c_custkey") === o("o_custkey"))
-        .join(Table(l), o("o_orderkey") === l("l_orderkey"))
-        .groupBy(c("c_custkey"), c("c_name"), o("o_orderkey"))
-        .aggregate(sum((l("l_extendedprice") * (lit(1) - l("l_discount")))
-          .cast("decimal(38,4)")).as("rev"))
-        .groupBy(col("c_custkey"), col("c_name"))
+      val perOrder = Table(l)
+        .groupBy(l("l_orderkey"))
+        .aggregate(dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("rev"))
+      Table(o)
+        .join(perOrder, o("o_orderkey") === perOrder.df("l_orderkey"))
+        .join(Table(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(c("c_custkey"), c("c_name"))
         .aggregate(
-          sum(col("rev")).cast("double").as("revenue"),
+          dsum(col("rev")).as("revenue"),
           count(lit(1)).as("n_orders"))
         .sort(SortKey.desc(col("revenue")), SortKey.asc(col("c_custkey")))
         .limit(10)

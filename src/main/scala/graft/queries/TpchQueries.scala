@@ -80,16 +80,22 @@ object TpchQueries {
          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
-    // Q13 shape: order-count distribution including zero-order customers
-    // (left join, conditional count, second aggregation).
+    // Q13 shape: order-count distribution including zero-order customers.
+    // EAGER AGGREGATION below the outer join: orders pre-count per customer
+    // (map-side combine collapses the fact side to |customers| rows) and
+    // the left join only fills in the zero-order customers via coalesce —
+    // identical to counting through the join, without shuffling the fact
+    // table at row granularity.
     QueryDef("q103_tpch13_custdist", (s, dir) => {
       val c = customer(s, dir)
       val o = orders(s, dir)
+      val perCust = Table(o)
+        .filter(o("o_orderpriority") =!= "1-URGENT")
+        .groupBy(o("o_custkey"))
+        .count("n_ord")
       Table(c)
-        .join(Table(o), c("c_custkey") === o("o_custkey") &&
-          o("o_orderpriority") =!= "1-URGENT", how = "left")
-        .groupBy(c("c_custkey"))
-        .aggregate(count(o("o_orderkey")).as("c_count"))
+        .join(perCust, c("c_custkey") === perCust.df("o_custkey"), how = "left")
+        .mutate("c_count" -> coalesce(col("n_ord"), lit(0L)))
         .groupBy(col("c_count"))
         .count("custdist")
         .sort(SortKey.desc(col("custdist")), SortKey.desc(col("c_count")))

@@ -186,6 +186,12 @@ class TableApiSpec extends SparkSpec {
     assert(any.columns == Seq("k", "price", "rk", "price_right"))
   }
 
+  test("withRowId: contiguous 0-based ids in the current order") {
+    val ids = t.sort(SortKey.asc(col("id"))).withRowId("rid")
+      .df.select("rid").as[Long].collect().toSeq
+    assert(ids == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("bare reduction in a filter is rejected (ibis relations.py:276-292 parity)") {
     val t = Table(Seq((1, 2.0), (2, 3.0)).toDF("k", "v"))
     val e = intercept[org.apache.spark.sql.AnalysisException] {
