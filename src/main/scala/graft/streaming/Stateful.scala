@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state — the `flatMapGroupsWithState` surface
+  * (SURVEY.md §2.6 escalation path: watermarked windowed aggs cover
+  * tumble/hop/session; arbitrary per-key state machines need
+  * KeyValueGroupedDataset). The reference has no analogue — its streaming
+  * backends stop at windowed aggregation — so this is a capability-superset
+  * operator shaped for training-data/event pipelines.
+  *
+  * [[Stateful.funnelPairs]] detects `fromEvent` → `toEvent` sequences per
+  * key within a time bound: state is the latest unconsumed `fromEvent`
+  * timestamp; each `toEvent` within `within` of it emits a (user, from_ts,
+  * to_ts, latency_ms) row and consumes the state. The SAME call works on a
+  * batch frame (state lives for the single pass) and on a stream (state
+  * persists across micro-batches in the state store; pair with a watermark
+  * on the time column for bounded state).
+  */
+object Stateful {
+
+  final case class FunnelEvent(k: Long, e: String, ts: Timestamp)
+  final case class FunnelState(pendingMs: Long)
+  final case class FunnelHit(k: Long, from_ts: Timestamp, to_ts: Timestamp, latency_ms: Long)
+
+  def funnelPairs(
+      df: DataFrame,
+      keyCol: String, typeCol: String, tsCol: String,
+      fromEvent: String, toEvent: String, within: String): DataFrame = {
+    val withinMs = Windows.intervalMicros(within) / 1000L
+    implicit val eEnc = Encoders.product[FunnelEvent]
+    implicit val sEnc = Encoders.product[FunnelState]
+    implicit val hEnc = Encoders.product[FunnelHit]
+    implicit val kEnc = Encoders.scalaLong
+
+    val events: Dataset[FunnelEvent] = df
+      .filter(col(typeCol).isin(fromEvent, toEvent))
+      .select(col(keyCol).cast("long").as("k"), col(typeCol).as("e"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .as[FunnelEvent]
+
+    def step(key: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState])
+        : Iterator[FunnelHit] = {
+      // micro-batches deliver per-key rows unordered — order within the batch
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var pending = state.getOption.map(_.pendingMs)
+      val hits = Seq.newBuilder[FunnelHit]
+      sorted.foreach { ev =>
+        if (ev.e == fromEvent) pending = Some(ev.ts.getTime)
+        else pending match {
+          case Some(p) if ev.ts.getTime >= p && ev.ts.getTime - p <= withinMs =>
+            hits += FunnelHit(key, new Timestamp(p), ev.ts, ev.ts.getTime - p)
+            pending = None
+          case _ => ()
+        }
+      }
+      pending match {
+        case Some(p) => state.update(FunnelState(p))
+        case None    => state.remove()
+      }
+      hits.result().iterator
+    }
+
+    events
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step _)
+      .toDF()
+  }
+}

@@ -21,7 +21,7 @@ object Windows {
     if (df.isStreaming) df.withWatermark(wm.timeCol, wm.allowedDelay) else df
 
   /** Microseconds of a day-or-smaller interval string like "6 hours". */
-  private def intervalMicros(size: String): Long = {
+  private[streaming] def intervalMicros(size: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(size))
     require(iv.months == 0, s"calendar-month windows are not fixed-width: $size")

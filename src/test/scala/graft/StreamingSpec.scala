@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{Watermark, Windows}
+import graft.streaming.{Stateful, Watermark, Windows}
 
 /** Structured Streaming path: the same Windows.tumble plan as the batch
   * corpus, driven through MemoryStream + watermark (ibis read_kafka(
@@ -43,6 +43,41 @@ class StreamingSpec extends SparkSpec {
         ("click", "2024-01-01 10:00:00.0", 2L, 3.0),
         ("click", "2024-01-01 11:00:00.0", 1L, 4.0),
         ("view", "2024-01-01 10:00:00.0", 1L, 8.0)))
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState funnel: batch parity AND state across micro-batches") {
+    // batch mode: same call, state lives for the single pass
+    val batch = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-01 10:20:00")),   // hit (20 min)
+      (1L, "purchase", ts("2024-01-01 10:30:00")),   // no pending click left
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "purchase", ts("2024-01-01 11:30:00")),   // outside 1 hour
+      (3L, "purchase", ts("2024-01-01 10:00:00"))    // no click at all
+    ).toDF("user_id", "event_type", "t")
+    val hits = Stateful.funnelPairs(batch, "user_id", "event_type", "t",
+      "click", "purchase", "1 hour").collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(3))).toSet == Set((1L, 20L * 60 * 1000)))
+
+    // streaming: the pending click arrives in batch 1, the purchase in
+    // batch 2 — the pair is only detectable through persisted group state
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = Stateful.funnelPairs(input.toDF().toDF("user_id", "event_type", "t"),
+      "user_id", "event_type", "t", "click", "purchase", "1 hour")
+    val query = out.writeStream
+      .format("memory").queryName("funnel_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((7L, "click", ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 0)
+      input.addData((7L, "purchase", ts("2024-01-01 10:45:00")))
+      query.processAllAvailable()
+      val rows = spark.table("funnel_out").collect()
+      assert(rows.length == 1 && rows.head.getLong(0) == 7L &&
+        rows.head.getLong(3) == 45L * 60 * 1000)
     } finally query.stop()
   }
 
