@@ -74,6 +74,37 @@ object StreamingQueries {
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, window_start""")),
 
     // Windowed funnel: tumble + per-window pivot of event types.
+    // Stateful funnel detection (flatMapGroupsWithState — per-key state
+    // machine, SURVEY §2.6 custom-state path). Batch mode here; the same
+    // call carries state across micro-batches on a stream (StreamingSpec).
+    // Oracle: consume-semantics as SQL — the latest click at-or-before each
+    // purchase, provided no earlier purchase already consumed it.
+    QueryDef("q85_funnel_state", (s, dir) => {
+      graft.streaming.Stateful.funnelPairs(events(s, dir),
+          "user_id", "event_type", "ts", "click", "purchase", "1 hour")
+        .withColumnRenamed("k", "user_id")
+        // encoder-produced timestamps are LTZ; the corpus convention (and
+        // parquet-sourced columns under NTZ inference) is naive timestamps
+        .withColumn("from_ts", col("from_ts").cast("timestamp_ntz"))
+        .withColumn("to_ts", col("to_ts").cast("timestamp_ntz"))
+        .orderBy(col("user_id").asc, col("to_ts").asc)
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS t FROM events
+                  WHERE event_type IN ('click', 'purchase')),
+      p AS (SELECT user_id, t AS pt FROM ev WHERE event_type = 'purchase'),
+      cand AS (
+        SELECT p.user_id, p.pt,
+          (SELECT MAX(c.t) FROM ev c
+           WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.t <= p.pt) AS ct
+        FROM p)
+      SELECT cand.user_id, ct AS from_ts, pt AS to_ts,
+        CAST(DATE_DIFF('microsecond', ct, pt) AS BIGINT) AS latency_us
+      FROM cand
+      WHERE ct IS NOT NULL AND pt <= ct + INTERVAL 1 HOUR
+        AND NOT EXISTS (SELECT 1 FROM p p2
+          WHERE p2.user_id = cand.user_id AND p2.pt >= cand.ct AND p2.pt < cand.pt)
+      ORDER BY user_id, to_ts""")),
+
     QueryDef("q83_windowed_funnel", (s, dir) => {
       Windows.tumble(events(s, dir), col("ts"), "6 hours",
           keys = Seq.empty,

@@ -24,14 +24,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Stateful {
 
   final case class FunnelEvent(k: Long, e: String, ts: Timestamp)
-  final case class FunnelState(pendingMs: Long)
-  final case class FunnelHit(k: Long, from_ts: Timestamp, to_ts: Timestamp, latency_ms: Long)
+  final case class FunnelState(pendingUs: Long)
+  final case class FunnelHit(k: Long, from_ts: Timestamp, to_ts: Timestamp, latency_us: Long)
+
+  /** java.sql.Timestamp keeps sub-ms precision in nanos — getTime alone
+    * truncates to milliseconds, so state math runs in microseconds. */
+  private def toUs(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def fromUs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   def funnelPairs(
       df: DataFrame,
       keyCol: String, typeCol: String, tsCol: String,
       fromEvent: String, toEvent: String, within: String): DataFrame = {
-    val withinMs = Windows.intervalMicros(within) / 1000L
+    val withinUs = Windows.intervalMicros(within)
     implicit val eEnc = Encoders.product[FunnelEvent]
     implicit val sEnc = Encoders.product[FunnelState]
     implicit val hEnc = Encoders.product[FunnelHit]
@@ -45,15 +56,18 @@ object Stateful {
 
     def step(key: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState])
         : Iterator[FunnelHit] = {
-      // micro-batches deliver per-key rows unordered — order within the batch
-      val sorted = it.toSeq.sortBy(_.ts.getTime)
-      var pending = state.getOption.map(_.pendingMs)
+      // micro-batches deliver per-key rows unordered — order within the
+      // batch; at equal timestamps the from-event sorts first (so a
+      // same-instant to-event can consume it), making output deterministic
+      val sorted = it.toSeq.sortBy(ev => (toUs(ev.ts), if (ev.e == fromEvent) 0 else 1))
+      var pending = state.getOption.map(_.pendingUs)
       val hits = Seq.newBuilder[FunnelHit]
       sorted.foreach { ev =>
-        if (ev.e == fromEvent) pending = Some(ev.ts.getTime)
+        val evUs = toUs(ev.ts)
+        if (ev.e == fromEvent) pending = Some(evUs)
         else pending match {
-          case Some(p) if ev.ts.getTime >= p && ev.ts.getTime - p <= withinMs =>
-            hits += FunnelHit(key, new Timestamp(p), ev.ts, ev.ts.getTime - p)
+          case Some(p) if evUs >= p && evUs - p <= withinUs =>
+            hits += FunnelHit(key, fromUs(p), ev.ts, evUs - p)
             pending = None
           case _ => ()
         }

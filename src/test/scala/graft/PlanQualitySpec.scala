@@ -63,4 +63,49 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q01_agg")
     assert(p.contains("*("), "q01 lost whole-stage codegen (no *(n) stages in plan)")
   }
+
+  test("q03 aggregates the fact table BELOW the joins (eager aggregation)") {
+    val p = plan("q03_join_agg_top")
+    // the lineitem branch must hit a HashAggregate before any join operator:
+    // find the FileScan line for lineitem and walk up — in the rendered tree
+    // the per-order aggregate prints between the scan and the first join
+    val lines = p.linesIterator.toSeq
+    val scanIdx = lines.indexWhere(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+    assert(scanIdx >= 0, "no lineitem scan")
+    val above = lines.take(scanIdx).reverse
+    val aggIdx = above.indexWhere(_.contains("HashAggregate"))
+    val joinIdx = above.indexWhere(_.contains("Join"))
+    assert(aggIdx >= 0 && (joinIdx < 0 || aggIdx < joinIdx),
+      s"lineitem joins before aggregating:\n$p")
+  }
+
+  test("q63 keep-first dedup is an aggregation with map-side partials, not a window") {
+    val p = plan("q63_dedup_keep_first")
+    // min_by with a struct buffer plans as SortAggregate (immutable buffer
+    // type) — still partial-aggregated before the exchange, which is the
+    // property that matters at scale; a Window operator would mean the
+    // full-sort-per-group plan crept back in
+    assert(p.contains("Aggregate"), s"expected an aggregation:\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      s"window operator left in the dedup plan:\n$p")
+    val lines = p.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIdx >= 0 && lines.drop(exIdx).exists(_.contains("Aggregate")),
+      s"no partial aggregate below the shuffle:\n$p")
+  }
+
+  test("batch tumble groups on a primitive bucket (no window struct)") {
+    val p = plan("q80_tumble")
+    assert(!p.toLowerCase.contains("timewindow"),
+      s"batch tumble still materializes the window struct:\n$p")
+  }
+
+  test("describe() default plans without an Expand over every column") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = graft.api.Table(graft.queries.Tables.customer(spark, sfDir)).describe()
+      val p = d.df.queryExecution.executedPlan.toString
+      assert(!p.contains("Expand"), s"approx describe should not Expand:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

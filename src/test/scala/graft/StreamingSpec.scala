@@ -58,7 +58,7 @@ class StreamingSpec extends SparkSpec {
     ).toDF("user_id", "event_type", "t")
     val hits = Stateful.funnelPairs(batch, "user_id", "event_type", "t",
       "click", "purchase", "1 hour").collect()
-    assert(hits.map(r => (r.getLong(0), r.getLong(3))).toSet == Set((1L, 20L * 60 * 1000)))
+    assert(hits.map(r => (r.getLong(0), r.getLong(3))).toSet == Set((1L, 20L * 60 * 1000000L)))
 
     // streaming: the pending click arrives in batch 1, the purchase in
     // batch 2 — the pair is only detectable through persisted group state
@@ -77,7 +77,7 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       val rows = spark.table("funnel_out").collect()
       assert(rows.length == 1 && rows.head.getLong(0) == 7L &&
-        rows.head.getLong(3) == 45L * 60 * 1000)
+        rows.head.getLong(3) == 45L * 60 * 1000000L)
     } finally query.stop()
   }
 
