@@ -109,9 +109,14 @@ object Bench {
       }
     }
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},""" +
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},""" +
       f""""value_warm":$totalWarm%.3f,"queries_warm":${fmt(warm)}""" +
-      extra.toString + f""","sf":"$sfDir"}""")
+      extra.toString + f""","sf":"$sfDir"}"""
+    println(line)
+    // sbt decorates stdout with an [info] prefix, which round 1 showed can
+    // defeat line-oriented JSON parsing downstream — also write the exact
+    // line to a file.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     spark.stop()
   }
 }
