@@ -580,6 +580,149 @@ object TpcdsQueries {
       WHERE r <= (SELECT CAST(SUM(CAST(r AS DECIMAL(38,4))) AS DOUBLE) / COUNT(r) FROM per_part) * 0.7
       ORDER BY p_partkey LIMIT 100""")),
 
+    // DS Q87 shape: customers in channel A but NOT channel B (EXCEPT).
+    QueryDef("q221_ds87_channel_except", (s, dir) => {
+      val o = orders(s, dir); val l = lineitem(s, dir); val o2 = orders(s, dir)
+      val urgent = Table(o).filter(o("o_orderpriority") === "1-URGENT")
+        .select(o("o_custkey").as("k")).distinct()
+      val returned = Table(l).filter(l("l_returnflag") === "R")
+        .join(Table(o2), l("l_orderkey") === o2("o_orderkey"))
+        .select(o2("o_custkey").as("k")).distinct()
+      urgent.difference(returned)
+        .aggregate(count(lit(1)).as("n_only_urgent"))
+        .df
+    }, Some("""
+      SELECT COUNT(*) AS n_only_urgent FROM (
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT DISTINCT o_custkey AS k FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey WHERE l_returnflag = 'R')""")),
+
+    // DS Q71 shape: channel consolidation — UNION ALL with a channel tag,
+    // then one aggregation over the union.
+    QueryDef("q222_ds71_channel_union", (s, dir) => {
+      val l1 = lineitem(s, dir); val o1 = orders(s, dir)
+      val l2 = lineitem(s, dir); val o2 = orders(s, dir)
+      val hi = Table(l1)
+        .join(Table(o1).filter(o1("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+          l1("l_orderkey") === o1("o_orderkey"))
+        .mutate("channel" -> lit("priority"),
+          "volume" -> l1("l_extendedprice") * (lit(1) - l1("l_discount")))
+        .selectNames("channel", "l_returnflag", "volume")
+      val lo = Table(l2)
+        .join(Table(o2).filter(!o2("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+          l2("l_orderkey") === o2("o_orderkey"))
+        .mutate("channel" -> lit("standard"),
+          "volume" -> l2("l_extendedprice") * (lit(1) - l2("l_discount")))
+        .selectNames("channel", "l_returnflag", "volume")
+      hi.union(lo)
+        .groupByNames("channel", "l_returnflag")
+        .aggregate(dsum(col("volume")).as("rev"), count(lit(1)).as("n"))
+        .sort(SortKey.asc(col("channel")), SortKey.asc(col("l_returnflag")))
+        .df
+    }, Some("""
+      WITH u AS (
+        SELECT 'priority' AS channel, l_returnflag,
+          l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT 'standard', l_returnflag, l_extendedprice * (1 - l_discount)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+      SELECT channel, l_returnflag,
+        CAST(SUM(CAST(volume AS DECIMAL(38,4))) AS DOUBLE) AS rev, COUNT(*) AS n
+      FROM u GROUP BY 1, 2 ORDER BY channel, l_returnflag""")),
+
+    // DS grouping-sets via CUBE: every subset of (orderstatus, priority)
+    // with the 4-way grouping id.
+    QueryDef("q223_ds_cube", (s, dir) => {
+      val o = orders(s, dir)
+      Table(o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("int").as("lvl")))
+        .sort(SortKey.asc(col("lvl")), SortKey.asc(col("o_orderstatus")),
+          SortKey.asc(col("o_orderpriority")))
+        .df
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS lvl
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY lvl, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")),
+
+    // DS Q97 shape: channel overlap matrix via FULL OUTER join of the two
+    // distinct customer sets.
+    QueryDef("q224_ds97_full_outer", (s, dir) => {
+      val o = orders(s, dir); val l = lineitem(s, dir); val o2 = orders(s, dir)
+      val a = Table(o).filter(o("o_orderpriority") === "1-URGENT")
+        .select(o("o_custkey").as("ka")).distinct()
+      val b = Table(l).filter(l("l_returnflag") === "R")
+        .join(Table(o2), l("l_orderkey") === o2("o_orderkey"))
+        .select(o2("o_custkey").as("kb")).distinct()
+      a.join(b, a.df("ka") === b.df("kb"), how = "full_outer")
+        .aggregate(
+          count(when(col("ka").isNotNull && col("kb").isNotNull, lit(1))).as("both_channels"),
+          count(when(col("kb").isNull, lit(1))).as("urgent_only"),
+          count(when(col("ka").isNull, lit(1))).as("returns_only"))
+        .df
+    }, Some("""
+      WITH a AS (SELECT DISTINCT o_custkey AS ka FROM orders WHERE o_orderpriority = '1-URGENT'),
+      b AS (SELECT DISTINCT o_custkey AS kb FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey WHERE l_returnflag = 'R')
+      SELECT
+        COUNT(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN 1 END) AS both_channels,
+        COUNT(CASE WHEN kb IS NULL THEN 1 END) AS urgent_only,
+        COUNT(CASE WHEN ka IS NULL THEN 1 END) AS returns_only
+      FROM a FULL OUTER JOIN b ON ka = kb""")),
+
+    // DS Q51 shape: cumulative monthly revenue per nation, flagging months
+    // that beat the running average (window-over-aggregate, decimal-exact
+    // running sums).
+    QueryDef("q225_ds51_cumulative", (s, dir) => {
+      val l = lineitem(s, dir); val o = orders(s, dir)
+      val c = customer(s, dir); val n = nation(s, dir)
+      val monthly = Table(l)
+        .join(Table(o), l("l_orderkey") === o("o_orderkey"))
+        .join(Table(c), o("o_custkey") === c("c_custkey"))
+        .join(Table(n), c("c_nationkey") === n("n_nationkey"))
+        .mutate("ym" -> (year(o("o_orderdate")) * 12 + month(o("o_orderdate")) - 1))
+        .groupBy(n("n_name"), col("ym"))
+        .aggregate(dsum(rev()).as("r"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("ym"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .mutate(
+          "cum_r" -> sum(col("r").cast("decimal(38,4)")).over(w).cast("double"),
+          "run_avg" -> round(sum(col("r").cast("decimal(38,4)")).over(w).cast("double") /
+            count(col("r")).over(w), 6))
+        .filter(col("r") > col("run_avg") * 1.2)
+        .selectNames("n_name", "ym", "r", "cum_r", "run_avg")
+        .sort(SortKey.asc(col("n_name")), SortKey.asc(col("ym")))
+        .df
+    }, Some("""
+      WITH monthly AS (
+        SELECT n_name, CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS INT) AS ym,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT n_name, ym, r,
+          CAST(SUM(CAST(r AS DECIMAL(38,4))) OVER (PARTITION BY n_name ORDER BY ym
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_r,
+          ROUND(CAST(SUM(CAST(r AS DECIMAL(38,4))) OVER (PARTITION BY n_name ORDER BY ym
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / COUNT(r) OVER (PARTITION BY n_name ORDER BY ym
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_avg
+        FROM monthly)
+      SELECT n_name, ym, r, cum_r, run_avg FROM cum
+      WHERE r > run_avg * 1.2
+      ORDER BY n_name, ym""")),
+
     // DS Q90 shape: am/pm event-count ratio per event type.
     QueryDef("q220_ds90_ampm_ratio", (s, dir) => {
       val e = events(s, dir)
