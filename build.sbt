@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses ONE JSON line from `sbt runMain graft.Bench` stdout;
+// sbt's default BufferedOutput re-logs forked output with an "[info] "
+// prefix, which defeated that parse in rounds 1-2 (BENCH_r02 "parsed":
+// null). StdoutOutput passes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,7 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("money_sum4"),
       new ExpressionInfo(classOf[MoneySum4].getName, "money_sum4"),
       (children: Seq[Expression]) =>
-        MoneySum4(children.head).toAggregateExpression()))
+        // analysis-time cast mirrors the Scala-API path (exprs.moneySum4):
+        // MoneySum4's update expressions multiply by a double literal, so a
+        // decimal/int column via SQL would otherwise fail at execution
+        // instead of being coerced (AbstractDataType is private[sql], so the
+        // ImplicitCastInputTypes route isn't open to external packages)
+        MoneySum4(Cast(children.head, org.apache.spark.sql.types.DoubleType))
+          .toAggregateExpression()))
     ext.injectOptimizerRule(_ => AnchoredRegexSimplification)
   }
 }
@@ -37,6 +43,11 @@ object exprs {
 
   def cosineSim(a: Column, b: Column): Column = co(CosineSimilarity(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = co(DotProduct(ex(a), ex(b)))
+
+  /** 1-based index of the greatest element <= key in a sorted array (see
+    * [[AsofSearch]]) — the probe step of the compact as-of join plan. */
+  def asofSearch(sortedArr: Column, key: Column): Column =
+    co(AsofSearch(ex(sortedArr), ex(key)))
 
   /** Exact 4-decimal fixed-point money sum (see [[MoneySum4]]) — the fast
     * equivalent of `sum(x.cast("decimal(38,4)")).cast("double")`. */

@@ -33,6 +33,18 @@ case class MoneySum4(child: Expression)
   override def prettyName: String = "money_sum4"
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  // Non-double input is a clean analysis error, not a runtime failure.
+  // Both entry points (exprs.moneySum4 and the SQL-registered builder in
+  // GraftExtensions) wrap the child in Cast(_, DoubleType) so arbitrary
+  // numeric/decimal columns are coerced before this check runs.
+  // (ImplicitCastInputTypes would be the idiomatic route, but its
+  // signature mentions AbstractDataType, which is private[sql].)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"money_sum4 requires DOUBLE input, got ${child.dataType.simpleString}")
   override protected def withNewChildInternal(newChild: Expression): MoneySum4 =
     copy(child = newChild)
 
@@ -67,9 +79,16 @@ case class MoneySum4(child: Expression)
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val u = If(IsNull(child), Literal(0L), units(child))
+    // Non-finite values are skipped like nulls: a decimal(38,4) cast would
+    // yield null for NaN/±Inf (non-ANSI) or throw (ANSI) — neither is a
+    // usable sum, and without the guard NaN corrupts the whole group
+    // (0-cast) while Inf saturates to Long.MaxValue. Skipping matches the
+    // oracle policy `SUM(CAST(x AS DECIMAL(38,4)))` under non-ANSI casts.
+    val skip = Or(IsNull(child),
+      Or(IsNaN(child), GreaterThanOrEqual(Abs(child), Literal(Double.PositiveInfinity))))
+    val u = If(skip, Literal(0L), units(child))
     val (h2, l2) = normalized(hi, lo, u)
-    Seq(h2, l2, Add(cnt, If(IsNull(child), Literal(0L), Literal(1L))))
+    Seq(h2, l2, Add(cnt, If(skip, Literal(0L), Literal(1L))))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** As-of join: for each left row, the right row with the greatest
   * `rightOn <= leftOn` within the same `by` partition, left-outer semantics
@@ -10,28 +11,50 @@ import org.apache.spark.sql.functions._
   * (/root/reference/ibis/expr/types/relations.py:3736-3866) and DuckDB's
   * `ASOF LEFT JOIN` used as the oracle.
   *
-  * Spark has no asof primitive (SURVEY.md §2.1). Implementation is the
-  * sort-merge-by-union strategy (SURVEY.md §7.3):
+  * Spark has no asof primitive (SURVEY.md §2.1). Two physical strategies:
+  *
+  * == "compact" (default when `by` keys exist) ==
+  *
+  *   1. group the RIGHT side by its `by` keys and collect each group's rows
+  *      into ONE time-sorted run: a primitive sorted `times` array (epoch
+  *      µs / long / double) plus a parallel payload-struct array,
+  *   2. equi-join the left side to the runs on the `by` keys (plain
+  *      hash join — broadcastable when the right side is small, AQE-planned
+  *      otherwise),
+  *   3. per left row, ONE O(log n) binary-search probe
+  *      (`exts.AsofSearch`, whole-stage codegen) + `element_at` picks the
+  *      matched payload struct AS ONE UNIT; the tolerance post-filter nulls
+  *      the whole struct when the matched right time is out of range.
+  *
+  *   Cost: one shuffle of the slim right side into runs, one equi-join —
+  *   the big left side is NEVER sorted (vs the union+window plan, which
+  *   sorts left+right together). At 100 TB this is the winning shape when
+  *   per-key right-row counts are bounded (telemetry, quotes, dimension
+  *   history): the runs stay small, the probe is logarithmic, and the
+  *   sorted-run build parallelizes per key. A pathological key with tens of
+  *   millions of right rows materializes one giant array row — for that
+  *   shape force `strategy = "window"`, which spills through the external
+  *   sorter instead.
+  *
+  * == "window" (forced, or when `by` is empty) ==
   *
   *   1. tag both inputs and union them on (by-keys, time),
   *   2. one window sort per by-partition, ordered by (time, side) with the
   *      right side first at equal timestamps (inclusive match),
   *   3. `last(struct(right_cols), ignoreNulls=true)` over (unbounded
   *      preceding → current row) propagates the most recent right row
-  *      forward AS ONE UNIT — a single struct per right row, so the output
-  *      never mixes column values from different right rows even when the
-  *      matched row holds NULLs (per-column `last(ignoreNulls)` would skip
-  *      back to an older row for just that column),
-  *   4. keep only left rows; the tolerance post-filter nulls the WHOLE
-  *      struct when the matched right time is out of range.
+  *      forward as one unit,
+  *   4. keep only left rows; same tolerance handling.
   *
-  * Scale: ONE shuffle (the window's hash partition by `by`), no broadcast,
-  * no driver materialization, no range cross-product — at 100 TB this
-  * behaves like a single sort-merge pass, which is the asymptotically
-  * optimal distributed asof plan. Skew on a hot `by` key is bounded by that
-  * key's row count, the same bound a native asof merge would have.
-  * (With no `by` keys the window degenerates to a single partition — correct
-  * but serial; callers at scale should always pass partition keys.)
+  *   ONE shuffle but a full sort of left+right; robust to unbounded per-key
+  *   cardinality (external sort spills). With no `by` keys the window
+  *   degenerates to a single partition — correct but serial; callers at
+  *   scale should always pass partition keys.
+  *
+  * Semantics note: the compact plan's equi-join gives SQL key semantics —
+  * null `by` keys and null times never match (DuckDB/oracle behavior). The
+  * window plan groups null keys together like any window partition; data
+  * with null keys should use the default compact plan.
   */
 object AsofJoin {
 
@@ -43,11 +66,116 @@ object AsofJoin {
       by: Seq[(String, String)] = Seq.empty,
       tolerance: Option[String] = None,
       lname: String = "",
-      rname: String = "{name}_right"): DataFrame = {
+      rname: String = "{name}_right",
+      strategy: String = "auto"): DataFrame = {
+    val useCompact = strategy match {
+      case "compact" => require(by.nonEmpty, "compact asof requires by keys"); true
+      case "window"  => false
+      case _         => by.nonEmpty
+    }
+    if (useCompact) compactPlan(left, right, leftOn, rightOn, by, tolerance, lname, rname)
+    else windowPlan(left, right, leftOn, rightOn, by, tolerance, lname, rname)
+  }
+
+  /** Output-column collision policy shared with Table.joinOn
+    * (ibis/expr/types/joins.py:34-111, asof at relations.py:3736-3746). */
+  private def outputNames(
+      lCols: Seq[String], rOut: Seq[String], lname: String, rname: String)
+      : (Seq[(String, String)], Seq[(String, String)]) = {
+    def fmt(t: String, c: String) = if (t.isEmpty) c else t.replace("{name}", c)
+    val leftNames = lCols.toSet
+    val rightNames = rOut.toSet
+    val lNamed = lCols.map(c => c -> (if (rightNames(c)) fmt(lname, c) else c))
+    val rNamed = rOut.map(c => c -> (if (leftNames(c)) fmt(rname, c) else c))
+    val outNames = lNamed.map(_._2) ++ rNamed.map(_._2)
+    require(outNames.distinct.size == outNames.size,
+      s"asof join output would duplicate columns ${outNames.diff(outNames.distinct).distinct.mkString(", ")}")
+    (lNamed, rNamed)
+  }
+
+  /** Time normalized to a binary-searchable primitive; both sides must end
+    * on the same element type. */
+  private def normTime(c: Column, dt: DataType, target: DataType): Column = dt match {
+    case TimestampType    => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast("timestamp"))
+    case DateType         => unix_micros(c.cast("timestamp"))
+    case _                => c.cast(if (target == DoubleType) "double" else "long")
+  }
+
+  private def compactPlan(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: Column,
+      rightOn: Column,
+      by: Seq[(String, String)],
+      tolerance: Option[String],
+      lname: String,
+      rname: String): DataFrame = {
 
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     val rOut = rCols.filterNot(c => by.exists(_._2 == c)) // by-cols dedup like ibis joins.py:34-111
+
+    val lDt = left.select(leftOn).schema.head.dataType
+    val rDt = right.select(rightOn).schema.head.dataType
+    val fractional = Seq(lDt, rDt).exists {
+      case DoubleType | FloatType => true
+      case _: DecimalType         => true
+      case _                      => false
+    }
+    val target = if (fractional) DoubleType else LongType
+
+    // One sorted run per by-key. sort_array orders the payload structs by
+    // (__tk, then remaining fields) — ties at equal time resolve by payload
+    // value, making the picked match DETERMINISTIC (the window plan breaks
+    // time-ties by arbitrary input order). __rt keeps the original-typed
+    // right time for the tolerance check.
+    val payload = struct(
+      (normTime(rightOn, rDt, target).as("__tk") +:
+        rightOn.as("__rt") +:
+        rOut.map(col)): _*)
+    val byProbe = by.zipWithIndex.map { case ((_, rk), i) => col(rk).as(s"__abk_$i") }
+    val rRuns = right
+      .filter(rightOn.isNotNull)
+      .groupBy(byProbe: _*)
+      .agg(sort_array(collect_list(payload)).as("__runs"))
+      // parallel primitive times array: the probe binary-searches this flat
+      // long[]/double[] instead of re-reading struct field 0 per step
+      .withColumn("__tks", transform(col("__runs"), e => e.getField("__tk")))
+
+    val cond = by.zipWithIndex
+      .map { case ((lk, _), i) => left(lk) === rRuns(s"__abk_$i") }
+      .reduce(_ && _)
+    val joined = left.join(rRuns, cond, "left")
+
+    val idx = graft.exts.exprs.asofSearch(col("__tks"), normTime(leftOn, lDt, target))
+    val m0 = element_at(col("__runs"), idx)
+    val matched = tolerance match {
+      // match only if leftOn - rightOn <= tolerance; an out-of-range match
+      // nulls the WHOLE struct, so every right column drops together
+      case Some(tol) => when(m0.isNotNull && leftOn <= m0.getField("__rt") + expr(tol), m0)
+      case None      => m0
+    }
+
+    val (lNamed, rNamed) = outputNames(lCols, rOut, lname, rname)
+    joined.select(
+      (lNamed.map { case (c, n) => left(c).as(n) } ++
+        rNamed.map { case (c, n) => matched.getField(c).as(n) }): _*)
+  }
+
+  private def windowPlan(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: Column,
+      rightOn: Column,
+      by: Seq[(String, String)],
+      tolerance: Option[String],
+      lname: String,
+      rname: String): DataFrame = {
+
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val rOut = rCols.filterNot(c => by.exists(_._2 == c))
 
     // Common layout: __t, __side (0=right, 1=left), by-keys, left cols, right cols
     val lTagged = left
@@ -89,9 +217,6 @@ object AsofJoin {
       .select((unioned.columns.map(col).toSeq :+ matched): _*)
       .filter(col("__side") === 1)
 
-    // Tolerance: match only if leftOn - rightOn <= tolerance (an interval
-    // literal, e.g. "INTERVAL 1 HOUR"); an out-of-range match nulls the
-    // whole struct, so every right column of that row drops together.
     val withTol = tolerance match {
       case Some(tol) =>
         val rt = col("__m").getField("__rt")
@@ -100,17 +225,7 @@ object AsofJoin {
       case None => propagated
     }
 
-    // Output-column collision policy shared with Table.joinOn
-    // (ibis/expr/types/joins.py:34-111, asof at relations.py:3736-3746).
-    def fmt(t: String, c: String) = if (t.isEmpty) c else t.replace("{name}", c)
-    val leftNames = lCols.toSet
-    val rightNames = rOut.toSet
-    val lNamed = lCols.map(c => c -> (if (rightNames(c)) fmt(lname, c) else c))
-    val rNamed = rOut.map(c => c -> (if (leftNames(c)) fmt(rname, c) else c))
-    val outNames = lNamed.map(_._2) ++ rNamed.map(_._2)
-    require(outNames.distinct.size == outNames.size,
-      s"asof join output would duplicate columns ${outNames.diff(outNames.distinct).distinct.mkString(", ")}")
-
+    val (lNamed, rNamed) = outputNames(lCols, rOut, lname, rname)
     withTol.select(
       (lNamed.map { case (c, n) => col(c).as(n) } ++
         rNamed.map { case (c, n) => col("__m").getField(c).as(n) }): _*)

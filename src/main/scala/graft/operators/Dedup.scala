@@ -37,8 +37,13 @@ object Dedup {
     * the map side and ships one candidate row per (mapper, key). */
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     val allCols = df.columns.toSeq
+    // ordering key is a struct with a nulls-last flag: min_by alone returns
+    // a null struct (→ an all-null output row) for a group whose orderCol
+    // is entirely null; with the flag such groups keep a real row, matching
+    // the row_number()==1 formulation this plan replaced
+    val ord = struct(col(orderCol).isNull, col(orderCol))
     df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(struct(allCols.map(col): _*), col(orderCol)).as("__row"))
+      .agg(min_by(struct(allCols.map(col): _*), ord).as("__row"))
       .select(allCols.map(c => col("__row").getField(c).as(c)): _*)
   }
 

@@ -18,8 +18,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * timestamp; each `toEvent` within `within` of it emits a (user, from_ts,
   * to_ts, latency_ms) row and consumes the state. The SAME call works on a
   * batch frame (state lives for the single pass) and on a stream (state
-  * persists across micro-batches in the state store; pair with a watermark
-  * on the time column for bounded state).
+  * persists across micro-batches in the state store).
+  *
+  * Bounded state: when the streaming input carries an event-time watermark
+  * on `tsCol`, the operator uses `GroupStateTimeout.EventTimeTimeout` and
+  * arms a per-key timeout at `pending + within` — a from-event whose window
+  * expires without a to-event is EVICTED from the state store once the
+  * watermark passes it (an expired pending can never pair again, so output
+  * is unchanged; only state size is bounded). Without a watermark
+  * (un-watermarked stream, or batch — where Spark never fires timeouts and
+  * forbids `setTimeoutTimestamp`) state for abandoned funnels lives until
+  * the key's next event; long-running streaming callers should always
+  * watermark the time column first.
   */
 object Stateful {
 
@@ -48,14 +58,37 @@ object Stateful {
     implicit val hEnc = Encoders.product[FunnelHit]
     implicit val kEnc = Encoders.scalaLong
 
+    // EventTimeTimeout is only legal when the stream has a watermark
+    // (EventTimeWatermark stamps spark.watermarkDelayMs on the column's
+    // metadata); batch execution never fires timeouts and throws on
+    // setTimeoutTimestamp, so it stays on NoTimeout.
+    val watermarked = df.isStreaming &&
+      df.schema.fields.exists(_.metadata.contains("spark.watermarkDelayMs"))
+    val timeoutConf =
+      if (watermarked) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    // A Cast on the time column would DROP the watermark metadata (Alias
+    // only propagates metadata from a bare attribute), and Spark then
+    // rejects EventTimeTimeout with "watermark must be specified" — so keep
+    // the column untouched when it is already a timestamp (the watermarked
+    // case by construction: withWatermark requires TimestampType).
+    val tsExpr =
+      if (df.schema(df.schema.fieldIndex(tsCol)).dataType ==
+          org.apache.spark.sql.types.TimestampType) col(tsCol).as("ts")
+      else col(tsCol).cast("timestamp").as("ts")
     val events: Dataset[FunnelEvent] = df
       .filter(col(typeCol).isin(fromEvent, toEvent))
-      .select(col(keyCol).cast("long").as("k"), col(typeCol).as("e"),
-        col(tsCol).cast("timestamp").as("ts"))
+      .select(col(keyCol).cast("long").as("k"), col(typeCol).as("e"), tsExpr)
       .as[FunnelEvent]
 
     def step(key: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState])
         : Iterator[FunnelHit] = {
+      if (state.hasTimedOut) {
+        // the pending from-event's window has fully expired (watermark is
+        // past pending + within) — it can never pair; drop the state row
+        state.remove()
+        return Iterator.empty
+      }
       // micro-batches deliver per-key rows unordered — order within the
       // batch; at equal timestamps the from-event sorts first (so a
       // same-instant to-event can consume it), making output deterministic
@@ -73,15 +106,23 @@ object Stateful {
         }
       }
       pending match {
-        case Some(p) => state.update(FunnelState(p))
-        case None    => state.remove()
+        case Some(p) =>
+          state.update(FunnelState(p))
+          if (watermarked) {
+            // evict once the watermark passes the end of the match window;
+            // must stay strictly above the current watermark or Spark
+            // rejects the timestamp (late-arriving from-events)
+            val expiryMs = math.floorDiv(p + withinUs, 1000L) + 1L
+            state.setTimeoutTimestamp(math.max(expiryMs, state.getCurrentWatermarkMs() + 1L))
+          }
+        case None => state.remove()
       }
       hits.result().iterator
     }
 
     events
       .groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step _)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(step _)
       .toDF()
   }
 }

@@ -47,7 +47,11 @@ object Windows {
     else {
       val us = intervalMicros(size)
       val t = unix_micros(timeCol)
-      df.groupBy(((t - pmod(t, lit(us))).as("__w") +: keys): _*)
+      // window() drops null-timestamp rows (TimeWindowing injects an
+      // IsNotNull filter); match it so batch and streaming agree on null
+      // input instead of emitting a null-window bucket
+      df.filter(timeCol.isNotNull)
+        .groupBy(((t - pmod(t, lit(us))).as("__w") +: keys): _*)
         .agg(metrics.head, metrics.tail: _*)
         .withColumn("window_start", timestamp_micros(col("__w")))
         .withColumn("window_end", timestamp_micros(col("__w") + us))

@@ -36,10 +36,26 @@ class MoneySumSpec extends SparkSpec {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "money_sum4",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.exts.MoneySum4(children.head).toAggregateExpression(),
+        graft.exts.MoneySum4(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.DoubleType)).toAggregateExpression(),
       "built-in")
     Seq(1.11, 2.22).toDF("x").createOrReplaceTempView("m4t")
     val r = spark.sql("SELECT money_sum4(x) FROM m4t").collect().head.getDouble(0)
     assert(r == 3.33)
+    // non-double columns coerce at analysis time via the builder's Cast —
+    // a decimal column through the SQL path used to fail at execution
+    Seq(BigDecimal("1.50"), BigDecimal("2.25")).toDF("x").createOrReplaceTempView("m4dec")
+    val d = spark.sql("SELECT money_sum4(x) FROM m4dec").collect().head.getDouble(0)
+    assert(d == 3.75)
+  }
+
+  test("moneySum4 skips non-finite values like the decimal-cast policy skips them") {
+    val df = Seq(1.25, Double.NaN, 2.50, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.75).toDF("x")
+    val got = df.agg(graft.exts.exprs.moneySum4(col("x"))).collect().head.getDouble(0)
+    assert(got == 3.0, s"$got != 3.0 (NaN/Inf must not corrupt the sum)")
+    // all-non-finite group behaves like all-null: result is null
+    val df2 = Seq(Double.NaN, Double.PositiveInfinity).toDF("x")
+    assert(df2.agg(graft.exts.exprs.moneySum4(col("x"))).collect().head.isNullAt(0))
   }
 }

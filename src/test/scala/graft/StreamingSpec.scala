@@ -81,6 +81,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("funnel with watermark evicts expired pending state (EventTimeTimeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val src = Windows.withWatermark(
+      input.toDF().toDF("user_id", "event_type", "t"),
+      Watermark("t", "10 minutes"))
+    val out = Stateful.funnelPairs(src, "user_id", "event_type", "t",
+      "click", "purchase", "1 hour")
+    val query = out.writeStream
+      .format("memory").queryName("funnel_evict").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 8's click opens a pending window [10:00, 11:00]
+      input.addData((8L, "click", ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      assert(query.lastProgress.stateOperators(0).numRowsTotal == 1)
+      // batch 2: unrelated user far in the future — after this batch the
+      // watermark (13:00 - 10 min) is past user 8's 11:00 expiry
+      input.addData((9L, "click", ts("2024-01-01 13:00:00")))
+      query.processAllAvailable()
+      // batch 3: timeouts fire with the advanced watermark → user 8 evicted;
+      // user 9 pairs and consumes its state
+      input.addData((9L, "purchase", ts("2024-01-01 13:05:00")))
+      query.processAllAvailable()
+      val rows = spark.table("funnel_evict").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(3))).toSet ==
+        Set((9L, 5L * 60 * 1000000L)))
+      assert(query.lastProgress.stateOperators(0).numRowsTotal == 0)
+    } finally query.stop()
+  }
+
   test("streaming directory reader: parquet dir -> transform -> file sink") {
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
