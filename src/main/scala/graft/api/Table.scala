@@ -62,9 +62,15 @@ final class Table(val df: DataFrame) {
     new Table(df.select(names.map(df.col): _*))
   }
 
-  /** ibis Table.mutate (relations.py:2340): add/replace derived columns. */
+  /** ibis Table.mutate (relations.py:2340): add/replace derived columns.
+    * ONE withColumns pass, not a withColumn fold: the fold re-analyzes the
+    * plan per column — O(cols²) analysis that crawls on 500-column
+    * featurization mutates. Also matches ibis semantics exactly: every
+    * expression is resolved against the INPUT table (simultaneous), not
+    * against the previous column's output. ListMap keeps output column
+    * order deterministic. */
   def mutate(cols: (String, Column)*): Table =
-    new Table(cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+    new Table(df.withColumns(scala.collection.immutable.ListMap(cols: _*)))
 
   /** ibis DropColumns (operations/relations.py:149 — unknown names raise,
     * unlike Spark's silently-ignoring drop). */
@@ -165,10 +171,17 @@ final class Table(val df: DataFrame) {
     * skips entire input splits instead of filtering rows, so a 1% block
     * sample of 100 TB reads ~1 TB. Routed through SQL text (the DataFrame
     * API has no TABLESAMPLE). */
-  def sampleBlock(percent: Double, alias: String = "__graft_block_sample"): Table = {
-    df.createOrReplaceTempView(alias)
-    new Table(df.sparkSession.sql(
-      s"SELECT * FROM $alias TABLESAMPLE ($percent PERCENT)"))
+  def sampleBlock(percent: Double, alias: String = ""): Table = {
+    // unique per call: a fixed default name made two concurrent callers in
+    // one session clobber each other's view
+    val name = if (alias.nonEmpty) alias
+      else "__graft_block_sample_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceTempView(name)
+    // spark.sql analyzes eagerly (Dataset.ofRows asserts analysis), so the
+    // temp view can be dropped as soon as the frame exists
+    val out = df.sparkSession.sql(s"SELECT * FROM $name TABLESAMPLE ($percent PERCENT)")
+    if (alias.isEmpty) df.sparkSession.catalog.dropTempView(name)
+    new Table(out)
   }
 
   /** ibis FillNull (operations/relations.py:470). */
@@ -202,9 +215,16 @@ final class Table(val df: DataFrame) {
   /** ibis Table.nunique (relations.py:2995). */
   def nunique(col: Column): Table = aggregate(countDistinct(col).as("nunique"))
 
-  /** ibis value_counts (relations.py:5247). */
+  /** ibis value_counts (relations.py:5247). The count column is named
+    * `<cols>_count` like the reference; expression inputs (whose toString
+    * is e.g. `lower(x)`) are sanitized to identifier characters so the
+    * output name carries no paren/backtick hazards. */
   def valueCounts(cols: Column*): Table = {
-    val named = cols.map(_.toString)
+    val named = cols.map { c =>
+      val raw = c.toString
+      if (raw.matches("[A-Za-z_][A-Za-z0-9_]*")) raw
+      else raw.replaceAll("[^A-Za-z0-9_]+", "_").replaceAll("^_+|_+$", "")
+    }
     new Table(df.groupBy(cols: _*).agg(count(lit(1)).as(named.mkString("_") + "_count")))
   }
 
@@ -547,9 +567,10 @@ final class GroupedTable(df: DataFrame, keys: Seq[Column]) {
     new Table(df.groupBy(keys: _*).agg(org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as(name)))
 
-  /** mutate (groupby.py:134): group-windowed analytics appended as columns. */
+  /** mutate (groupby.py:134): group-windowed analytics appended as columns.
+    * Single withColumns pass — see Table.mutate. */
   def mutate(cols: (String, Column)*): Table =
-    new Table(cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+    new Table(df.withColumns(scala.collection.immutable.ListMap(cols: _*)))
 
   def window: org.apache.spark.sql.expressions.WindowSpec = Window.partitionBy(keys: _*)
 }

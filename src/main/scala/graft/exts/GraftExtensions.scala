@@ -30,6 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // ImplicitCastInputTypes route isn't open to external packages)
         MoneySum4(Cast(children.head, org.apache.spark.sql.types.DoubleType))
           .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("geo_point"),
+      new ExpressionInfo(classOf[GeoPointWkb].getName, "geo_point"),
+      (children: Seq[Expression]) => GeoPointWkb(
+        Cast(children(0), org.apache.spark.sql.types.DoubleType),
+        Cast(children(1), org.apache.spark.sql.types.DoubleType))))
+    ext.injectFunction((
+      FunctionIdentifier("geo_x"),
+      new ExpressionInfo(classOf[GeoCoord].getName, "geo_x"),
+      (children: Seq[Expression]) => GeoCoord(children.head, 0)))
+    ext.injectFunction((
+      FunctionIdentifier("geo_y"),
+      new ExpressionInfo(classOf[GeoCoord].getName, "geo_y"),
+      (children: Seq[Expression]) => GeoCoord(children.head, 1)))
     ext.injectOptimizerRule(_ => AnchoredRegexSimplification)
   }
 }

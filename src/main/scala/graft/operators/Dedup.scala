@@ -157,7 +157,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7,
-      tokenHash: Column => Column = murmurHash): DataFrame = {
+      tokenHash: Column => Column = murmurHash,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
@@ -172,11 +173,26 @@ object Dedup {
     // would accumulate sketch caches until eviction thrash (observed: a
     // 4× slowdown of UNRELATED bench queries at SF1). Checkpoint blocks
     // are freed by the ContextCleaner as soon as the plan is unreachable.
-    val sketched = scatter(df)
+    //
+    // FAULT TOLERANCE (round-2 verdict #1): localCheckpoint blocks live on
+    // executor local disk only — on a real cluster an executor loss makes
+    // the plan unrecoverable mid-query. Long multi-hour 100 TB dedup jobs
+    // should pass reliableCheckpoint=true (requires
+    // sparkContext.setCheckpointDir on durable storage): blocks go to the
+    // checkpoint filesystem and survive executor loss; lineage is still
+    // truncated and the ContextCleaner still removes the files once the
+    // plan is unreachable (spark.cleaner.referenceTracking.cleanCheckpoints
+    // governs eager file cleanup). Local/bench runs keep the default.
+    val base = scatter(df)
       .select(col(id).as("doc"), shingleHashSet(tokens(col(text)), shingleK, tokenHash).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .localCheckpoint()
+    val sketched =
+      if (reliableCheckpoint) {
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "reliableCheckpoint=true requires sparkContext.setCheckpointDir(...)")
+        base.checkpoint()
+      } else base.localCheckpoint()
 
     // Bucket join carries ONLY (band, bucket, id) — the wide shingle arrays
     // never enter the ×bands-duplicated shuffle. Shingle sets are re-joined

@@ -271,6 +271,93 @@ object CoverageQueries {
         FROM orders JOIN nation ON o_custkey = CAST(n_nationkey AS BIGINT))
       SELECT * FROM a CROSS JOIN j ORDER BY o_orderstatus""")),
 
+    // Geospatial POINT subset (functions/geo.scala, exts/GeoExpressions):
+    // WKB encode → coordinate extract → Euclidean distance / dwithin /
+    // box-contains, oracle-checked against plain coordinate math (the
+    // DuckDB spatial extension isn't installable offline — the roundtrip
+    // through 21-byte WKB is exactly what the oracle-side math skips).
+    QueryDef("q75_geo_points", (s, dir) => {
+      import graft.functions.geo
+      val c = customer(s, dir); val n = nation(s, dir)
+      val pts = Table(c)
+        .join(Table(n), c("c_nationkey") === n("n_nationkey"))
+        .mutate("pt" -> geo.point(col("c_acctbal") / 100.0, col("n_nationkey").cast("double")))
+      val origin = geo.point(lit(0.0), lit(12.0))
+      pts
+        .mutate(
+          "px" -> geo.x(col("pt")), "py" -> geo.y(col("pt")),
+          // raw distance, no ROUND: the doubles are bit-identical on both
+          // engines (same sqrt of same inputs), while ROUND of an off-grid
+          // double can diverge at a half-boundary (see q248)
+          "dist_origin" -> geo.distance(col("pt"), origin),
+          "near" -> geo.dwithin(col("pt"), origin, lit(25.0)),
+          "in_box" -> geo.containsBox(lit(0.0), lit(5.0), lit(40.0), lit(15.0), col("pt")))
+        .groupBy(col("n_nationkey"))
+        .aggregate(
+          count(lit(1)).as("n_cust"),
+          count(when(col("near"), lit(1))).as("n_near"),
+          count(when(col("in_box"), lit(1))).as("n_in_box"),
+          min(col("dist_origin")).as("min_dist"),
+          // decimal-grid landmine: px = acctbal/100 is off the 4-decimal
+          // grid (double division), so the money-sum goes over the RAW
+          // acctbal — px itself is only used in float-safe min/compare ops
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH pts AS (
+        SELECT n_nationkey, c_acctbal / 100.0 AS px, CAST(n_nationkey AS DOUBLE) AS py,
+          c_acctbal AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      SELECT n_nationkey, COUNT(*) AS n_cust,
+        COUNT(CASE WHEN SQRT((px - 0.0) * (px - 0.0) + (py - 12.0) * (py - 12.0)) <= 25.0
+          THEN 1 END) AS n_near,
+        COUNT(CASE WHEN px BETWEEN 0.0 AND 40.0 AND py BETWEEN 5.0 AND 15.0
+          THEN 1 END) AS n_in_box,
+        MIN(SQRT((px - 0.0) * (px - 0.0) + (py - 12.0) * (py - 12.0))) AS min_dist,
+        CAST(SUM(CAST(bal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+      FROM pts GROUP BY 1 ORDER BY 1""")),
+
+    // Deliberate 90%-hot-key join stress (round-2 verdict #9): 90% of probe
+    // rows land on key 0. The salted and plain twins produce identical
+    // results (same oracle); Bench times both at SF10/SF100 under
+    // "controls_*" so the skew story is measured, not asserted.
+    QueryDef("q114_skew_hot_salted", (s, dir) => {
+      val probe = orders(s, dir).withColumn("hk",
+        when(pmod(col("o_orderkey"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("o_custkey"), lit(1000))))
+      val build = customer(s, dir).filter(col("c_custkey") < 1000)
+        .select(col("c_custkey").as("bk"), col("c_acctbal"))
+      graft.operators.Skew.saltedJoin(probe, build, "hk", "bk", buckets = 32)
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          countDistinct(col("bk")).as("n_keys"))
+    }, Some("""
+      WITH p AS (SELECT *, CASE WHEN o_orderkey % 10 < 9 THEN 0
+          ELSE o_custkey % 1000 END AS hk FROM orders),
+        b AS (SELECT c_custkey AS bk, c_acctbal FROM customer WHERE c_custkey < 1000)
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+        COUNT(DISTINCT bk) AS n_keys
+      FROM p JOIN b ON hk = bk""")),
+
+    QueryDef("q114b_skew_hot_plain", (s, dir) => {
+      val probe = orders(s, dir).withColumn("hk",
+        when(pmod(col("o_orderkey"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("o_custkey"), lit(1000))))
+      val build = customer(s, dir).filter(col("c_custkey") < 1000)
+        .select(col("c_custkey").as("bk"), col("c_acctbal"))
+      probe.join(build, col("hk") === col("bk"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+          countDistinct(col("bk")).as("n_keys"))
+    }, Some("""
+      WITH p AS (SELECT *, CASE WHEN o_orderkey % 10 < 9 THEN 0
+          ELSE o_custkey % 1000 END AS hk FROM orders),
+        b AS (SELECT c_custkey AS bk, c_acctbal FROM customer WHERE c_custkey < 1000)
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+        COUNT(DISTINCT bk) AS n_keys
+      FROM p JOIN b ON hk = bk""")),
+
     // BetweenTime (µs-of-day exact) + IsInf on a synthesized infinity.
     QueryDef("q28_time_of_day", (s, dir) => {
       Table(events(s, dir)).filter(col("user_id") < 10)

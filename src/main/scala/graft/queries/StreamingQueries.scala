@@ -32,6 +32,23 @@ object StreamingQueries {
       FROM events GROUP BY event_type, TIME_BUCKET(INTERVAL '1 hour', ts::TIMESTAMP)
       ORDER BY window_start, event_type""")),
 
+    // Floor control for q80 (round-2 verdict #8): the SAME primitive-bucket
+    // grouping with a bare count — no money sum, no timestamp formatting —
+    // so the bench record carries data for "q80's residual is the engine's
+    // hash-aggregation floor, not a plan defect". Kept out of the ratio
+    // geomean (Bench emits it under "controls_*").
+    QueryDef("q80_control", (s, dir) => {
+      val t = unix_micros(col("ts"))
+      events(s, dir)
+        .filter(col("ts").isNotNull)
+        .groupBy((t - pmod(t, lit(3600000000L))).as("bucket"), col("event_type"))
+        .count()
+        .withColumnRenamed("count", "n")
+    }, Some("""
+      SELECT (epoch_us(ts::TIMESTAMP) - epoch_us(ts::TIMESTAMP) % 3600000000) AS bucket,
+        event_type, COUNT(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""")),
+
     // Hopping windows: 1h size / 30min slide (each event in 2 windows).
     QueryDef("q81_hop", (s, dir) => {
       Windows.hop(events(s, dir), col("ts"), "1 hour", "30 minutes",

@@ -213,5 +213,43 @@ class TableApiSpec extends SparkSpec {
     val t = Table(spark.range(10000).toDF("id"))
     val n = t.sampleBlock(50.0).df.count()
     assert(n > 0 && n <= 10000)
+    // concurrent callers don't collide: each call registers (and drops) a
+    // unique temp view, and both frames stay independently usable
+    val a = t.sampleBlock(30.0)
+    val b = Table(spark.range(5).toDF("id")).sampleBlock(100.0)
+    assert(b.df.count() == 5)
+    assert(a.df.count() <= 10000)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("__graft_block_sample")))
+  }
+
+  test("mutate is one analysis pass (wide 500-col) with ibis simultaneous semantics") {
+    val wide = (1 to 500).map(i => s"c$i" -> (col("id") * i))
+    val t0 = System.nanoTime()
+    val out = Table(spark.range(100).toDF("id")).mutate(wide: _*)
+    out.df.queryExecution.analyzed // force analysis
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.columns.length == 501)
+    assert(out.columns.last == "c500") // ListMap keeps declaration order
+    // the withColumn fold this replaced took O(cols²) analysis (~minutes
+    // at 500 cols); a single withColumns pass stays well under this bound
+    assert(secs < 20.0, f"wide mutate analysis took $secs%.1fs")
+    // ibis semantics: every expression resolves against the INPUT table —
+    // replacing a column does not change what later expressions in the
+    // same mutate see
+    val r = Table(Seq((1, 2)).toDF("a", "b"))
+      .mutate("a" -> col("b"), "c" -> (col("a") + lit(100)))
+      .df.collect().head
+    assert(r.getInt(0) == 2)   // a replaced by b's value
+    assert(r.getInt(2) == 101) // c saw the ORIGINAL a
+  }
+
+  test("valueCounts names the count column safely for expression inputs") {
+    val t = Table(Seq("x", "X", "y").toDF("s"))
+    val plain = t.valueCounts(col("s"))
+    assert(plain.columns.contains("s_count"))
+    val expr = t.valueCounts(lower(col("s")))
+    assert(expr.columns.exists(c => c.endsWith("_count") && !c.contains("(")))
+    assert(expr.df.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
   }
 }

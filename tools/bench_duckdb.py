@@ -1,22 +1,32 @@
 #!/usr/bin/env python3
 """Time the bench headline queries in DuckDB over the same parquet dir the
 Spark bench reads (BASELINE.md methodology: same machine, same files, warm =
-best of 3). Writes bench/duckdb_<tag>.json, which graft.Bench embeds into
+best of N). Writes bench/duckdb_<tag>.json, which graft.Bench embeds into
 its JSON line as the baseline side of the 2x ratio gate.
 
-Usage: python3 tools/bench_duckdb.py <sfDir> <tag>
+Usage: python3 tools/bench_duckdb.py <sfDir> <tag> [passes]
+       (passes defaults to 3; use 1-2 at sf100 where single queries run
+        minutes — the relative GC/IO noise a multi-pass min protects
+        against is proportionally tiny there)
        (oracle SQL map is dumped via: sbt "runMain graft.tools.DumpOracle ALL /tmp/oracle_all.json")
 """
 import duckdb, glob, json, os, subprocess, sys, time
 
 SF = sys.argv[1]
 TAG = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+PASSES = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
 HEADLINE = [
     "q01_agg", "q03_join_agg_top", "q12_window_rank", "q19_asof_join",
     "q37_mode", "q60_text_stats", "q63_dedup_keep_first", "q65_minhash_pairs",
     "q68_embedding_topk", "q71_quality_pipeline", "q80_tumble", "q82_session",
     "q101_tpch5_local_volume", "q103_tpch13_custdist"]
+
+# Controls are timed but kept OUT of the ratio geomean: q80_control is the
+# bare-groupBy floor measurement for q80; the q114 pair measures salted vs
+# plain join on a 90%-hot key (the DuckDB number is the same query once —
+# it has no salting concept).
+CONTROLS = ["q80_control", "q114_skew_hot_salted"]
 
 if not os.path.exists("/tmp/oracle_all.json"):
     subprocess.run(["sbt", "-batch", "runMain graft.tools.DumpOracle ALL /tmp/oracle_all.json"],
@@ -31,19 +41,29 @@ for p in glob.glob(f"{SF}/*.parquet"):
                 if os.path.isdir(p) else
                 f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
+def best_of(sql, n):
+    times = []
+    for _ in range(n):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        times.append(time.time() - t0)
+    return round(min(times), 3)
+
 out = {}
 for q in HEADLINE:
     if q not in oracle:
         continue
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        con.execute(oracle[q]).fetchall()
-        times.append(time.time() - t0)
-    out[q] = round(min(times), 3)
+    out[q] = best_of(oracle[q], PASSES)
     print(q, out[q])
+
+controls = {}
+for q in CONTROLS:
+    if q in oracle:
+        controls[q] = best_of(oracle[q], PASSES)
+        print("control", q, controls[q])
 
 os.makedirs("bench", exist_ok=True)
 with open(f"bench/duckdb_{TAG}.json", "w") as f:
-    json.dump({"sf_dir": SF, "unit": "sec", "warm_min_of_3": out}, f, indent=1)
+    json.dump({"sf_dir": SF, "unit": "sec", f"warm_min_of_{PASSES}": out,
+               "controls": controls}, f, indent=1)
 print("wrote", f"bench/duckdb_{TAG}.json")
