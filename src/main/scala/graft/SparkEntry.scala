@@ -12,7 +12,7 @@ object SparkEntry {
     RelationalQueries.defs ++ CoverageQueries.defs ++ AggregationQueries.defs ++
       ScalarQueries.defs ++ ComplexTypeQueries.defs ++ PipelineQueries.defs ++
       StreamingQueries.defs ++ MiscQueries.defs ++ TpchQueries.defs ++ TpchQueries2.defs ++
-      TpcdsQueries.defs ++ TpcdsQueries2.defs ++ TpcdsQueries3.defs
+      TpcdsQueries.defs ++ TpcdsQueries2.defs ++ TpcdsQueries3.defs ++ TpcdsQueries4.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -240,15 +240,15 @@ object TpcdsQueries3 {
     QueryDef("q256_ds37_demand_band", (s, dir) => {
       val l = lineitem(s, dir); val p = part(s, dir)
       Table(p)
-        .filter(p("p_retailprice").between(920, 980),
+        .filter(p("p_retailprice").between(902, 918),
           p("p_size").isin(10, 11, 12, 13, 14))
         .join(Table(l)
           .filter(col("l_shipdate") >= lit("1996-01-01"),
-            col("l_shipdate") < lit("1996-03-01")),
+            col("l_shipdate") < lit("1996-07-01")),
           p("p_partkey") === col("l_partkey"))
         .groupBy(col("p_partkey"), col("p_name"), col("p_retailprice"))
         .aggregate(sum(col("l_quantity")).as("qty"))
-        .filter(col("qty").between(5, 500))
+        .filter(col("qty").between(1, 500))
         .selectNames("p_partkey", "p_name", "p_retailprice")
         .sort(SortKey.asc(col("p_partkey")))
         .limit(100)
@@ -257,12 +257,12 @@ object TpcdsQueries3 {
       SELECT p_partkey, p_name, p_retailprice FROM (
         SELECT p_partkey, p_name, p_retailprice, SUM(l_quantity) AS qty
         FROM part JOIN lineitem ON p_partkey = l_partkey
-        WHERE p_retailprice BETWEEN 920 AND 980
+        WHERE p_retailprice BETWEEN 902 AND 918
           AND p_size IN (10, 11, 12, 13, 14)
           AND l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
         GROUP BY 1, 2, 3) t
-      WHERE qty BETWEEN 5 AND 500
+      WHERE qty BETWEEN 1 AND 500
       ORDER BY p_partkey LIMIT 100""")),
 
     // DS Q39 shape: coefficient-of-variation pairs — per (part, month)
