@@ -518,6 +518,17 @@ object Table {
       schema: org.apache.spark.sql.types.StructType): Table =
     new Table(spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
 
+  /** ibis.parse_sql (ibis/expr/sql.py:402-428): parse a standalone SQL
+    * string into a composable Table expression. The reference decompiles
+    * via sqlglot into its op graph; Spark-native the same contract falls
+    * out of the analyzer — `spark.sql` yields an unexecuted LogicalPlan
+    * wrapped as a Table, so every downstream verb (filter/join/groupBy/…)
+    * composes lazily on top of the parsed query and Catalyst optimizes the
+    * combined plan as one unit. Tables referenced in the SQL resolve
+    * against the session catalog (register with `createOrReplaceTempView`
+    * or `Table.sql(query, alias)` for the single-table case). */
+  def parseSql(spark: SparkSession, sql: String): Table = new Table(spark.sql(sql))
+
   /** Shared join output-column policy (ibis/expr/types/joins.py:34-111):
     * apply `lname` to left names and `rname` to right names that collide
     * ("" keeps the name, `{name}` interpolates); raise if any name is still

@@ -44,6 +44,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("geo_y"),
       new ExpressionInfo(classOf[GeoCoord].getName, "geo_y"),
       (children: Seq[Expression]) => GeoCoord(children.head, 1)))
+    // line/polygon geometry (GeoGeometry.scala): unary measures,
+    // transforms, text ops and binary relates, SQL-callable
+    Seq("area", "length", "perimeter", "xmin", "ymin", "xmax", "ymax").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"geo_$op"),
+        new ExpressionInfo(classOf[GeoMeasure].getName, s"geo_$op"),
+        (children: Seq[Expression]) => GeoMeasure(children.head, op)))
+    }
+    Seq("centroid", "envelope", "flip", "start_point", "end_point").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"geo_$op"),
+        new ExpressionInfo(classOf[GeoTransform].getName, s"geo_$op"),
+        (children: Seq[Expression]) => GeoTransform(children.head, op)))
+    }
+    Seq("distance", "contains", "within", "intersects", "disjoint").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"geo_$op"),
+        new ExpressionInfo(classOf[GeoRelate].getName, s"geo_$op"),
+        (children: Seq[Expression]) => GeoRelate(children(0), children(1), op)))
+    }
+    Seq("make_line", "make_polygon").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"geo_$op"),
+        new ExpressionInfo(classOf[GeoMake].getName, s"geo_$op"),
+        (children: Seq[Expression]) => GeoMake(children.head, op)))
+    }
+    ext.injectFunction((
+      FunctionIdentifier("geo_as_text"),
+      new ExpressionInfo(classOf[GeoText].getName, "geo_as_text"),
+      (children: Seq[Expression]) => GeoText(children.head, "as_text")))
+    ext.injectFunction((
+      FunctionIdentifier("geo_type"),
+      new ExpressionInfo(classOf[GeoText].getName, "geo_type"),
+      (children: Seq[Expression]) => GeoText(children.head, "geometry_type")))
+    ext.injectFunction((
+      FunctionIdentifier("geo_npoints"),
+      new ExpressionInfo(classOf[GeoNPointsExpr].getName, "geo_npoints"),
+      (children: Seq[Expression]) => GeoNPointsExpr(children.head)))
     ext.injectOptimizerRule(_ => AnchoredRegexSimplification)
   }
 }

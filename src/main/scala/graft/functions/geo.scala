@@ -3,15 +3,21 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.exts.{GeoCoord, GeoPointWkb}
+import graft.exts.{GeoCoord, GeoMake, GeoMeasure, GeoNPointsExpr, GeoPointN,
+  GeoPointWkb, GeoRelate, GeoText, GeoTransform}
 
-/** Geospatial POINT subset over WKB binary columns (SURVEY.md §2.4;
-  * reference ops in ibis/expr/operations/geospatial.py). Euclidean planar
-  * semantics — the reference's default geometry behavior. The non-point
-  * families (lines, polygons, set ops, 49 remaining ops) are a documented
-  * divergence (COVERAGE.md): no GEOS-backed library exists in this
-  * environment, and point encode/decode/measure covers the dominant
-  * large-scale uses (geocoded events, locations, lat/lon telemetry).
+/** Geospatial subset over WKB binary columns (SURVEY.md §2.4; reference
+  * ops in ibis/expr/operations/geospatial.py). Euclidean planar semantics
+  * — the reference's default geometry behavior.
+  *
+  * POINT encode/decode/measure plus native LINESTRING/POLYGON
+  * construction, measures (area/length/perimeter/centroid/envelope/
+  * bounds), relates (contains/within/intersects/disjoint/distance/
+  * dwithin) and accessors (n_points/point_n/start/end/WKT) — all pure
+  * planar math over OGC WKB in [[graft.exts.GeoGeom]], no GEOS library.
+  * Still out of scope (documented divergence in COVERAGE.md): Buffer,
+  * ConvexHull, Simplify, SRID reprojection, geometric set-op outputs,
+  * Multi* collections.
   */
 object geo {
   private def ex(c: Column) = org.apache.spark.sql.GraftSqlBridge.expression(c)
@@ -26,15 +32,27 @@ object geo {
   def x(wkb: Column): Column = co(GeoCoord(ex(wkb), 0))
   def y(wkb: Column): Column = co(GeoCoord(ex(wkb), 1))
 
-  /** GeoDistance (geospatial.py:202): Euclidean distance between points. */
-  def distance(a: Column, b: Column): Column = {
-    val dx = x(a) - x(b); val dy = y(a) - y(b)
-    sqrt(dx * dx + dy * dy)
-  }
+  /** GeoLineString (geospatial.py:337): array<WKB point> → LINESTRING. */
+  def makeLine(points: Column): Column = co(GeoMake(ex(points), "make_line"))
+
+  /** GeoPolygon (geospatial.py:480): array<WKB point> → single-ring
+    * POLYGON, auto-closed. */
+  def makePolygon(points: Column): Column = co(GeoMake(ex(points), "make_polygon"))
+
+  /** GeoDistance (geospatial.py:202): Euclidean min distance between any
+    * two of point/linestring/polygon (0 on touch/overlap/containment). */
+  def distance(a: Column, b: Column): Column = co(GeoRelate(ex(a), ex(b), "distance"))
 
   /** GeoDWithin (geospatial.py:211): within distance d (inclusive, like
     * ST_DWithin). */
   def dwithin(a: Column, b: Column, d: Column): Column = distance(a, b) <= d
+
+  /** GeoContains / GeoWithin / GeoIntersects / GeoDisjoint
+    * (geospatial.py:76,472,296,194). */
+  def contains(a: Column, b: Column): Column = co(GeoRelate(ex(a), ex(b), "contains"))
+  def within(a: Column, b: Column): Column = co(GeoRelate(ex(a), ex(b), "within"))
+  def intersects(a: Column, b: Column): Column = co(GeoRelate(ex(a), ex(b), "intersects"))
+  def disjoint(a: Column, b: Column): Column = co(GeoRelate(ex(a), ex(b), "disjoint"))
 
   /** GeoContains (geospatial.py:76) for the rectangle-contains-point case:
     * envelope given as (xmin, ymin, xmax, ymax), boundary inclusive. */
@@ -42,13 +60,36 @@ object geo {
       pt: Column): Column =
     x(pt).between(xmin, xmax) && y(pt).between(ymin, ymax)
 
-  /** GeoAsText (geospatial.py:44): 'POINT (x y)' — PostGIS-style shortest
-    * repr for the doubles. */
-  def asText(wkb: Column): Column =
-    concat(lit("POINT ("),
-      regexp_replace(x(wkb).cast("string"), "\\.0$", ""), lit(" "),
-      regexp_replace(y(wkb).cast("string"), "\\.0$", ""), lit(")"))
+  /** GeoArea :28 / GeoLength :318 / GeoPerimeter :381 — ST semantics:
+    * area/perimeter are 0 for non-polygons, length is 0 for non-lines. */
+  def area(g: Column): Column = co(GeoMeasure(ex(g), "area"))
+  def length(g: Column): Column = co(GeoMeasure(ex(g), "length"))
+  def perimeter(g: Column): Column = co(GeoMeasure(ex(g), "perimeter"))
 
-  /** GeoNPoints (geospatial.py:373): 1 for a valid point, null otherwise. */
-  def nPoints(wkb: Column): Column = when(x(wkb).isNotNull, lit(1))
+  /** GeoXMin/XMax/YMin/YMax (geospatial.py:437-465). */
+  def xMin(g: Column): Column = co(GeoMeasure(ex(g), "xmin"))
+  def yMin(g: Column): Column = co(GeoMeasure(ex(g), "ymin"))
+  def xMax(g: Column): Column = co(GeoMeasure(ex(g), "xmax"))
+  def yMax(g: Column): Column = co(GeoMeasure(ex(g), "ymax"))
+
+  /** GeoCentroid :102 / GeoEnvelope :242 / GeoFlipCoordinates :272. */
+  def centroid(g: Column): Column = co(GeoTransform(ex(g), "centroid"))
+  def envelope(g: Column): Column = co(GeoTransform(ex(g), "envelope"))
+  def flipCoordinates(g: Column): Column = co(GeoTransform(ex(g), "flip"))
+
+  /** GeoStartPoint :405 / GeoEndPoint :226 / GeoPointN :389 — n is
+    * 0-indexed (ibis convention; negative counts from the end). */
+  def startPoint(line: Column): Column = co(GeoTransform(ex(line), "start_point"))
+  def endPoint(line: Column): Column = co(GeoTransform(ex(line), "end_point"))
+  def pointN(line: Column, n: Int): Column = co(GeoPointN(ex(line), n))
+
+  /** GeoNPoints (geospatial.py:373): total vertex count. */
+  def nPoints(wkb: Column): Column = co(GeoNPointsExpr(ex(wkb)))
+
+  /** GeoGeometryType (geospatial.py:287): 'POINT'/'LINESTRING'/'POLYGON'. */
+  def geometryType(g: Column): Column = co(GeoText(ex(g), "geometry_type"))
+
+  /** GeoAsText (geospatial.py:44): WKT for point/linestring/polygon —
+    * integral coordinates print without a trailing '.0' (PostGIS style). */
+  def asText(wkb: Column): Column = co(GeoText(ex(wkb), "as_text"))
 }

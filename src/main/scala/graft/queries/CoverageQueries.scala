@@ -379,6 +379,124 @@ object CoverageQueries {
         COUNT(CASE WHEN ISINF(CASE WHEN "value" > 2 THEN 'inf'::DOUBLE ELSE "value" END)
           THEN 1 END) AS n_inf
       FROM events WHERE user_id < 10
-      GROUP BY user_id ORDER BY user_id"""))
+      GROUP BY user_id ORDER BY user_id""")),
+
+    // Polygon geometry e2e (exts/GeoGeometry.scala; geospatial.py:28,102,
+    // 242,373,381,76,202): a data-driven rectangle zone per nation —
+    // area/perimeter/centroid/envelope/n_points through real WKB
+    // construction, point-in-polygon containment (ray casting), and
+    // point↔centroid distance. The oracle mirrors each measure with plain
+    // rectangle math: every value is exact integer-or-half-grid double
+    // arithmetic on both engines (shoelace sums, perfect-square sqrts and
+    // the centroid's integer/integer division are all IEEE-exact), so the
+    // hash comparison is strict — no rounding needed.
+    QueryDef("q76_geo_polygon_zone", (s, dir) => {
+      import graft.functions.geo
+      val c = customer(s, dir); val n = nation(s, dir)
+      val x0 = (col("n_nationkey") * 2).cast("double")
+      val x1 = (col("n_nationkey") * 3 + 10).cast("double")
+      val y0 = col("n_nationkey").cast("double")
+      val y1 = (col("n_nationkey") + 5).cast("double")
+      val zone = geo.makePolygon(array(
+        geo.point(x0, y0), geo.point(x1, y0), geo.point(x1, y1), geo.point(x0, y1)))
+      Table(c)
+        .join(Table(n), c("c_nationkey") === n("n_nationkey"))
+        .mutate("zone" -> zone,
+          "pt" -> geo.point(col("c_acctbal") / 100.0,
+            col("n_nationkey").cast("double") + 2.5))
+        .mutate(
+          "zone_area" -> geo.area(col("zone")),
+          "zone_perim" -> geo.perimeter(col("zone")),
+          "cx" -> geo.x(geo.centroid(col("zone"))),
+          "cy" -> geo.y(geo.centroid(col("zone"))),
+          "env_area" -> geo.area(geo.envelope(col("zone"))),
+          "npts" -> geo.nPoints(col("zone")),
+          "gtype" -> geo.geometryType(col("zone")),
+          "inside" -> geo.contains(col("zone"), col("pt")),
+          "dist_c" -> geo.distance(col("pt"), geo.centroid(col("zone"))))
+        .groupBy(col("n_nationkey"))
+        .aggregate(
+          max(col("zone_area")).as("zone_area"),
+          max(col("zone_perim")).as("zone_perim"),
+          max(col("cx")).as("cx"), max(col("cy")).as("cy"),
+          max(col("env_area")).as("env_area"),
+          max(col("npts")).as("npts"), max(col("gtype")).as("gtype"),
+          count(when(col("inside"), lit(1))).as("n_inside"),
+          min(col("dist_c")).as("min_dist_c"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH pts AS (
+        SELECT n_nationkey,
+          CAST(n_nationkey * 2 AS DOUBLE) AS x0,
+          CAST(n_nationkey * 3 + 10 AS DOUBLE) AS x1,
+          CAST(n_nationkey AS DOUBLE) AS y0,
+          CAST(n_nationkey + 5 AS DOUBLE) AS y1,
+          c_acctbal / 100.0 AS px,
+          CAST(n_nationkey AS DOUBLE) + 2.5 AS py
+        FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      SELECT n_nationkey,
+        (x1 - x0) * (y1 - y0) AS zone_area,
+        2.0 * ((x1 - x0) + (y1 - y0)) AS zone_perim,
+        (x0 + x1) / 2.0 AS cx, (y0 + y1) / 2.0 AS cy,
+        (x1 - x0) * (y1 - y0) AS env_area,
+        5 AS npts, 'POLYGON' AS gtype,
+        COUNT(CASE WHEN px BETWEEN x0 AND x1 THEN 1 END) AS n_inside,
+        MIN(SQRT((px - (x0 + x1) / 2.0) * (px - (x0 + x1) / 2.0) +
+                 (py - (y0 + y1) / 2.0) * (py - (y0 + y1) / 2.0))) AS min_dist_c
+      FROM pts
+      GROUP BY 1, x0, x1, y0, y1
+      ORDER BY 1""")),
+
+    // Linestring geometry e2e (geospatial.py:337,318,373,405,226,437-465):
+    // per-user event tracks — sort_array(collect_list(struct)) →
+    // geo.makeLine → length / n_points / start / end / bbox, all through
+    // the WKB constructor. Oracle rebuilds the track with a LAG window;
+    // both engines sum segment lengths in event order (round 6 absorbs
+    // the last-ulp accumulation difference, the corpus' standard policy).
+    QueryDef("q77_geo_line_track", (s, dir) => {
+      import graft.functions.geo
+      Table(events(s, dir))
+        .filter(col("user_id") < 40)
+        .mutate("pt" -> geo.point(col("value"),
+          (col("event_id") % 100).cast("double")))
+        .groupBy(col("user_id"))
+        .aggregate(expr(
+          "transform(sort_array(collect_list(struct(event_id, pt))), s -> s.pt)")
+          .as("track_pts"))
+        .mutate("line" -> geo.makeLine(col("track_pts")))
+        .mutate(
+          "npts" -> geo.nPoints(col("line")),
+          "track_len" -> round(geo.length(col("line")), 6),
+          "sx" -> geo.x(geo.startPoint(col("line"))),
+          "sy" -> geo.y(geo.startPoint(col("line"))),
+          "ex1" -> geo.x(geo.endPoint(col("line"))),
+          "ey1" -> geo.y(geo.endPoint(col("line"))),
+          "bx0" -> geo.xMin(col("line")), "bx1" -> geo.xMax(col("line")),
+          "by0" -> geo.yMin(col("line")), "by1" -> geo.yMax(col("line")))
+        .filter(col("npts") >= 2)
+        .dropColumns("track_pts", "line")
+        .sort(SortKey.asc(col("user_id")))
+        .df
+    }, Some("""
+      WITH pts AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS px,
+          CAST(event_id % 100 AS DOUBLE) AS py
+        FROM events WHERE user_id < 40),
+      seg AS (
+        SELECT user_id, event_id, px, py,
+          LAG(px) OVER (PARTITION BY user_id ORDER BY event_id) AS lx,
+          LAG(py) OVER (PARTITION BY user_id ORDER BY event_id) AS ly
+        FROM pts)
+      SELECT user_id,
+        CAST(COUNT(*) AS INT) AS npts,
+        ROUND(SUM(CASE WHEN lx IS NULL THEN 0
+          ELSE SQRT((px - lx) * (px - lx) + (py - ly) * (py - ly)) END), 6) AS track_len,
+        MIN_BY(px, event_id) AS sx, MIN_BY(py, event_id) AS sy,
+        MAX_BY(px, event_id) AS ex1, MAX_BY(py, event_id) AS ey1,
+        MIN(px) AS bx0, MAX(px) AS bx1, MIN(py) AS by0, MAX(py) AS by1
+      FROM seg
+      GROUP BY user_id HAVING COUNT(*) >= 2
+      ORDER BY user_id"""))
   )
 }

@@ -252,4 +252,18 @@ class TableApiSpec extends SparkSpec {
     assert(expr.columns.exists(c => c.endsWith("_count") && !c.contains("(")))
     assert(expr.df.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("parseSql: parsed SQL composes lazily with downstream verbs") {
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "tag")
+      .createOrReplaceTempView("psql_t")
+    val parsed = Table.parseSql(spark, "SELECT id, upper(tag) AS tag FROM psql_t WHERE id > 1")
+    // compose API verbs ON TOP of the parsed query — one optimized plan
+    val out = parsed
+      .filter(col("id") < 3)
+      .mutate("id2" -> (col("id") * 10))
+      .df.collect()
+    assert(out.length == 1 && out.head.getString(1) == "B" && out.head.getInt(2) == 20)
+    // still lazy: parse alone plans, doesn't execute
+    assert(Table.parseSql(spark, "SELECT 1 AS one").df.schema.fieldNames.sameElements(Array("one")))
+  }
 }
