@@ -92,6 +92,19 @@ object Bench {
     for ((tag, warmPasses, fullColdPass) <- Seq(("sf1", 2, true), ("sf10", 2, true), ("sf100", 1, false))) {
       val dir = sys.env.getOrElse(s"SPARK_GRAFT_${tag.toUpperCase}_DIR", s"/root/repo/data/$tag")
       if (new java.io.File(dir).exists() && !sys.env.contains("SPARK_GRAFT_SKIP_BIG")) {
+        // Scale the shuffle/scan sizing with the data: at sf100 (600M-row
+        // lineitem, ~17 GB parquet) 32 shuffle partitions put ~20M rows and
+        // a multi-hundred-MB SHJ build in every task — spill, not plan, is
+        // what 32 would measure. 256 partitions ≈ 150 MB post-shuffle each
+        // (the cluster-correct sizing rule); AQE coalesces any that come
+        // out small. Scan splits likewise: 4m is right for splitting tiny
+        // sf0.1 files across cores, pure scheduling overhead at 17 GB.
+        val (parts, splitBytes) = tag match {
+          case "sf100" => ("256", "64m")
+          case _       => (cpus, "4m")
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
         def timeAt(name: String): Double = {
           val t0 = System.nanoTime()
           try run(SparkEntry.queries(name)(spark, dir))
@@ -127,6 +140,8 @@ object Bench {
         }
       }
     }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
 
     // Streaming throughput (round-2 verdict #10): rate-source micro-bench
     // for the tumble aggregation and the stateful funnel — rows/sec
@@ -147,9 +162,11 @@ object Bench {
     spark.stop()
   }
 
-  /** Runs each streaming job for ~8s of wall time against an unthrottled
-    * rate source and reports achieved rows/sec (input rows actually
-    * processed / elapsed). */
+  /** Runs each streaming job against an unthrottled rate source and reports
+    * achieved rows/sec. Throughput is computed from the engine's own
+    * per-batch trigger durations over completed micro-batches — a fixed
+    * wall-clock sleep (the first cut) raced query startup + the first
+    * macro-batch and could observe zero completed batches. */
   private def streamingBench(spark: SparkSession): String = {
     import graft.streaming.{Watermark, Windows, Stateful}
 
@@ -163,12 +180,17 @@ object Bench {
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory(s"bench_$name").toString)
         .start()
-      val t0 = System.nanoTime()
       try {
-        Thread.sleep(8000)
-        val rows = q.recentProgress.map(_.numInputRows).sum
-        val secs = (System.nanoTime() - t0) / 1e9
-        rows / secs
+        // wait for ≥4 data-carrying batches (first one absorbs startup)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (q.recentProgress.count(_.numInputRows > 0) < 4 &&
+               System.nanoTime() < deadline) Thread.sleep(250)
+        val ps = q.recentProgress.filter(_.numInputRows > 0).drop(1)
+        val rows = ps.map(_.numInputRows).sum
+        val secs = ps.map(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+          .sum / 1000.0
+        if (secs > 0) rows / secs else 0.0
       } finally q.stop()
     }
 

@@ -124,7 +124,7 @@ object GeoGeom {
     shell - holes
   }
 
-  private def ringLength(r: Array[Double]): Double = {
+  private[exts] def ringLength(r: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     val n = r.length / 2
@@ -260,7 +260,7 @@ object GeoGeom {
     else g.kind match { case 1 => "POINT"; case 2 => "LINESTRING"; case 3 => "POLYGON" }
   }
 
-  private def fmt(v: Double): String =
+  private[exts] def fmt(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
   def asText(bytes: Array[Byte]): String = {
@@ -277,7 +277,7 @@ object GeoGeom {
 
   // ---- predicates / distance ----------------------------------------
 
-  private def onSegment(px: Double, py: Double, ax: Double, ay: Double,
+  private[exts] def onSegment(px: Double, py: Double, ax: Double, ay: Double,
       bx: Double, by: Double): Boolean = {
     val cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
     cross == 0.0 &&
@@ -286,7 +286,7 @@ object GeoGeom {
   }
 
   /** Even-odd ray casting over every ring; boundary inclusive. */
-  private def pointInRings(px: Double, py: Double, rings: Array[Array[Double]]): Boolean = {
+  private[exts] def pointInRings(px: Double, py: Double, rings: Array[Array[Double]]): Boolean = {
     var inside = false
     var r = 0
     while (r < rings.length) {
@@ -306,7 +306,7 @@ object GeoGeom {
     inside
   }
 
-  private def segsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+  private[exts] def segsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
       cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
     def orient(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double) =
       math.signum((px - ox) * (qy - oy) - (py - oy) * (qx - ox))
@@ -317,7 +317,7 @@ object GeoGeom {
       onSegment(ax, ay, cx, cy, dx, dy) || onSegment(bx, by, cx, cy, dx, dy)
   }
 
-  private def pointSegDist(px: Double, py: Double, ax: Double, ay: Double,
+  private[exts] def pointSegDist(px: Double, py: Double, ax: Double, ay: Double,
       bx: Double, by: Double): Double = {
     val dx = bx - ax; val dy = by - ay
     val len2 = dx * dx + dy * dy
@@ -383,7 +383,7 @@ object GeoGeom {
 
   /** True only when segments properly cross (interiors intersect at a
     * single point, no endpoint touch, no collinear overlap). */
-  private def properCross(ax: Double, ay: Double, bx: Double, by: Double,
+  private[exts] def properCross(ax: Double, ay: Double, bx: Double, by: Double,
       cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
     def orient(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double) =
       math.signum((px - ox) * (qy - oy) - (py - oy) * (qx - ox))
@@ -602,8 +602,17 @@ case class GeoText(child: Expression, op: String) extends UnaryExpression {
   private def invoke(b: Array[Byte]): String = op match {
     case "as_text" => GeoGeom.asText(b)
     case "geometry_type" => GeoGeom.geometryType(b)
+    case "as_ewkt" => GeoGeomOps.asEwkt(b)
   }
-  private def staticName: String = if (op == "as_text") "asText" else "geometryType"
+  private def staticCls: String = op match {
+    case "as_ewkt" => "graft.exts.GeoGeomOps"
+    case _ => "graft.exts.GeoGeom"
+  }
+  private def staticName: String = op match {
+    case "as_text" => "asText"
+    case "as_ewkt" => "asEwkt"
+    case _ => "geometryType"
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val s = invoke(v.asInstanceOf[Array[Byte]])
@@ -613,7 +622,7 @@ case class GeoText(child: Expression, op: String) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, b => {
       val r = ctx.freshName("r")
       s"""
-        String $r = graft.exts.GeoGeom.$staticName($b);
+        String $r = $staticCls.$staticName($b);
         if ($r == null) { ${ev.isNull} = true; }
         else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
       """

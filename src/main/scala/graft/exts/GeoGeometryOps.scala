@@ -1,0 +1,795 @@
+package graft.exts
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The second half of the native WKB geospatial family (SURVEY.md §2.4) —
+  * everything the round-2 verdict's "remaining 29" list contains that is
+  * expressible as exact planar / closed-form math, with no GEOS library:
+  *
+  * Reference ops (ibis/expr/operations/geospatial.py): GeoAzimuth :405,
+  * GeoMaxDistance :223, GeoDFullyWithin :380, GeoLineLocatePoint :116,
+  * GeoLineSubstring :144, GeoSimplify :440 (Douglas-Peucker),
+  * GeoIsValid :109, GeoOrderingEquals :161, GeoEquals :77,
+  * GeoCovers :49, GeoCoveredBy :56, GeoContainsProperly :42,
+  * GeoTouches :179, GeoCrosses :63, GeoOverlaps :172, GeoBuffer :362
+  * (points, n-gon approximation), GeoSRID :346, GeoSetSRID :353,
+  * GeoAsBinary :469, GeoAsEWKB :476, GeoAsEWKT :483, GeoNRings :336,
+  * GeoGeometryN :84, GeoTransform :450 / GeoConvert :459 (the closed-form
+  * EPSG:4326 ↔ EPSG:3857 web-mercator pair — the one reprojection a
+  * planar engine can do exactly; arbitrary proj pipelines stay descoped).
+  *
+  * Still out of scope (GEOS computational geometry, documented divergence
+  * in COVERAGE.md): geometric set-op OUTPUTS (GeoUnion :195,
+  * GeoIntersection :426, GeoDifference :433, GeoUnaryUnion :186),
+  * GeoLineMerge :131 and Multi-geometry / GeometryCollection inputs, arbitrary-CRS
+  * GeoTransform, and Buffer of lines/polygons (curve offsetting).
+  *
+  * DE-9IM-style predicates (touches/crosses/overlaps) are implemented
+  * through interior-intersection tests: proper segment crossings plus
+  * strict-interior probes of vertices and edge midpoints. Exact for
+  * points, polygons, and lines that don't graze polygon vertices between
+  * two consecutive probe points — same precision contract as
+  * [[GeoGeom.contains]].
+  */
+object GeoGeomOps {
+  import GeoGeom.{Geom, parse}
+
+  // ---- srid / encodings ----------------------------------------------
+
+  /** EWKB SRID, 0 when the flag is absent (PostGIS ST_SRID convention). */
+  def srid(bytes: Array[Byte]): java.lang.Integer = {
+    if (bytes == null || bytes.length < 9) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.order(if (bytes(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.position(1)
+    val gtype = bb.getInt()
+    if ((gtype & 0x20000000) != 0) bb.getInt() else 0
+  }
+
+  /** Re-encode with an EWKB SRID header (srid <= 0 strips back to WKB). */
+  def setSrid(bytes: Array[Byte], sridV: Int): Array[Byte] = {
+    val plain = asBinary(bytes)
+    if (plain == null) return null
+    if (sridV <= 0) return plain
+    val bb = java.nio.ByteBuffer.allocate(plain.length + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val gtype = java.nio.ByteBuffer.wrap(plain)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(1)
+    bb.put(1.toByte).putInt(gtype | 0x20000000).putInt(sridV)
+    bb.put(plain, 5, plain.length - 5)
+    bb.array()
+  }
+
+  /** Canonical little-endian WKB with any EWKB SRID stripped (ST_AsBinary). */
+  def asBinary(bytes: Array[Byte]): Array[Byte] = {
+    val g = parse(bytes)
+    if (g == null) return null
+    g.kind match {
+      case 1 => GeoWkb.writePoint(g.rings(0)(0), g.rings(0)(1))
+      case 2 => GeoGeom.writeLine(g.rings(0))
+      case 3 => GeoGeom.writePolygon(g.rings)
+    }
+  }
+
+  /** ST_AsEWKB: the stored bytes already carry the SRID when set. */
+  def asEwkb(bytes: Array[Byte]): Array[Byte] =
+    if (parse(bytes) == null) null else bytes
+
+  /** ST_AsEWKT: 'SRID=n;WKT' when an SRID is set, plain WKT otherwise. */
+  def asEwkt(bytes: Array[Byte]): String = {
+    val t = GeoGeom.asText(bytes)
+    if (t == null) return null
+    val s = srid(bytes)
+    if (s != null && s.intValue() != 0) s"SRID=${s.intValue()};$t" else t
+  }
+
+  def nRings(bytes: Array[Byte]): java.lang.Integer = {
+    val g = parse(bytes)
+    if (g == null) null else if (g.kind == 3) g.rings.length else 0
+  }
+
+  /** GeometryN, 0-indexed: single geometries are their own only element
+    * (multi-geometry collections are out of scope for the WKB model). */
+  def geometryN(bytes: Array[Byte], n: Int): Array[Byte] =
+    if (n == 0) asBinary(bytes) else null
+
+  // ---- point measures --------------------------------------------------
+
+  /** PostGIS ST_Azimuth: north-based clockwise radians in [0, 2π); null
+    * for coincident points or non-point input. */
+  def azimuth(aB: Array[Byte], bB: Array[Byte]): java.lang.Double = {
+    val a = GeoWkb.readPoint(aB); val b = GeoWkb.readPoint(bB)
+    if (a == null || b == null) return null
+    val dx = b(0) - a(0); val dy = b(1) - a(1)
+    if (dx == 0.0 && dy == 0.0) return null
+    val az = math.atan2(dx, dy)
+    if (az < 0.0) az + 2.0 * math.Pi else az
+  }
+
+  /** ST_MaxDistance: largest vertex-to-vertex distance (attained at
+    * vertices for point/line/polygon operands). */
+  def maxDistance(aB: Array[Byte], bB: Array[Byte]): java.lang.Double = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    var best = 0.0
+    a.rings.foreach { ra =>
+      var i = 0
+      while (i < ra.length) {
+        b.rings.foreach { rb =>
+          var j = 0
+          while (j < rb.length) {
+            val dx = ra(i) - rb(j); val dy = ra(i + 1) - rb(j + 1)
+            best = math.max(best, math.sqrt(dx * dx + dy * dy))
+            j += 2
+          }
+        }
+        i += 2
+      }
+    }
+    best
+  }
+
+  // ---- linear referencing ----------------------------------------------
+
+  /** ST_LineLocatePoint: fraction in [0,1] along the line of the closest
+    * point to pt. */
+  def lineLocatePoint(lineB: Array[Byte], ptB: Array[Byte]): java.lang.Double = {
+    val l = parse(lineB); val p = GeoWkb.readPoint(ptB)
+    if (l == null || l.kind != 2 || p == null) return null
+    val r = l.rings(0)
+    val n = r.length / 2
+    if (n < 2) return null
+    val total = GeoGeom.ringLength(r)
+    if (total == 0.0) return 0.0
+    var bestDist = Double.MaxValue; var bestAt = 0.0; var cum = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val ax = r(i * 2); val ay = r(i * 2 + 1)
+      val bx = r(i * 2 + 2); val by = r(i * 2 + 3)
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val seg = math.sqrt(len2)
+      val t = if (len2 == 0.0) 0.0
+        else math.max(0.0, math.min(1.0, ((p(0) - ax) * dx + (p(1) - ay) * dy) / len2))
+      val qx = ax + t * dx; val qy = ay + t * dy
+      val d = math.sqrt((p(0) - qx) * (p(0) - qx) + (p(1) - qy) * (p(1) - qy))
+      if (d < bestDist) { bestDist = d; bestAt = cum + t * seg }
+      cum += seg
+      i += 1
+    }
+    math.max(0.0, math.min(1.0, bestAt / total))
+  }
+
+  /** ST_LineSubstring: the sub-linestring between start/end fractions
+    * (0 <= f0 < f1 <= 1; degenerate or non-line input → null). */
+  def lineSubstring(lineB: Array[Byte], f0: Double, f1: Double): Array[Byte] = {
+    val l = parse(lineB)
+    if (l == null || l.kind != 2) return null
+    if (!(f0 >= 0.0 && f1 <= 1.0 && f0 < f1)) return null
+    val r = l.rings(0)
+    val n = r.length / 2
+    if (n < 2) return null
+    val total = GeoGeom.ringLength(r)
+    if (total == 0.0) return null
+    val s0 = f0 * total; val s1 = f1 * total
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    def interp(i: Int, t: Double): (Double, Double) = (
+      r(i * 2) + t * (r(i * 2 + 2) - r(i * 2)),
+      r(i * 2 + 1) + t * (r(i * 2 + 3) - r(i * 2 + 1)))
+    var cum = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val dx = r(i * 2 + 2) - r(i * 2); val dy = r(i * 2 + 3) - r(i * 2 + 1)
+      val seg = math.sqrt(dx * dx + dy * dy)
+      val a = cum; val b = cum + seg
+      if (seg > 0.0 && b >= s0 && a <= s1) {
+        if (out.isEmpty) {
+          val t = math.max(0.0, (s0 - a) / seg)
+          val (x, y) = interp(i, t); out += x; out += y
+        }
+        if (b <= s1) { out += r(i * 2 + 2); out += r(i * 2 + 3) }
+        else {
+          val t = math.min(1.0, (s1 - a) / seg)
+          val (x, y) = interp(i, t); out += x; out += y
+        }
+      }
+      cum = b
+      i += 1
+    }
+    if (out.length < 4) null else GeoGeom.writeLine(out.toArray)
+  }
+
+  // ---- simplify (Douglas-Peucker) --------------------------------------
+
+  private def dpKeep(r: Array[Double], from: Int, to: Int, tol: Double,
+      keep: Array[Boolean]): Unit = {
+    if (to <= from + 1) return
+    var worst = -1.0; var worstIdx = -1
+    val ax = r(from * 2); val ay = r(from * 2 + 1)
+    val bx = r(to * 2); val by = r(to * 2 + 1)
+    var i = from + 1
+    while (i < to) {
+      val d = GeoGeom.pointSegDist(r(i * 2), r(i * 2 + 1), ax, ay, bx, by)
+      if (d > worst) { worst = d; worstIdx = i }
+      i += 1
+    }
+    if (worst > tol) {
+      keep(worstIdx) = true
+      dpKeep(r, from, worstIdx, tol, keep)
+      dpKeep(r, worstIdx, to, tol, keep)
+    }
+  }
+
+  private def dpRing(r: Array[Double], tol: Double, closed: Boolean): Array[Double] = {
+    val n = r.length / 2
+    if (n <= 2) return r
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    if (closed && n > 3) {
+      // anchor the midpoint too so a closed ring can't collapse to a segment
+      val mid = n / 2
+      keep(mid) = true
+      dpKeep(r, 0, mid, tol, keep)
+      dpKeep(r, mid, n - 1, tol, keep)
+    } else dpKeep(r, 0, n - 1, tol, keep)
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    var i = 0
+    while (i < n) {
+      if (keep(i)) { out += r(i * 2); out += r(i * 2 + 1) }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** ST_Simplify (Douglas-Peucker). Points pass through; polygon rings
+    * that would collapse below 4 vertices are kept unsimplified. */
+  def simplify(bytes: Array[Byte], tol: Double): Array[Byte] = {
+    val g = parse(bytes)
+    if (g == null || tol < 0.0) return null
+    g.kind match {
+      case 1 => asBinary(bytes)
+      case 2 => GeoGeom.writeLine(dpRing(g.rings(0), tol, closed = false))
+      case 3 => GeoGeom.writePolygon(g.rings.map { r =>
+        val s = dpRing(r, tol, closed = true)
+        if (s.length / 2 < 4) r else s
+      })
+    }
+  }
+
+  // ---- validity / equality ---------------------------------------------
+
+  /** ST_IsValid: finite coordinates; lines need >= 2 points; polygon rings
+    * must be closed, >= 4 points, non-self-intersecting, non-degenerate. */
+  def isValid(bytes: Array[Byte]): java.lang.Boolean = {
+    val g = parse(bytes)
+    if (g == null) return false
+    val finite = g.rings.forall(_.forall(v => !v.isNaN && !v.isInfinite))
+    if (!finite) return false
+    g.kind match {
+      case 1 => true
+      case 2 => g.rings(0).length >= 4
+      case 3 => g.rings.forall { r =>
+        val n = r.length / 2
+        if (n < 4) return false
+        if (r(0) != r(n * 2 - 2) || r(1) != r(n * 2 - 1)) return false
+        // non-adjacent segment pairs must not intersect; adjacent pairs
+        // share exactly their common endpoint
+        var i = 0
+        while (i < n - 1) {
+          var j = i + 1
+          while (j < n - 1) {
+            val adjacent = j == i + 1 || (i == 0 && j == n - 2)
+            if (!adjacent && GeoGeom.segsIntersect(
+                r(i * 2), r(i * 2 + 1), r(i * 2 + 2), r(i * 2 + 3),
+                r(j * 2), r(j * 2 + 1), r(j * 2 + 2), r(j * 2 + 3))) return false
+            j += 1
+          }
+          i += 1
+        }
+        val a = GeoGeom.area(GeoGeom.writePolygon(Array(r)))
+        a != null && a.doubleValue() > 0.0
+      }
+    }
+  }
+
+  /** GeoOrderingEquals: same type AND identical coordinate sequences
+    * (byte-order/SRID-insensitive — compares parsed coordinates). */
+  def orderingEquals(aB: Array[Byte], bB: Array[Byte]): java.lang.Boolean = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    a.kind == b.kind && a.rings.length == b.rings.length &&
+      a.rings.indices.forall(i => java.util.Arrays.equals(a.rings(i), b.rings(i)))
+  }
+
+  private def cyclicEqual(a: Array[Double], b: Array[Double]): Boolean = {
+    // rings closed (first == last): compare the open cycles under rotation
+    // and reversal
+    val na = a.length / 2 - 1; val nb = b.length / 2 - 1
+    if (na != nb || na < 1) return java.util.Arrays.equals(a, b)
+    def eqAt(shift: Int, reversed: Boolean): Boolean = {
+      var i = 0
+      while (i < na) {
+        val j = if (reversed) (shift - i % na + na) % na else (shift + i) % na
+        if (a(i * 2) != b(j * 2) || a(i * 2 + 1) != b(j * 2 + 1)) return false
+        i += 1
+      }
+      true
+    }
+    (0 until na).exists(s => eqAt(s, reversed = false) || eqAt(s, reversed = true))
+  }
+
+  /** GeoEquals (spatial equality): points by value; lines under reversal;
+    * polygon rings under rotation + reversal, holes matched in any order. */
+  def geoEquals(aB: Array[Byte], bB: Array[Byte]): java.lang.Boolean = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    if (a.kind != b.kind) return false
+    a.kind match {
+      case 1 => java.util.Arrays.equals(a.rings(0), b.rings(0))
+      case 2 =>
+        val ra = a.rings(0); val rb = b.rings(0)
+        java.util.Arrays.equals(ra, rb) || {
+          val rev = new Array[Double](rb.length)
+          val n = rb.length / 2
+          var i = 0
+          while (i < n) {
+            rev(i * 2) = rb((n - 1 - i) * 2); rev(i * 2 + 1) = rb((n - 1 - i) * 2 + 1)
+            i += 1
+          }
+          java.util.Arrays.equals(ra, rev)
+        }
+      case 3 =>
+        if (a.rings.length != b.rings.length) return false
+        if (!cyclicEqual(a.rings(0), b.rings(0))) return false
+        val used = new Array[Boolean](b.rings.length)
+        used(0) = true
+        (1 until a.rings.length).forall { i =>
+          val m = (1 until b.rings.length).find(j => !used(j) && cyclicEqual(a.rings(i), b.rings(j)))
+          m.foreach(used(_) = true)
+          m.isDefined
+        }
+    }
+  }
+
+  // ---- DE-9IM-style predicates ------------------------------------------
+
+  private def onAnyBoundary(px: Double, py: Double, rings: Array[Array[Double]]): Boolean = {
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      val n = ring.length / 2
+      var i = 0
+      while (i < n - 1) {
+        if (GeoGeom.onSegment(px, py, ring(i * 2), ring(i * 2 + 1),
+            ring(i * 2 + 2), ring(i * 2 + 3))) return true
+        i += 1
+      }
+      r += 1
+    }
+    false
+  }
+
+  private def strictlyInside(px: Double, py: Double, rings: Array[Array[Double]]): Boolean =
+    !onAnyBoundary(px, py, rings) && GeoGeom.pointInRings(px, py, rings)
+
+  /** Point strictly in the 1-dim interior of a linestring (on a segment,
+    * not at the linestring's first/last vertex). */
+  private def inLineInterior(px: Double, py: Double, line: Geom): Boolean = {
+    val r = line.rings(0)
+    val n = r.length / 2
+    if (n < 2) return false
+    if (px == r(0) && py == r(1)) return false
+    if (px == r((n - 1) * 2) && py == r((n - 1) * 2 + 1)) return false
+    var i = 0
+    while (i < n - 1) {
+      if (GeoGeom.onSegment(px, py, r(i * 2), r(i * 2 + 1), r(i * 2 + 2), r(i * 2 + 3)))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  /** Probe points of a geometry's interior candidates: vertices plus edge
+    * midpoints (the same sampling contract as GeoGeom.contains). */
+  private def probes(g: Geom): Iterator[(Double, Double)] = g.rings.iterator.flatMap { r =>
+    val n = r.length / 2
+    val vs = (0 until n).iterator.map(i => (r(i * 2), r(i * 2 + 1)))
+    val mids = (0 until n - 1).iterator.map(i =>
+      ((r(i * 2) + r(i * 2 + 2)) / 2.0, (r(i * 2 + 1) + r(i * 2 + 3)) / 2.0))
+    vs ++ mids
+  }
+
+  private def anyProperCross(a: Geom, b: Geom): Boolean =
+    a.rings.exists { ra =>
+      val na = ra.length / 2
+      b.rings.exists { rb =>
+        val nb = rb.length / 2
+        (0 until na - 1).exists { i =>
+          (0 until nb - 1).exists { j =>
+            GeoGeom.properCross(ra(i * 2), ra(i * 2 + 1), ra(i * 2 + 2), ra(i * 2 + 3),
+              rb(j * 2), rb(j * 2 + 1), rb(j * 2 + 2), rb(j * 2 + 3))
+          }
+        }
+      }
+    }
+
+  /** Do the interiors of a and b share a point? (The I(a)∩I(b) ≠ ∅ cell of
+    * DE-9IM, evaluated with crossings + probe sampling.) */
+  private def interiorsIntersect(a: Geom, b: Geom): Boolean = (a.kind, b.kind) match {
+    case (1, 1) => java.util.Arrays.equals(a.rings(0), b.rings(0))
+    case (1, 2) => inLineInterior(a.rings(0)(0), a.rings(0)(1), b)
+    case (2, 1) => inLineInterior(b.rings(0)(0), b.rings(0)(1), a)
+    case (1, 3) => strictlyInside(a.rings(0)(0), a.rings(0)(1), b.rings)
+    case (3, 1) => strictlyInside(b.rings(0)(0), b.rings(0)(1), a.rings)
+    case (2, 2) =>
+      anyProperCross(a, b) ||
+        probes(a).exists { case (x, y) => inLineInterior(x, y, b) && inLineInterior(x, y, a) }
+    case (2, 3) =>
+      anyProperCross(a, b) ||
+        probes(a).exists { case (x, y) => strictlyInside(x, y, b.rings) }
+    case (3, 2) =>
+      anyProperCross(a, b) ||
+        probes(b).exists { case (x, y) => strictlyInside(x, y, a.rings) }
+    case (3, 3) =>
+      // vertices + midpoints all sit ON the boundary when the polygons
+      // coincide (or share a containing boundary) — the shell centroid is
+      // the interior witness those probes can't provide
+      anyProperCross(a, b) ||
+        (probes(a) ++ shellCentroid(a)).exists { case (x, y) => strictlyInside(x, y, b.rings) } ||
+        (probes(b) ++ shellCentroid(b)).exists { case (x, y) => strictlyInside(x, y, a.rings) }
+    case _ => false
+  }
+
+  /** Shoelace centroid of the shell ring — an interior point for convex
+    * (and most concave) shells; within the probe-sampling contract. */
+  private def shellCentroid(g: Geom): Iterator[(Double, Double)] = {
+    val c = GeoGeom.centroid(GeoGeom.writePolygon(g.rings))
+    val p = GeoWkb.readPoint(c)
+    if (p == null) Iterator.empty else Iterator((p(0), p(1)))
+  }
+
+  /** ST_Touches: geometries intersect but only at their boundaries. */
+  def touches(aB: Array[Byte], bB: Array[Byte]): java.lang.Boolean = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    val d = GeoGeom.distance(aB, bB)
+    if (d == null || d.doubleValue() != 0.0) return false
+    !interiorsIntersect(a, b)
+  }
+
+  /** ST_Crosses: interiors intersect in a lower dimension than the inputs
+    * (line/line at points; line/polygon passing through). Point operands
+    * and polygon/polygon pairs never cross. */
+  def crosses(aB: Array[Byte], bB: Array[Byte]): java.lang.Boolean = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    (a.kind, b.kind) match {
+      case (2, 2) => anyProperCross(a, b)
+      case (2, 3) | (3, 2) =>
+        val (line, poly) = if (a.kind == 2) (a, b) else (b, a)
+        val someIn = probes(line).exists { case (x, y) => strictlyInside(x, y, poly.rings) }
+        val someOut = probes(line).exists { case (x, y) => !GeoGeom.pointInRings(x, y, poly.rings) }
+        someIn && someOut
+      case _ => false
+    }
+  }
+
+  /** ST_Overlaps: same dimension, interiors intersect, neither covers the
+    * other. (Line/line overlap requires a shared collinear stretch, which
+    * surfaces through the midpoint probes of interiorsIntersect.) */
+  def overlaps(aB: Array[Byte], bB: Array[Byte]): java.lang.Boolean = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    if (a.kind != b.kind || a.kind == 1) return false
+    if (a.kind == 2 && anyProperCross(a, b)) return false // dim-0 intersection = crosses
+    interiorsIntersect(a, b) &&
+      !GeoGeom.contains(aB, bB).booleanValue() &&
+      !GeoGeom.contains(bB, aB).booleanValue()
+  }
+
+  /** ST_Covers — boundary-inclusive containment. [[GeoGeom.contains]] is
+    * already boundary-inclusive (its documented deviation from strict
+    * ST_Contains), so covers IS that relation; containsProperly is the
+    * strict-interior one. */
+  def covers(aB: Array[Byte], bB: Array[Byte]): java.lang.Boolean =
+    GeoGeom.contains(aB, bB)
+
+  /** ST_ContainsProperly: b intersects a's interior only — every probe of
+    * b strictly inside a, no boundary contact, no crossing. */
+  def containsProperly(aB: Array[Byte], bB: Array[Byte]): java.lang.Boolean = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    if (a.kind != 3) return false
+    probes(b).forall { case (x, y) => strictlyInside(x, y, a.rings) } &&
+      !anyProperCross(a, b)
+  }
+
+  // ---- buffer / reprojection --------------------------------------------
+
+  final val BufferSegs = 32
+
+  /** ST_Buffer of a POINT as a 32-gon polygon approximation (the quadrant
+    * default of GEOS at quad_segs=8). Non-point input or r <= 0 → null
+    * (line/polygon offsetting is GEOS territory — documented divergence). */
+  def buffer(bytes: Array[Byte], r: Double): Array[Byte] = {
+    val p = GeoWkb.readPoint(bytes)
+    if (p == null || r <= 0.0) return null
+    val flat = new Array[Double]((BufferSegs + 1) * 2)
+    var k = 0
+    while (k < BufferSegs) {
+      val th = 2.0 * math.Pi * k / BufferSegs
+      flat(k * 2) = p(0) + r * math.cos(th)
+      flat(k * 2 + 1) = p(1) + r * math.sin(th)
+      k += 1
+    }
+    flat(BufferSegs * 2) = flat(0); flat(BufferSegs * 2 + 1) = flat(1)
+    GeoGeom.writePolygon(Array(flat))
+  }
+
+  private final val EarthR = 6378137.0
+
+  /** Closed-form EPSG:4326 (lon/lat degrees) ↔ EPSG:3857 (web mercator
+    * meters), applied to every coordinate; output carries the target SRID
+    * as EWKB. Any other (from, to) pair → IllegalArgumentException. */
+  def transform(bytes: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
+    val g = parse(bytes)
+    if (g == null) return null
+    val fn: (Double, Double) => (Double, Double) = (fromSrid, toSrid) match {
+      case (f, t) if f == t => (x, y) => (x, y)
+      case (4326, 3857) => (lon, lat) =>
+        (EarthR * math.toRadians(lon),
+         EarthR * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0)))
+      case (3857, 4326) => (x, y) =>
+        (math.toDegrees(x / EarthR),
+         math.toDegrees(2.0 * math.atan(math.exp(y / EarthR)) - math.Pi / 2.0))
+      case other => throw new IllegalArgumentException(
+        s"geo_transform supports EPSG:4326 <-> EPSG:3857, got $other")
+    }
+    val rings = g.rings.map { r =>
+      val o = new Array[Double](r.length)
+      var i = 0
+      while (i < r.length) {
+        val (x, y) = fn(r(i), r(i + 1)); o(i) = x; o(i + 1) = y
+        i += 2
+      }
+      o
+    }
+    val plain = g.kind match {
+      case 1 => GeoWkb.writePoint(rings(0)(0), rings(0)(1))
+      case 2 => GeoGeom.writeLine(rings(0))
+      case 3 => GeoGeom.writePolygon(rings)
+    }
+    setSrid(plain, toSrid)
+  }
+}
+
+// ---- Catalyst expressions ------------------------------------------------
+
+/** Binary geometry predicate/measure over the GeoGeomOps table: op →
+  * (static method, flip args, negate, result type). Shares the null-safe
+  * static-call codegen shape with [[GeoRelate]]. */
+case class GeoRelate2(left: Expression, right: Expression, op: String)
+    extends BinaryExpression {
+  import GeoRelate2.ops
+  override def prettyName: String = s"geo_$op"
+  private val spec = ops(op)
+  override def dataType: DataType = if (spec._2) DoubleType else BooleanType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary WKB inputs")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (m, isDouble, flip) = spec
+    val (x, y) = if (flip) (b, a) else (a, b)
+    val xB = x.asInstanceOf[Array[Byte]]; val yB = y.asInstanceOf[Array[Byte]]
+    if (isDouble) {
+      val r = m match {
+        case "azimuth" => GeoGeomOps.azimuth(xB, yB)
+        case "maxDistance" => GeoGeomOps.maxDistance(xB, yB)
+        case "lineLocatePoint" => GeoGeomOps.lineLocatePoint(xB, yB)
+      }
+      if (r == null) null else r.doubleValue()
+    } else {
+      val r = m match {
+        case "orderingEquals" => GeoGeomOps.orderingEquals(xB, yB)
+        case "geoEquals" => GeoGeomOps.geoEquals(xB, yB)
+        case "covers" => GeoGeomOps.covers(xB, yB)
+        case "containsProperly" => GeoGeomOps.containsProperly(xB, yB)
+        case "touches" => GeoGeomOps.touches(xB, yB)
+        case "crosses" => GeoGeomOps.crosses(xB, yB)
+        case "overlaps" => GeoGeomOps.overlaps(xB, yB)
+      }
+      if (r == null) null else r.booleanValue()
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (m, isDouble, flip) = spec
+      val (x, y) = if (flip) (b, a) else (a, b)
+      val r = ctx.freshName("r")
+      if (isDouble) s"""
+        java.lang.Double $r = graft.exts.GeoGeomOps.$m($x, $y);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+      """ else s"""
+        java.lang.Boolean $r = graft.exts.GeoGeomOps.$m($x, $y);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.booleanValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object GeoRelate2 {
+  /** op → (static method, returns double, flip args). */
+  val ops: Map[String, (String, Boolean, Boolean)] = Map(
+    "azimuth" -> (("azimuth", true, false)),
+    "max_distance" -> (("maxDistance", true, false)),
+    "line_locate_point" -> (("lineLocatePoint", true, false)),
+    "ordering_equals" -> (("orderingEquals", false, false)),
+    "equals" -> (("geoEquals", false, false)),
+    "covers" -> (("covers", false, false)),
+    "covered_by" -> (("covers", false, true)),
+    "contains_properly" -> (("containsProperly", false, false)),
+    "touches" -> (("touches", false, false)),
+    "crosses" -> (("crosses", false, false)),
+    "overlaps" -> (("overlaps", false, false)))
+}
+
+/** Unary geometry + one scalar parameter → WKB: set_srid(int),
+  * geometry_n(int), buffer(double), simplify(double). */
+case class GeoParam(left: Expression, right: Expression, op: String)
+    extends BinaryExpression {
+  override def prettyName: String = s"geo_$op"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  private def intParam = op == "set_srid" || op == "geometry_n"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary WKB input")
+    else if (intParam && right.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires an int parameter")
+    else if (!intParam && right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a double parameter")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(g: Any, p: Any): Any = {
+    val b = g.asInstanceOf[Array[Byte]]
+    op match {
+      case "set_srid" => GeoGeomOps.setSrid(b, p.asInstanceOf[Int])
+      case "geometry_n" => GeoGeomOps.geometryN(b, p.asInstanceOf[Int])
+      case "buffer" => GeoGeomOps.buffer(b, p.asInstanceOf[Double])
+      case "simplify" => GeoGeomOps.simplify(b, p.asInstanceOf[Double])
+    }
+  }
+  private def staticName = op match {
+    case "set_srid" => "setSrid"
+    case "geometry_n" => "geometryN"
+    case other => other
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, p) => {
+      val r = ctx.freshName("r")
+      s"""
+        byte[] $r = graft.exts.GeoGeomOps.$staticName($g, $p);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Unary geometry metadata: srid → int, nrings → int, is_valid → boolean,
+  * plus WKB re-encoders as_binary / as_ewkb (binary out). */
+case class GeoUnaryMeta(child: Expression, op: String) extends UnaryExpression {
+  override def prettyName: String = s"geo_$op"
+  override def dataType: DataType = op match {
+    case "srid" | "nrings" => IntegerType
+    case "is_valid" => BooleanType
+    case _ => BinaryType
+  }
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary WKB input")
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    op match {
+      case "srid" => val r = GeoGeomOps.srid(b); if (r == null) null else r.intValue()
+      case "nrings" => val r = GeoGeomOps.nRings(b); if (r == null) null else r.intValue()
+      case "is_valid" =>
+        val r = GeoGeomOps.isValid(b); if (r == null) null else r.booleanValue()
+      case "as_binary" => GeoGeomOps.asBinary(b)
+      case "as_ewkb" => GeoGeomOps.asEwkb(b)
+    }
+  }
+  private def staticName = op match {
+    case "srid" => "srid"
+    case "nrings" => "nRings"
+    case "is_valid" => "isValid"
+    case "as_binary" => "asBinary"
+    case "as_ewkb" => "asEwkb"
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("r")
+      op match {
+        case "srid" | "nrings" => s"""
+          java.lang.Integer $r = graft.exts.GeoGeomOps.$staticName($b);
+          if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.intValue(); }
+        """
+        case "is_valid" => s"""
+          java.lang.Boolean $r = graft.exts.GeoGeomOps.$staticName($b);
+          if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.booleanValue(); }
+        """
+        case _ => s"""
+          byte[] $r = graft.exts.GeoGeomOps.$staticName($b);
+          if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+        """
+      }
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `geo_line_substring(line, f0, f1)` — ST_LineSubstring fractions. */
+case class GeoLineSubstring(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "geo_line_substring"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == DoubleType &&
+        third.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, double, double)")
+  override def nullSafeEval(l: Any, f0: Any, f1: Any): Any =
+    GeoGeomOps.lineSubstring(l.asInstanceOf[Array[Byte]],
+      f0.asInstanceOf[Double], f1.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, f0, f1) => {
+      val r = ctx.freshName("r")
+      s"""
+        byte[] $r = graft.exts.GeoGeomOps.lineSubstring($l, $f0, $f1);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** `geo_transform(g, fromSrid, toSrid)` — closed-form 4326↔3857. */
+case class GeoProject(child: Expression, fromSrid: Int, toSrid: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "geo_transform"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary WKB input")
+    else if (fromSrid == toSrid ||
+        (fromSrid == 4326 && toSrid == 3857) || (fromSrid == 3857 && toSrid == 4326))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName supports EPSG:4326 <-> EPSG:3857, got ($fromSrid, $toSrid)")
+  override def nullSafeEval(v: Any): Any =
+    GeoGeomOps.transform(v.asInstanceOf[Array[Byte]], fromSrid, toSrid)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("r")
+      s"""
+        byte[] $r = graft.exts.GeoGeomOps.transform($b, $fromSrid, $toSrid);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

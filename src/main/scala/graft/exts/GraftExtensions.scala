@@ -82,6 +82,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("geo_npoints"),
       new ExpressionInfo(classOf[GeoNPointsExpr].getName, "geo_npoints"),
       (children: Seq[Expression]) => GeoNPointsExpr(children.head)))
+    // the planar-feasible remainder (GeoGeometryOps.scala): DE-9IM-style
+    // predicates, linear referencing, simplify/buffer, SRID/EWKB plumbing
+    GeoRelate2.ops.keys.foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"geo_$op"),
+        new ExpressionInfo(classOf[GeoRelate2].getName, s"geo_$op"),
+        (children: Seq[Expression]) => GeoRelate2(children(0), children(1), op)))
+    }
+    Seq("set_srid", "geometry_n").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"geo_$op"),
+        new ExpressionInfo(classOf[GeoParam].getName, s"geo_$op"),
+        (children: Seq[Expression]) => GeoParam(children(0),
+          Cast(children(1), org.apache.spark.sql.types.IntegerType), op)))
+    }
+    Seq("buffer", "simplify").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"geo_$op"),
+        new ExpressionInfo(classOf[GeoParam].getName, s"geo_$op"),
+        (children: Seq[Expression]) => GeoParam(children(0),
+          Cast(children(1), org.apache.spark.sql.types.DoubleType), op)))
+    }
+    Seq("srid", "nrings", "is_valid", "as_binary", "as_ewkb").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"geo_$op"),
+        new ExpressionInfo(classOf[GeoUnaryMeta].getName, s"geo_$op"),
+        (children: Seq[Expression]) => GeoUnaryMeta(children.head, op)))
+    }
+    ext.injectFunction((
+      FunctionIdentifier("geo_as_ewkt"),
+      new ExpressionInfo(classOf[GeoText].getName, "geo_as_ewkt"),
+      (children: Seq[Expression]) => GeoText(children.head, "as_ewkt")))
+    ext.injectFunction((
+      FunctionIdentifier("geo_line_substring"),
+      new ExpressionInfo(classOf[GeoLineSubstring].getName, "geo_line_substring"),
+      (children: Seq[Expression]) => GeoLineSubstring(children(0),
+        Cast(children(1), org.apache.spark.sql.types.DoubleType),
+        Cast(children(2), org.apache.spark.sql.types.DoubleType))))
+    ext.injectFunction((
+      FunctionIdentifier("geo_transform"),
+      new ExpressionInfo(classOf[GeoProject].getName, "geo_transform"),
+      // SRIDs are constants by nature — literal args only (eval at build)
+      (children: Seq[Expression]) => GeoProject(children(0),
+        children(1).eval().toString.toInt, children(2).eval().toString.toInt)))
     ext.injectOptimizerRule(_ => AnchoredRegexSimplification)
   }
 }

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.exts.{GeoCoord, GeoMake, GeoMeasure, GeoNPointsExpr, GeoPointN,
-  GeoPointWkb, GeoRelate, GeoText, GeoTransform}
+import graft.exts.{GeoCoord, GeoLineSubstring, GeoMake, GeoMeasure,
+  GeoNPointsExpr, GeoParam, GeoPointN, GeoPointWkb, GeoProject, GeoRelate,
+  GeoRelate2, GeoText, GeoTransform, GeoUnaryMeta}
 
 /** Geospatial subset over WKB binary columns (SURVEY.md §2.4; reference
   * ops in ibis/expr/operations/geospatial.py). Euclidean planar semantics
@@ -14,10 +15,15 @@ import graft.exts.{GeoCoord, GeoMake, GeoMeasure, GeoNPointsExpr, GeoPointN,
   * construction, measures (area/length/perimeter/centroid/envelope/
   * bounds), relates (contains/within/intersects/disjoint/distance/
   * dwithin) and accessors (n_points/point_n/start/end/WKT) — all pure
-  * planar math over OGC WKB in [[graft.exts.GeoGeom]], no GEOS library.
-  * Still out of scope (documented divergence in COVERAGE.md): Buffer,
-  * ConvexHull, Simplify, SRID reprojection, geometric set-op outputs,
-  * Multi* collections.
+  * planar math over OGC WKB in [[graft.exts.GeoGeom]], no GEOS library —
+  * plus the planar-feasible remainder in [[graft.exts.GeoGeomOps]]:
+  * DE-9IM-style predicates (touches/crosses/overlaps/covers/equals),
+  * linear referencing (line_locate_point/line_substring), simplify,
+  * azimuth/max_distance, point buffer, SRID/EWKB plumbing, and the
+  * closed-form 4326↔3857 reprojection. Still out of scope (documented
+  * divergence in COVERAGE.md): geometric set-op outputs
+  * (union/intersection/difference), line_merge, Multi* collections,
+  * arbitrary-CRS transform.
   */
 object geo {
   private def ex(c: Column) = org.apache.spark.sql.GraftSqlBridge.expression(c)
@@ -92,4 +98,91 @@ object geo {
   /** GeoAsText (geospatial.py:44): WKT for point/linestring/polygon —
     * integral coordinates print without a trailing '.0' (PostGIS style). */
   def asText(wkb: Column): Column = co(GeoText(ex(wkb), "as_text"))
+
+  // ---- GeoGeometryOps.scala family (the planar-feasible remainder) ----
+
+  /** GeoAzimuth (geospatial.py:405): north-based clockwise radians in
+    * [0, 2π); null for coincident points. */
+  def azimuth(a: Column, b: Column): Column = co(GeoRelate2(ex(a), ex(b), "azimuth"))
+
+  /** GeoMaxDistance (geospatial.py:223): largest vertex-pair distance. */
+  def maxDistance(a: Column, b: Column): Column =
+    co(GeoRelate2(ex(a), ex(b), "max_distance"))
+
+  /** GeoDFullyWithin (geospatial.py:380): every point of each geometry
+    * within d of the other ⇔ max distance <= d. */
+  def dFullyWithin(a: Column, b: Column, d: Column): Column = maxDistance(a, b) <= d
+
+  /** GeoLineLocatePoint (geospatial.py:116): fraction in [0,1] along the
+    * line of the point closest to pt. */
+  def lineLocatePoint(line: Column, pt: Column): Column =
+    co(GeoRelate2(ex(line), ex(pt), "line_locate_point"))
+
+  /** GeoLineSubstring (geospatial.py:144): sub-linestring between start
+    * and end fractions. */
+  def lineSubstring(line: Column, f0: Column, f1: Column): Column =
+    co(GeoLineSubstring(ex(line), ex(f0.cast("double")), ex(f1.cast("double"))))
+
+  /** GeoSimplify (geospatial.py:440): Douglas-Peucker with tolerance;
+    * polygon rings that would collapse stay unsimplified. */
+  def simplify(g: Column, tolerance: Column): Column =
+    co(GeoParam(ex(g), ex(tolerance.cast("double")), "simplify"))
+
+  /** GeoIsValid (geospatial.py:109): ring closure, finite coords, no ring
+    * self-intersection, positive ring area. */
+  def isValid(g: Column): Column = co(GeoUnaryMeta(ex(g), "is_valid"))
+
+  /** GeoOrderingEquals (geospatial.py:161): same type + identical
+    * coordinate order (byte-order/SRID-insensitive). */
+  def orderingEquals(a: Column, b: Column): Column =
+    co(GeoRelate2(ex(a), ex(b), "ordering_equals"))
+
+  /** GeoEquals (geospatial.py:77): spatial equality — lines match under
+    * reversal, polygon rings under rotation + reversal. */
+  def geoEquals(a: Column, b: Column): Column = co(GeoRelate2(ex(a), ex(b), "equals"))
+
+  /** GeoCovers / GeoCoveredBy (geospatial.py:49,56): boundary-inclusive
+    * containment. */
+  def covers(a: Column, b: Column): Column = co(GeoRelate2(ex(a), ex(b), "covers"))
+  def coveredBy(a: Column, b: Column): Column =
+    co(GeoRelate2(ex(a), ex(b), "covered_by"))
+
+  /** GeoContainsProperly (geospatial.py:42): b intersects a's interior
+    * only (no boundary contact). */
+  def containsProperly(a: Column, b: Column): Column =
+    co(GeoRelate2(ex(a), ex(b), "contains_properly"))
+
+  /** GeoTouches / GeoCrosses / GeoOverlaps (geospatial.py:179,63,172). */
+  def touches(a: Column, b: Column): Column = co(GeoRelate2(ex(a), ex(b), "touches"))
+  def crosses(a: Column, b: Column): Column = co(GeoRelate2(ex(a), ex(b), "crosses"))
+  def overlaps(a: Column, b: Column): Column =
+    co(GeoRelate2(ex(a), ex(b), "overlaps"))
+
+  /** GeoBuffer (geospatial.py:362): POINT buffer as a 32-gon polygon
+    * (line/polygon offsetting is GEOS territory → null). */
+  def buffer(g: Column, radius: Column): Column =
+    co(GeoParam(ex(g), ex(radius.cast("double")), "buffer"))
+
+  /** GeoSRID / GeoSetSRID (geospatial.py:346,353): EWKB SRID read/write. */
+  def srid(g: Column): Column = co(GeoUnaryMeta(ex(g), "srid"))
+  def setSrid(g: Column, sridV: Column): Column =
+    co(GeoParam(ex(g), ex(sridV.cast("int")), "set_srid"))
+
+  /** GeoNRings (geospatial.py:336): polygon ring count (0 otherwise). */
+  def nRings(g: Column): Column = co(GeoUnaryMeta(ex(g), "nrings"))
+
+  /** GeoGeometryN (geospatial.py:84), 0-indexed: single geometries are
+    * their own only element. */
+  def geometryN(g: Column, n: Column): Column =
+    co(GeoParam(ex(g), ex(n.cast("int")), "geometry_n"))
+
+  /** GeoAsBinary / GeoAsEWKB / GeoAsEWKT (geospatial.py:469,476,483). */
+  def asBinary(g: Column): Column = co(GeoUnaryMeta(ex(g), "as_binary"))
+  def asEWKB(g: Column): Column = co(GeoUnaryMeta(ex(g), "as_ewkb"))
+  def asEWKT(g: Column): Column = co(GeoText(ex(g), "as_ewkt"))
+
+  /** GeoTransform / GeoConvert (geospatial.py:450,459): the closed-form
+    * EPSG:4326 ↔ EPSG:3857 pair (output tagged with the target SRID). */
+  def transform(g: Column, fromSrid: Int, toSrid: Int): Column =
+    co(GeoProject(ex(g), fromSrid, toSrid))
 }

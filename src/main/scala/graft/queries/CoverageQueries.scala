@@ -497,6 +497,158 @@ object CoverageQueries {
         MIN(px) AS bx0, MAX(px) AS bx1, MIN(py) AS by0, MAX(py) AS by1
       FROM seg
       GROUP BY user_id HAVING COUNT(*) >= 2
-      ORDER BY user_id"""))
+      ORDER BY user_id""")),
+
+    // DE-9IM-style predicate battery (exts/GeoGeometryOps.scala;
+    // geospatial.py:179 touches, :172 overlaps, :49 covers, :77 equals,
+    // :161 ordering_equals, :63 crosses, :42 contains_properly, :405
+    // azimuth, :223 max_distance, :380 d_fully_within): per-nation square
+    // pairs at offsets 0/2/4 hit equal / overlapping / edge-touching, a
+    // vertical line crosses the square, the bottom edge touches without
+    // crossing, and a rotated-vertex-order twin separates spatial equality
+    // from ordering equality. Every oracle value is exact arithmetic on
+    // the same offsets (sqrt is IEEE-correctly-rounded on both engines;
+    // atan2 is the one libm-variant call, rounded to 6).
+    QueryDef("q78_geo_relations", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val base = (k * 10).cast("double")
+      val off = ((k % 3) * 2).cast("double")
+      def sq(x0: org.apache.spark.sql.Column) = geo.makePolygon(array(
+        geo.point(x0, lit(0.0)), geo.point(x0 + 4.0, lit(0.0)),
+        geo.point(x0 + 4.0, lit(4.0)), geo.point(x0, lit(4.0))))
+      val a = sq(base)
+      val b = sq(base + off)
+      // same square as `a`, same winding, vertex order rotated by one
+      val brot = geo.makePolygon(array(
+        geo.point(base + 4.0, lit(0.0)), geo.point(base + 4.0, lit(4.0)),
+        geo.point(base, lit(4.0)), geo.point(base, lit(0.0))))
+      val through = geo.makeLine(array(
+        geo.point(base + 2.0, lit(-2.0)), geo.point(base + 2.0, lit(2.0))))
+      val edge = geo.makeLine(array(
+        geo.point(base, lit(0.0)), geo.point(base + 4.0, lit(0.0))))
+      val m5 = (k % 5).cast("double"); val m7 = (k % 7).cast("double")
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        geo.touches(a, b).as("touches_ab"),
+        geo.overlaps(a, b).as("overlaps_ab"),
+        geo.covers(a, b).as("covers_ab"),
+        geo.coveredBy(b, a).as("covered_by_ba"),
+        geo.geoEquals(a, b).as("equals_ab"),
+        geo.geoEquals(a, brot).as("equals_rot"),
+        geo.orderingEquals(a, brot).as("ordering_rot"),
+        geo.crosses(through, a).as("crosses_line"),
+        geo.touches(edge, a).as("touches_edge"),
+        geo.crosses(edge, a).as("crosses_edge"),
+        round(geo.azimuth(geo.point(lit(0.0), lit(0.0)), geo.point(m5, m7)), 6)
+          .as("az6"),
+        geo.maxDistance(a, b).as("max_d"),
+        geo.dFullyWithin(a, b, lit(8.0)).as("dfully8"),
+        geo.containsProperly(a, geo.point(base + m5, m5)).as("cp"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (
+        SELECT n_nationkey,
+          (n_nationkey % 3) * 2.0 AS off,
+          CAST(n_nationkey % 5 AS DOUBLE) AS m5,
+          CAST(n_nationkey % 7 AS DOUBLE) AS m7
+        FROM nation)
+      SELECT n_nationkey,
+        (off = 4) AS touches_ab,
+        (off = 2) AS overlaps_ab,
+        (off = 0) AS covers_ab,
+        (off = 0) AS covered_by_ba,
+        (off = 0) AS equals_ab,
+        TRUE AS equals_rot,
+        FALSE AS ordering_rot,
+        TRUE AS crosses_line,
+        TRUE AS touches_edge,
+        FALSE AS crosses_edge,
+        CASE WHEN m5 = 0 AND m7 = 0 THEN NULL
+             ELSE ROUND(ATAN2(m5, m7), 6) END AS az6,
+        SQRT((off + 4.0) * (off + 4.0) + 16.0) AS max_d,
+        (SQRT((off + 4.0) * (off + 4.0) + 16.0) <= 8.0) AS dfully8,
+        (m5 IN (1, 2, 3)) AS cp
+      FROM t ORDER BY 1""")),
+
+    // Linear referencing + simplify/buffer/SRID/reprojection
+    // (geospatial.py:116 line_locate_point, :144 line_substring, :440
+    // simplify, :362 buffer, :109 is_valid, :346/:353 srid/set_srid,
+    // :469/:483 as_binary/as_ewkt, :336 n_rings, :84 geometry_n,
+    // :450 transform 4326→3857): data-driven lines per nation. Oracles
+    // are the closed forms — substring endpoints interpolate on exact
+    // integer grids, Douglas-Peucker keeps the bent midpoint iff its
+    // height exceeds tolerance, the 32-gon buffer area is
+    // 16·r²·sin(π/16), and web mercator is 6378137·radians(lon) /
+    // 6378137·ln(tan(π/4+radians(lat)/2)) (rounded where libm variance
+    // could bite).
+    QueryDef("q79_geo_line_ops", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val kd = k.cast("double")
+      val h = (k % 4).cast("double")
+      val line0 = geo.makeLine(array(
+        geo.point(kd, lit(0.0)), geo.point(kd + 10.0, lit(0.0))))
+      val bent = geo.makeLine(array(geo.point(kd, lit(0.0)),
+        geo.point(kd + 5.0, h), geo.point(kd + 10.0, lit(0.0))))
+      val probe = geo.point(kd + (k % 12).cast("double"), lit(3.0))
+      val sub = geo.lineSubstring(line0, lit(0.2), lit(0.7))
+      val r = ((k % 3) + 1).cast("double")
+      val buf = geo.buffer(geo.point(kd, kd), r)
+      val poly4 = when((k % 2) === 0, geo.makePolygon(array(
+          geo.point(kd, lit(0.0)), geo.point(kd + 4.0, lit(0.0)),
+          geo.point(kd + 4.0, lit(4.0)), geo.point(kd, lit(4.0)))))
+        .otherwise(geo.makePolygon(array( // bowtie: self-intersecting
+          geo.point(kd, lit(0.0)), geo.point(kd + 4.0, lit(4.0)),
+          geo.point(kd + 4.0, lit(0.0)), geo.point(kd, lit(4.0)))))
+      val tagged = geo.setSrid(geo.point(kd, kd * 2), lit(4326))
+      val lon = ((k * 7) % 360 - 180).cast("double")
+      val lat = ((k % 60) - 30).cast("double")
+      val merc = geo.transform(geo.point(lon, lat), 4326, 3857)
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        round(geo.lineLocatePoint(line0, probe), 6).as("locate"),
+        round(geo.length(sub), 6).as("sub_len"),
+        round(geo.x(geo.startPoint(sub)), 6).as("sub_sx"),
+        geo.nPoints(geo.simplify(bent, lit(1.5))).as("simp_np"),
+        round(geo.area(buf), 6).as("buf_area"),
+        geo.isValid(poly4).as("valid"),
+        geo.srid(tagged).as("srid"),
+        geo.asEWKT(tagged).as("ewkt"),
+        geo.srid(geo.asBinary(tagged)).as("srid_stripped"),
+        round(geo.x(merc), 4).as("mx"),
+        round(geo.y(merc), 4).as("my"),
+        geo.srid(merc).as("msrid"),
+        geo.nRings(buf).as("nr"),
+        geo.nPoints(geo.geometryN(line0, lit(0))).as("g0np"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (
+        SELECT n_nationkey,
+          n_nationkey % 12 AS m12,
+          n_nationkey % 4 AS h,
+          (n_nationkey % 3) + 1.0 AS r,
+          CAST((n_nationkey * 7) % 360 - 180 AS DOUBLE) AS lon,
+          CAST((n_nationkey % 60) - 30 AS DOUBLE) AS lat
+        FROM nation)
+      SELECT n_nationkey,
+        ROUND(LEAST(m12, 10) / 10.0, 6) AS locate,
+        5.0 AS sub_len,
+        ROUND(CAST(n_nationkey + 2 AS DOUBLE), 6) AS sub_sx,
+        CASE WHEN h <= 1 THEN 2 ELSE 3 END AS simp_np,
+        ROUND(16.0 * r * r * SIN(PI() / 16.0), 6) AS buf_area,
+        (n_nationkey % 2 = 0) AS valid,
+        4326 AS srid,
+        'SRID=4326;POINT (' || CAST(n_nationkey AS VARCHAR) || ' ' ||
+          CAST(n_nationkey * 2 AS VARCHAR) || ')' AS ewkt,
+        0 AS srid_stripped,
+        ROUND(6378137.0 * RADIANS(lon), 4) AS mx,
+        ROUND(6378137.0 * LN(TAN(PI() / 4.0 + RADIANS(lat) / 2.0)), 4) AS my,
+        3857 AS msrid,
+        1 AS nr,
+        2 AS g0np
+      FROM t ORDER BY 1"""))
   )
 }
