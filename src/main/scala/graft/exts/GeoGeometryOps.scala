@@ -509,6 +509,165 @@ object GeoGeomOps {
       !anyProperCross(a, b)
   }
 
+  // ---- intersection (convex clip, Sutherland-Hodgman) -------------------
+
+  /** All non-zero consecutive-edge cross products share a sign. */
+  private def isConvexRing(r: Array[Double]): Boolean = {
+    val n = r.length / 2 - 1 // closed ring
+    if (n < 3) return false
+    var sign = 0.0
+    var i = 0
+    while (i < n) {
+      val ax = r(i * 2); val ay = r(i * 2 + 1)
+      val bx = r(((i + 1) % n) * 2); val by = r(((i + 1) % n) * 2 + 1)
+      val cx = r(((i + 2) % n) * 2); val cy = r(((i + 2) % n) * 2 + 1)
+      val cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+      if (cross != 0.0) {
+        if (sign == 0.0) sign = math.signum(cross)
+        else if (math.signum(cross) != sign) return false
+      }
+      i += 1
+    }
+    true
+  }
+
+  private def signedArea(r: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = r.length / 2
+    while (i < n - 1) {
+      s += r(i * 2) * r(i * 2 + 3) - r(i * 2 + 2) * r(i * 2 + 1)
+      i += 1
+    }
+    s / 2.0
+  }
+
+  /** Sutherland-Hodgman: clip an (arbitrary, closed) subject ring against
+    * a convex closed clip ring. Returns the open output ring. */
+  private def clipRing(subject: Array[Double], clip: Array[Double]): Array[Double] = {
+    val inSign = if (signedArea(clip) >= 0.0) 1.0 else -1.0
+    var poly = subject.dropRight(2) // open
+    val nc = clip.length / 2 - 1
+    var e = 0
+    while (e < nc && poly.length >= 2) {
+      val x1 = clip(e * 2); val y1 = clip(e * 2 + 1)
+      val x2 = clip(e * 2 + 2); val y2 = clip(e * 2 + 3)
+      def inside(px: Double, py: Double): Boolean =
+        inSign * ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) >= 0.0
+      def cut(ax: Double, ay: Double, bx: Double, by: Double): (Double, Double) = {
+        val d1 = (x2 - x1) * (ay - y1) - (y2 - y1) * (ax - x1)
+        val d2 = (x2 - x1) * (by - y1) - (y2 - y1) * (bx - x1)
+        val t = d1 / (d1 - d2)
+        (ax + t * (bx - ax), ay + t * (by - ay))
+      }
+      val out = scala.collection.mutable.ArrayBuffer[Double]()
+      val n = poly.length / 2
+      var i = 0
+      while (i < n) {
+        val sx = poly(i * 2); val sy = poly(i * 2 + 1)
+        val ex = poly(((i + 1) % n) * 2); val ey = poly(((i + 1) % n) * 2 + 1)
+        val sIn = inside(sx, sy); val eIn = inside(ex, ey)
+        if (eIn) {
+          if (!sIn) { val (cx, cy) = cut(sx, sy, ex, ey); out += cx; out += cy }
+          out += ex; out += ey
+        } else if (sIn) { val (cx, cy) = cut(sx, sy, ex, ey); out += cx; out += cy }
+        i += 1
+      }
+      poly = out.toArray
+      e += 1
+    }
+    poly
+  }
+
+  /** GeoIntersection (geospatial.py:426) for the planar-exact cases:
+    * polygon ∩ CONVEX polygon (Sutherland-Hodgman; operands swapped if
+    * only one is convex — intersection commutes), line ∩ convex polygon
+    * when the clipped line is a single connected piece, and point ∩
+    * anything. Empty or unsupported (both concave, disconnected line
+    * pieces, GEOS-style general clipping) → null. */
+  def intersection(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    (a.kind, b.kind) match {
+      case (1, _) =>
+        val d = GeoGeom.distance(aB, bB)
+        if (d != null && d.doubleValue() == 0.0) asBinary(aB) else null
+      case (_, 1) => intersection(bB, aB)
+      case (2, 3) =>
+        if (!isConvexRing(b.rings(0)) || b.rings.length > 1) return null
+        clipLineToConvex(a.rings(0), b.rings(0))
+      case (3, 2) => intersection(bB, aB)
+      case (3, 3) =>
+        // clip must be convex + hole-free; swap if only `b` qualifies
+        val aOk = a.rings.length == 1 && isConvexRing(a.rings(0))
+        val bOk = b.rings.length == 1 && isConvexRing(b.rings(0))
+        if (!aOk && !bOk) return null
+        val (subj, clip) = if (bOk) (a, b) else (b, a)
+        if (subj.rings.length > 1) return null // hole-carrying subject: GEOS territory
+        val out = clipRing(subj.rings(0), clip.rings(0))
+        // drop consecutive duplicates, require a real (non-degenerate) ring
+        val ded = scala.collection.mutable.ArrayBuffer[Double]()
+        var i = 0
+        while (i < out.length) {
+          val n = ded.length
+          if (n < 2 || ded(n - 2) != out(i) || ded(n - 1) != out(i + 1)) {
+            ded += out(i); ded += out(i + 1)
+          }
+          i += 2
+        }
+        if (ded.length >= 4 && ded(0) == ded(ded.length - 2) && ded(1) == ded(ded.length - 1)) {
+          ded.remove(ded.length - 1); ded.remove(ded.length - 1)
+        }
+        if (ded.length < 6) return null
+        val ring = (ded ++ Seq(ded(0), ded(1))).toArray
+        if (math.abs(signedArea(ring)) == 0.0) return null
+        GeoGeom.writePolygon(Array(ring))
+      case (2, 2) => null // 1-dim overlap output: GEOS territory
+      case _ => null
+    }
+  }
+
+  /** Clip a linestring to a convex ring; null unless exactly one connected
+    * piece survives. */
+  private def clipLineToConvex(line: Array[Double], clip: Array[Double]): Array[Byte] = {
+    val inSign = if (signedArea(clip) >= 0.0) 1.0 else -1.0
+    val nc = clip.length / 2 - 1
+    def clipSeg(ax: Double, ay: Double, bx: Double, by: Double): Array[Double] = {
+      var t0 = 0.0; var t1 = 1.0
+      var e = 0
+      while (e < nc) {
+        val x1 = clip(e * 2); val y1 = clip(e * 2 + 1)
+        val x2 = clip(e * 2 + 2); val y2 = clip(e * 2 + 3)
+        val d1 = inSign * ((x2 - x1) * (ay - y1) - (y2 - y1) * (ax - x1))
+        val d2 = inSign * ((x2 - x1) * (by - y1) - (y2 - y1) * (bx - x1))
+        if (d1 < 0.0 && d2 < 0.0) return null
+        if (d1 < 0.0 || d2 < 0.0) {
+          val t = d1 / (d1 - d2)
+          if (d1 < 0.0) t0 = math.max(t0, t) else t1 = math.min(t1, t)
+          if (t0 > t1) return null
+        }
+        e += 1
+      }
+      Array(ax + t0 * (bx - ax), ay + t0 * (by - ay),
+            ax + t1 * (bx - ax), ay + t1 * (by - ay))
+    }
+    val pieces = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val n = line.length / 2
+    var i = 0
+    while (i < n - 1) {
+      val c = clipSeg(line(i * 2), line(i * 2 + 1), line(i * 2 + 2), line(i * 2 + 3))
+      if (c != null && (c(0) != c(2) || c(1) != c(3))) {
+        // merge with the previous piece when contiguous
+        if (pieces.nonEmpty && pieces.last(pieces.last.length - 2) == c(0) &&
+            pieces.last(pieces.last.length - 1) == c(1))
+          pieces(pieces.length - 1) = pieces.last ++ Array(c(2), c(3))
+        else pieces += c
+      }
+      i += 1
+    }
+    if (pieces.length != 1) null else GeoGeom.writeLine(pieces.head)
+  }
+
   // ---- buffer / reprojection --------------------------------------------
 
   final val BufferSegs = 32
@@ -641,6 +800,31 @@ object GeoRelate2 {
     "touches" -> (("touches", false, false)),
     "crosses" -> (("crosses", false, false)),
     "overlaps" -> (("overlaps", false, false)))
+}
+
+/** `geo_intersection(a, b)` — planar-exact intersection geometry
+  * (see [[GeoGeomOps.intersection]] for the supported operand classes). */
+case class GeoIntersectionExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "geo_intersection"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary WKB inputs")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoGeomOps.intersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+        byte[] $r = graft.exts.GeoGeomOps.intersection($a, $b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** Unary geometry + one scalar parameter → WKB: set_srid(int),

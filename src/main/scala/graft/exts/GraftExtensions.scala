@@ -121,6 +121,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Cast(children(1), org.apache.spark.sql.types.DoubleType),
         Cast(children(2), org.apache.spark.sql.types.DoubleType))))
     ext.injectFunction((
+      FunctionIdentifier("geo_intersection"),
+      new ExpressionInfo(classOf[GeoIntersectionExpr].getName, "geo_intersection"),
+      (children: Seq[Expression]) => GeoIntersectionExpr(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("geo_transform"),
       new ExpressionInfo(classOf[GeoProject].getName, "geo_transform"),
       // SRIDs are constants by nature — literal args only (eval at build)

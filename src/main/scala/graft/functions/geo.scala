@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.exts.{GeoCoord, GeoLineSubstring, GeoMake, GeoMeasure,
-  GeoNPointsExpr, GeoParam, GeoPointN, GeoPointWkb, GeoProject, GeoRelate,
-  GeoRelate2, GeoText, GeoTransform, GeoUnaryMeta}
+import graft.exts.{GeoCoord, GeoIntersectionExpr, GeoLineSubstring, GeoMake,
+  GeoMeasure, GeoNPointsExpr, GeoParam, GeoPointN, GeoPointWkb, GeoProject,
+  GeoRelate, GeoRelate2, GeoText, GeoTransform, GeoUnaryMeta}
 
 /** Geospatial subset over WKB binary columns (SURVEY.md §2.4; reference
   * ops in ibis/expr/operations/geospatial.py). Euclidean planar semantics
@@ -185,4 +185,11 @@ object geo {
     * EPSG:4326 ↔ EPSG:3857 pair (output tagged with the target SRID). */
   def transform(g: Column, fromSrid: Int, toSrid: Int): Column =
     co(GeoProject(ex(g), fromSrid, toSrid))
+
+  /** GeoIntersection (geospatial.py:426), planar-exact cases: polygon ∩
+    * CONVEX polygon (Sutherland-Hodgman, operands swapped if only one is
+    * convex), line clipped to a convex polygon (single connected piece),
+    * point ∩ anything. Empty or GEOS-general → null. */
+  def intersection(a: Column, b: Column): Column =
+    co(GeoIntersectionExpr(ex(a), ex(b)))
 }

@@ -499,6 +499,59 @@ object CoverageQueries {
       GROUP BY user_id HAVING COUNT(*) >= 2
       ORDER BY user_id""")),
 
+    // GeoIntersection (geospatial.py:426) — the planar-exact convex-clip
+    // subset (Sutherland-Hodgman): per-nation rectangles at offsets
+    // 0/2/4/6 produce full / partial / sliver / empty overlaps, a
+    // horizontal line clips to the box span, and point∩polygon keeps or
+    // drops the point. Oracle is exact rectangle-overlap arithmetic
+    // (every clip coordinate lands on the integer grid).
+    QueryDef("q74_geo_clip", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val base = (k * 10).cast("double")
+      val off = ((k % 4) * 2).cast("double")
+      def rect(x0: org.apache.spark.sql.Column, y0: org.apache.spark.sql.Column,
+          w: Double, h: Double) = geo.makePolygon(array(
+        geo.point(x0, y0), geo.point(x0 + w, y0),
+        geo.point(x0 + w, y0 + h), geo.point(x0, y0 + h)))
+      val a = rect(base, lit(0.0), 6, 6)
+      val b = rect(base + off, lit(2.0), 4, 6)
+      val ix = geo.intersection(a, b)
+      val lineClip = geo.intersection(
+        geo.makeLine(array(geo.point(base - 2.0, lit(3.0)),
+          geo.point(base + 8.0, lit(3.0)))), a)
+      val ptIx = geo.intersection(
+        geo.point(base + (k % 8).cast("double"), lit(1.0)), a)
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        geo.area(ix).as("ix_area"),
+        geo.nPoints(ix).as("ix_np"),
+        geo.x(geo.centroid(ix)).as("ix_cx"),
+        geo.y(geo.centroid(ix)).as("ix_cy"),
+        geo.length(lineClip).as("clip_len"),
+        geo.x(geo.startPoint(lineClip)).as("clip_sx"),
+        geo.x(ptIx).as("pt_x"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (
+        SELECT n_nationkey,
+          n_nationkey * 10.0 AS base,
+          (n_nationkey % 4) * 2.0 AS off,
+          CAST(n_nationkey % 8 AS DOUBLE) AS m8
+        FROM nation),
+      ov AS (
+        SELECT *, LEAST(6.0, off + 4.0) - off AS w FROM t)
+      SELECT n_nationkey,
+        CASE WHEN w > 0 THEN w * 4.0 END AS ix_area,
+        CASE WHEN w > 0 THEN 5 END AS ix_np,
+        CASE WHEN w > 0 THEN base + (off + LEAST(6.0, off + 4.0)) / 2.0 END AS ix_cx,
+        CASE WHEN w > 0 THEN 4.0 END AS ix_cy,
+        6.0 AS clip_len,
+        base AS clip_sx,
+        CASE WHEN m8 <= 6 THEN base + m8 END AS pt_x
+      FROM ov ORDER BY 1""")),
+
     // DE-9IM-style predicate battery (exts/GeoGeometryOps.scala;
     // geospatial.py:179 touches, :172 overlaps, :49 covers, :77 equals,
     // :161 ordering_equals, :63 crosses, :42 contains_properly, :405

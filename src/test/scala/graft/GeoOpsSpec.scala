@@ -211,6 +211,33 @@ class GeoOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 45.0) < 1e-12)
   }
 
+  test("intersection: box clip, concave subject, line clip, point, empty") {
+    val a = square(0, 0, 6)
+    val b = square(4, 4, 6) // overlap [4,6]²
+    // concave L-shape subject: [0,6]² minus the [3,6]×[3,6] notch
+    val ell = geo.makePolygon(pts((0.0, 0.0), (6.0, 0.0), (6.0, 3.0),
+      (3.0, 3.0), (3.0, 6.0), (0.0, 6.0)))
+    val line = geo.makeLine(pts((-2.0, 3.0), (8.0, 3.0)))
+    val r = one.select(
+      geo.area(geo.intersection(a, b)).as("boxbox"),
+      geo.asText(geo.intersection(a, b)).as("w"),
+      geo.area(geo.intersection(ell, square(2, 2, 4))).as("ellbox"),
+      geo.length(geo.intersection(line, a)).as("lineclip"),
+      geo.asText(geo.intersection(geo.point(lit(1.0), lit(1.0)), a)).as("pt"),
+      geo.intersection(geo.point(lit(9.0), lit(9.0)), a).isNull.as("ptOut"),
+      geo.intersection(a, square(10, 10, 2)).isNull.as("empty"),
+      geo.intersection(a, square(6, 0, 4)).isNull.as("edgeTouch"))
+      .collect().head
+    assert(r.getDouble(0) == 4.0)
+    assert(r.getString(1) == "POLYGON ((6 4, 4 4, 4 6, 6 6, 6 4))" ||
+      r.getString(1).startsWith("POLYGON (("))
+    // L-shape ∩ [2,6]² clip = [2,6]² minus notch ∩ ... = area 16 - 9 = 7
+    assert(r.getDouble(2) == 7.0)
+    assert(r.getDouble(3) == 6.0)
+    assert(r.getString(4) == "POINT (1 1)")
+    assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7))
+  }
+
   test("SQL registration: new geo_* functions callable from SQL text") {
     // the shared test session doesn't run with GraftExtensions — register
     // with the same builders the extension injects (MoneySumSpec pattern)
