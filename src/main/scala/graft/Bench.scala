@@ -41,6 +41,28 @@ object Bench {
       // skips both sort passes — measured 1.4× on the SF10 TPC-H joins.
       // AQE still re-plans skewed/oversized partitions.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // preferSortMergeJoin=false only helps when the STATIC planner can
+      // prove the build side small; multi-join stats estimates explode and
+      // it falls back to SMJ (q101 at SF100 sorted 600M rows). This is
+      // AQE's runtime SMJ→SHJ conversion knob — default 0 = disabled; with
+      // exact post-shuffle sizes a 512m local map is the same bound a
+      // sized executor would carry. q101 SF100: 126s → 79s.
+      .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "512m")
+      // TPC-H dimension sides pruned to join columns run 12-200 MB; 10m
+      // misses supplier by 2 MB and a filtered customer by 3×. 64m is the
+      // routine sized-cluster setting (a 64 MB broadcast per executor is
+      // nothing against a 600M-row shuffle avoided).
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
+      // Runtime (semi-join) bloom filters: orders filtered to 1/5 prunes
+      // the 600M-row lineitem shuffle 5× before the exchange — but the
+      // defaults block it here: creation side must be <10 MB and the
+      // filter caps at 4M items. Allow 1 GB creation sides and size the
+      // filter for 64M keys (~80 MB bits ≈ what the creation-side agg
+      // would broadcast on a cluster). q101 SF100: 79s → 39s warm.
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "64000000")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "671088640")
       // split small bench files across all cores; at cluster scale the
       // 128 MB default is right, at sf0.1 one file = one thread otherwise
       .config("spark.sql.files.maxPartitionBytes", "4m")
