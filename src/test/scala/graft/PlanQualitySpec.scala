@@ -45,6 +45,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q101 runtime bloom filter injects under the bench session confs") {
+    // The SF100 gate depends on the semi-join reduction: orders (1/5
+    // selective) must prune the lineitem scan→shuffle BEFORE the exchange.
+    // Spark's defaults block it (creation side <10MB, app side >10GB scan);
+    // the bench session raises/clears them — assert the rule actually
+    // fires on the q101 shape so a conf or plan change can't silently
+    // drop it. Thresholds relaxed here because sf0.001 is tiny.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // bloom filters only inject ahead of SHUFFLE joins; at sf0.001 every
+      // side broadcasts, so force the shuffle shape the SF100 run has
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = SparkEntry.queries("q101_tpch5_local_volume")(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"runtime bloom filter not injected into the Q5 shape:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q101 six-way TPC-H join: all equi-joins, no cartesian") {
     val p = plan("q101_tpch5_local_volume")
     assert(!p.contains("CartesianProduct"), "cartesian product in TPC-H Q5 shape")
