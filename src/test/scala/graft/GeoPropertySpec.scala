@@ -1,0 +1,225 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exts.{GeoGeom, GeoGeomOps, GeoWkb}
+
+/** Property-style invariants over the static geometry kernel (no Spark
+  * session): seeded random int-grid rectangles, convex polygons and
+  * monotone polylines, asserting the relations the DE-9IM predicates,
+  * measures and constructors must satisfy pairwise. Int coordinates keep
+  * every arithmetic step IEEE-exact, so the assertions are strict. */
+class GeoPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  private def rect(x0: Int, y0: Int, w: Int, h: Int): Array[Byte] = {
+    val (x1, y1) = (x0 + w, y0 + h)
+    GeoGeom.writePolygon(Array(Array[Double](
+      x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)))
+  }
+
+  private def randRect(): Array[Byte] =
+    rect(rnd.nextInt(40) - 20, rnd.nextInt(40) - 20, 1 + rnd.nextInt(12), 1 + rnd.nextInt(12))
+
+  /** Convex polygon: int points sampled on a circle, sorted by angle. */
+  private def randConvex(): Array[Byte] = {
+    val cx = rnd.nextInt(30) - 15; val cy = rnd.nextInt(30) - 15
+    val r = 4 + rnd.nextInt(8)
+    val angles = Seq.fill(3 + rnd.nextInt(5))(rnd.nextDouble() * 2 * math.Pi)
+      .distinct.sorted
+    if (angles.size < 3) return randConvex()
+    val pts = angles.map(a =>
+      (math.round(cx + r * math.cos(a)).toDouble, math.round(cy + r * math.sin(a)).toDouble))
+      .distinct
+    if (pts.size < 3) return randConvex()
+    val flat = (pts :+ pts.head).flatMap { case (x, y) => Seq(x, y) }.toArray
+    val p = GeoGeom.writePolygon(Array(flat))
+    // rounding to the grid can produce a degenerate/non-convex ring — resample
+    val v = GeoGeomOps.isValid(p)
+    if (v != null && v.booleanValue()) p else randConvex()
+  }
+
+  /** Monotone (x-strictly-increasing) polyline — closest-point queries on
+    * it are well-behaved at the endpoints. */
+  private def randLine(): Array[Byte] = {
+    var x = rnd.nextInt(10) - 20
+    val pts = (0 until 2 + rnd.nextInt(4)).map { _ =>
+      x += 1 + rnd.nextInt(6)
+      (x.toDouble, (rnd.nextInt(20) - 10).toDouble)
+    }
+    GeoGeom.writeLine(pts.flatMap { case (a, b) => Seq(a, b) }.toArray)
+  }
+
+  private def randPoint(): Array[Byte] =
+    GeoWkb.writePoint(rnd.nextInt(50) - 25, rnd.nextInt(50) - 25)
+
+  private def geoms(): Array[Byte] = rnd.nextInt(3) match {
+    case 0 => randRect()
+    case 1 => randLine()
+    case _ => randPoint()
+  }
+
+  test("distance: symmetric, non-negative; intersects ⇔ distance == 0") {
+    for (_ <- 1 to 300) {
+      val a = geoms(); val b = geoms()
+      val dab = GeoGeom.distance(a, b).doubleValue()
+      val dba = GeoGeom.distance(b, a).doubleValue()
+      assert(dab == dba && dab >= 0.0)
+      assert(GeoGeom.intersects(a, b).booleanValue() == (dab == 0.0))
+    }
+  }
+
+  test("containment chain: containsProperly ⇒ covers ⇒ intersects; self-relations") {
+    for (_ <- 1 to 300) {
+      val a = randRect(); val b = geoms()
+      val cp = GeoGeomOps.containsProperly(a, b).booleanValue()
+      val cov = GeoGeomOps.covers(a, b).booleanValue()
+      if (cp) assert(cov, "containsProperly must imply covers")
+      if (cov) assert(GeoGeom.intersects(a, b).booleanValue(), "covers must imply intersects")
+      assert(GeoGeomOps.covers(a, a).booleanValue())
+      assert(GeoGeomOps.geoEquals(a, a).booleanValue())
+      assert(GeoGeomOps.orderingEquals(a, a).booleanValue())
+    }
+  }
+
+  test("touches/overlaps: symmetric, mutually exclusive, both imply intersects") {
+    for (_ <- 1 to 300) {
+      val a = randRect(); val b = randRect()
+      val t = GeoGeomOps.touches(a, b).booleanValue()
+      val o = GeoGeomOps.overlaps(a, b).booleanValue()
+      assert(t == GeoGeomOps.touches(b, a).booleanValue(), "touches must be symmetric")
+      assert(o == GeoGeomOps.overlaps(b, a).booleanValue(), "overlaps must be symmetric")
+      assert(!(t && o), "touches and overlaps are mutually exclusive")
+      if (t || o) assert(GeoGeom.intersects(a, b).booleanValue())
+    }
+  }
+
+  test("rect ∩ rect: exact overlap arithmetic; result covered by both") {
+    for (_ <- 1 to 300) {
+      val (ax, ay, aw, ah) = (rnd.nextInt(20) - 10, rnd.nextInt(20) - 10,
+        1 + rnd.nextInt(10), 1 + rnd.nextInt(10))
+      val (bx, by, bw, bh) = (rnd.nextInt(20) - 10, rnd.nextInt(20) - 10,
+        1 + rnd.nextInt(10), 1 + rnd.nextInt(10))
+      val a = rect(ax, ay, aw, ah); val b = rect(bx, by, bw, bh)
+      val w = math.min(ax + aw, bx + bw) - math.max(ax, bx)
+      val h = math.min(ay + ah, by + bh) - math.max(ay, by)
+      val ix = GeoGeomOps.intersection(a, b)
+      if (w > 0 && h > 0) {
+        assert(ix != null, s"expected non-empty intersection ($w x $h)")
+        assert(GeoGeom.area(ix).doubleValue() == w.toDouble * h)
+        assert(GeoGeomOps.covers(a, ix).booleanValue())
+        assert(GeoGeomOps.covers(b, ix).booleanValue())
+      } else assert(ix == null, "degenerate/empty overlap must be null")
+    }
+  }
+
+  test("convex ∩ convex: area bounded by both operands; covered by both") {
+    for (_ <- 1 to 200) {
+      val a = randConvex(); val b = randConvex()
+      val ix = GeoGeomOps.intersection(a, b)
+      if (ix != null) {
+        val ia = GeoGeom.area(ix).doubleValue()
+        assert(ia <= GeoGeom.area(a).doubleValue() + 1e-9)
+        assert(ia <= GeoGeom.area(b).doubleValue() + 1e-9)
+        assert(ia > 0.0)
+      }
+    }
+  }
+
+  test("maxDistance >= distance; dFullyWithin consistent with maxDistance") {
+    for (_ <- 1 to 300) {
+      val a = geoms(); val b = geoms()
+      val mx = GeoGeomOps.maxDistance(a, b).doubleValue()
+      assert(mx >= GeoGeom.distance(a, b).doubleValue() - 1e-12)
+    }
+  }
+
+  test("line referencing: locate endpoints at 0/1; substring length proportional") {
+    for (_ <- 1 to 300) {
+      val l = randLine()
+      val start = GeoGeom.startPoint(l); val end = GeoGeom.endPoint(l)
+      assert(GeoGeomOps.lineLocatePoint(l, start).doubleValue() == 0.0)
+      assert(GeoGeomOps.lineLocatePoint(l, end).doubleValue() == 1.0)
+      val f0 = rnd.nextInt(4) * 0.2; val f1 = f0 + 0.2 + rnd.nextInt(2) * 0.2
+      val sub = GeoGeomOps.lineSubstring(l, f0, math.min(1.0, f1))
+      assert(sub != null)
+      val total = GeoGeom.length(l).doubleValue()
+      val expect = (math.min(1.0, f1) - f0) * total
+      assert(math.abs(GeoGeom.length(sub).doubleValue() - expect) < 1e-9 * math.max(1, total))
+    }
+  }
+
+  test("simplify: endpoints kept, vertex count never grows, tol 0 keeps shape length") {
+    for (_ <- 1 to 300) {
+      val l = randLine()
+      val s = GeoGeomOps.simplify(l, rnd.nextInt(5).toDouble)
+      assert(GeoGeom.nPoints(s).intValue() <= GeoGeom.nPoints(l).intValue())
+      assert(java.util.Arrays.equals(GeoGeom.startPoint(s), GeoGeom.startPoint(l)))
+      assert(java.util.Arrays.equals(GeoGeom.endPoint(s), GeoGeom.endPoint(l)))
+      val s0 = GeoGeomOps.simplify(l, 0.0)
+      assert(math.abs(GeoGeom.length(s0).doubleValue() - GeoGeom.length(l).doubleValue()) < 1e-9)
+    }
+  }
+
+  test("azimuth: reverse direction differs by π (mod 2π)") {
+    for (_ <- 1 to 300) {
+      val a = randPoint(); val b = randPoint()
+      val ab = GeoGeomOps.azimuth(a, b); val ba = GeoGeomOps.azimuth(b, a)
+      if (ab != null) {
+        val d = math.abs(ab.doubleValue() - ba.doubleValue())
+        assert(math.abs(d - math.Pi) < 1e-12, s"got $d")
+      } else assert(ba == null)
+    }
+  }
+
+  test("web mercator roundtrip: 4326 → 3857 → 4326 within 1e-9 degrees") {
+    for (_ <- 1 to 300) {
+      val lon = rnd.nextDouble() * 340 - 170
+      val lat = rnd.nextDouble() * 160 - 80
+      val p = GeoWkb.writePoint(lon, lat)
+      val back = GeoGeomOps.transform(GeoGeomOps.transform(p, 4326, 3857), 3857, 4326)
+      val c = GeoWkb.readPoint(GeoGeomOps.asBinary(back))
+      assert(math.abs(c(0) - lon) < 1e-9 && math.abs(c(1) - lat) < 1e-9)
+      assert(GeoGeomOps.srid(back).intValue() == 4326)
+    }
+  }
+
+  test("buffer: contains its center, area ≈ 0.9936·πr² (32-gon), valid ring") {
+    for (_ <- 1 to 100) {
+      val p = randPoint()
+      val r = 1.0 + rnd.nextInt(10)
+      val b = GeoGeomOps.buffer(p, r)
+      assert(GeoGeom.contains(b, p).booleanValue())
+      val a = GeoGeom.area(b).doubleValue()
+      val disc = math.Pi * r * r
+      assert(a > 0.98 * disc && a < disc)
+      assert(GeoGeomOps.isValid(b).booleanValue())
+    }
+  }
+
+  test("srid plumbing: set/get roundtrip, asBinary strips, ewkt prefixes") {
+    for (_ <- 1 to 100) {
+      val g = geoms()
+      val s = 1 + rnd.nextInt(100000)
+      val tagged = GeoGeomOps.setSrid(g, s)
+      assert(GeoGeomOps.srid(tagged).intValue() == s)
+      assert(GeoGeomOps.srid(GeoGeomOps.asBinary(tagged)).intValue() == 0)
+      assert(GeoGeomOps.asEwkt(tagged).startsWith(s"SRID=$s;"))
+      assert(GeoGeomOps.geoEquals(GeoGeomOps.asBinary(tagged), GeoGeomOps.asBinary(g))
+        .booleanValue())
+    }
+  }
+
+  test("validity: generated rects/convex/lines valid; bowties invalid") {
+    for (_ <- 1 to 100) {
+      assert(GeoGeomOps.isValid(randRect()).booleanValue())
+      assert(GeoGeomOps.isValid(randLine()).booleanValue())
+      val x = rnd.nextInt(20) - 10; val y = rnd.nextInt(20) - 10
+      val s = 2 + rnd.nextInt(6)
+      val bowtie = GeoGeom.writePolygon(Array(Array[Double](
+        x, y, x + s, y + s, x + s, y, x, y + s, x, y)))
+      assert(!GeoGeomOps.isValid(bowtie).booleanValue())
+    }
+  }
+}
