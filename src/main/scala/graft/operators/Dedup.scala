@@ -183,10 +183,33 @@ object Dedup {
     // truncated and the ContextCleaner still removes the files once the
     // plan is unreachable (spark.cleaner.referenceTracking.cleanCheckpoints
     // governs eager file cleanup). Local/bench runs keep the default.
-    val base = scatter(df)
-      .select(col(id).as("doc"), shingleHashSet(tokens(col(text)), shingleK, tokenHash).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // Fused sketch for the known hash kinds: ONE typed loop per document
+    // (exts/ShingleMinhash) instead of the interpreted-HOF chain — value-
+    // identical (SketchFusionSpec asserts it per kind; q65's generated
+    // oracle checks it end-to-end). Custom tokenHash lambdas keep the
+    // declarative path.
+    val fusedKind =
+      if (tokenHash eq murmurHash) Some("murmur")
+      else if (tokenHash eq md5Hash28) Some("md5_28")
+      else None // md5_64 overflows the 31-polynomial roll (ANSI rejects it
+                // in the declarative path too) — not a valid shingle hash
+    val base = fusedKind match {
+      case Some(kind) =>
+        val e = graft.exts.ShingleMinhash(
+          org.apache.spark.sql.GraftSqlBridge.expression(col(text)),
+          shingleK, kind, minhashParams(numHashes, 42L), MinhashPrime)
+        scatter(df)
+          .select(col(id).as("doc"),
+            org.apache.spark.sql.GraftSqlBridge.column(e).as("s"))
+          .select(col("doc"), col("s.sh").as("sh"), col("s.sig").as("sig"))
+          .filter(size(col("sh")) > 0)
+      case None =>
+        scatter(df)
+          .select(col(id).as("doc"),
+            shingleHashSet(tokens(col(text)), shingleK, tokenHash).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    }
     val sketched =
       if (reliableCheckpoint) {
         require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
