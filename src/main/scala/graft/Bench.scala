@@ -29,10 +29,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Each large-SF section gets a FRESH SparkSession (same JVM — the JIT
+    // and codegen caches stay warm): a single long-lived session
+    // accumulates broadcast / bloom-filter / checkpoint blocks faster than
+    // the ContextCleaner drains them, and the measured tail degrades with
+    // session age, not query cost (observed: the same q65 at SF100 ran 96s
+    // in a young session and 205s after the sf1+sf10 sections; the q80
+    // bare-groupBy control inflated 1.5s -> 11s). Session teardown resets
+    // the block manager; per-section sizing is baked into the builder.
+    def newSession(parts: String, splitBytes: String): SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.exts.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // Shuffled-hash over sort-merge for the big equi-joins: when the
@@ -65,10 +73,12 @@ object Bench {
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "671088640")
       // split small bench files across all cores; at cluster scale the
       // 128 MB default is right, at sf0.1 one file = one thread otherwise
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.maxPartitionBytes", splitBytes)
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+
+    var spark = newSession(cpus, "4m")
     spark.sparkContext.setLogLevel("WARN")
 
     def run(df: DataFrame): Unit =
@@ -115,18 +125,19 @@ object Bench {
       val dir = sys.env.getOrElse(s"SPARK_GRAFT_${tag.toUpperCase}_DIR", s"/root/repo/data/$tag")
       if (new java.io.File(dir).exists() && !sys.env.contains("SPARK_GRAFT_SKIP_BIG")) {
         // Scale the shuffle/scan sizing with the data: at sf100 (600M-row
-        // lineitem, ~17 GB parquet) 32 shuffle partitions put ~20M rows and
+        // lineitem, ~9 GB parquet) 32 shuffle partitions put ~20M rows and
         // a multi-hundred-MB SHJ build in every task — spill, not plan, is
         // what 32 would measure. 256 partitions ≈ 150 MB post-shuffle each
         // (the cluster-correct sizing rule); AQE coalesces any that come
         // out small. Scan splits likewise: 4m is right for splitting tiny
-        // sf0.1 files across cores, pure scheduling overhead at 17 GB.
+        // sf0.1 files across cores, pure scheduling overhead at 9 GB.
         val (parts, splitBytes) = tag match {
           case "sf100" => ("256", "64m")
           case _       => (cpus, "4m")
         }
-        spark.conf.set("spark.sql.shuffle.partitions", parts)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
+        spark.stop()
+        spark = newSession(parts, splitBytes)
+        spark.sparkContext.setLogLevel("WARN")
         def timeAt(name: String): Double = {
           val t0 = System.nanoTime()
           try run(SparkEntry.queries(name)(spark, dir))
@@ -162,14 +173,14 @@ object Bench {
         }
       }
     }
-    spark.conf.set("spark.sql.shuffle.partitions", cpus)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
-
     // Streaming throughput (round-2 verdict #10): rate-source micro-bench
     // for the tumble aggregation and the stateful funnel — rows/sec
     // actually processed over a fixed wall window. Streaming is a claimed
     // capability superset; this puts a performance number in the record.
     if (!sys.env.contains("SPARK_GRAFT_SKIP_STREAM")) {
+      spark.stop()
+      spark = newSession(cpus, "4m")
+      spark.sparkContext.setLogLevel("WARN")
       extra ++= streamingBench(spark)
     }
 
@@ -203,9 +214,12 @@ object Bench {
           java.nio.file.Files.createTempDirectory(s"bench_$name").toString)
         .start()
       try {
-        // wait for ≥4 data-carrying batches (first one absorbs startup)
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (q.recentProgress.count(_.numInputRows > 0) < 4 &&
+        // wait for ≥3 data-carrying batches (first one absorbs startup —
+        // in a fresh session the stateful queries' first triggers also pay
+        // codegen + state-store init, so batches tick slowly at first;
+        // 90s accommodates that and the loop exits early once satisfied)
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (q.recentProgress.count(_.numInputRows > 0) < 3 &&
                System.nanoTime() < deadline) Thread.sleep(250)
         val ps = q.recentProgress.filter(_.numInputRows > 0).drop(1)
         val rows = ps.map(_.numInputRows).sum
