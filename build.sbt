@@ -31,6 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Bench calls System.gc() between timed queries to let the
+  // ContextCleaner drain; on a ~50 GB heap a stop-the-world full GC can
+  // stall the whole local-mode JVM past the 120s network timeout — the
+  // heartbeat receiver then removes the only executor and the context
+  // dies mid-bench (observed: a >132s freeze at SF100). Concurrent
+  // explicit GC keeps the pause bounded; G1 is the JDK 17 default.
+  "-XX:+ExplicitGCInvokesConcurrent",
   // The sandbox has 125 GiB; the SF100 bench section joins 600M-row
   // tables — at 8g the forced shuffled-hash builds spill to disk and the
   // measurement becomes a spill benchmark (q101 SF100: 120s at 8g vs the

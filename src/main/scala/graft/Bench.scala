@@ -75,6 +75,14 @@ object Bench {
       // 128 MB default is right, at sf0.1 one file = one thread otherwise
       .config("spark.sql.files.maxPartitionBytes", splitBytes)
       .config("spark.sql.files.openCostInBytes", "64k")
+      // Single-JVM local mode: a long GC pause stalls driver and executor
+      // together, so a 10s heartbeat RPC timeout + 120s liveness window
+      // can kill the only executor mid-section (observed at SF100: one
+      // >132s stall → context shutdown → exit 56). Local mode has no real
+      // liveness question — the "executor" IS the driver process — so use
+      // cluster-scale tolerances.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
