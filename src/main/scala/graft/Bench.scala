@@ -29,6 +29,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffleDir = {
+      val d = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_shuffle"
+              else System.getProperty("java.io.tmpdir")
+      new java.io.File(d).mkdirs(); d
+    }
     // Each large-SF section gets a FRESH SparkSession (same JVM — the JIT
     // and codegen caches stay warm): a single long-lived session
     // accumulates broadcast / bloom-filter / checkpoint blocks faster than
@@ -83,6 +88,18 @@ object Bench {
       // cluster-scale tolerances.
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
+      // Shuffle/spill dirs on tmpfs: the sandbox block device measures
+      // ~190 MB/s direct-write, and host IO throttling varies run to run —
+      // one recorded run had the bare-groupBy control at 31s vs its steady
+      // 1.5s and sessionization at 826s vs 47s, purely from shuffle files
+      // draining to the throttled disk (map-side-only queries on the same
+      // data were unaffected). A real cluster node carries local NVMe for
+      // exactly this traffic; tmpfs is the closest stand-in and keeps the
+      // measurement about plans, not the host's disk QoS of the hour.
+      // Worst per-query shuffle footprint at SF100 is ~25 GB (lz4), well
+      // under the 62 GB /dev/shm cap, and Spark removes its temp dirs on
+      // session stop.
+      .config("spark.local.dir", shuffleDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 
