@@ -404,11 +404,11 @@ object TpcdsQueries3 {
         .df
     }, Some("""
       SELECT n_name,
-        SUM(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) AS d30,
-        SUM(CASE WHEN dd > 30 AND dd <= 60 THEN 1 ELSE 0 END) AS d60,
-        SUM(CASE WHEN dd > 60 AND dd <= 90 THEN 1 ELSE 0 END) AS d90,
-        SUM(CASE WHEN dd > 90 AND dd <= 120 THEN 1 ELSE 0 END) AS d120,
-        SUM(CASE WHEN dd > 120 THEN 1 ELSE 0 END) AS dmore
+        CAST(SUM(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        CAST(SUM(CASE WHEN dd > 30 AND dd <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        CAST(SUM(CASE WHEN dd > 60 AND dd <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        CAST(SUM(CASE WHEN dd > 90 AND dd <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+        CAST(SUM(CASE WHEN dd > 120 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
       FROM (
         SELECT n_name, DATE_DIFF('day', o_orderdate, l_shipdate) AS dd
         FROM lineitem

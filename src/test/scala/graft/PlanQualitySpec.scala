@@ -45,30 +45,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q101 runtime bloom filter injects under the bench session confs") {
-    // The SF100 gate depends on the semi-join reduction: orders (1/5
-    // selective) must prune the lineitem scan→shuffle BEFORE the exchange.
-    // Spark's defaults block it (creation side <10MB, app side >10GB scan);
-    // the bench session raises/clears them — assert the rule actually
-    // fires on the q101 shape so a conf or plan change can't silently
-    // drop it. Thresholds relaxed here because sf0.001 is tiny.
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      // bloom filters only inject ahead of SHUFFLE joins; at sf0.001 every
-      // side broadcasts, so force the shuffle shape the SF100 run has
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.enabled" -> "false")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val p = SparkEntry.queries("q101_tpch5_local_volume")(spark, sfDir)
-        .queryExecution.optimizedPlan.toString
-      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
-        s"runtime bloom filter not injected into the Q5 shape:\n$p")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+  test("q101 pre-cuts both fact sides below the orderkey exchange") {
+    // The SF100 gate depends on both 1/5 region cuts happening BEFORE the
+    // only wide shuffle: lineitem and orders must each hit their broadcast
+    // dimension-map join (supplier keys / customer keys) below the
+    // o_orderkey exchange, and the plan must carry exactly one exchange
+    // pair for the fact join (plus agg + sort exchanges). Force BT=-1 so
+    // tiny sf0.001 sides can't accidentally broadcast the fact join itself
+    // — the broadcast() hints on the dimension maps override it.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try plan("q101_tpch5_local_volume")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    val lines = p.linesIterator.toSeq
+    for (fact <- Seq("lineitem", "orders")) {
+      val scanIdx = lines.indexWhere(l =>
+        l.contains("FileScan parquet") && l.contains(s"$fact.parquet"))
+      assert(scanIdx >= 0, s"no $fact scan:\n$p")
+      val above = lines.take(scanIdx).reverse
+      val bhj = above.indexWhere(_.contains("BroadcastHashJoin"))
+      val ex = above.indexWhere(_.contains("Exchange hashpartitioning"))
+      assert(bhj >= 0 && ex >= 0 && bhj < ex,
+        s"$fact side not cut by a broadcast join below its exchange:\n$p")
+    }
+    // exactly one wide exchange per fact side, keyed on the orderkey join
+    // (the BT=-1 override also de-broadcasts the tiny dimension-map builds
+    // into SMJs — those exchanges live inside BroadcastExchange subtrees
+    // and are irrelevant at scale, so count only the fact-key exchanges)
+    for (key <- Seq("l_orderkey", "o_orderkey")) {
+      val n = lines.count(l => l.contains("Exchange hashpartitioning(" + key))
+      assert(n == 1, s"expected exactly one $key exchange, got $n:\n$p")
     }
   }
 
