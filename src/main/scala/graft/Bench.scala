@@ -16,7 +16,7 @@ object Bench {
     * featurization, windowed events. */
   private val headline = Seq(
     "q01_agg", "q03_join_agg_top", "q12_window_rank", "q19_asof_join",
-    "q37_mode", "q60_text_stats", "q63_dedup_keep_first", "q65_minhash_pairs",
+    "q37_mode", "q60b_text_stats_full", "q63_dedup_keep_first", "q65_minhash_pairs",
     "q68_embedding_topk", "q71_quality_pipeline", "q80_tumble", "q82_session",
     "q101_tpch5_local_volume", "q103_tpch13_custdist")
 
@@ -30,8 +30,34 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffleDir = {
-      val d = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_shuffle"
-              else System.getProperty("java.io.tmpdir")
+      // tmpfs keeps shuffle traffic off the throttled host disk, but it
+      // shares physical RAM with the ~50g heap and the page cache the
+      // warm protocol depends on. Two guards (round-3 advice): (1) sweep
+      // stale spark-*/blockmgr-* dirs a crashed run left behind — Spark
+      // only removes them on clean stop, and ~25 GB of dead shuffle files
+      // resident in RAM would skew everything; (2) require real headroom
+      // (worst observed per-query footprint ~25 GB at SF100) or fall back
+      // to java.io.tmpdir rather than race the OOM killer.
+      val shm = new java.io.File("/dev/shm")
+      val d = if (shm.isDirectory) {
+        val dir = new java.io.File("/dev/shm/graft_shuffle")
+        if (dir.isDirectory) Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("spark-") || f.getName.startsWith("blockmgr-"))
+          .foreach { f =>
+            def rm(x: java.io.File): Unit = {
+              if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete()
+            }
+            rm(f)
+          }
+        val headroomBytes = shm.getUsableSpace
+        if (headroomBytes >= 40L * 1024 * 1024 * 1024) dir.getPath
+        else {
+          System.err.println(s"[bench] /dev/shm has only ${headroomBytes >> 30} GiB free " +
+            "(<40 GiB worst-case shuffle+headroom) — falling back to java.io.tmpdir")
+          System.getProperty("java.io.tmpdir")
+        }
+      } else System.getProperty("java.io.tmpdir")
       new java.io.File(d).mkdirs(); d
     }
     // Each large-SF section gets a FRESH SparkSession (same JVM — the JIT

@@ -17,21 +17,41 @@ object Skew {
   /** Salted equi-join: the probe (large, skewed) side gets a uniform random
     * salt in [0, buckets); the build side is replicated `buckets` times with
     * an exploded salt column; the join key becomes (key, salt) so one hot
-    * key spreads over `buckets` reducers. Build-side blowup is ×buckets —
-    * use for large-but-not-broadcastable build sides; if the build side
-    * fits in memory, `broadcast()` beats salting outright. */
+    * key spreads over `buckets` reducers.
+    *
+    * SCALE GUARD: salting is the LAST resort for join skew, not the first.
+    * AQE's skew-join split plus a broadcastable build side already eliminate
+    * the common cases, and replicating the build ×buckets is pure overhead
+    * there — the SF100 control pair measured the salted plan 13× slower than
+    * the plain join on a deliberate 90%-hot key (BENCH_LARGE.md). So this
+    * helper bails out to a plain join whenever Catalyst's size estimate says
+    * the build side fits the broadcast threshold (the planner then picks a
+    * broadcast join and no reducer ever sees the hot key). The salted path
+    * remains for the genuinely pathological shape: a hot key against a
+    * build side too big to broadcast. For aggregation skew — which AQE
+    * cannot split — use [[saltedAgg]]. */
   def saltedJoin(
       probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       buckets: Int, how: String = "inner"): DataFrame = {
-    val salted = probe.withColumn("__salt", (rand(42L) * buckets).cast("int"))
-    val replicated = build.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
-    salted
-      .join(replicated,
-        salted(probeKey) === replicated(buildKey) && salted("__salt") === replicated("__salt"),
-        how)
-      .drop("__salt")
+    val threshold = probe.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
+        case "-1" => -1L
+        case s    => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+      }
+    val buildBytes = build.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold >= 0 && buildBytes <= threshold)
+      probe.join(build, probe(probeKey) === build(buildKey), how)
+    else {
+      val salted = probe.withColumn("__salt", (rand(42L) * buckets).cast("int"))
+      val replicated = build.withColumn("__salt",
+        explode(sequence(lit(0), lit(buckets - 1))))
+      salted
+        .join(replicated,
+          salted(probeKey) === replicated(buildKey) && salted("__salt") === replicated("__salt"),
+          how)
+        .drop("__salt")
+    }
   }
 
   /** Two-phase aggregation for hot group keys: phase 1 aggregates on

@@ -53,6 +53,54 @@ object PipelineQueries {
         MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(w)), ' ')) AS fp_key_hash
       FROM toks ORDER BY doc_id""")),
 
+    // Full-corpus text featurization (the BENCH row for text analysis):
+    // q60 keeps the doc_id<50 per-document listing as the value-level
+    // oracle of each feature; this twin runs the same features over EVERY
+    // document and aggregates by (lang, source), so the benched work scales
+    // with SF instead of measuring the scheduler floor on 50 rows
+    // (round-3 verdict #4). Output stays ~35 rows at any SF.
+    QueryDef("q60b_text_stats_full", (s, dir) => {
+      Table(documents(s, dir))
+        .mutate(
+          "n_tokens" -> TextAnalysis.tokenCount(col("text")),
+          "avg_wlen" -> round(TextAnalysis.avgWordLength(col("text")), 6),
+          "stop_ratio" -> round(TextAnalysis.stopwordRatio(col("text")), 6),
+          "quality" -> TextAnalysis.qualityScore(col("text")),
+          "fp" -> md5(TextAnalysis.fingerprintKey(col("text"))))
+        .groupBy(col("lang"), col("source"))
+        .aggregate(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          dsum(col("quality")).as("sum_quality"),
+          dsum(col("avg_wlen")).as("sum_awl"),
+          dsum(col("stop_ratio")).as("sum_stop"),
+          countDistinct(col("fp")).as("n_fp"))
+        .sort(SortKey.asc(col("lang")), SortKey.asc(col("source")))
+        .df
+    }, Some("""
+      WITH toks AS (
+        SELECT lang, source, text,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents),
+      f AS (
+        SELECT lang, source,
+          LEN(w) AS n_tokens,
+          ROUND(LIST_AGGREGATE(LIST_TRANSFORM(w, x -> CAST(LENGTH(x) AS BIGINT)), 'sum') / CAST(LEN(w) AS DOUBLE), 6) AS avg_wlen,
+          ROUND(LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','that','this','be','from'], x))) / CAST(LEN(w) AS DOUBLE), 6) AS stop_ratio,
+          ((CASE WHEN LEN(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','that','this','be','from'], x))) / CAST(LEN(w) AS DOUBLE) > 0.01 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE) < 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+          MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(w)), ' ')) AS fp
+        FROM toks)
+      SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(CAST(quality AS DECIMAL(38,4))) AS DOUBLE) AS sum_quality,
+        CAST(SUM(CAST(avg_wlen AS DECIMAL(38,4))) AS DOUBLE) AS sum_awl,
+        CAST(SUM(CAST(stop_ratio AS DECIMAL(38,4))) AS DOUBLE) AS sum_stop,
+        COUNT(DISTINCT fp) AS n_fp
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Heuristic language ID (profile n-gram argmax, first-wins ties).
     QueryDef("q61_langid", (s, dir) => {
       Table(documents(s, dir))

@@ -15,10 +15,11 @@ import duckdb, glob, json, os, subprocess, sys, time
 SF = sys.argv[1]
 TAG = sys.argv[2] if len(sys.argv) > 2 else "sf1"
 PASSES = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+ONLY = sys.argv[4].split(",") if len(sys.argv) > 4 else None  # merge-update just these
 
 HEADLINE = [
     "q01_agg", "q03_join_agg_top", "q12_window_rank", "q19_asof_join",
-    "q37_mode", "q60_text_stats", "q63_dedup_keep_first", "q65_minhash_pairs",
+    "q37_mode", "q60b_text_stats_full", "q63_dedup_keep_first", "q65_minhash_pairs",
     "q68_embedding_topk", "q71_quality_pipeline", "q80_tumble", "q82_session",
     "q101_tpch5_local_volume", "q103_tpch13_custdist"]
 
@@ -50,15 +51,22 @@ def best_of(sql, n):
     return round(min(times), 3)
 
 out = {}
+prev_path = f"bench/duckdb_{TAG}.json"
+if ONLY and os.path.exists(prev_path):
+    prev = json.load(open(prev_path))
+    out.update({k: v for k, v in next(v for k, v in prev.items() if k.startswith("warm_min_of")).items()})
+    controls_prev = prev.get("controls", {})
+else:
+    controls_prev = {}
 for q in HEADLINE:
-    if q not in oracle:
+    if q not in oracle or (ONLY and q not in ONLY):
         continue
     out[q] = best_of(oracle[q], PASSES)
     print(q, out[q])
 
-controls = {}
+controls = dict(controls_prev)
 for q in CONTROLS:
-    if q in oracle:
+    if q in oracle and not ONLY:
         controls[q] = best_of(oracle[q], PASSES)
         print("control", q, controls[q])
 
