@@ -23,9 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * no GEOS dependency, fully codegen-compatible (static calls from
   * whole-stage-generated code).
   *
-  * Out of scope (still a documented divergence, GEOS territory): Buffer,
-  * ConvexHull, Simplify, Transform/SRID reprojection, geometric set ops
-  * (Union/Intersection/Difference as geometry outputs), Multi* collections.
+  * Multi* / GeometryCollection INPUTS are first-class (round 4): parsed
+  * recursively with flattened ring sets so the predicate machinery treats
+  * them exactly (OGC disjoint-interior invariant); measures fold per
+  * member. Polygon set-op outputs live in [[GeoGeomOps]]. Out of scope
+  * (documented divergence, GEOS territory): Buffer of lines/polygons,
+  * ConvexHull, GEOS-general set ops, arbitrary-CRS transform.
   *
   * Geometry model: `rings(0)` holds the flat [x0,y0,x1,y1,…] coordinates —
   * a point has 1 pair, a linestring N pairs, a polygon stores one flat
@@ -38,16 +41,35 @@ object GeoGeom {
   final val PointType = 1
   final val LineType = 2
   final val PolygonType = 3
+  final val MultiPointType = 4
+  final val MultiLineType = 5
+  final val MultiPolygonType = 6
+  final val CollectionType = 7
 
-  /** kind: 1 point, 2 line, 3 polygon. */
-  final class Geom(val kind: Int, val rings: Array[Array[Double]])
+  /** kind: 1 point, 2 line, 3 polygon, 4-7 Multi* / GeometryCollection.
+    *
+    * For multi kinds, `rings` is the CONCATENATION of every part's rings
+    * (one [x,y] pair per MultiPoint member, one flat array per line /
+    * ring) and `parts` holds the structured members. The flattening is
+    * what lets the point-in-rings / segment-distance machinery treat a
+    * MultiPolygon exactly like a polygon: OGC requires Multi* interiors
+    * to be disjoint, so even-odd ray casting over the combined ring set
+    * classifies containment correctly. Per-part structure is only needed
+    * where flattening loses information (area/centroid weighting, WKT). */
+  final class Geom(val kind: Int, val rings: Array[Array[Double]],
+      val parts: Array[Geom] = null)
 
   def parse(bytes: Array[Byte]): Geom = {
     if (bytes == null || bytes.length < 5) return null
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    bb.order(if (bytes(0) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+    try parseFrom(bb, 0) catch { case _: java.nio.BufferUnderflowException => null }
+  }
+
+  private def parseFrom(bb: java.nio.ByteBuffer, depth: Int): Geom = {
+    if (depth > 4 || bb.remaining() < 5) return null
+    bb.order(if (bb.get(bb.position()) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
              else java.nio.ByteOrder.BIG_ENDIAN)
-    bb.position(1)
+    bb.position(bb.position() + 1)
     var gtype = bb.getInt()
     if ((gtype & 0x20000000) != 0) { // EWKB SRID flag: skip srid
       gtype &= ~0x20000000
@@ -55,7 +77,7 @@ object GeoGeom {
       bb.getInt()
     }
     gtype &= 0xFFFF
-    try gtype match {
+    gtype match {
       case PointType =>
         if (bb.remaining() < 16) return null
         new Geom(1, Array(Array(bb.getDouble(), bb.getDouble())))
@@ -80,8 +102,22 @@ object GeoGeom {
           rings(r) = flat; r += 1
         }
         new Geom(3, rings)
+      case MultiPointType | MultiLineType | MultiPolygonType | CollectionType =>
+        val np = bb.getInt()
+        if (np < 0 || np > (1 << 20)) return null
+        val parts = new Array[Geom](np)
+        var p = 0
+        while (p < np) {
+          val g = parseFrom(bb, depth + 1) // each member is a full WKB
+          if (g == null) return null
+          // enforce homogeneous member kinds for typed multis
+          val want = gtype - 3
+          if (gtype != CollectionType && g.kind != want) return null
+          parts(p) = g; p += 1
+        }
+        new Geom(gtype, parts.flatMap(_.rings), parts)
       case _ => null
-    } catch { case _: java.nio.BufferUnderflowException => null }
+    }
   }
 
   def writeLine(flat: Array[Double]): Array[Byte] = {
@@ -100,6 +136,23 @@ object GeoGeom {
     bb.array()
   }
 
+  /** Multi* / GeometryCollection writer: header + each member's full WKB. */
+  def writeMulti(gtype: Int, members: Array[Array[Byte]]): Array[Byte] = {
+    val size = 9 + members.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).putInt(gtype).putInt(members.length)
+    members.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Serialize any parsed Geom back to WKB (inverse of [[parse]]). */
+  def write(g: Geom): Array[Byte] = g.kind match {
+    case 1 => GeoWkb.writePoint(g.rings(0)(0), g.rings(0)(1))
+    case 2 => writeLine(g.rings(0))
+    case 3 => writePolygon(g.rings)
+    case _ => writeMulti(g.kind, g.parts.map(write))
+  }
+
   // ---- measures ------------------------------------------------------
 
   /** Shoelace over all rings; shell minus holes falls out of the even-odd
@@ -108,20 +161,26 @@ object GeoGeom {
   def area(bytes: Array[Byte]): java.lang.Double = {
     val g = parse(bytes)
     if (g == null) return null
-    if (g.kind != 3) return 0.0
-    var shell = 0.0; var holes = 0.0; var first = true
-    g.rings.foreach { r =>
-      var s = 0.0
-      var i = 0
-      val n = r.length / 2
-      while (i < n - 1) {
-        s += r(i * 2) * r(i * 2 + 3) - r(i * 2 + 2) * r(i * 2 + 1)
-        i += 1
+    areaOf(g)
+  }
+
+  private[exts] def areaOf(g: Geom): Double = g.kind match {
+    case 3 =>
+      var shell = 0.0; var holes = 0.0; var first = true
+      g.rings.foreach { r =>
+        var s = 0.0
+        var i = 0
+        val n = r.length / 2
+        while (i < n - 1) {
+          s += r(i * 2) * r(i * 2 + 3) - r(i * 2 + 2) * r(i * 2 + 1)
+          i += 1
+        }
+        val a = math.abs(s) / 2.0
+        if (first) { shell = a; first = false } else holes += a
       }
-      val a = math.abs(s) / 2.0
-      if (first) { shell = a; first = false } else holes += a
-    }
-    shell - holes
+      shell - holes
+    case 6 | 7 => g.parts.map(areaOf).sum // OGC disjoint interiors → plain sum
+    case _     => 0.0
   }
 
   private[exts] def ringLength(r: Array[Double]): Double = {
@@ -136,18 +195,33 @@ object GeoGeom {
     s
   }
 
-  /** ST_Length semantics: linestring length; 0 for point and polygon. */
+  /** ST_Length semantics: linestring length; 0 for point and polygon.
+    * MultiLineString: sum of member lengths. */
   def length(bytes: Array[Byte]): java.lang.Double = {
     val g = parse(bytes)
     if (g == null) return null
-    if (g.kind == 2) ringLength(g.rings(0)) else 0.0
+    lengthOf(g)
   }
 
-  /** ST_Perimeter semantics: sum of ring lengths; 0 for point/line. */
+  private def lengthOf(g: Geom): Double = g.kind match {
+    case 2 => ringLength(g.rings(0))
+    case 5 => g.rings.map(ringLength).sum
+    case 7 => g.parts.map(lengthOf).sum
+    case _ => 0.0
+  }
+
+  /** ST_Perimeter semantics: sum of ring lengths; 0 for point/line.
+    * MultiPolygon: sum over every member's rings. */
   def perimeter(bytes: Array[Byte]): java.lang.Double = {
     val g = parse(bytes)
     if (g == null) return null
-    if (g.kind == 3) g.rings.map(ringLength).sum else 0.0
+    perimeterOf(g)
+  }
+
+  private def perimeterOf(g: Geom): Double = g.kind match {
+    case 3 | 6 => g.rings.map(ringLength).sum
+    case 7     => g.parts.map(perimeterOf).sum
+    case _     => 0.0
   }
 
   def nPoints(bytes: Array[Byte]): java.lang.Integer = {
@@ -172,47 +246,87 @@ object GeoGeom {
 
   /** Centroid: point → itself; linestring → length-weighted segment
     * midpoints; polygon → area-weighted shoelace centroid of the shell
-    * (vertex mean when degenerate). Returns a WKB point. */
+    * (vertex mean when degenerate). Multi* / collections: weighted mean of
+    * the member centroids of the HIGHEST dimension present (PostGIS
+    * semantics) — weight = area for polygons, length for lines, 1 for
+    * points. Returns a WKB point. */
   def centroid(bytes: Array[Byte]): Array[Byte] = {
     val g = parse(bytes)
     if (g == null) return null
-    g.kind match {
-      case 1 => GeoWkb.writePoint(g.rings(0)(0), g.rings(0)(1))
-      case 2 =>
-        val r = g.rings(0)
-        val n = r.length / 2
-        if (n == 1) return GeoWkb.writePoint(r(0), r(1))
-        var w = 0.0; var cx = 0.0; var cy = 0.0
-        var i = 0
-        while (i < n - 1) {
-          val dx = r(i * 2 + 2) - r(i * 2); val dy = r(i * 2 + 3) - r(i * 2 + 1)
-          val len = math.sqrt(dx * dx + dy * dy)
-          cx += (r(i * 2) + r(i * 2 + 2)) / 2.0 * len
-          cy += (r(i * 2 + 1) + r(i * 2 + 3)) / 2.0 * len
-          w += len
-          i += 1
+    val c = centroidOf(g)
+    if (c == null) null else GeoWkb.writePoint(c(0), c(1))
+  }
+
+  private def centroidOf(g: Geom): Array[Double] = g.kind match {
+    case 1 => Array(g.rings(0)(0), g.rings(0)(1))
+    case 2 =>
+      val r = g.rings(0)
+      val n = r.length / 2
+      if (n == 1) return Array(r(0), r(1))
+      var w = 0.0; var cx = 0.0; var cy = 0.0
+      var i = 0
+      while (i < n - 1) {
+        val dx = r(i * 2 + 2) - r(i * 2); val dy = r(i * 2 + 3) - r(i * 2 + 1)
+        val len = math.sqrt(dx * dx + dy * dy)
+        cx += (r(i * 2) + r(i * 2 + 2)) / 2.0 * len
+        cy += (r(i * 2 + 1) + r(i * 2 + 3)) / 2.0 * len
+        w += len
+        i += 1
+      }
+      if (w == 0.0) Array(r(0), r(1)) else Array(cx / w, cy / w)
+    case 3 =>
+      val r = g.rings(0)
+      val n = r.length / 2
+      var a = 0.0; var cx = 0.0; var cy = 0.0
+      var i = 0
+      while (i < n - 1) {
+        val cross = r(i * 2) * r(i * 2 + 3) - r(i * 2 + 2) * r(i * 2 + 1)
+        a += cross
+        cx += (r(i * 2) + r(i * 2 + 2)) * cross
+        cy += (r(i * 2 + 1) + r(i * 2 + 3)) * cross
+        i += 1
+      }
+      if (a == 0.0) {
+        var sx = 0.0; var sy = 0.0
+        i = 0
+        while (i < n - 1) { sx += r(i * 2); sy += r(i * 2 + 1); i += 1 }
+        Array(sx / (n - 1), sy / (n - 1))
+      } else Array(cx / (3.0 * a), cy / (3.0 * a))
+    case _ =>
+      if (g.parts == null || g.parts.isEmpty) return null
+      def dim(k: Int): Int = k match {
+        case 1 | 4 => 0
+        case 2 | 5 => 1
+        case _     => 2
+      }
+      val maxDim = g.parts.map(p => dim(p.kind)).max
+      var w = 0.0; var cx = 0.0; var cy = 0.0
+      g.parts.foreach { p =>
+        if (dim(p.kind) == maxDim) {
+          val c = centroidOf(p)
+          if (c != null) {
+            val pw = maxDim match {
+              case 2 => areaOf(p)
+              case 1 => lengthOf(p)
+              case _ => 1.0
+            }
+            // degenerate members (zero area/length) keep a tiny epsilon-free
+            // fallback: count them with weight 0 (no contribution) unless
+            // EVERY member is degenerate, handled after the loop
+            cx += c(0) * pw; cy += c(1) * pw; w += pw
+          }
         }
-        if (w == 0.0) GeoWkb.writePoint(r(0), r(1))
-        else GeoWkb.writePoint(cx / w, cy / w)
-      case 3 =>
-        val r = g.rings(0)
-        val n = r.length / 2
-        var a = 0.0; var cx = 0.0; var cy = 0.0
-        var i = 0
-        while (i < n - 1) {
-          val cross = r(i * 2) * r(i * 2 + 3) - r(i * 2 + 2) * r(i * 2 + 1)
-          a += cross
-          cx += (r(i * 2) + r(i * 2 + 2)) * cross
-          cy += (r(i * 2 + 1) + r(i * 2 + 3)) * cross
-          i += 1
+      }
+      if (w == 0.0) { // all degenerate: plain mean of member centroids
+        var n = 0
+        g.parts.foreach { p =>
+          if (dim(p.kind) == maxDim) {
+            val c = centroidOf(p)
+            if (c != null) { cx += c(0); cy += c(1); n += 1 }
+          }
         }
-        if (a == 0.0) {
-          var sx = 0.0; var sy = 0.0
-          i = 0
-          while (i < n - 1) { sx += r(i * 2); sy += r(i * 2 + 1); i += 1 }
-          GeoWkb.writePoint(sx / (n - 1), sy / (n - 1))
-        } else GeoWkb.writePoint(cx / (3.0 * a), cy / (3.0 * a))
-    }
+        if (n == 0) null else Array(cx / n, cy / n)
+      } else Array(cx / w, cy / w)
   }
 
   /** ST_Envelope: bbox as a closed polygon (point in → point out). */
@@ -241,23 +355,28 @@ object GeoGeom {
   def flip(bytes: Array[Byte]): Array[Byte] = {
     val g = parse(bytes)
     if (g == null) return null
+    write(flipGeom(g))
+  }
+
+  private def flipGeom(g: Geom): Geom = {
     val fl = g.rings.map { r =>
       val o = new Array[Double](r.length)
       var i = 0
       while (i < r.length) { o(i) = r(i + 1); o(i + 1) = r(i); i += 2 }
       o
     }
-    g.kind match {
-      case 1 => GeoWkb.writePoint(fl(0)(0), fl(0)(1))
-      case 2 => writeLine(fl(0))
-      case 3 => writePolygon(fl)
-    }
+    if (g.parts == null) new Geom(g.kind, fl)
+    else new Geom(g.kind, fl, g.parts.map(flipGeom))
   }
 
   def geometryType(bytes: Array[Byte]): String = {
     val g = parse(bytes)
     if (g == null) null
-    else g.kind match { case 1 => "POINT"; case 2 => "LINESTRING"; case 3 => "POLYGON" }
+    else g.kind match {
+      case 1 => "POINT"; case 2 => "LINESTRING"; case 3 => "POLYGON"
+      case 4 => "MULTIPOINT"; case 5 => "MULTILINESTRING"; case 6 => "MULTIPOLYGON"
+      case 7 => "GEOMETRYCOLLECTION"
+    }
   }
 
   private[exts] def fmt(v: Double): String =
@@ -266,12 +385,24 @@ object GeoGeom {
   def asText(bytes: Array[Byte]): String = {
     val g = parse(bytes)
     if (g == null) return null
+    wkt(g)
+  }
+
+  private def wkt(g: Geom): String = {
     def coords(r: Array[Double]) =
       r.grouped(2).map(p => s"${fmt(p(0))} ${fmt(p(1))}").mkString(", ")
     g.kind match {
       case 1 => s"POINT (${coords(g.rings(0))})"
       case 2 => s"LINESTRING (${coords(g.rings(0))})"
       case 3 => g.rings.map(r => s"(${coords(r)})").mkString("POLYGON (", ", ", ")")
+      case 4 => g.parts.map(p => s"(${coords(p.rings(0))})")
+        .mkString("MULTIPOINT (", ", ", ")")
+      case 5 => g.parts.map(p => s"(${coords(p.rings(0))})")
+        .mkString("MULTILINESTRING (", ", ", ")")
+      case 6 => g.parts
+        .map(p => p.rings.map(r => s"(${coords(r)})").mkString("(", ", ", ")"))
+        .mkString("MULTIPOLYGON (", ", ", ")")
+      case 7 => g.parts.map(wkt).mkString("GEOMETRYCOLLECTION (", ", ", ")")
     }
   }
 
@@ -370,14 +501,36 @@ object GeoGeom {
     best
   }
 
-  /** Generic min distance over all six type pairings; 0 on touch/overlap/
+  /** Generic min distance over all type pairings incl. Multi* (min over
+    * members falls out of the flattened ring sets); 0 on touch/overlap/
     * containment. */
   def distance(aB: Array[Byte], bB: Array[Byte]): java.lang.Double = {
     val a = parse(aB); val b = parse(bB)
     if (a == null || b == null) return null
-    // polygon containment → 0 even with no boundary crossing
-    if (a.kind == 3 && pointInRings(b.rings(0)(0), b.rings(0)(1), a.rings)) return 0.0
-    if (b.kind == 3 && pointInRings(a.rings(0)(0), a.rings(0)(1), b.rings)) return 0.0
+    distanceOf(a, b)
+  }
+
+  private def anyVertexIn(g: Geom, rings: Array[Array[Double]]): Boolean =
+    g.rings.exists { r =>
+      var i = 0
+      while (i < r.length) {
+        if (pointInRings(r(i), r(i + 1), rings)) return true
+        i += 2
+      }
+      false
+    }
+
+  private[exts] def distanceOf(a: Geom, b: Geom): Double = {
+    if (a.rings.isEmpty || b.rings.isEmpty) return Double.MaxValue // EMPTY geom
+    // areal containment → 0 even with no boundary crossing. Any-vertex (not
+    // just the first) matters for multi operands: one member can sit fully
+    // inside the polygon while another is outside, with no edge crossing.
+    if ((a.kind == 3 || a.kind == 6) && anyVertexIn(b, a.rings)) return 0.0
+    if ((b.kind == 3 || b.kind == 6) && anyVertexIn(a, b.rings)) return 0.0
+    // heterogeneous collections: polygon members need their containment
+    // check, so recurse per member instead of using the flattened rings
+    if (a.kind == 7) return a.parts.foldLeft(Double.MaxValue)((m, p) => math.min(m, distanceOf(p, b)))
+    if (b.kind == 7) return b.parts.foldLeft(Double.MaxValue)((m, p) => math.min(m, distanceOf(a, p)))
     minDistRings(a.rings, b.rings)
   }
 
@@ -403,10 +556,14 @@ object GeoGeom {
   def contains(aB: Array[Byte], bB: Array[Byte]): java.lang.Boolean = {
     val a = parse(aB); val b = parse(bB)
     if (a == null || b == null) return null
-    if (a.kind != 3) {
+    if (a.kind != 3 && a.kind != 6) {
       // point/line can only contain geometries with distance 0 and equal dim
       return a.kind == b.kind && java.util.Arrays.equals(aB, bB)
     }
+    // a is POLYGON or MULTIPOLYGON from here: the even-odd test over the
+    // flattened ring set classifies the multi case exactly (OGC disjoint
+    // interiors), and b's vertex/edge/midpoint sweep below already walks
+    // EVERY ring of a multi b (single-point rings skip the edge loop).
     var r = 0
     while (r < b.rings.length) {
       val ring = b.rings(r)
@@ -468,6 +625,27 @@ object GeoGeom {
       i += 1
     }
     writeLine(flat)
+  }
+
+  /** ST_Collect-style constructor: homogeneous member kinds → MULTIPOINT/
+    * MULTILINESTRING/MULTIPOLYGON, mixed → GEOMETRYCOLLECTION. Null if any
+    * member is null/malformed. */
+  def collect(geoms: Array[Array[Byte]]): Array[Byte] = {
+    if (geoms == null || geoms.length == 0) return null
+    val kinds = new Array[Int](geoms.length)
+    var i = 0
+    while (i < geoms.length) {
+      val p = parse(geoms(i))
+      if (p == null) return null
+      kinds(i) = p.kind
+      i += 1
+    }
+    val t =
+      if (kinds.forall(_ == 1)) MultiPointType
+      else if (kinds.forall(_ == 2)) MultiLineType
+      else if (kinds.forall(_ == 3)) MultiPolygonType
+      else CollectionType
+    writeMulti(t, geoms)
   }
 
   /** Array of WKB points → single-ring POLYGON, auto-closed. */
@@ -549,11 +727,19 @@ case class GeoTransform(child: Expression, op: String) extends UnaryExpression {
     case "flip" => GeoGeom.flip(b)
     case "start_point" => GeoGeom.startPoint(b)
     case "end_point" => GeoGeom.endPoint(b)
+    case "unary_union" => GeoGeomOps.unaryUnion(b)
+    case "line_merge" => GeoGeomOps.lineMerge(b)
   }
   private def staticName: String = op match {
     case "start_point" => "startPoint"
     case "end_point" => "endPoint"
+    case "unary_union" => "unaryUnion"
+    case "line_merge" => "lineMerge"
     case other => other
+  }
+  private def staticCls: String = op match {
+    case "unary_union" | "line_merge" => "graft.exts.GeoGeomOps"
+    case _ => "graft.exts.GeoGeom"
   }
 
   override def nullSafeEval(v: Any): Any = invoke(v.asInstanceOf[Array[Byte]])
@@ -561,7 +747,7 @@ case class GeoTransform(child: Expression, op: String) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, b => {
       val r = ctx.freshName("r")
       s"""
-        byte[] $r = graft.exts.GeoGeom.$staticName($b);
+        byte[] $r = $staticCls.$staticName($b);
         if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       """
     })
@@ -732,7 +918,11 @@ case class GeoMake(child: Expression, op: String) extends UnaryExpression {
       pts(i) = arr.getBinary(i)
       i += 1
     }
-    if (op == "make_line") GeoGeom.makeLine(pts) else GeoGeom.makePolygon(pts)
+    op match {
+      case "make_line"    => GeoGeom.makeLine(pts)
+      case "make_polygon" => GeoGeom.makePolygon(pts)
+      case "collect"      => GeoGeom.collect(pts) // members are any WKB, not just points
+    }
   }
   // interpreted path only: constructors run once per group/track, never in
   // a hot scan loop — ArrayData unpacking in codegen buys nothing here

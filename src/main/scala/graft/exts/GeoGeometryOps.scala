@@ -668,6 +668,295 @@ object GeoGeomOps {
     if (pieces.length != 1) null else GeoGeom.writeLine(pieces.head)
   }
 
+  // ---- polygon boolean ops: union / difference --------------------------
+  //
+  // GeoUnion (geospatial.py:195) / GeoDifference (:433) geometry OUTPUTS for
+  // the planar-tractable subset: SIMPLE single-ring polygons with
+  // non-degenerate boundary intersections (no collinear partial edge
+  // overlaps beyond the touching-faces case, which classifies correctly via
+  // midpoint-on-boundary). Shortcut paths are exact for ALL polygon pairs:
+  // disjoint → MULTIPOLYGON / identity, containment → identity / shell+hole.
+  // The general path splits every edge at boundary crossings, classifies
+  // each sub-edge by its midpoint (strictly inside / outside / on the other
+  // boundary), keeps the op's side set, and stitches directed sub-edges
+  // back into rings — the same machinery handles concave pairs, which the
+  // Sutherland-Hodgman `intersection` above cannot. Inputs are normalized
+  // CCW so kept edges stitch orientation-consistently; a failed stitch
+  // (adversarial tangency) returns null, never a wrong geometry. GEOS
+  // remains the answer for curves/collections — documented divergence.
+
+  private def reverseRing(r: Array[Double]): Array[Double] = {
+    val n = r.length / 2
+    val o = new Array[Double](r.length)
+    var i = 0
+    while (i < n) {
+      o(i * 2) = r((n - 1 - i) * 2); o(i * 2 + 1) = r((n - 1 - i) * 2 + 1)
+      i += 1
+    }
+    o
+  }
+
+  private def ccw(r: Array[Double]): Array[Double] =
+    if (signedArea(r) >= 0.0) r else reverseRing(r)
+
+  /** Directed sub-edges of `subj` (closed ring) split at every proper or
+    * endpoint crossing with `other`'s edges; collinear pairs contribute no
+    * split (their sub-edges classify by midpoint instead). Each element is
+    * [x1,y1,x2,y2]. */
+  private def splitEdges(subj: Array[Double], other: Array[Double])
+      : scala.collection.mutable.ArrayBuffer[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val ns = subj.length / 2 - 1
+    val no = other.length / 2 - 1
+    var i = 0
+    while (i < ns) {
+      val ax = subj(i * 2); val ay = subj(i * 2 + 1)
+      val bx = subj(i * 2 + 2); val by = subj(i * 2 + 3)
+      val ts = scala.collection.mutable.ArrayBuffer[Double](0.0, 1.0)
+      var j = 0
+      while (j < no) {
+        val cx = other(j * 2); val cy = other(j * 2 + 1)
+        val dx = other(j * 2 + 2); val dy = other(j * 2 + 3)
+        val d = (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
+        if (d != 0.0) {
+          val t = ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx)) / d
+          val s = ((cx - ax) * (by - ay) - (cy - ay) * (bx - ax)) / d
+          if (t > 0.0 && t < 1.0 && s >= 0.0 && s <= 1.0) ts += t
+        }
+        j += 1
+      }
+      val st = ts.distinct.sorted
+      var k = 0
+      while (k < st.length - 1) {
+        val t0 = st(k); val t1 = st(k + 1)
+        val x1 = ax + t0 * (bx - ax); val y1 = ay + t0 * (by - ay)
+        val x2 = ax + t1 * (bx - ax); val y2 = ay + t1 * (by - ay)
+        if (x1 != x2 || y1 != y2) out += Array(x1, y1, x2, y2)
+        k += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Stitch directed segments into closed rings by endpoint-following
+    * (1e-9-quantized keys absorb the last-ulp asymmetry between the two
+    * sides' intersection-point arithmetic). None on any dead end. */
+  private def stitchRings(segs: Seq[Array[Double]]): Option[Array[Array[Double]]] = {
+    def key(x: Double, y: Double): (Long, Long) =
+      (math.rint(x * 1e9).toLong, math.rint(y * 1e9).toLong)
+    val bySrc = scala.collection.mutable.Map[(Long, Long),
+      scala.collection.mutable.Queue[Array[Double]]]()
+    segs.foreach { s =>
+      bySrc.getOrElseUpdate(key(s(0), s(1)),
+        scala.collection.mutable.Queue[Array[Double]]()) += s
+    }
+    val rings = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var remaining = segs.size
+    while (remaining > 0) {
+      val q0 = bySrc.values.find(_.nonEmpty).get
+      val first = q0.dequeue(); remaining -= 1
+      val pts = scala.collection.mutable.ArrayBuffer[Double](
+        first(0), first(1), first(2), first(3))
+      val startK = key(first(0), first(1))
+      var curK = key(first(2), first(3))
+      var guard = segs.size + 1
+      while (curK != startK && guard > 0) {
+        bySrc.get(curK).filter(_.nonEmpty) match {
+          case Some(q) =>
+            val nxt = q.dequeue(); remaining -= 1
+            pts += nxt(2); pts += nxt(3)
+            curK = key(nxt(2), nxt(3))
+          case None => return None
+        }
+        guard -= 1
+      }
+      if (curK != startK) return None
+      pts(pts.length - 2) = pts(0); pts(pts.length - 1) = pts(1) // exact closure
+      if (pts.length >= 8 && math.abs(signedArea(pts.toArray)) > 1e-12)
+        rings += pts.toArray
+    }
+    Some(rings.toArray)
+  }
+
+  /** Group stitched rings into POLYGON / MULTIPOLYGON WKB: CCW rings are
+    * shells, CW rings become holes of the shell containing them. */
+  private def assemblePolys(rings: Array[Array[Double]]): Array[Byte] = {
+    if (rings.isEmpty) return null
+    val shells = scala.collection.mutable.ArrayBuffer[
+      (Array[Double], scala.collection.mutable.ArrayBuffer[Array[Double]])]()
+    val holes = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    rings.foreach { r =>
+      if (signedArea(r) >= 0.0) shells += ((r, scala.collection.mutable.ArrayBuffer()))
+      else holes += r
+    }
+    if (shells.isEmpty) return null
+    holes.foreach { h =>
+      shells.find { case (s, _) => GeoGeom.pointInRings(h(0), h(1), Array(s)) } match {
+        case Some((_, hs)) => hs += h
+        case None          => return null
+      }
+    }
+    if (shells.length == 1)
+      GeoGeom.writePolygon((shells(0)._1 +: shells(0)._2).toArray)
+    else GeoGeom.writeMulti(GeoGeom.MultiPolygonType,
+      shells.map { case (s, hs) => GeoGeom.writePolygon((s +: hs).toArray) }.toArray)
+  }
+
+  private def simpleRing(g: Geom): Array[Double] =
+    if (g.kind == 3 && g.rings.length == 1) ccw(g.rings(0)) else null
+
+  /** GeoUnion (geospatial.py:195). Polygon ∪ polygon (simple rings), plus
+    * point ∪ point → MULTIPOINT. Unsupported shapes → null. */
+  def union(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    if (a.kind == 1 && b.kind == 1) {
+      return if (java.util.Arrays.equals(asBinary(aB), asBinary(bB))) asBinary(aB)
+      else GeoGeom.writeMulti(GeoGeom.MultiPointType, Array(asBinary(aB), asBinary(bB)))
+    }
+    val ra = simpleRing(a); val rb = simpleRing(b)
+    if (ra == null || rb == null) return null
+    val d = GeoGeom.distance(aB, bB)
+    if (d != null && d.doubleValue() > 0.0) // disjoint: exact multipolygon
+      return GeoGeom.writeMulti(GeoGeom.MultiPolygonType,
+        Array(GeoGeom.writePolygon(Array(ra)), GeoGeom.writePolygon(Array(rb))))
+    val abIn = GeoGeom.contains(aB, bB); val baIn = GeoGeom.contains(bB, aB)
+    if (abIn != null && abIn.booleanValue()) return GeoGeom.writePolygon(Array(ra))
+    if (baIn != null && baIn.booleanValue()) return GeoGeom.writePolygon(Array(rb))
+    val keep = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    splitEdges(ra, rb).foreach { s =>
+      val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
+      if (onAnyBoundary(mx, my, Array(rb))) {
+        // collinear overlap: A's interior is left of the directed edge
+        // (CCW). Same-side interiors (bottom edges of two overlapping
+        // rectangles) → the edge stays union boundary, kept from the A
+        // side only; opposite sides (touching faces) → interior, drop.
+        if (interiorSide(s, ra, rb)) keep += s
+      } else if (!strictlyInside(mx, my, Array(rb))) keep += s
+    }
+    splitEdges(rb, ra).foreach { s =>
+      val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
+      if (!strictlyInside(mx, my, Array(ra)) && !onAnyBoundary(mx, my, Array(ra))) keep += s
+    }
+    stitchRings(keep.toSeq).map(assemblePolys).orNull
+  }
+
+  /** For a directed sub-edge of a CCW ring lying ON `other`'s boundary:
+    * true iff `other`'s interior is locally on the edge's left (interior)
+    * side too — probed by nudging the midpoint toward the left normal. */
+  private def interiorSide(s: Array[Double], self: Array[Double],
+      other: Array[Double]): Boolean = {
+    val dx = s(2) - s(0); val dy = s(3) - s(1)
+    val len = math.sqrt(dx * dx + dy * dy)
+    if (len == 0.0) return false
+    val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
+    val eps = 1e-7 * math.max(1.0, math.max(math.abs(mx), math.abs(my)))
+    val px = mx - dy / len * eps; val py = my + dx / len * eps
+    GeoGeom.pointInRings(px, py, Array(other))
+  }
+
+  /** GeoDifference (geospatial.py:433): A − B. Polygon − polygon (simple
+    * rings; a fully-interior B becomes a hole, a splitting B yields a
+    * MULTIPOLYGON). A − lower-dimension geometry = A (area unchanged);
+    * point/line minuends only when disjoint from B. Empty result or
+    * unsupported shape → null. */
+  def difference(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
+    val a = parse(aB); val b = parse(bB)
+    if (a == null || b == null) return null
+    if (a.kind != 3) { // point/line minuend: identity when disjoint, else GEOS territory
+      val d = GeoGeom.distance(aB, bB)
+      return if (d != null && d.doubleValue() > 0.0) asBinary(aB)
+      else if (a.kind == 1) null // point inside/on b: empty
+      else null
+    }
+    if (b.kind == 1 || b.kind == 2) return asBinary(aB) // zero-area subtrahend
+    val ra = simpleRing(a); val rb = simpleRing(b)
+    if (ra == null || rb == null) return null
+    val d = GeoGeom.distance(aB, bB)
+    if (d != null && d.doubleValue() > 0.0) return GeoGeom.writePolygon(Array(ra))
+    val baIn = GeoGeom.contains(bB, aB)
+    if (baIn != null && baIn.booleanValue()) return null // A ⊆ B: empty
+    val abIn = GeoGeom.contains(aB, bB)
+    val bTouchesABoundary = ra.grouped(2).exists(p => onAnyBoundary(p(0), p(1), Array(rb))) ||
+      rb.grouped(2).exists(p => onAnyBoundary(p(0), p(1), Array(ra)))
+    if (abIn != null && abIn.booleanValue() && !bTouchesABoundary)
+      return GeoGeom.writePolygon(Array(ra, reverseRing(rb))) // interior bite: hole
+    val keep = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    splitEdges(ra, rb).foreach { s =>
+      val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
+      if (onAnyBoundary(mx, my, Array(rb))) {
+        // collinear overlap: kept iff the interiors sit on OPPOSITE sides
+        // (B pokes outward there, so the A boundary survives subtraction)
+        if (!interiorSide(s, ra, rb)) keep += s
+      } else if (!strictlyInside(mx, my, Array(rb))) keep += s
+    }
+    splitEdges(rb, ra).foreach { s =>
+      val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
+      if (strictlyInside(mx, my, Array(ra))) keep += Array(s(2), s(3), s(0), s(1)) // reversed
+    }
+    stitchRings(keep.toSeq).map(assemblePolys).orNull
+  }
+
+  /** GeoUnaryUnion (geospatial.py:186): left fold of [[union]] over a
+    * collection's members (or the geometry itself if not a collection).
+    * Null as soon as any pairwise union is outside the supported subset. */
+  def unaryUnion(bytes: Array[Byte]): Array[Byte] = {
+    val g = parse(bytes)
+    if (g == null) return null
+    if (g.parts == null || g.parts.length == 0) return asBinary(bytes)
+    var acc = GeoGeom.write(g.parts(0))
+    var i = 1
+    while (i < g.parts.length) {
+      acc = union(acc, GeoGeom.write(g.parts(i)))
+      if (acc == null) return null
+      i += 1
+    }
+    acc
+  }
+
+  /** GeoLineMerge (geospatial.py:131): join MULTILINESTRING members at
+    * shared endpoints (degree-2 nodes, either orientation) into maximal
+    * linestrings — LINESTRING when one piece remains, MULTILINESTRING
+    * otherwise. Non-line input → null. */
+  def lineMerge(bytes: Array[Byte]): Array[Byte] = {
+    val g = parse(bytes)
+    if (g == null) return null
+    if (g.kind == 2) return GeoGeom.writeLine(g.rings(0))
+    if (g.kind != 5) return null
+    val pieces = scala.collection.mutable.ArrayBuffer[Array[Double]](g.rings: _*)
+    def key(x: Double, y: Double): (Long, Long) =
+      (math.rint(x * 1e9).toLong, math.rint(y * 1e9).toLong)
+    var merged = true
+    while (merged) {
+      merged = false
+      var i = 0
+      while (i < pieces.length && !merged) {
+        var j = i + 1
+        while (j < pieces.length && !merged) {
+          val p = pieces(i); val q = pieces(j)
+          val pEnd = key(p(p.length - 2), p(p.length - 1)); val pStart = key(p(0), p(1))
+          val qStart = key(q(0), q(1)); val qEnd = key(q(q.length - 2), q(q.length - 1))
+          val joined =
+            if (pEnd == qStart) p ++ q.drop(2)
+            else if (pEnd == qEnd) p ++ reverseLine(q).drop(2)
+            else if (pStart == qEnd) q ++ p.drop(2)
+            else if (pStart == qStart) reverseLine(q) ++ p.drop(2)
+            else null
+          if (joined != null) {
+            pieces(i) = joined; pieces.remove(j); merged = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    if (pieces.length == 1) GeoGeom.writeLine(pieces(0))
+    else GeoGeom.writeMulti(GeoGeom.MultiLineType, pieces.map(GeoGeom.writeLine).toArray)
+  }
+
+  private def reverseLine(l: Array[Double]): Array[Double] = reverseRing(l)
+
   // ---- buffer / reprojection --------------------------------------------
 
   final val BufferSegs = 32
@@ -800,6 +1089,34 @@ object GeoRelate2 {
     "touches" -> (("touches", false, false)),
     "crosses" -> (("crosses", false, false)),
     "overlaps" -> (("overlaps", false, false)))
+}
+
+/** `geo_union(a, b)` / `geo_difference(a, b)` — polygon boolean set ops
+  * (see [[GeoGeomOps.union]]/[[GeoGeomOps.difference]] for the supported
+  * operand classes; unsupported shapes evaluate to null, never wrong). */
+case class GeoSetOpExpr(left: Expression, right: Expression, op: String)
+    extends BinaryExpression {
+  override def prettyName: String = s"geo_$op"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary WKB inputs")
+  override def nullSafeEval(a: Any, b: Any): Any = op match {
+    case "union" => GeoGeomOps.union(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case "difference" => GeoGeomOps.difference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+        byte[] $r = graft.exts.GeoGeomOps.$op($a, $b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `geo_intersection(a, b)` — planar-exact intersection geometry

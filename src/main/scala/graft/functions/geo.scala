@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.exts.{GeoCoord, GeoIntersectionExpr, GeoLineSubstring, GeoMake,
+import graft.exts.{GeoCoord, GeoIntersectionExpr, GeoLineSubstring, GeoMake, GeoSetOpExpr,
   GeoMeasure, GeoNPointsExpr, GeoParam, GeoPointN, GeoPointWkb, GeoProject,
   GeoRelate, GeoRelate2, GeoText, GeoTransform, GeoUnaryMeta}
 
@@ -20,9 +20,13 @@ import graft.exts.{GeoCoord, GeoIntersectionExpr, GeoLineSubstring, GeoMake,
   * DE-9IM-style predicates (touches/crosses/overlaps/covers/equals),
   * linear referencing (line_locate_point/line_substring), simplify,
   * azimuth/max_distance, point buffer, SRID/EWKB plumbing, and the
-  * closed-form 4326↔3857 reprojection. Still out of scope (documented
-  * divergence in COVERAGE.md): geometric set-op outputs
-  * (union/intersection/difference), line_merge, Multi* collections,
+  * closed-form 4326↔3857 reprojection. Round 4 added Multi* /
+  * GeometryCollection INPUTS to the measure/predicate core (collect
+  * constructor, flattened-ring even-odd semantics), polygon set-op
+  * outputs union/difference/unary_union over simple rings, line_merge,
+  * and intersection for convex clips. Still out of scope (documented
+  * divergence in COVERAGE.md): GEOS-general set ops (curved/collection
+  * operands, collinear-overlap tangencies — null, never wrong),
   * arbitrary-CRS transform.
   */
 object geo {
@@ -44,6 +48,12 @@ object geo {
   /** GeoPolygon (geospatial.py:480): array<WKB point> → single-ring
     * POLYGON, auto-closed. */
   def makePolygon(points: Column): Column = co(GeoMake(ex(points), "make_polygon"))
+
+  /** ST_Collect-style constructor (the Multi* / GeometryCollection input
+    * path for datatypes/core.py:943-1014): array<WKB> → MULTIPOINT /
+    * MULTILINESTRING / MULTIPOLYGON when member kinds are homogeneous,
+    * GEOMETRYCOLLECTION otherwise. */
+  def collectGeoms(geoms: Column): Column = co(GeoMake(ex(geoms), "collect"))
 
   /** GeoDistance (geospatial.py:202): Euclidean min distance between any
     * two of point/linestring/polygon (0 on touch/overlap/containment). */
@@ -192,4 +202,23 @@ object geo {
     * point ∩ anything. Empty or GEOS-general → null. */
   def intersection(a: Column, b: Column): Column =
     co(GeoIntersectionExpr(ex(a), ex(b)))
+
+  /** GeoUnion (geospatial.py:195): polygon ∪ polygon over simple rings
+    * (disjoint → MULTIPOLYGON, containment → identity, overlap → boundary
+    * walk), point ∪ point → MULTIPOINT. Unsupported → null, never wrong. */
+  def union(a: Column, b: Column): Column = co(GeoSetOpExpr(ex(a), ex(b), "union"))
+
+  /** GeoDifference (geospatial.py:433): A − B over simple polygon rings —
+    * interior subtrahend becomes a hole, a splitting subtrahend yields a
+    * MULTIPOLYGON; A − point/line = A. Empty/unsupported → null. */
+  def difference(a: Column, b: Column): Column =
+    co(GeoSetOpExpr(ex(a), ex(b), "difference"))
+
+  /** GeoUnaryUnion (geospatial.py:186): fold [[union]] over a collection's
+    * members. */
+  def unaryUnion(g: Column): Column = co(GeoTransform(ex(g), "unary_union"))
+
+  /** GeoLineMerge (geospatial.py:131): stitch MULTILINESTRING members at
+    * shared endpoints into maximal linestrings. */
+  def lineMerge(g: Column): Column = co(GeoTransform(ex(g), "line_merge"))
 }

@@ -552,6 +552,109 @@ object CoverageQueries {
         CASE WHEN m8 <= 6 THEN base + m8 END AS pt_x
       FROM ov ORDER BY 1""")),
 
+    // Multi* / GeometryCollection inputs (round-4 verdict #5; WKB types
+    // datatypes/core.py:943-1014): per-nation MULTIPOLYGON (two rects, one
+    // size-varying) and MULTILINESTRING — area/perimeter/centroid fold per
+    // member, containment probes the SECOND member (flattened even-odd),
+    // the gap between members, and min-distance across members. Oracle is
+    // closed-form arithmetic on the same parameters.
+    QueryDef("q74b_geo_multi", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val base = (k * 10).cast("double")
+      val w = (k % 3 + 2).cast("double")
+      val m4 = (k % 4).cast("double")
+      def rect(x0: org.apache.spark.sql.Column, y0: org.apache.spark.sql.Column,
+          rw: org.apache.spark.sql.Column, rh: org.apache.spark.sql.Column) =
+        geo.makePolygon(array(
+          geo.point(x0, y0), geo.point(x0 + rw, y0),
+          geo.point(x0 + rw, y0 + rh), geo.point(x0, y0 + rh)))
+      val mp = geo.collectGeoms(array(
+        rect(base, lit(0.0), lit(2.0), lit(2.0)),
+        rect(base + 5.0, lit(0.0), w, w)))
+      val ml = geo.collectGeoms(array(
+        geo.makeLine(array(geo.point(base, lit(0.0)), geo.point(base + 3.0, lit(0.0)))),
+        geo.makeLine(array(geo.point(base, lit(5.0)), geo.point(base + m4 + 1.0, lit(5.0))))))
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        geo.geometryType(mp).as("m_type"),
+        geo.area(mp).as("m_area"),
+        geo.perimeter(mp).as("m_perim"),
+        round(geo.x(geo.centroid(mp)), 6).as("m_cx"),
+        geo.contains(mp, geo.point(base + 5.0 + w / 2.0, w / 2.0)).as("m_in2"),
+        geo.contains(mp, geo.point(base + 3.5, lit(1.0))).as("m_gap"),
+        geo.distance(mp, geo.point(base + 3.0, lit(0.0))).as("m_dist"),
+        geo.geometryType(ml).as("l_type"),
+        geo.length(ml).as("l_len"),
+        geo.nPoints(mp).as("m_np"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (
+        SELECT n_nationkey,
+          n_nationkey * 10.0 AS base,
+          CAST(n_nationkey % 3 + 2 AS DOUBLE) AS w,
+          CAST(n_nationkey % 4 AS DOUBLE) AS m4
+        FROM nation)
+      SELECT n_nationkey,
+        'MULTIPOLYGON' AS m_type,
+        4.0 + w * w AS m_area,
+        8.0 + 4.0 * w AS m_perim,
+        ROUND((4.0 * (base + 1.0) + w * w * (base + 5.0 + w / 2.0)) / (4.0 + w * w), 6) AS m_cx,
+        TRUE AS m_in2,
+        FALSE AS m_gap,
+        1.0 AS m_dist,
+        'MULTILINESTRING' AS l_type,
+        3.0 + m4 + 1.0 AS l_len,
+        10 AS m_np
+      FROM t ORDER BY 1""")),
+
+    // Polygon set-op outputs (round-4 verdict #6; GeoUnion geospatial.py
+    // :195, GeoDifference :433, GeoUnaryUnion :186): per-nation square
+    // pairs at offsets 0/2/4/6/8 hit identical / overlapping / edge-
+    // touching / disjoint — union crosses the shortcut AND boundary-walk
+    // paths, difference covers empty / partial / identity, and an interior
+    // bite checks the hole output (area and excluded-point containment).
+    QueryDef("q74c_geo_setops", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val base = (k * 10000).cast("double") // wide spacing: pairs never interact
+      val off = ((k % 5) * 2).cast("double")
+      def sq(x0: org.apache.spark.sql.Column) = geo.makePolygon(array(
+        geo.point(x0, lit(0.0)), geo.point(x0 + 4.0, lit(0.0)),
+        geo.point(x0 + 4.0, lit(4.0)), geo.point(x0, lit(4.0))))
+      val a = sq(base)
+      val b = sq(base + off)
+      val u = geo.union(a, b)
+      val d = geo.difference(a, b)
+      val hole = geo.difference(a, geo.makePolygon(array(
+        geo.point(base + 1.0, lit(1.0)), geo.point(base + 2.0, lit(1.0)),
+        geo.point(base + 2.0, lit(2.0)), geo.point(base + 1.0, lit(2.0)))))
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        geo.area(u).as("u_area"),
+        geo.perimeter(u).as("u_perim"),
+        geo.geometryType(u).as("u_type"),
+        geo.area(d).as("d_area"),
+        geo.area(hole).as("h_area"),
+        geo.contains(hole, geo.point(base + 1.5, lit(1.5))).as("h_in"),
+        geo.contains(hole, geo.point(base + 3.0, lit(3.0))).as("h_out"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (
+        SELECT n_nationkey, (n_nationkey % 5) * 2.0 AS off FROM nation)
+      SELECT n_nationkey,
+        16.0 + LEAST(off, 4.0) * 4.0 AS u_area,
+        CASE WHEN off = 0 THEN 16.0 WHEN off <= 4 THEN 16.0 + 2.0 * off
+             ELSE 32.0 END AS u_perim,
+        CASE WHEN off <= 4 THEN 'POLYGON' ELSE 'MULTIPOLYGON' END AS u_type,
+        CASE WHEN off = 0 THEN NULL ELSE LEAST(off, 4.0) * 4.0 END AS d_area,
+        15.0 AS h_area,
+        FALSE AS h_in,
+        TRUE AS h_out
+      FROM t ORDER BY 1""")),
+
     // DE-9IM-style predicate battery (exts/GeoGeometryOps.scala;
     // geospatial.py:179 touches, :172 overlaps, :49 covers, :77 equals,
     // :161 ordering_equals, :63 crosses, :42 contains_properly, :405

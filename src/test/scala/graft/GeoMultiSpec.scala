@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.geo
+
+/** Multi* / GeometryCollection inputs (round-4 verdict #5) and polygon
+  * set-op outputs union/difference/unary_union/line_merge (#6) —
+  * exts/GeoGeometry.scala multi parsing + exts/GeoGeometryOps.scala
+  * boolean ops. Expected values are hand-computed planar math. */
+class GeoMultiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pts(coords: (Double, Double)*) =
+    array(coords.map { case (a, b) => geo.point(lit(a), lit(b)) }: _*)
+
+  private def rect(x0: Double, y0: Double, w: Double, h: Double) =
+    geo.makePolygon(pts((x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)))
+
+  private val one = Seq(1).toDF("i")
+
+  test("multipoint: collect, type, npoints, centroid, bounds, WKT") {
+    val mp = geo.collectGeoms(array(
+      geo.point(lit(0.0), lit(0.0)), geo.point(lit(4.0), lit(0.0)),
+      geo.point(lit(2.0), lit(6.0))))
+    val r = one.select(
+      geo.geometryType(mp).as("t"), geo.nPoints(mp).as("np"),
+      geo.x(geo.centroid(mp)).as("cx"), geo.y(geo.centroid(mp)).as("cy"),
+      geo.xMax(mp).as("xmax"), geo.yMax(mp).as("ymax"),
+      geo.asText(mp).as("wkt")).collect().head
+    assert(r.getString(0) == "MULTIPOINT")
+    assert(r.getInt(1) == 3)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 4.0 && r.getDouble(5) == 6.0)
+    assert(r.getString(6) == "MULTIPOINT ((0 0), (4 0), (2 6))")
+  }
+
+  test("multilinestring: length sums members, centroid length-weighted") {
+    val ml = geo.collectGeoms(array(
+      geo.makeLine(pts((0.0, 0.0), (2.0, 0.0))),   // len 2, mid (1, 0)
+      geo.makeLine(pts((0.0, 4.0), (6.0, 4.0))))) // len 6, mid (3, 4)
+    val r = one.select(
+      geo.geometryType(ml).as("t"), geo.length(ml).as("len"),
+      geo.x(geo.centroid(ml)).as("cx"), geo.y(geo.centroid(ml)).as("cy"),
+      geo.asText(ml).as("wkt")).collect().head
+    assert(r.getString(0) == "MULTILINESTRING")
+    assert(r.getDouble(1) == 8.0)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 3.0) // (2*1+6*3)/8, (2*0+6*4)/8
+    assert(r.getString(4) == "MULTILINESTRING ((0 0, 2 0), (0 4, 6 4))")
+  }
+
+  test("multipolygon: area/perimeter sum, centroid area-weighted, predicates exact") {
+    // disjoint 2x2 at origin and 4x4 at (10, 0)
+    val mp = geo.collectGeoms(array(rect(0, 0, 2, 2), rect(10, 0, 4, 4)))
+    val r = one.select(
+      geo.geometryType(mp).as("t"),
+      geo.area(mp).as("a"), geo.perimeter(mp).as("p"),
+      geo.x(geo.centroid(mp)).as("cx"), geo.y(geo.centroid(mp)).as("cy"),
+      // point in the SECOND member: flattened even-odd must see it
+      geo.contains(mp, geo.point(lit(12.0), lit(2.0))).as("c2"),
+      geo.contains(mp, geo.point(lit(5.0), lit(1.0))).as("cGap"),
+      geo.intersects(mp, rect(1, 1, 1, 1)).as("i1"),
+      geo.distance(mp, geo.point(lit(6.0), lit(0.0))).as("dGap")).collect().head
+    assert(r.getString(0) == "MULTIPOLYGON")
+    assert(r.getDouble(1) == 20.0)          // 4 + 16
+    assert(r.getDouble(2) == 24.0)          // 8 + 16
+    assert(r.getDouble(3) == (4 * 1 + 16 * 12) / 20.0) // area-weighted x
+    assert(r.getDouble(4) == (4 * 1 + 16 * 2) / 20.0)
+    assert(r.getBoolean(5))                 // in second member
+    assert(!r.getBoolean(6))                // gap between members
+    assert(r.getBoolean(7))
+    assert(r.getDouble(8) == 4.0)           // 6 → nearest edge x=2 or x=10
+  }
+
+  test("multipolygon containment: member fully inside polygon, other outside → distance 0") {
+    val big = rect(0, 0, 4, 4)
+    val mp = geo.collectGeoms(array(rect(1, 1, 1, 1), rect(10, 10, 1, 1)))
+    val r = one.select(
+      geo.distance(big, mp).as("d"),
+      geo.contains(big, mp).as("c")).collect().head
+    assert(r.getDouble(0) == 0.0) // the inside member, despite first-listed being inside too
+    assert(!r.getBoolean(1))      // one member escapes
+  }
+
+  test("geometrycollection: area/length fold, type, intersects recursion") {
+    val gc = geo.collectGeoms(array(
+      geo.point(lit(0.0), lit(0.0)),
+      geo.makeLine(pts((0.0, 0.0), (3.0, 0.0))),
+      rect(5, 5, 2, 2)))
+    val r = one.select(
+      geo.geometryType(gc).as("t"), geo.area(gc).as("a"),
+      geo.length(gc).as("len"),
+      geo.intersects(gc, rect(5.5, 5.5, 10, 10)).as("ix"),
+      geo.distance(gc, geo.point(lit(0.0), lit(2.0))).as("d")).collect().head
+    assert(r.getString(0) == "GEOMETRYCOLLECTION")
+    assert(r.getDouble(1) == 4.0)
+    assert(r.getDouble(2) == 3.0)
+    assert(r.getBoolean(3))
+    assert(r.getDouble(4) == 2.0)
+  }
+
+  test("union: overlapping rectangles via boundary walk") {
+    // [0,4]x[0,4] ∪ [2,6]x[0,4] = [0,6]x[0,4]: area 24, perimeter 20
+    val u = geo.union(rect(0, 0, 4, 4), rect(2, 0, 4, 4))
+    val r = one.select(
+      geo.area(u).as("a"), geo.perimeter(u).as("p"),
+      geo.geometryType(u).as("t"),
+      geo.xMin(u).as("x0"), geo.xMax(u).as("x1")).collect().head
+    assert(math.abs(r.getDouble(0) - 24.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 20.0) < 1e-9)
+    assert(r.getString(2) == "POLYGON")
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 6.0)
+  }
+
+  test("union: touching rectangles merge, shared edge vanishes") {
+    // side-by-side same height: union is one rectangle
+    val u = geo.union(rect(0, 0, 2, 4), rect(2, 0, 3, 4))
+    val r = one.select(geo.area(u).as("a"), geo.perimeter(u).as("p"),
+      geo.geometryType(u).as("t")).collect().head
+    assert(math.abs(r.getDouble(0) - 20.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 18.0) < 1e-9)
+    assert(r.getString(2) == "POLYGON")
+  }
+
+  test("union: disjoint → MULTIPOLYGON, containment → identity") {
+    val u1 = geo.union(rect(0, 0, 2, 2), rect(5, 5, 3, 3))
+    val u2 = geo.union(rect(0, 0, 10, 10), rect(2, 2, 2, 2))
+    val r = one.select(
+      geo.geometryType(u1).as("t1"), geo.area(u1).as("a1"),
+      geo.geometryType(u2).as("t2"), geo.area(u2).as("a2")).collect().head
+    assert(r.getString(0) == "MULTIPOLYGON" && r.getDouble(1) == 13.0)
+    assert(r.getString(2) == "POLYGON" && r.getDouble(3) == 100.0)
+  }
+
+  test("union: point ∪ point → MULTIPOINT") {
+    val u = geo.union(geo.point(lit(1.0), lit(2.0)), geo.point(lit(3.0), lit(4.0)))
+    val r = one.select(geo.geometryType(u).as("t"), geo.nPoints(u).as("np")).collect().head
+    assert(r.getString(0) == "MULTIPOINT" && r.getInt(1) == 2)
+  }
+
+  test("difference: corner overlap, interior hole, splitting bite, disjoint") {
+    // corner overlap: [0,4]² − [2,6]x[2,6] → L-shape, area 16-4=12
+    val d1 = geo.difference(rect(0, 0, 4, 4), rect(2, 2, 4, 4))
+    // interior: [0,6]² − [2,2,2x2] → square with a hole, area 36-4=32
+    val d2 = geo.difference(rect(0, 0, 6, 6), rect(2, 2, 2, 2))
+    // splitting: [0,6]x[0,2] − [2,-1,2x4] → TWO pieces, area 12-4=8
+    val d3 = geo.difference(rect(0, 0, 6, 2), rect(2, -1, 2, 4))
+    // disjoint: identity
+    val d4 = geo.difference(rect(0, 0, 2, 2), rect(5, 5, 1, 1))
+    val r = one.select(
+      geo.area(d1).as("a1"), geo.geometryType(d1).as("t1"),
+      geo.area(d2).as("a2"), geo.geometryType(d2).as("t2"),
+      geo.area(d3).as("a3"), geo.geometryType(d3).as("t3"),
+      geo.area(d4).as("a4"),
+      geo.contains(d2, geo.point(lit(3.0), lit(3.0))).as("inHole")).collect().head
+    assert(math.abs(r.getDouble(0) - 12.0) < 1e-9 && r.getString(1) == "POLYGON")
+    assert(math.abs(r.getDouble(2) - 32.0) < 1e-9 && r.getString(3) == "POLYGON")
+    assert(math.abs(r.getDouble(4) - 8.0) < 1e-9 && r.getString(5) == "MULTIPOLYGON")
+    assert(r.getDouble(6) == 4.0)
+    assert(!r.getBoolean(7)) // hole excluded from containment
+  }
+
+  test("difference: empty and lower-dim cases") {
+    val r = one.select(
+      geo.difference(rect(2, 2, 1, 1), rect(0, 0, 6, 6)).as("empty"),
+      geo.area(geo.difference(rect(0, 0, 2, 2),
+        geo.point(lit(1.0), lit(1.0)))).as("aPt")).collect().head
+    assert(r.isNullAt(0))          // A ⊆ B → empty → null
+    assert(r.getDouble(1) == 4.0)  // minus a point: unchanged
+  }
+
+  test("unary_union merges a collected set of rectangles") {
+    val uu = geo.unaryUnion(geo.collectGeoms(array(
+      rect(0, 0, 2, 2), rect(2, 0, 2, 2), rect(10, 0, 1, 1))))
+    val r = one.select(geo.area(uu).as("a"), geo.geometryType(uu).as("t"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 9.0) < 1e-9)
+    assert(r.getString(1) == "MULTIPOLYGON")
+  }
+
+  test("line_merge stitches shared endpoints across orientations") {
+    val ml = geo.collectGeoms(array(
+      geo.makeLine(pts((0.0, 0.0), (1.0, 0.0))),
+      geo.makeLine(pts((2.0, 0.0), (1.0, 0.0))),  // reversed orientation
+      geo.makeLine(pts((2.0, 0.0), (3.0, 1.0))),
+      geo.makeLine(pts((9.0, 9.0), (8.0, 8.0))))) // separate component
+    val lm = geo.lineMerge(ml)
+    val r = one.select(geo.geometryType(lm).as("t"), geo.length(lm).as("len"),
+      geo.nPoints(lm).as("np")).collect().head
+    assert(r.getString(0) == "MULTILINESTRING")
+    assert(math.abs(r.getDouble(1) - (2.0 + 2.0 * math.sqrt(2))) < 1e-9)
+    assert(r.getInt(2) == 6) // 4-point chain + 2-point tail
+  }
+
+  test("multi WKB round-trips through flip twice") {
+    val mp = geo.collectGeoms(array(rect(0, 0, 2, 2), rect(5, 1, 3, 3)))
+    val r = one.select(
+      geo.area(geo.flipCoordinates(geo.flipCoordinates(mp))).as("a"),
+      geo.asText(geo.flipCoordinates(mp)).as("wkt")).collect().head
+    assert(r.getDouble(0) == 13.0)
+    assert(r.getString(1).startsWith("MULTIPOLYGON ((("))
+  }
+}
