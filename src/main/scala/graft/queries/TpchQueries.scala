@@ -134,6 +134,29 @@ object TpchQueries {
         GROUP BY c_custkey)
       GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
 
+    // Floor control for q103 (round-4 verdict #9): the same two chained
+    // hash aggregations WITHOUT the customer outer join. The delta between
+    // this and q103 is the join; the delta between this and DuckDB's
+    // equivalent is Spark's row-format hash-agg floor — measured, like
+    // q80_control, so the q103 residual is an explained constant rather
+    // than an unexplored gap. Excluded from the bench ratio geomean.
+    QueryDef("q103_control", (s, dir) => {
+      val o = orders(s, dir)
+      Table(o)
+        .filter(o("o_orderpriority") =!= "1-URGENT")
+        .groupBy(o("o_custkey"))
+        .count("n_ord")
+        .groupBy(col("n_ord"))
+        .count("custdist")
+        .sort(SortKey.desc(col("custdist")), SortKey.desc(col("n_ord")))
+        .df
+    }, Some("""
+      SELECT n_ord, COUNT(*) AS custdist FROM (
+        SELECT o_custkey, COUNT(*) AS n_ord
+        FROM orders WHERE o_orderpriority <> '1-URGENT'
+        GROUP BY o_custkey)
+      GROUP BY n_ord ORDER BY custdist DESC, n_ord DESC""")),
+
     // Q15 shape: top supplier(s) by revenue — uncorrelated scalar subquery
     // (max over an aggregated view) via broadcast cross join, no collect.
     QueryDef("q104_tpch15_top_supplier", (s, dir) => {

@@ -27,6 +27,10 @@ object TimeOne {
         sys.env.getOrElse("AQE_BT", sys.env.getOrElse("BT", "10485760")))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // ad-hoc conf experiments: EXTRA="k=v;k=v"
+    sys.env.get("EXTRA").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(args(0))
     if (args.length > 2 && args(2) == "explain") fn(spark, args(1)).explain("formatted")
