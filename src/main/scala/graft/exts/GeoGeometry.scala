@@ -729,16 +729,18 @@ case class GeoTransform(child: Expression, op: String) extends UnaryExpression {
     case "end_point" => GeoGeom.endPoint(b)
     case "unary_union" => GeoGeomOps.unaryUnion(b)
     case "line_merge" => GeoGeomOps.lineMerge(b)
+    case "convex_hull" => GeoGeomOps.convexHull(b)
   }
   private def staticName: String = op match {
     case "start_point" => "startPoint"
     case "end_point" => "endPoint"
     case "unary_union" => "unaryUnion"
     case "line_merge" => "lineMerge"
+    case "convex_hull" => "convexHull"
     case other => other
   }
   private def staticCls: String = op match {
-    case "unary_union" | "line_merge" => "graft.exts.GeoGeomOps"
+    case "unary_union" | "line_merge" | "convex_hull" => "graft.exts.GeoGeomOps"
     case _ => "graft.exts.GeoGeom"
   }
 

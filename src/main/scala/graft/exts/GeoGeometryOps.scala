@@ -898,6 +898,45 @@ object GeoGeomOps {
     stitchRings(keep.toSeq).map(assemblePolys).orNull
   }
 
+  /** GeoConvexHull: Andrew's monotone chain over every vertex of any
+    * geometry kind (Multi* included — the flattened ring set is exactly
+    * the point cloud). Degenerate outputs follow PostGIS: a single point
+    * → POINT, collinear points → LINESTRING between the extremes,
+    * otherwise a CCW closed POLYGON ring. */
+  def convexHull(bytes: Array[Byte]): Array[Byte] = {
+    val g = parse(bytes)
+    if (g == null) return null
+    val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    g.rings.foreach { r =>
+      var i = 0
+      while (i < r.length) { pts += ((r(i), r(i + 1))); i += 2 }
+    }
+    val u = pts.distinct.sortBy(p => (p._1, p._2)).toSeq
+    if (u.isEmpty) return null
+    if (u.length == 1) return GeoWkb.writePoint(u(0)._1, u(0)._2)
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def chain(ps: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+      val h = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+      ps.foreach { p =>
+        while (h.length >= 2 && cross(h(h.length - 2), h(h.length - 1), p) <= 0.0)
+          h.remove(h.length - 1)
+        h += p
+      }
+      h.toSeq
+    }
+    val lower = chain(u)
+    val upper = chain(u.reverse)
+    val hull = (lower.dropRight(1) ++ upper.dropRight(1))
+    if (hull.length < 3) { // collinear: extreme-to-extreme line
+      return GeoGeom.writeLine(Array(u.head._1, u.head._2, u.last._1, u.last._2))
+    }
+    val flat = new Array[Double]((hull.length + 1) * 2)
+    hull.zipWithIndex.foreach { case ((x, y), i) => flat(i * 2) = x; flat(i * 2 + 1) = y }
+    flat(hull.length * 2) = hull.head._1; flat(hull.length * 2 + 1) = hull.head._2
+    GeoGeom.writePolygon(Array(flat))
+  }
+
   /** GeoUnaryUnion (geospatial.py:186): left fold of [[union]] over a
     * collection's members (or the geometry itself if not a collection).
     * Null as soon as any pairwise union is outside the supported subset. */

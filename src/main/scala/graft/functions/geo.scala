@@ -221,4 +221,9 @@ object geo {
   /** GeoLineMerge (geospatial.py:131): stitch MULTILINESTRING members at
     * shared endpoints into maximal linestrings. */
   def lineMerge(g: Column): Column = co(GeoTransform(ex(g), "line_merge"))
+
+  /** GeoConvexHull (geospatial.py:95): monotone-chain hull of any
+    * geometry's vertex cloud (Multi* included); point/line degenerate
+    * outputs follow PostGIS. */
+  def convexHull(g: Column): Column = co(GeoTransform(ex(g), "convex_hull"))
 }

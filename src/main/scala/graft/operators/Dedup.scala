@@ -188,6 +188,47 @@ object Dedup {
     // identical (SketchFusionSpec asserts it per kind; q65's generated
     // oracle checks it end-to-end). Custom tokenHash lambdas keep the
     // declarative path.
+    val sketched = minhashSketch(df, id, text, shingleK, numHashes, tokenHash,
+      reliableCheckpoint)
+
+    // Bucket join carries ONLY (band, bucket, id) — the wide shingle arrays
+    // never enter the ×bands-duplicated shuffle. Shingle sets are re-joined
+    // after pair dedup, so verify-stage data volume is O(candidate pairs).
+    // The bucket key is the signature band itself (`rows` longs), not a
+    // re-hash of it: exact keys add a few bytes per row to the shuffle but
+    // eliminate band-hash collisions AND keep the whole pipeline
+    // reproducible in any engine for oracle checks.
+    val banded = bandSignature(sketched, bands, rows)
+
+    val l = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
+    val candidates = l
+      .join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    val sets = sketched.select(col("doc"), col("sh"))
+    candidates
+      .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Shingle-set + minhash-signature sketch of (id, text) → (doc, sh, sig),
+    * eagerly materialized (checkpoint) because every consumer (banding and
+    * both verify-join sides) would otherwise race to recompute it — the
+    * rationale and the fused-vs-declarative path choice are documented at
+    * the [[minhashLsh]] call site they were extracted from. */
+  private def minhashSketch(
+      df: DataFrame, id: String, text: String,
+      shingleK: Int, numHashes: Int,
+      tokenHash: Column => Column,
+      reliableCheckpoint: Boolean): DataFrame = {
     val fusedKind =
       if (tokenHash eq murmurHash) Some("murmur")
       else if (tokenHash eq md5Hash28) Some("md5_28")
@@ -210,42 +251,85 @@ object Dedup {
           .filter(size(col("sh")) > 0)
           .withColumn("sig", minhashSignature(col("sh"), numHashes))
     }
-    val sketched =
-      if (reliableCheckpoint) {
-        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-          "reliableCheckpoint=true requires sparkContext.setCheckpointDir(...)")
-        base.checkpoint()
-      } else base.localCheckpoint()
+    if (reliableCheckpoint) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true requires sparkContext.setCheckpointDir(...)")
+      base.checkpoint()
+    } else base.localCheckpoint()
+  }
 
-    // Bucket join carries ONLY (band, bucket, id) — the wide shingle arrays
-    // never enter the ×bands-duplicated shuffle. Shingle sets are re-joined
-    // after pair dedup, so verify-stage data volume is O(candidate pairs).
-    // The bucket key is the signature band itself (`rows` longs), not a
-    // re-hash of it: exact keys add a few bytes per row to the shuffle but
-    // eliminate band-hash collisions AND keep the whole pipeline
-    // reproducible in any engine for oracle checks.
-    val banded = sketched.select(
+  /** Explode a sketch's signature into (doc, band, bucket) rows — the slim
+    * LSH shuffle payload ([[minhashLsh]] explains why the bucket key is the
+    * band itself, not a re-hash). */
+  private def bandSignature(sketched: DataFrame, bands: Int, rows: Int): DataFrame =
+    sketched.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
-    val candidates = l
-      .join(r, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+  /** Benchmark/test-set decontamination: drop every corpus document that
+    * exactly or near-duplicates ANY blocklist document — the step an LLM
+    * training pipeline runs between eval-set construction and training.
+    *
+    * Two bucketed stages (never corpus × blocklist):
+    *
+    *  1. EXACT: md5 of the normalized token stream, removed with a
+    *     broadcast-friendly left-anti join (the blocklist — an eval set —
+    *     is tiny next to a training corpus; Catalyst broadcasts its
+    *     distinct key set and the corpus never shuffles).
+    *  2. NEAR: the [[minhashLsh]] sketch on BOTH sides, band buckets
+    *     cross-joined corpus×blocklist (only (band, bucket, id) rows in
+    *     the join), candidates verified on true shingle-set Jaccard, and
+    *     survivors of stage 1 with jaccard >= threshold anti-joined out.
+    *
+    * At 100 TB the corpus-side cost is one sketch pass + one slim bucket
+    * shuffle — identical to self-dedup — while the blocklist side stays
+    * broadcast-sized end to end. Returns the cleaned corpus with its
+    * original columns. */
+  def decontaminate(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      blocklist: DataFrame,
+      blockText: String,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      tokenHash: Column => Column = murmurHash,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
 
-    val sets = sketched.select(col("doc"), col("sh"))
-    candidates
-      .join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
-      .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    def contentKey(t: Column) = md5(concat_ws(" ", tokens(t)))
+    val blockKeys = blocklist
+      .select(contentKey(col(blockText)).as("__bkey")).distinct()
+    val exactClean = corpus.join(blockKeys,
+      contentKey(col(text)) === col("__bkey"), "left_anti")
+
+    val cSketch = minhashSketch(exactClean, id, text, shingleK, numHashes,
+      tokenHash, reliableCheckpoint)
+    val bSketch = minhashSketch(blocklist.select(
+        monotonically_increasing_id().as("__bid"), col(blockText).as("__btext")),
+      "__bid", "__btext", shingleK, numHashes, tokenHash, reliableCheckpoint)
+
+    val cBand = bandSignature(cSketch, bands, rows)
+    val bBand = bandSignature(bSketch, bands, rows)
+      .withColumnRenamed("doc", "bdoc")
+    val candidates = cBand
+      .join(bBand, Seq("band", "bucket"))
+      .select(col("doc"), col("bdoc"))
+      .dropDuplicates("doc", "bdoc")
+
+    val contaminated = candidates
+      .join(cSketch.select(col("doc"), col("sh").as("sh_c")), Seq("doc"))
+      .join(bSketch.select(col("doc").as("bdoc"), col("sh").as("sh_b")), Seq("bdoc"))
+      .filter(
+        size(array_intersect(col("sh_c"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_c"), col("sh_b"))) >= threshold)
+      .select(col("doc")).distinct()
+
+    exactClean.join(contaminated, exactClean(id) === contaminated("doc"), "left_anti")
   }
 
   /** Exact pairwise n-gram Jaccard within a blocking key (e.g. language or

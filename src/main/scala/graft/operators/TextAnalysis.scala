@@ -98,4 +98,32 @@ object TextAnalysis {
     * order-sensitivity with no unchecked arithmetic. */
   def rollingFingerprint(text: Column): Column =
     aggregate(Dedup.tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Context-window packing: assign documents to fixed token-budget packs
+    * by the concatenate-then-chunk rule every LLM pretraining loader uses —
+    * walk documents in `orderBy` order, keep a running token total, and
+    * `pack_id = floor(tokens_before / budget)` (a document whose tokens
+    * straddle a boundary belongs to the pack its first token lands in).
+    * Adds `pack_id` and `pack_offset` (token offset within the stream).
+    *
+    * SCALE: packing is a prefix-sum — inherently sequential — so it runs
+    * per `shard` (a window PARTITION BY): each shard packs independently
+    * and in parallel, which is exactly how a multi-worker loader shards
+    * anyway. Omitting the shard gives one global stream = one partition;
+    * fine for tests, wrong at 100 TB — always shard at scale. */
+  def packByBudget(
+      df: org.apache.spark.sql.DataFrame,
+      tokensCol: Column,
+      budget: Long,
+      orderBy: Seq[Column],
+      shard: Seq[Column] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w0 = if (shard.isEmpty) org.apache.spark.sql.expressions.Window.partitionBy()
+             else org.apache.spark.sql.expressions.Window.partitionBy(shard: _*)
+    val w = w0.orderBy(orderBy: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(tokensCol.cast("long")).over(w), lit(0L))
+    df.withColumn("pack_offset", before)
+      .withColumn("pack_id", (col("pack_offset") / budget).cast("long"))
+  }
 }

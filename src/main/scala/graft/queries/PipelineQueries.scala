@@ -101,6 +101,31 @@ object PipelineQueries {
         COUNT(DISTINCT fp) AS n_fp
       FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Context-window packing (TextAnalysis.packByBudget): concatenate-
+    // then-chunk pack assignment per lang shard — the pretraining-loader
+    // step that turns documents into fixed-budget training sequences.
+    // Pure prefix-sum window; SQL twin is the same running SUM OVER.
+    QueryDef("q60c_pack_budget", (s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      TextAnalysis.packByBudget(d, col("n_tokens"), budget = 512L,
+          orderBy = Seq(col("doc_id")), shard = Seq(col("lang")))
+        .select(col("doc_id"), col("lang"), col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, lang,
+          CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, lang,
+          COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+        FROM d)
+      SELECT doc_id, lang,
+        CAST(FLOOR(pack_offset / 512.0) AS BIGINT) AS pack_id, pack_offset
+      FROM o ORDER BY doc_id""")),
+
     // Heuristic language ID (profile n-gram argmax, first-wins ties).
     QueryDef("q61_langid", (s, dir) => {
       Table(documents(s, dir))
@@ -203,6 +228,26 @@ object PipelineQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     }, Some(SketchOracles.minhashLsh(numHashes = 32, bands = 8, threshold = 0.5))),
+
+    // Benchmark decontamination (Dedup.decontaminate): remove corpus docs
+    // that exactly or near-duplicate a blocklist ("eval set"). The
+    // blocklist is every 7th document — untouched when doc_id % 14 == 0
+    // (those corpus docs hit the EXACT stage on the normalized token
+    // stream) and ' zzz'-suffixed otherwise (jaccard ≈0.97 against the
+    // original → the minhash NEAR stage). Both removal paths are
+    // oracle-checked end-to-end in DuckDB (md5 token-hash mode).
+    QueryDef("q65b_decontaminate", (s, dir) => {
+      val docs = documents(s, dir)
+      val corpus = docs
+      val block = docs.filter(col("doc_id") % 7 === 0)
+        .select(when(col("doc_id") % 14 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" zzz"))).as("btext"))
+      Dedup.decontaminate(corpus, "doc_id", "text", block, "btext",
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          tokenHash = Dedup.md5Hash28)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }, Some(SketchOracles.decontaminate(numHashes = 32, bands = 8, threshold = 0.5))),
 
     // Exact word-set Jaccard pairs within a language block — SQL-checkable
     // twin of the LSH path (verifies the verify-stage math).

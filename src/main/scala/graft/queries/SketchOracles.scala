@@ -85,6 +85,66 @@ object SketchOracles {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Oracle for q65b: corpus decontamination against a derived blocklist.
+    * Corpus = all documents; blocklist = every 7th document, its text
+    * untouched when doc_id % 14 == 0 (→ exact-stage hits) and suffixed
+    * with ' zzz' otherwise (→ near-stage hits at jaccard ≈0.97). Removal
+    * = exact token-stream-md5 matches ∪ LSH-banded candidates verified at
+    * >= threshold — the union is order-insensitive, so staging
+    * differences with the engine (which anti-joins exact first) cannot
+    * diverge. */
+  def decontaminate(numHashes: Int, bands: Int, threshold: Double): String = {
+    val p = Dedup.MinhashPrime
+    val params = Dedup.minhashParams(numHashes, 42L)
+    val rows = numHashes / bands
+    val mins = params.zipWithIndex.map { case ((a, b), j) =>
+      s"LIST_MIN(LIST_TRANSFORM(sh, x -> (${a} * (x % ${p}) + ${b}) % ${p})) AS m$j"
+    }.mkString(",\n    ")
+    val banded = (0 until bands).map { bnd =>
+      val key = (0 until rows).map(r => s"m${bnd * rows + r}").mkString(", ")
+      s"SELECT side, doc, $bnd AS band, [$key] AS bucket FROM sigs"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH
+       |corp0 AS (SELECT doc_id AS doc, text FROM documents),
+       |blk0 AS (SELECT doc_id AS doc,
+       |    CASE WHEN doc_id % 14 = 0 THEN text ELSE text || ' zzz' END AS text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |sides AS (SELECT 'c' AS side, doc, text FROM corp0
+       |  UNION ALL SELECT 'b', doc, text FROM blk0),
+       |d AS (SELECT side, doc, $Words AS w FROM sides),
+       |keys AS (SELECT side, doc, MD5(ARRAY_TO_STRING(w, ' ')) AS k FROM d),
+       |th AS (SELECT side, doc, LIST_TRANSFORM(w, t -> ${md528("t")}) AS t FROM d),
+       |shs AS (SELECT side, doc, LIST_DISTINCT(CASE
+       |    WHEN LEN(t) = 0 THEN [CAST(7 AS BIGINT)]
+       |    WHEN LEN(t) = 1 THEN [7*31 + t[1]]
+       |    WHEN LEN(t) = 2 THEN [(7*31 + t[1])*31 + t[2]]
+       |    ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t)-2),
+       |           i -> t[i]*961 + t[i+1]*31 + t[i+2])
+       |  END) AS sh FROM th),
+       |sigs AS (SELECT side, doc, sh,
+       |    $mins
+       |  FROM shs WHERE LEN(sh) > 0),
+       |banded AS (
+       |    $banded),
+       |exact_rm AS (SELECT DISTINCT c.doc FROM keys c
+       |  JOIN keys b ON b.side = 'b' AND c.side = 'c' AND c.k = b.k),
+       |cand AS (
+       |  SELECT DISTINCT a.doc AS cdoc, b.doc AS bdoc
+       |  FROM banded a JOIN banded b
+       |    ON a.side = 'c' AND b.side = 'b'
+       |   AND a.band = b.band AND a.bucket = b.bucket),
+       |near_rm AS (
+       |  SELECT DISTINCT cdoc AS doc FROM cand
+       |  JOIN sigs sa ON sa.side = 'c' AND sa.doc = cdoc
+       |  JOIN sigs sb ON sb.side = 'b' AND sb.doc = bdoc
+       |  WHERE LEN(LIST_INTERSECT(sa.sh, sb.sh))
+       |      / CAST(LEN(LIST_DISTINCT(sa.sh || sb.sh)) AS DOUBLE) >= $threshold)
+       |SELECT doc AS doc_id FROM corp0
+       |WHERE doc NOT IN (SELECT doc FROM exact_rm)
+       |  AND doc NOT IN (SELECT doc FROM near_rm)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for q67: simhash over md5-64 token hashes — 64 ±1 bit-lanes,
     * sign-packed signature (via HUGEINT), 16-bit quadrant banding, Hamming
     * verify. */

@@ -192,6 +192,32 @@ class GeoMultiSpec extends SparkSpec {
     assert(r.getInt(2) == 6) // 4-point chain + 2-point tail
   }
 
+  test("convex_hull: concave polygon, multipoint cloud, degenerate cases") {
+    // L-shape: hull adds the (4,2)-(2,4) closing edge → area 14 (L is 12)
+    val lshape = geo.makePolygon(pts((0.0, 0.0), (4.0, 0.0), (4.0, 2.0),
+      (2.0, 2.0), (2.0, 4.0), (0.0, 4.0)))
+    val cloud = geo.collectGeoms(array(
+      geo.point(lit(0.0), lit(0.0)), geo.point(lit(4.0), lit(0.0)),
+      geo.point(lit(2.0), lit(6.0)), geo.point(lit(2.0), lit(1.0)))) // interior pt drops
+    val collinear = geo.collectGeoms(array(
+      geo.point(lit(0.0), lit(0.0)), geo.point(lit(1.0), lit(1.0)),
+      geo.point(lit(3.0), lit(3.0))))
+    val r = one.select(
+      geo.area(geo.convexHull(lshape)).as("la"),
+      geo.geometryType(geo.convexHull(lshape)).as("lt"),
+      geo.area(geo.convexHull(cloud)).as("ca"),
+      geo.nPoints(geo.convexHull(cloud)).as("cn"),
+      geo.geometryType(geo.convexHull(collinear)).as("colt"),
+      geo.length(geo.convexHull(collinear)).as("coll"),
+      geo.geometryType(geo.convexHull(geo.point(lit(1.0), lit(2.0)))).as("pt"))
+      .collect().head
+    assert(r.getDouble(0) == 14.0 && r.getString(1) == "POLYGON")
+    assert(r.getDouble(2) == 12.0 && r.getInt(3) == 4) // triangle ring, closed
+    assert(r.getString(4) == "LINESTRING" &&
+      math.abs(r.getDouble(5) - 3.0 * math.sqrt(2)) < 1e-9)
+    assert(r.getString(6) == "POINT")
+  }
+
   test("multi WKB round-trips through flip twice") {
     val mp = geo.collectGeoms(array(rect(0, 0, 2, 2), rect(5, 1, 3, 3)))
     val r = one.select(

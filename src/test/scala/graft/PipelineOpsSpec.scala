@@ -146,6 +146,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("decontaminate removes exact and near blocklist matches, keeps the rest") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "an entirely different document about spark query engines and plans"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today extra"),
+      (4L, "nothing like the others at all purely unique content words here")
+    ).toDF("id", "text")
+    val block = Seq(
+      Tuple1("the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("btext")
+    val out = Dedup.decontaminate(corpus, "id", "text", block, "btext",
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // doc 1 = exact match, doc 3 = near match (one extra token), 2/4 survive
+    assert(out == Set(2L, 4L))
+  }
+
+  test("packByBudget assigns concatenate-then-chunk pack ids per shard") {
+    val df = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 500L), (4L, "a", 10L),
+      (5L, "b", 600L), (6L, "b", 100L)
+    ).toDF("id", "shard", "toks")
+    val out = TextAnalysis.packByBudget(df, col("toks"), budget = 512L,
+        orderBy = Seq(col("id")), shard = Seq(col("shard")))
+      .select("id", "pack_id", "pack_offset")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (0L, 0L))     // offset 0
+    assert(out(2L) == (0L, 300L))   // straddles but starts in pack 0
+    assert(out(3L) == (1L, 600L))
+    assert(out(4L) == (2L, 1100L))
+    assert(out(5L) == (0L, 0L))     // shard b independent
+    assert(out(6L) == (1L, 600L))
+  }
+
   test("saltedJoin matches the plain join result on a hot key") {
     val probe = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // key 1 is hot (100 rows)
