@@ -52,7 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GeoMeasure].getName, s"geo_$op"),
         (children: Seq[Expression]) => GeoMeasure(children.head, op)))
     }
-    Seq("centroid", "envelope", "flip", "start_point", "end_point").foreach { op =>
+    Seq("centroid", "envelope", "flip", "start_point", "end_point",
+        "unary_union", "line_merge", "convex_hull").foreach { op =>
       ext.injectFunction((
         FunctionIdentifier(s"geo_$op"),
         new ExpressionInfo(classOf[GeoTransform].getName, s"geo_$op"),
@@ -64,7 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GeoRelate].getName, s"geo_$op"),
         (children: Seq[Expression]) => GeoRelate(children(0), children(1), op)))
     }
-    Seq("make_line", "make_polygon").foreach { op =>
+    Seq("make_line", "make_polygon", "collect").foreach { op =>
       ext.injectFunction((
         FunctionIdentifier(s"geo_$op"),
         new ExpressionInfo(classOf[GeoMake].getName, s"geo_$op"),
@@ -124,6 +125,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("geo_intersection"),
       new ExpressionInfo(classOf[GeoIntersectionExpr].getName, "geo_intersection"),
       (children: Seq[Expression]) => GeoIntersectionExpr(children(0), children(1))))
+    Seq("union", "difference").foreach { op =>
+      ext.injectFunction((
+        FunctionIdentifier(s"geo_$op"),
+        new ExpressionInfo(classOf[GeoSetOpExpr].getName, s"geo_$op"),
+        (children: Seq[Expression]) => GeoSetOpExpr(children(0), children(1), op)))
+    }
     ext.injectFunction((
       FunctionIdentifier("geo_transform"),
       new ExpressionInfo(classOf[GeoProject].getName, "geo_transform"),

@@ -218,6 +218,58 @@ class GeoMultiSpec extends SparkSpec {
     assert(r.getString(6) == "POINT")
   }
 
+  test("new geo ops are SQL-registered (geo_union/difference/collect/convex_hull/...)") {
+    // the bare test session doesn't load GraftExtensions — register the
+    // SAME builders the extension injects (pattern shared with GeoGeomSpec)
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    import org.apache.spark.sql.types.DoubleType
+    import graft.exts.{GeoMake, GeoMeasure, GeoPointWkb, GeoSetOpExpr, GeoText, GeoTransform}
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("geo_point",
+      (ch: Seq[Expression]) => GeoPointWkb(Cast(ch(0), DoubleType), Cast(ch(1), DoubleType)),
+      "built-in")
+    reg.createOrReplaceTempFunction("geo_area",
+      (ch: Seq[Expression]) => GeoMeasure(ch.head, "area"), "built-in")
+    reg.createOrReplaceTempFunction("geo_type",
+      (ch: Seq[Expression]) => GeoText(ch.head, "geometry_type"), "built-in")
+    Seq("make_line", "make_polygon", "collect").foreach { op =>
+      reg.createOrReplaceTempFunction(s"geo_$op",
+        (ch: Seq[Expression]) => GeoMake(ch.head, op), "built-in")
+    }
+    Seq("unary_union", "line_merge", "convex_hull").foreach { op =>
+      reg.createOrReplaceTempFunction(s"geo_$op",
+        (ch: Seq[Expression]) => GeoTransform(ch.head, op), "built-in")
+    }
+    Seq("union", "difference").foreach { op =>
+      reg.createOrReplaceTempFunction(s"geo_$op",
+        (ch: Seq[Expression]) => GeoSetOpExpr(ch(0), ch(1), op), "built-in")
+    }
+    val r = spark.sql("""
+      SELECT
+        geo_area(geo_union(
+          geo_make_polygon(array(geo_point(0D,0D), geo_point(4D,0D), geo_point(4D,4D), geo_point(0D,4D))),
+          geo_make_polygon(array(geo_point(2D,0D), geo_point(6D,0D), geo_point(6D,4D), geo_point(2D,4D))))) AS ua,
+        geo_area(geo_difference(
+          geo_make_polygon(array(geo_point(0D,0D), geo_point(4D,0D), geo_point(4D,4D), geo_point(0D,4D))),
+          geo_make_polygon(array(geo_point(2D,2D), geo_point(6D,2D), geo_point(6D,6D), geo_point(2D,6D))))) AS da,
+        geo_type(geo_collect(array(geo_point(1D,1D), geo_point(2D,2D)))) AS ct,
+        geo_area(geo_convex_hull(geo_collect(array(
+          geo_point(0D,0D), geo_point(4D,0D), geo_point(2D,6D), geo_point(2D,1D))))) AS ha,
+        geo_type(geo_line_merge(geo_collect(array(
+          geo_make_line(array(geo_point(0D,0D), geo_point(1D,0D))),
+          geo_make_line(array(geo_point(1D,0D), geo_point(2D,0D))))))) AS lm,
+        geo_area(geo_unary_union(geo_collect(array(
+          geo_make_polygon(array(geo_point(0D,0D), geo_point(2D,0D), geo_point(2D,2D), geo_point(0D,2D))),
+          geo_make_polygon(array(geo_point(5D,0D), geo_point(6D,0D), geo_point(6D,1D), geo_point(5D,1D))))))) AS uu
+    """).collect().head
+    assert(math.abs(r.getDouble(0) - 24.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 12.0) < 1e-9)
+    assert(r.getString(2) == "MULTIPOINT")
+    assert(r.getDouble(3) == 12.0)
+    assert(r.getString(4) == "LINESTRING")
+    assert(math.abs(r.getDouble(5) - 5.0) < 1e-9)
+  }
+
   test("multi WKB round-trips through flip twice") {
     val mp = geo.collectGeoms(array(rect(0, 0, 2, 2), rect(5, 1, 3, 3)))
     val r = one.select(
