@@ -39,9 +39,24 @@ object Skew {
         case "-1" => -1L
         case s    => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
       }
-    val buildBytes = build.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (threshold >= 0 && buildBytes <= threshold)
-      probe.join(build, probe(probeKey) === build(buildKey), how)
+    val estimate = build.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fitsBroadcast =
+      if (threshold < 0) false
+      else if (estimate <= threshold) true
+      else {
+        // Catalyst's estimate for a filtered scan is file-size based and
+        // can run orders of magnitude high (the round-4 bench caught the
+        // guard missing a 1000-row build side under a 2 GB scan estimate).
+        // One count() job settles it — trivial next to the ×buckets
+        // build-side explosion a wrong salting choice costs (measured 17×
+        // slower than the plain broadcast join at SF100).
+        val rowWidth = build.schema.map(_.dataType.defaultSize + 8).sum + 16L
+        build.count() * rowWidth <= threshold
+      }
+    if (fitsBroadcast)
+      // explicit hint: the same bad stats that inflated the estimate would
+      // otherwise push the planner to a shuffle join
+      probe.join(broadcast(build), probe(probeKey) === build(buildKey), how)
     else {
       val salted = probe.withColumn("__salt", (rand(42L) * buckets).cast("int"))
       val replicated = build.withColumn("__salt",
