@@ -65,15 +65,13 @@ object GeoGeomOps {
     bb.array()
   }
 
-  /** Canonical little-endian WKB with any EWKB SRID stripped (ST_AsBinary). */
+  /** Canonical little-endian WKB with any EWKB SRID stripped (ST_AsBinary).
+    * GeoGeom.write covers every kind incl. Multi* / collections (a Multi
+    * input used to MatchError here before round 4). */
   def asBinary(bytes: Array[Byte]): Array[Byte] = {
     val g = parse(bytes)
     if (g == null) return null
-    g.kind match {
-      case 1 => GeoWkb.writePoint(g.rings(0)(0), g.rings(0)(1))
-      case 2 => GeoGeom.writeLine(g.rings(0))
-      case 3 => GeoGeom.writePolygon(g.rings)
-    }
+    GeoGeom.write(g)
   }
 
   /** ST_AsEWKB: the stored bytes already carry the SRID when set. */
@@ -1020,23 +1018,54 @@ object GeoGeomOps {
 
   private final val EarthR = 6378137.0
 
-  /** Closed-form EPSG:4326 (lon/lat degrees) ↔ EPSG:3857 (web mercator
-    * meters), applied to every coordinate; output carries the target SRID
-    * as EWKB. Any other (from, to) pair → IllegalArgumentException. */
+  /** Is this SRID one geo_transform can reproject? 4326, 3857 (web
+    * mercator), and the UTM zones 326zz (north) / 327zz (south). */
+  def supportedSrid(srid: Int): Boolean =
+    srid == 4326 || srid == 3857 ||
+      (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760)
+
+  /** srid → 4326 lon/lat. */
+  private def toGeo(srid: Int): (Double, Double) => (Double, Double) = srid match {
+    case 4326 => (x, y) => (x, y)
+    case 3857 => (x, y) =>
+      (math.toDegrees(x / EarthR),
+       math.toDegrees(2.0 * math.atan(math.exp(y / EarthR)) - math.Pi / 2.0))
+    case utm => TransverseMercator.utmInverse(utm)
+  }
+
+  /** 4326 lon/lat → srid. */
+  private def fromGeo(srid: Int): (Double, Double) => (Double, Double) = srid match {
+    case 4326 => (x, y) => (x, y)
+    case 3857 => (lon, lat) =>
+      (EarthR * math.toRadians(lon),
+       EarthR * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0)))
+    case utm => TransverseMercator.utmForward(utm)
+  }
+
+  /** Reproject every coordinate between supported CRSs (4326 ↔ 3857 ↔ any
+    * UTM zone — non-4326 pairs hop through lon/lat); output carries the
+    * target SRID as EWKB. Multi* / GeometryCollection inputs reproject
+    * each member. Unsupported (from, to) → IllegalArgumentException
+    * (caught at plan time by GeoProject's type check). */
   def transform(bytes: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
     val g = parse(bytes)
     if (g == null) return null
-    val fn: (Double, Double) => (Double, Double) = (fromSrid, toSrid) match {
-      case (f, t) if f == t => (x, y) => (x, y)
-      case (4326, 3857) => (lon, lat) =>
-        (EarthR * math.toRadians(lon),
-         EarthR * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0)))
-      case (3857, 4326) => (x, y) =>
-        (math.toDegrees(x / EarthR),
-         math.toDegrees(2.0 * math.atan(math.exp(y / EarthR)) - math.Pi / 2.0))
-      case other => throw new IllegalArgumentException(
-        s"geo_transform supports EPSG:4326 <-> EPSG:3857, got $other")
-    }
+    if (fromSrid == toSrid) return setSrid(GeoGeom.write(g), toSrid)
+    require(supportedSrid(fromSrid) && supportedSrid(toSrid),
+      s"geo_transform supports EPSG 4326/3857/UTM(326zz,327zz), got ($fromSrid, $toSrid)")
+    val to4326 = toGeo(fromSrid)
+    val from4326 = fromGeo(toSrid)
+    val fn: (Double, Double) => (Double, Double) =
+      if (fromSrid == 4326) from4326
+      else if (toSrid == 4326) to4326
+      else (x, y) => { val (lon, lat) = to4326(x, y); from4326(lon, lat) }
+    setSrid(GeoGeom.write(mapCoords(g, fn)), toSrid)
+  }
+
+  /** Apply a coordinate map to every vertex, recursing into Multi* parts
+    * (GeoGeom.write reads `parts` for kinds 4-7, `rings` for 1-3). */
+  private def mapCoords(g: GeoGeom.Geom,
+      fn: (Double, Double) => (Double, Double)): GeoGeom.Geom = {
     val rings = g.rings.map { r =>
       val o = new Array[Double](r.length)
       var i = 0
@@ -1046,13 +1075,97 @@ object GeoGeomOps {
       }
       o
     }
-    val plain = g.kind match {
-      case 1 => GeoWkb.writePoint(rings(0)(0), rings(0)(1))
-      case 2 => GeoGeom.writeLine(rings(0))
-      case 3 => GeoGeom.writePolygon(rings)
-    }
-    setSrid(plain, toSrid)
+    if (g.parts == null) new GeoGeom.Geom(g.kind, rings)
+    else new GeoGeom.Geom(g.kind, rings, g.parts.map(mapCoords(_, fn)))
   }
+}
+
+/** WGS84 transverse mercator via the Krüger flattening series (Karney 2011
+  * arXiv:1002.1417 / OGP guidance note 7-2 — public formulas), 4th order in
+  * n: error well under a millimeter anywhere inside a UTM zone (the spec
+  * cross-checks against an independent Snyder-formula computation). */
+private[exts] object TransverseMercator {
+  private final val A0 = 6378137.0
+  private final val F = 1.0 / 298.257223563
+  private final val N = F / (2.0 - F)
+  private final val K0 = 0.9996
+  private final val FalseE = 500000.0
+  private final val FalseNSouth = 10000000.0
+  // rectifying radius
+  private final val A = A0 / (1.0 + N) * (1.0 + N * N / 4.0 + math.pow(N, 4) / 64.0)
+  // Krüger series coefficients (α forward, β inverse-to-conformal,
+  // δ conformal-to-geodetic), 4th order in n
+  private final val Al = Array(
+    N / 2.0 - 2.0 / 3.0 * N * N + 5.0 / 16.0 * pow3 + 41.0 / 180.0 * pow4,
+    13.0 / 48.0 * N * N - 3.0 / 5.0 * pow3 + 557.0 / 1440.0 * pow4,
+    61.0 / 240.0 * pow3 - 103.0 / 140.0 * pow4,
+    49561.0 / 161280.0 * pow4)
+  private final val Be = Array(
+    N / 2.0 - 2.0 / 3.0 * N * N + 37.0 / 96.0 * pow3 - 1.0 / 360.0 * pow4,
+    1.0 / 48.0 * N * N + 1.0 / 15.0 * pow3 - 437.0 / 1440.0 * pow4,
+    17.0 / 480.0 * pow3 - 37.0 / 840.0 * pow4,
+    4397.0 / 161280.0 * pow4)
+  private final val De = Array(
+    2.0 * N - 2.0 / 3.0 * N * N - 2.0 * pow3 + 116.0 / 45.0 * pow4,
+    7.0 / 3.0 * N * N - 8.0 / 5.0 * pow3 - 227.0 / 45.0 * pow4,
+    56.0 / 15.0 * pow3 - 136.0 / 35.0 * pow4,
+    4279.0 / 630.0 * pow4)
+  private def pow3 = N * N * N
+  private def pow4 = N * N * N * N
+  private final val TwoSqrtN = 2.0 * math.sqrt(N) / (1.0 + N)
+
+  /** (zone central meridian degrees, southern false northing) of a UTM SRID. */
+  private def zoneOf(srid: Int): (Double, Double) = {
+    val south = srid >= 32701
+    val zone = srid - (if (south) 32700 else 32600)
+    (zone * 6.0 - 183.0, if (south) FalseNSouth else 0.0)
+  }
+
+  def utmForward(srid: Int): (Double, Double) => (Double, Double) = {
+    val (lon0, n0) = zoneOf(srid)
+    (lon, lat) => {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon - lon0)
+      val s = math.sin(phi)
+      val t = math.sinh(atanh(s) - TwoSqrtN * atanh(TwoSqrtN * s))
+      val xiP = math.atan2(t, math.cos(lam))
+      val etaP = atanh(math.sin(lam) / math.sqrt(1.0 + t * t))
+      var xi = xiP; var eta = etaP
+      var j = 1
+      while (j <= 4) {
+        xi += Al(j - 1) * math.sin(2.0 * j * xiP) * math.cosh(2.0 * j * etaP)
+        eta += Al(j - 1) * math.cos(2.0 * j * xiP) * math.sinh(2.0 * j * etaP)
+        j += 1
+      }
+      (FalseE + K0 * A * eta, n0 + K0 * A * xi)
+    }
+  }
+
+  def utmInverse(srid: Int): (Double, Double) => (Double, Double) = {
+    val (lon0, n0) = zoneOf(srid)
+    (e, nn) => {
+      val xi = (nn - n0) / (K0 * A)
+      val eta = (e - FalseE) / (K0 * A)
+      var xiP = xi; var etaP = eta
+      var j = 1
+      while (j <= 4) {
+        xiP -= Be(j - 1) * math.sin(2.0 * j * xi) * math.cosh(2.0 * j * eta)
+        etaP -= Be(j - 1) * math.cos(2.0 * j * xi) * math.sinh(2.0 * j * eta)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+      var phi = chi
+      j = 1
+      while (j <= 4) {
+        phi += De(j - 1) * math.sin(2.0 * j * chi)
+        j += 1
+      }
+      val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+      (lon0 + math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
 }
 
 // ---- Catalyst expressions ------------------------------------------------
@@ -1306,7 +1419,9 @@ case class GeoLineSubstring(first: Expression, second: Expression, third: Expres
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
-/** `geo_transform(g, fromSrid, toSrid)` — closed-form 4326↔3857. */
+/** `geo_transform(g, fromSrid, toSrid)` — closed-form 4326 ↔ 3857 ↔ any
+  * UTM zone (EPSG:326zz/327zz, Krüger series); non-4326 pairs hop through
+  * lon/lat. */
 case class GeoProject(child: Expression, fromSrid: Int, toSrid: Int)
     extends UnaryExpression {
   override def prettyName: String = "geo_transform"
@@ -1316,10 +1431,10 @@ case class GeoProject(child: Expression, fromSrid: Int, toSrid: Int)
     if (child.dataType != BinaryType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary WKB input")
     else if (fromSrid == toSrid ||
-        (fromSrid == 4326 && toSrid == 3857) || (fromSrid == 3857 && toSrid == 4326))
+        (GeoGeomOps.supportedSrid(fromSrid) && GeoGeomOps.supportedSrid(toSrid)))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName supports EPSG:4326 <-> EPSG:3857, got ($fromSrid, $toSrid)")
+      s"$prettyName supports EPSG 4326/3857/UTM(326zz,327zz), got ($fromSrid, $toSrid)")
   override def nullSafeEval(v: Any): Any =
     GeoGeomOps.transform(v.asInstanceOf[Array[Byte]], fromSrid, toSrid)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset splitting, sampling, and ordering for training-data pipelines:
+  * hash-based train/val/test assignment, deterministic stratified sampling,
+  * and seeded corpus shuffling.
+  *
+  * Everything here is DETERMINISTIC given (id, seed): the randomness source
+  * is an md5-derived unit-interval hash of the row id, not `rand()`. That is
+  * the property a 100 TB pipeline actually needs — re-running a stage (or
+  * recomputing a lost partition on a real cluster) must assign every row to
+  * the same split/sample/position, and `rand()` guarantees neither across
+  * retries nor across engines. md5 also makes every operator here
+  * oracle-checkable in any engine (cf. ibis Table.sample / the reference's
+  * `random()`-filter semantics at expr/types/relations.py — same shape, but
+  * seeded-stable by construction).
+  *
+  * All operators are map-side only (no shuffle) except [[shuffled]], which
+  * is one range-partitioned sort — exactly the cost a global reshuffle must
+  * pay. */
+object Splits {
+
+  /** Unit-interval hash in [0, 1): first 7 md5 hex chars of `"<seed>:<id>"`
+    * over 16^7. 28 bits of resolution ≈ 4e-9 granularity — plenty for split
+    * fractions; exactly representable as a double (no rounding divergence
+    * across engines). */
+  def hashUnit(id: Column, seed: Long): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"),
+      id.cast("string")).cast("binary")), 1, 7), 16, 10)
+      .cast("double") / lit(268435456.0)
+
+  /** Named-split assignment (train/val/test or any weighted partition):
+    * adds `splitCol` with the name whose cumulative weight interval contains
+    * `hashUnit(id, seed)`. Weights must be positive and sum to ~1.
+    * Map-side, no shuffle; rows keep their partitions. */
+  def assignSplit(
+      df: DataFrame,
+      id: Column,
+      splits: Seq[(String, Double)],
+      seed: Long,
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
+    val u = hashUnit(id, seed)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last bucket is the unconditional otherwise — no row can fall through
+    // on cumulative float error
+    val chain = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), upper)) =>
+        val cond = u < lit(upper)
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }
+    val expr = chain.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1)))
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic stratified sample: keep a row iff
+    * `hashUnit(id, seed) < fraction(stratum)`. Unlike Spark's `sampleBy`
+    * (Bernoulli on `rand()`), membership is a pure function of (id, seed) —
+    * stable under retries, recomputation, and engine changes — and the
+    * realized fraction concentrates at the target by the same law of large
+    * numbers. Strata absent from `fractions` fall back to `default`
+    * (0 = drop). Map-side, no shuffle. */
+  def stratifiedSample(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      fractions: Map[String, Double],
+      seed: Long,
+      default: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val u = hashUnit(id, seed)
+    val frac = fractions.foldLeft(Option.empty[Column]) {
+      case (acc, (k, f)) =>
+        val cond = stratum === lit(k)
+        Some(acc.fold(when(cond, lit(f)))(_.when(cond, lit(f))))
+    }.fold(lit(default))(_.otherwise(lit(default)))
+    df.filter(u < frac)
+  }
+
+  /** Seeded global shuffle: total-order sort by `(hashUnit(id, seed), id)`
+    * — the id tiebreak makes the order total even if 28-bit keys collide.
+    * This is the pretraining-loader "shuffle the corpus each epoch" step:
+    * vary `seed` per epoch for a fresh permutation. One range-partitioned
+    * sort (Spark samples key ranges, so output partitions stay balanced);
+    * downstream writers consume partitions in order. */
+  def shuffled(df: DataFrame, id: Column, seed: Long): DataFrame =
+    df.orderBy(hashUnit(id, seed).asc, id.asc)
+
+  /** Epoch-sharded variant: assigns each row a shard (for N parallel loader
+    * workers) plus its position key within the shard, without any global
+    * sort — `shard = floor(u * n)`, sort within shard downstream. This is
+    * the scale path when one total order is not required. */
+  def shardAssign(df: DataFrame, id: Column, nShards: Int, seed: Long,
+      shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn(shardCol,
+      least(floor(hashUnit(id, seed) * nShards), lit(nShards - 1L)).cast("int"))
+  }
+}

@@ -86,6 +86,60 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  // ------------------------------------------------------------- PII scrub
+
+  /** Regexes shared with the DuckDB oracles — Java/RE2 common subset only
+    * (no lookaround, no backrefs), so any engine matches identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\+\\d[\\d\\-]{7,}\\d"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(Ipv4Re))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+  /** PII redaction: emails, IPv4 addresses, then phone-shaped digit runs
+    * replaced with typed placeholder tags. Order matters (an IP inside a
+    * URL must not be half-eaten by the phone pattern) and is mirrored in
+    * the oracle. Pure codegen regexp_replace chain — map-side at any
+    * scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // --------------------------------------------- repetition (Gopher-style)
+
+  /** Fraction of tokens that repeat an earlier token: 1 − distinct/total.
+    * High values flag boilerplate/spam (Gopher's duplicate-fraction
+    * family). */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** Share of all token n-grams taken by the single most frequent one —
+    * Gopher's top-n-gram fraction signal. Per-row cost is O(len·distinct)
+    * in the worst case (bounded by document length — fine for a quality
+    * signal that runs once per document). Documents shorter than n tokens
+    * score 0. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be positive")
+    val toks = Dedup.tokens(text)
+    // guard BEFORE building sequence(): Spark's sequence(0, k) runs
+    // DESCENDING for k < 0, which would fabricate grams on short docs
+    when(size(toks) < n, lit(0.0)).otherwise(
+      graft.functions.ibisfn.let1(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))) { grams =>
+        array_max(transform(array_distinct(grams),
+          g => size(filter(grams, x => x === g)))).cast("double") / size(grams)
+      })
+  }
+
   /** OpenRefine-style key fingerprint: sorted distinct lowercase tokens
     * joined — canonical form for clustering near-identical records. */
   def fingerprintKey(text: Column): Column =

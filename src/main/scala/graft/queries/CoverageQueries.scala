@@ -655,6 +655,42 @@ object CoverageQueries {
         TRUE AS h_out
       FROM t ORDER BY 1""")),
 
+    // UTM reprojection (round 4; GeoTransform geospatial.py:450 beyond the
+    // 4326↔3857 pair): per-nation points inside zone 31, forward to
+    // EPSG:32631 and back (plus a 32631→3857→4326 double hop). The Krüger
+    // series' ABSOLUTE accuracy is spec-checked against independent Snyder
+    // values (GeoUtmSpec); the oracle checks the round-trip identity at
+    // 1e-6 degrees — which only holds if forward and inverse are both
+    // real reprojections (error ~1e-10°).
+    QueryDef("q74d_geo_utm_roundtrip", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val lon = (k % 12).cast("double") * 0.5 + 0.25
+      val lat = k.cast("double") * 3.0 - 36.0
+      val p = geo.point(lon, lat)
+      val utm = geo.transform(p, 4326, 32631)
+      val back = geo.transform(utm, 32631, 4326)
+      val hop = geo.transform(geo.transform(utm, 32631, 3857), 3857, 4326)
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        round(geo.x(back), 6).as("lon_rt"),
+        round(geo.y(back), 6).as("lat_rt"),
+        round(geo.x(hop), 6).as("lon_hop"),
+        round(geo.y(hop), 6).as("lat_hop"),
+        geo.srid(utm).as("srid_utm"),
+        (geo.x(utm) > 0.0 && geo.x(utm) < 1000000.0).as("e_in_band"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      SELECT n_nationkey,
+        ROUND((n_nationkey % 12) * 0.5 + 0.25, 6) AS lon_rt,
+        ROUND(n_nationkey * 3.0 - 36.0, 6) AS lat_rt,
+        ROUND((n_nationkey % 12) * 0.5 + 0.25, 6) AS lon_hop,
+        ROUND(n_nationkey * 3.0 - 36.0, 6) AS lat_hop,
+        CAST(32631 AS INT) AS srid_utm,
+        TRUE AS e_in_band
+      FROM nation ORDER BY 1""")),
+
     // DE-9IM-style predicate battery (exts/GeoGeometryOps.scala;
     // geospatial.py:179 touches, :172 overlaps, :49 covers, :77 equals,
     // :161 ordering_equals, :63 crosses, :42 contains_properly, :405

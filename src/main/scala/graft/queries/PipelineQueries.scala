@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.api.{SortKey, Table}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
 import Tables._
 
 /** Training-data pipeline corpus: text analysis, dedup (exact / minhash-LSH /
@@ -393,6 +393,138 @@ object PipelineQueries {
           round(first(element_at(col("features_b"), 1)).cast("double"), 6).as("featb0"),
           count(lit(1)).as("n_frames"))
         .orderBy(col("doc_id").asc)
-    }, Some(SketchOracles.multimodal(durationMs = 5000L, everyMs = 1000L)))
+    }, Some(SketchOracles.multimodal(durationMs = 5000L, everyMs = 1000L))),
+
+    // Hash-based train/val/test assignment (Splits.assignSplit): split
+    // membership is a pure function of (doc_id, seed) — retry/engine
+    // stable, unlike rand(). Checksum = per-split count + id-sum.
+    QueryDef("q86_split_assign", (s, dir) => {
+      Splits.assignSplit(documents(s, dir), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("split")
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+          CAST(CONCAT('0x', SUBSTRING(MD5('42:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) / 268435456.0 AS u
+        FROM documents)
+      SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+        COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM u GROUP BY 1 ORDER BY 1""")),
+
+    // Deterministic stratified sampling (Splits.stratifiedSample): keep iff
+    // hashUnit(id) < fraction(lang); es/zh exercise the default fraction.
+    QueryDef("q87_stratified_sample", (s, dir) => {
+      Splits.stratifiedSample(documents(s, dir), col("doc_id"), col("lang"),
+          fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1),
+          seed = 7L, default = 0.05)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id, lang,
+          CAST(CONCAT('0x', SUBSTRING(MD5('7:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) / 268435456.0 AS u
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM u
+      WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.1 ELSE 0.05 END
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Seeded corpus shuffle (Splits.shuffled) + loader shard assignment
+    // (Splits.shardAssign): first 50 docs of the seed-3 epoch permutation,
+    // with the sort key and 8-way shard exposed for value-level checking.
+    QueryDef("q88_corpus_shuffle", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val skey = (Splits.hashUnit(col("doc_id"), 3L) * 268435456.0).cast("long")
+      Splits.shardAssign(
+          Splits.shuffled(documents(s, dir), col("doc_id"), seed = 3L),
+          col("doc_id"), nShards = 8, seed = 3L)
+        .withColumn("skey", skey)
+        .withColumn("pos",
+          row_number().over(Window.orderBy(col("skey"), col("doc_id"))) - 1)
+        .filter(col("pos") < 50)
+        .select(col("pos"), col("doc_id"), col("skey"), col("shard"))
+        .orderBy("pos")
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+          CAST(CONCAT('0x', SUBSTRING(MD5('3:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS skey
+        FROM documents),
+      r AS (
+        SELECT doc_id, skey,
+          CAST(LEAST(CAST(FLOOR(skey / 268435456.0 * 8) AS BIGINT), 7) AS INT) AS shard,
+          ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 AS pos
+        FROM u)
+      SELECT pos, doc_id, skey, shard FROM r WHERE pos < 50 ORDER BY pos""")),
+
+    // PII detection + redaction (TextAnalysis.redactPii): deterministic
+    // planted email/phone/IP per doc so counts and the redacted-text hash
+    // are non-trivial; same construction in the oracle.
+    QueryDef("q89_pii_redact", (s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("-999 from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+      Table(documents(s, dir))
+        .filter(col("doc_id") < 50)
+        .mutate("t" -> planted)
+        .mutate(
+          "n_email" -> TextAnalysis.emailCount(col("t")),
+          "n_ip" -> TextAnalysis.ipv4Count(col("t")),
+          "n_phone" -> TextAnalysis.phoneCount(col("t")),
+          "redacted_hash" -> md5(TextAnalysis.redactPii(col("t"))))
+        .selectNames("doc_id", "n_email", "n_ip", "n_phone", "redacted_hash")
+        .sort(SortKey.asc(col("doc_id")))
+        .df
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+          text || ' contact: user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or +1-555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               || '-999 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id,
+        CAST(LEN(REGEXP_EXTRACT_ALL(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        CAST(LEN(REGEXP_EXTRACT_ALL(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INT) AS n_ip,
+        CAST(LEN(REGEXP_EXTRACT_ALL(t, '\+\d[\d\-]{7,}\d')) AS INT) AS n_phone,
+        MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+          '\+\d[\d\-]{7,}\d', '<PHONE>', 'g')) AS redacted_hash
+      FROM p ORDER BY doc_id""")),
+
+    // Gopher-style repetition signals (TextAnalysis.dupTokenFraction /
+    // topNgramFraction): duplicate-token share and top-2/3-gram dominance.
+    QueryDef("q89b_repetition", (s, dir) => {
+      Table(documents(s, dir))
+        .filter(col("doc_id") < 50)
+        .mutate(
+          "dup_frac" -> round(TextAnalysis.dupTokenFraction(col("text")), 6),
+          "top2_frac" -> round(TextAnalysis.topNgramFraction(col("text"), 2), 6),
+          "top3_frac" -> round(TextAnalysis.topNgramFraction(col("text"), 3), 6))
+        .selectNames("doc_id", "dup_frac", "top2_frac", "top3_frac")
+        .sort(SortKey.asc(col("doc_id")))
+        .df
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents WHERE doc_id < 50),
+      g AS (
+        SELECT doc_id, w,
+          LIST_TRANSFORM(RANGE(0, LEN(w) - 1), i -> w[i+1] || ' ' || w[i+2]) AS g2,
+          LIST_TRANSFORM(RANGE(0, LEN(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g3
+        FROM d)
+      SELECT doc_id,
+        ROUND(CASE WHEN LEN(w) = 0 THEN 0.0
+          ELSE 1.0 - LEN(LIST_DISTINCT(w)) / CAST(LEN(w) AS DOUBLE) END, 6) AS dup_frac,
+        ROUND(CASE WHEN LEN(w) < 2 THEN 0.0
+          ELSE LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(g2), x -> LEN(LIST_FILTER(g2, y -> y = x)))) / CAST(LEN(g2) AS DOUBLE) END, 6) AS top2_frac,
+        ROUND(CASE WHEN LEN(w) < 3 THEN 0.0
+          ELSE LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(g3), x -> LEN(LIST_FILTER(g3, y -> y = x)))) / CAST(LEN(g3) AS DOUBLE) END, 6) AS top3_frac
+      FROM g ORDER BY doc_id"""))
   )
 }
