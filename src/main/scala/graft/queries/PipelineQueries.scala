@@ -123,7 +123,8 @@ object PipelineQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
         FROM d)
       SELECT doc_id, lang,
-        CAST(FLOOR(pack_offset / 512.0) AS BIGINT) AS pack_id, pack_offset
+        CAST(FLOOR(pack_offset / 512.0) AS BIGINT) AS pack_id,
+        CAST(pack_offset AS BIGINT) AS pack_offset
       FROM o ORDER BY doc_id""")),
 
     // Heuristic language ID (profile n-gram argmax, first-wins ties).
