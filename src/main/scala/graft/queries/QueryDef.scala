@@ -18,11 +18,17 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // driver testdata events carry TIMESTAMP(NANOS) → read as long under the
-    // flag and truncated to µs; DataGen dirs may carry a plain timestamp
+    // driver testdata events have carried ts as TIMESTAMP(NANOS) (read as
+    // long under the flag, truncated to µs) and as plain µs-NTZ in
+    // different rounds; normalize BOTH to session-local TIMESTAMP (UTC
+    // session → value-preserving) so downstream µs arithmetic
+    // (unix_micros, as-of, tumble bucketing) sees one type
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 
