@@ -388,6 +388,131 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over an undirected edge list — turns pairwise
+    * near-duplicate evidence ([[minhashLsh]]/[[simhashPairs]]/
+    * [[ngramJaccardPairs]] output) into duplicate CLUSTERS, which is what a
+    * keep-one-per-group dedup actually needs (pair-at-a-time removal drops
+    * too much: in a chain a–b, b–c, removing both "b of a–b" and "c of b–c"
+    * loses c even though only one of the three should go).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    * in O(log² n) rounds on any graph, each round two hash-partitioned
+    * aggregations plus an equi-join on the node id. Unlike label
+    * propagation (O(diameter) rounds) or GraphX/pregel (RDD-based, no
+    * AQE/codegen), this stays a pure DataFrame plan; unlike
+    * groupBy+collect_set formulations, the per-node neighborhood is never
+    * materialized — a hub node with 10M neighbors costs a min() aggregate,
+    * not a 10M-element array in one task. Per-round results are
+    * checkpointed (lineage truncation is what makes iteration viable;
+    * `reliableCheckpoint=true` for multi-hour cluster jobs, same contract
+    * as [[minhashLsh]]).
+    *
+    * Returns (id, component) for every node appearing in `edges`, where
+    * component = the minimum node id of the component (deterministic,
+    * engine-independent — reproducible in any engine for oracle checks).
+    * Node ids may be any orderable type (long, string, …); self-loops and
+    * duplicate/reversed edges are tolerated. */
+  def connectedComponents(
+      edges: DataFrame,
+      src: String,
+      dst: String,
+      maxIter: Int = 30,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    // checksum action per round: (edge count, xor of row hashes) — xor
+    // cannot overflow (sum would, and under ANSI mode would throw) and the
+    // edge set is distinct, so set equality ⇔ checksum equality up to
+    // 64-bit collision odds; count equality guards the trivial collisions
+    def chk(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // normalize: big→small direction, no self-loops, distinct
+    var e = ckpt(edges
+      .filter(col(src).isNotNull && col(dst).isNotNull && col(src) =!= col(dst))
+      .select(greatest(col(src), col(dst)).as("u"), least(col(src), col(dst)).as("v"))
+      .distinct())
+    var prev = chk(e)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIter) {
+      // large-star: every node u links its LARGER neighbors v to
+      // m(u) = min(Γ(u) ∪ {u}); m ≤ u < v keeps edges big→small
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: on the big→small edge set, every node u re-links its
+      // smaller neighborhood (and itself) to its minimum
+      val mins2 = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      e = ckpt(small)
+      val cur = chk(e)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    // at the fixpoint the edge set is a union of stars centered at each
+    // component's min: non-roots appear exactly once as u, roots only as v
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Near-duplicate clusters for every document: [[minhashLsh]] pairs →
+    * [[connectedComponents]] → (id, cluster) where cluster = min doc id of
+    * the duplicate group and singletons map to themselves. */
+  def nearDupClusters(
+      df: DataFrame,
+      id: String,
+      text: String,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      tokenHash: Column => Column = murmurHash,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    val pairs = minhashLsh(df, id, text, shingleK, numHashes, bands, threshold,
+      tokenHash, reliableCheckpoint)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b",
+        reliableCheckpoint = reliableCheckpoint)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    df.join(cc, df(id) === cc("__cc_id"), "left")
+      .select(df.columns.map(col) :+
+        coalesce(col("__cc_comp"), df(id)).as("cluster"): _*)
+  }
+
+  /** Cluster-aware near-dedup: keep exactly ONE document per near-duplicate
+    * cluster (the minimum id — deterministic and retry-stable), all
+    * original columns preserved. This is the transitive-closure-correct
+    * version of pairwise removal: a chain a–b–c keeps a alone, never
+    * drops the whole chain. */
+  def nearDedup(
+      df: DataFrame,
+      id: String,
+      text: String,
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      tokenHash: Column => Column = murmurHash,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    val clustered = nearDupClusters(df, id, text, shingleK, numHashes, bands,
+      threshold, tokenHash, reliableCheckpoint)
+    clustered.filter(col("cluster") === col(id)).drop("cluster")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, LSH-bucketed by
     * random-hyperplane sign bits so the join is bucket-local. */
   def embeddingNearDups(

@@ -250,6 +250,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }, Some(SketchOracles.decontaminate(numHashes = 32, bands = 8, threshold = 0.5))),
 
+    // Cluster-aware near-dedup (Dedup.nearDedup): minhash-LSH pairs →
+    // connected components (large-star/small-star) → keep each duplicate
+    // cluster's minimum doc_id. Transitive-closure-correct: a chain
+    // a–b–c keeps only a. The DuckDB twin closes the SAME pair graph with
+    // a recursive CTE — banding, jaccard verify, AND the component
+    // min-labels are all value-checked end-to-end.
+    QueryDef("q65c_near_dedup", (s, dir) => {
+      Dedup.nearDedup(documents(s, dir), "doc_id", "text",
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          tokenHash = Dedup.md5Hash28)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }, Some(SketchOracles.nearDedup(numHashes = 32, bands = 8, threshold = 0.5))),
+
     // Exact word-set Jaccard pairs within a language block — SQL-checkable
     // twin of the LSH path (verifies the verify-stage math).
     QueryDef("q66_jaccard_pairs", (s, dir) => {
@@ -268,6 +282,18 @@ object PipelineQueries {
       FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE LEN(LIST_INTERSECT(a.w, b.w)) / CAST(LEN(LIST_DISTINCT(a.w || b.w)) AS DOUBLE) >= 0.6
       ORDER BY doc_a, doc_b""")),
+
+    // Duplicate clusters from the q66 pair graph: connectedComponents
+    // (alternating large-star/small-star, min-label) vs a DuckDB
+    // recursive-CTE transitive closure over the identical edge set.
+    QueryDef("q66b_dup_clusters", (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        documents(s, dir).filter(col("doc_id") < 60), "doc_id", "text",
+        blockBy = col("lang"), n = 1, threshold = 0.6)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+        .orderBy("doc_id")
+    }, Some(SketchOracles.jaccardClusters(maxDocId = 60L, threshold = 0.6))),
 
     // SimHash hamming near-dup pairs, md5-64 token hash → bit-lane math,
     // quadrant banding, and Hamming verify all oracle-checked in DuckDB.

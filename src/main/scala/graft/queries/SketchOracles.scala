@@ -47,10 +47,12 @@ object SketchOracles {
        |           i -> t[i]*961 + t[i+1]*31 + t[i+2])
        |  END) AS sh FROM th)""".stripMargin
 
-  /** Oracle for q65: full minhash-LSH pipeline — signature minima with the
-    * engine's exact (a,b) parameters, banding on the signature slices,
-    * bucket self-join, exact-jaccard verify. */
-  def minhashLsh(numHashes: Int, bands: Int, threshold: Double): String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the full
+    * minhash-LSH pipeline (signature minima with the engine's exact (a,b)
+    * parameters, banding on the signature slices, bucket self-join,
+    * exact-jaccard verify), composable into downstream oracles (q65's
+    * direct listing, q65c's connected-components dedup). */
+  private def minhashPairsCtes(numHashes: Int, bands: Int, threshold: Double): String = {
     val p = Dedup.MinhashPrime
     val params = Dedup.minhashParams(numHashes, 42L)
     val rows = numHashes / bands
@@ -63,8 +65,7 @@ object SketchOracles {
       val key = (0 until rows).map(r => s"m${bnd * rows + r}").mkString(", ")
       s"SELECT doc, $bnd AS band, [$key] AS bucket FROM sigs"
     }.mkString("\n    UNION ALL ")
-    s"""WITH
-       |${shingleSetCte("")},
+    s"""${shingleSetCte("")},
        |sigs AS (SELECT doc, sh,
        |    $mins
        |  FROM shs WHERE LEN(sh) > 0),
@@ -73,17 +74,63 @@ object SketchOracles {
        |cand AS (
        |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc)
-       |SELECT doc_a, doc_b,
-       |  ROUND(LEN(LIST_INTERSECT(sa.sh, sb.sh))
-       |    / CAST(LEN(LIST_DISTINCT(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
-       |FROM cand
-       |JOIN sigs sa ON sa.doc = doc_a
-       |JOIN sigs sb ON sb.doc = doc_b
-       |WHERE LEN(LIST_INTERSECT(sa.sh, sb.sh))
-       |    / CAST(LEN(LIST_DISTINCT(sa.sh || sb.sh)) AS DOUBLE) >= $threshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    ROUND(LEN(LIST_INTERSECT(sa.sh, sb.sh))
+       |      / CAST(LEN(LIST_DISTINCT(sa.sh || sb.sh)) AS DOUBLE), 6) AS jaccard
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc = doc_a
+       |  JOIN sigs sb ON sb.doc = doc_b
+       |  WHERE LEN(LIST_INTERSECT(sa.sh, sb.sh))
+       |      / CAST(LEN(LIST_DISTINCT(sa.sh || sb.sh)) AS DOUBLE) >= $threshold)""".stripMargin
   }
+
+  /** Oracle for q65: the minhash-LSH near-dup pair listing. */
+  def minhashLsh(numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH
+       |${minhashPairsCtes(numHashes, bands, threshold)}
+       |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Mirror of [[Dedup.connectedComponents]] min-label semantics as a
+    * recursive-CTE suffix over a `pairs(doc_a, doc_b, …)` CTE: symmetrize
+    * the edges, transitively close reachability (UNION dedup terminates
+    * it), take MIN over reached labels → `comp(id, component)`. */
+  private val ccCtes: String =
+    s"""sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** Oracle for q65c: cluster-aware near-dedup — minhash-LSH pairs closed
+    * into components, keep each component's minimum doc plus all
+    * untouched singletons. */
+  def nearDedup(numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE
+       |${minhashPairsCtes(numHashes, bands, threshold)},
+       |$ccCtes
+       |SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |WHERE c.component IS NULL OR c.component = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for q66b: connected components over the exact unigram-jaccard
+    * pair graph (the q66 edge definition), min-label clusters. */
+  def jaccardClusters(maxDocId: Long, threshold: Double): String =
+    s"""WITH RECURSIVE
+       |jd AS (
+       |  SELECT doc_id, lang,
+       |    LIST_DISTINCT($Words) AS w
+       |  FROM documents WHERE doc_id < $maxDocId),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM jd a JOIN jd b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE LEN(LIST_INTERSECT(a.w, b.w)) / CAST(LEN(LIST_DISTINCT(a.w || b.w)) AS DOUBLE) >= $threshold),
+       |$ccCtes
+       |SELECT id AS doc_id, component AS cluster FROM comp ORDER BY doc_id""".stripMargin
 
   /** Oracle for q65b: corpus decontamination against a derived blocklist.
     * Corpus = all documents; blocklist = every 7th document, its text
