@@ -160,6 +160,29 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
     val totalWarm = warm.map(_._2).sum
+    val extra = new StringBuilder
+
+    // Self-grading for the main (driver-chosen) SF dir too: when a DuckDB
+    // baseline measured over the SAME files is committed (bench/
+    // duckdb_<basename>.json, from tools/bench_duckdb.py), embed per-query
+    // ratios and the geomean so the one-line JSON carries the 2×-gate
+    // verdict directly — small-SF ratios are floor-dominated (BENCH_LARGE
+    // .md), but they should be readable without a separate join.
+    locally {
+      val mainTag = new java.io.File(sfDir).getName
+      val dj = new java.io.File(s"bench/duckdb_$mainTag.json")
+      if (dj.exists()) {
+        val txt = new String(java.nio.file.Files.readAllBytes(dj.toPath))
+        val pat = "\"(q\\w+)\":\\s*([0-9.]+)".r
+        val duck = pat.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ratios = warm.collect { case (n, s) if duck.get(n).exists(_ > 0) => n -> s / duck(n) }
+        if (ratios.nonEmpty) {
+          val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+          extra ++= s""","duckdb_$mainTag":${fmt(warm.map(n => n._1 -> duck.getOrElse(n._1, -1.0)))}"""
+          extra ++= s""","ratio_$mainTag":${fmt(ratios)},"ratio_geomean_$mainTag":${f"$geo%.3f"}"""
+        }
+      }
+    }
 
     // Large-SF sections (round-1 verdict: sf0.1 is all JVM floor — the 2×
     // gate is only measurable where compute dominates). data/sfN is emitted
@@ -179,7 +202,6 @@ object Bench {
     // variant aged the block manager across the section so warm numbers
     // measured session churn, not plans. The DuckDB baseline is warm
     // best-of-3 over the same files, so best-of-2 warm is like-for-like.
-    val extra = new StringBuilder
     for ((tag, protocol) <- Seq(("sf1", "coldThenBest2"), ("sf10", "coldThenBest2"), ("sf100", "adjacentBest2"))) {
       val dir = sys.env.getOrElse(s"SPARK_GRAFT_${tag.toUpperCase}_DIR", s"/root/repo/data/$tag")
       if (new java.io.File(dir).exists() && !sys.env.contains("SPARK_GRAFT_SKIP_BIG")) {

@@ -91,6 +91,38 @@ object Splits {
   def shuffled(df: DataFrame, id: Column, seed: Long): DataFrame =
     df.orderBy(hashUnit(id, seed).asc, id.asc)
 
+  /** Target-mixture downsampling: given desired corpus proportions (e.g.
+    * web 0.6 / code 0.3 / books 0.1), compute the per-source keep rates
+    * that realize the target mixture while keeping as much data as
+    * possible, then sample deterministically. The binding source is the
+    * one with the least data relative to its target weight — it is kept
+    * whole (rate 1) and every other source is downsampled to match:
+    * `rate_s = C·w_s / n_s` with `C = min_s n_s/w_s`. Sources absent from
+    * `weights` are dropped.
+    *
+    * SCALE: one tiny groupBy (|sources| groups) collected to the driver to
+    * derive the rates, then the same map-side (id, seed) hash filter as
+    * [[stratifiedSample]] — retry/recompute-stable, no wide shuffle.
+    * Returns the filtered frame plus a `rates` map for logging/oracles. */
+  def mixtureSample(
+      df: DataFrame,
+      id: Column,
+      source: Column,
+      weights: Map[String, Double],
+      seed: Long): (DataFrame, Map[String, Double]) = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val total = weights.values.sum
+    val norm = weights.map { case (k, w) => k -> w / total }
+    val counts = df.groupBy(source.cast("string").as("__src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = norm.keySet.filterNot(counts.contains)
+    require(missing.isEmpty, s"no rows for mixture sources: ${missing.mkString(", ")}")
+    val c = norm.map { case (k, w) => counts(k) / w }.min
+    val rates = norm.map { case (k, w) => k -> math.min(1.0, c * w / counts(k)) }
+    (stratifiedSample(df, id, source, rates, seed, default = 0.0), rates)
+  }
+
   /** Epoch-sharded variant: assigns each row a shard (for N parallel loader
     * workers) plus its position key within the shard, without any global
     * sort — `shard = floor(u * n)`, sort within shard downstream. This is

@@ -180,4 +180,83 @@ object TextAnalysis {
     df.withColumn("pack_offset", before)
       .withColumn("pack_id", (col("pack_offset") / budget).cast("long"))
   }
+
+  /** Sliding-window text chunking (the RAG/pretraining "split long
+    * documents into overlapping windows" step): whitespace words, windows
+    * of `chunkTokens` advancing by `chunkTokens - overlapTokens`. A window
+    * is emitted when it starts the document or adds at least one token not
+    * covered by its predecessor (`start + overlap < n` — the standard
+    * splitter rule, so a short tail that is fully contained in the
+    * previous window is not duplicated). Documents with no tokens emit no
+    * chunks. Adds (chunk_index, chunk_text, chunk_ntokens) one row per
+    * chunk; original columns are preserved.
+    *
+    * SCALE: a pure map-side posexplode — per-document work, no shuffle;
+    * the natural pre-step to [[packByBudget]]. */
+  def chunkByTokens(
+      df: org.apache.spark.sql.DataFrame,
+      text: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlapTokens
+    val words = filter(split(col(text), "\\s+"), w => length(w) > 0)
+    val starts = graft.functions.ibisfn.let1(words) { ws =>
+      when(size(ws) === 0, array().cast("array<int>")).otherwise(
+        filter(sequence(lit(0), size(ws) - 1, lit(step)),
+          s => s === 0 || s + overlapTokens < size(ws)))
+    }
+    df.withColumn("__ws", words)
+      .select(col("*"), posexplode(starts).as(Seq("chunk_index", "__start")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__ws"), col("__start") + 1, lit(chunkTokens))))
+      .withColumn("chunk_ntokens",
+        least(lit(chunkTokens), size(col("__ws")) - col("__start")))
+      .drop("__ws", "__start")
+  }
+
+  /** BM25 relevance of every document against a fixed term set — the
+    * classic retrieval/quality scorer (Robertson-Sparck Jones weights,
+    * Lucene's idf variant: ln(1 + (N - df + 0.5)/(df + 0.5))).
+    *
+    * Distributed shape: one corpus aggregate for (N, avgdl), one slim
+    * aggregate for per-term document frequencies (only `terms` rows — a
+    * broadcast literal map after collection), then a single map-side score
+    * pass. The df aggregation is the only shuffle and carries ≤|terms|
+    * groups; at 100 TB the corpus is scanned twice (stats + score), never
+    * joined wide. Adds `scoreCol` (0.0 for documents containing no query
+    * term). */
+  def bm25Score(
+      df: org.apache.spark.sql.DataFrame,
+      text: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scoreCol: String = "bm25"): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val toks = Dedup.tokens(col(text))
+    // corpus stats: ONE aggregation job → N, avgdl, and |terms| document
+    // frequencies (a handful of scalars — the "broadcast" is plan literals)
+    val withToks = df.select(toks.as("__t"))
+    val aggs = Seq(count(lit(1)).as("__n"), avg(size(col("__t"))).as("__avgdl")) ++
+      qTerms.map(t => sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)))
+    val statsRow = withToks.agg(aggs.head, aggs.tail: _*).head()
+    val n = statsRow.getLong(0)
+    if (n == 0L) return df.withColumn(scoreCol, lit(0.0))
+    val avgdl = math.max(statsRow.getDouble(1), 1e-9)
+    val dfs = qTerms.zipWithIndex.map { case (t, i) => t -> statsRow.getLong(i + 2) }.toMap
+    val score = graft.functions.ibisfn.let1(toks) { ts =>
+      graft.functions.ibisfn.let1(size(ts).cast("double")) { dl =>
+        qTerms.map { t =>
+          val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+          val tf = size(filter(ts, x => x === t)).cast("double")
+          tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl)) * idf
+        }.reduce(_ + _)
+      }
+    }
+    df.withColumn(scoreCol, coalesce(score, lit(0.0)))
+  }
 }

@@ -127,6 +127,66 @@ object PipelineQueries {
         CAST(pack_offset AS BIGINT) AS pack_offset
       FROM o ORDER BY doc_id""")),
 
+    // Sliding-window chunking (TextAnalysis.chunkByTokens): 32-token
+    // windows, 8-token overlap, standard no-fully-contained-tail rule.
+    // Window starts, text reassembly, and token counts all value-checked
+    // (chunk text compared by md5 to keep the dump slim).
+    QueryDef("q60d_chunk_overlap", (s, dir) => {
+      TextAnalysis.chunkByTokens(
+          documents(s, dir).filter(col("doc_id") < 40).select("doc_id", "text"),
+          "text", chunkTokens = 32, overlapTokens = 8)
+        .select(col("doc_id"), col("chunk_index"),
+          md5(col("chunk_text")).as("chunk_md5"), col("chunk_ntokens"))
+        .orderBy("doc_id", "chunk_index")
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x != '') AS ws
+        FROM documents WHERE doc_id < 40),
+      st AS (
+        SELECT doc_id, ws,
+          UNNEST(LIST_FILTER(GENERATE_SERIES(0, LEN(ws) - 1, 24), s -> s = 0 OR s + 8 < LEN(ws))) AS s
+        FROM w WHERE LEN(ws) > 0)
+      SELECT doc_id, CAST(s // 24 AS INT) AS chunk_index,
+        MD5(ARRAY_TO_STRING(ws[s + 1 : s + 32], ' ')) AS chunk_md5,
+        CAST(LEAST(32, LEN(ws) - s) AS INT) AS chunk_ntokens
+      FROM st ORDER BY doc_id, chunk_index""")),
+
+    // BM25 scoring (TextAnalysis.bm25Score) against a fixed term set:
+    // corpus stats (N, avgdl, per-term df) in one aggregate, map-side
+    // Robertson/Lucene-idf scoring. Scores rounded to 6 dp on both sides
+    // (ln() may differ in the last ulp across libm implementations).
+    QueryDef("q60e_bm25", (s, dir) => {
+      Table(TextAnalysis.bm25Score(documents(s, dir), "text",
+          terms = Seq("data", "spark", "merge"), k1 = 1.2, b = 0.75))
+        .mutate("score" -> round(col("bm25"), 6))
+        .selectNames("doc_id", "score")
+        .sort(SortKey.asc(col("doc_id")))
+        .df
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents),
+      stats AS (
+        SELECT COUNT(*) AS n, AVG(LEN(w)) AS avgdl,
+          SUM(CASE WHEN LIST_CONTAINS(w, 'data') THEN 1 ELSE 0 END) AS df1,
+          SUM(CASE WHEN LIST_CONTAINS(w, 'spark') THEN 1 ELSE 0 END) AS df2,
+          SUM(CASE WHEN LIST_CONTAINS(w, 'merge') THEN 1 ELSE 0 END) AS df3
+        FROM d)
+      SELECT doc_id,
+        ROUND(
+          LEN(LIST_FILTER(w, x -> x = 'data')) * 2.2
+            / (LEN(LIST_FILTER(w, x -> x = 'data')) + 1.2 * (0.25 + 0.75 * LEN(w) / avgdl))
+            * LN(1 + (n - df1 + 0.5) / (df1 + 0.5))
+          + LEN(LIST_FILTER(w, x -> x = 'spark')) * 2.2
+            / (LEN(LIST_FILTER(w, x -> x = 'spark')) + 1.2 * (0.25 + 0.75 * LEN(w) / avgdl))
+            * LN(1 + (n - df2 + 0.5) / (df2 + 0.5))
+          + LEN(LIST_FILTER(w, x -> x = 'merge')) * 2.2
+            / (LEN(LIST_FILTER(w, x -> x = 'merge')) + 1.2 * (0.25 + 0.75 * LEN(w) / avgdl))
+            * LN(1 + (n - df3 + 0.5) / (df3 + 0.5)),
+          6) AS score
+      FROM d CROSS JOIN stats ORDER BY doc_id""")),
+
     // Heuristic language ID (profile n-gram argmax, first-wins ties).
     QueryDef("q61_langid", (s, dir) => {
       Table(documents(s, dir))
@@ -457,6 +517,40 @@ object PipelineQueries {
       SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
       FROM u
       WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.1 ELSE 0.05 END
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Target-mixture downsampling (Splits.mixtureSample): realize a
+    // 0.5/0.25/0.25 en/de/fr corpus mixture with maximal data retention —
+    // the binding language keeps rate 1, the rest downsample to match.
+    // The oracle recomputes the SAME rate arithmetic (C = min n/w,
+    // rate = min(1, C·w/n)) from its own counts: identical IEEE ops on
+    // identical inputs ⇒ identical rates, and the kept set is the same
+    // deterministic (id, seed) hash filter as q87. Weights sum to exactly
+    // 1.0 so driver-side normalization is a no-op on both sides.
+    QueryDef("q87b_mixture_sample", (s, dir) => {
+      val (sampled, _) = Splits.mixtureSample(documents(s, dir),
+        col("doc_id"), col("lang"),
+        weights = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), seed = 11L)
+      sampled.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    }, Some("""
+      WITH wt(lang, w) AS (VALUES
+        ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.25 AS DOUBLE)), ('fr', CAST(0.25 AS DOUBLE))),
+      cnt AS (
+        SELECT lang, COUNT(*) AS n FROM documents
+        WHERE lang IN ('en', 'de', 'fr') GROUP BY 1),
+      c AS (SELECT MIN(n / w) AS c FROM cnt JOIN wt USING (lang)),
+      r AS (
+        SELECT wt.lang, LEAST(CAST(1.0 AS DOUBLE), c.c * wt.w / cnt.n) AS rate
+        FROM wt JOIN cnt USING (lang) CROSS JOIN c),
+      u AS (
+        SELECT doc_id, lang,
+          CAST(CONCAT('0x', SUBSTRING(MD5('11:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) / 268435456.0 AS u
+        FROM documents)
+      SELECT u.lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM u JOIN r ON r.lang = u.lang
+      WHERE u.u < r.rate
       GROUP BY 1 ORDER BY 1""")),
 
     // Seeded corpus shuffle (Splits.shuffled) + loader shard assignment

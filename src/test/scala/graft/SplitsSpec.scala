@@ -83,4 +83,63 @@ class SplitsSpec extends SparkSpec {
     assert(out(1).getDouble(0) == 0.0 && out(1).getDouble(1) == 0.0)
     assert(out(2).getDouble(0) == 0.0 && out(2).getDouble(1) == 0.0)
   }
+
+  test("chunkByTokens: windows, overlap, tail rule, empty docs") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "   "),                                    // whitespace-only → no chunks
+      (4L, "")                                        // empty → no chunks
+    ).toDF("id", "text")
+    val out = TextAnalysis.chunkByTokens(d, "text", chunkTokens = 8, overlapTokens = 4)
+      .select("id", "chunk_index", "chunk_text", "chunk_ntokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: starts 0 and 4 (start 8 is dropped: 8+4 >= 10, fully covered)
+    assert(out.toSeq == Seq(
+      (1L, 0, (1 to 8).map(i => s"w$i").mkString(" "), 8),
+      (1L, 1, (5 to 10).map(i => s"w$i").mkString(" "), 6),
+      (2L, 0, "a b c", 3)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(d, "text", chunkTokens = 4, overlapTokens = 4)
+    }
+  }
+
+  test("bm25Score: term frequency and rarity ordering, absent terms score 0") {
+    val d = Seq(
+      (1L, "spark spark spark data engine"),
+      (2L, "spark data engine"),
+      (3L, "data engine pipeline"),
+      (4L, "completely unrelated words here")
+    ).toDF("id", "text")
+    val out = TextAnalysis.bm25Score(d, "text", Seq("spark"))
+      .select("id", "bm25").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L))          // higher tf → higher score
+    assert(out(2L) > 0 && out(3L) == 0.0 && out(4L) == 0.0)
+    // a rarer term outranks a common one at equal tf
+    val two = TextAnalysis.bm25Score(d, "text", Seq("pipeline", "data"))
+      .filter(col("id") === 3L).select("bm25").as[Double].head()
+    val dataOnly = TextAnalysis.bm25Score(d, "text", Seq("data"))
+      .filter(col("id") === 3L).select("bm25").as[Double].head()
+    assert(two > 2 * dataOnly) // pipeline (df=1) contributes more than data (df=3)
+  }
+
+  test("mixtureSample realizes the target mixture with the binding source kept whole") {
+    val d = spark.range(0, 3000).toDF("id")
+      .withColumn("src", when(col("id") < 2000, "web")
+        .when(col("id") < 2800, "code").otherwise("books"))
+    // books has 200 rows and wants 1/3 of the corpus → binding source:
+    // kept whole, total ≈ 600, web/code downsampled to ≈200 each
+    val (out, rates) = Splits.mixtureSample(d, col("id"), col("src"),
+      Map("web" -> 1.0, "code" -> 1.0, "books" -> 1.0), seed = 5L)
+    assert(rates("books") == 1.0 && rates("web") == 0.1 && rates("code") == 0.25)
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("books") == 200L)
+    assert(math.abs(counts("web") - 200L) < 60 && math.abs(counts("code") - 200L) < 60)
+    // dropping a source not in weights; unknown source in weights rejected
+    assert(Splits.mixtureSample(d, col("id"), col("src"),
+      Map("books" -> 1.0), 5L)._1.select("src").distinct().as[String].collect().toSeq == Seq("books"))
+    intercept[IllegalArgumentException] {
+      Splits.mixtureSample(d, col("id"), col("src"), Map("nope" -> 1.0), 5L)
+    }
+  }
 }
