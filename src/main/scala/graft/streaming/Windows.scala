@@ -90,6 +90,22 @@ object Windows {
       .withColumn("window_end", col("session_window.end"))
       .drop("session_window")
 
+  /** Key-based dedup that works in both modes (capability superset — the
+    * reference's streaming surface has no dedup op): batch is a plain
+    * dropDuplicates; streaming uses dropDuplicatesWithinWatermark so the
+    * dedup STATE IS BOUNDED — keys older than the event-time watermark are
+    * evicted, which is the only way a forever-running 100 TB/day ingest
+    * dedup survives (unbounded dropDuplicates state grows with every
+    * distinct key ever seen). Requires a watermark in streaming mode;
+    * duplicates arriving within `wm.allowedDelay` of the first sighting
+    * are suppressed, later ones are the caller's at-least-once residue —
+    * the standard watermark-bounded contract. */
+  def dedup(df: DataFrame, keys: Seq[String], wm: Option[Watermark] = None): DataFrame =
+    if (df.isStreaming) {
+      val w = wm.map(m => df.withWatermark(m.timeCol, m.allowedDelay)).getOrElse(df)
+      w.dropDuplicatesWithinWatermark(keys)
+    } else df.dropDuplicates(keys)
+
   /** Kafka source (ibis read_kafka, backends/pyspark/__init__.py:1080):
     * value parsed against a declared schema, optional watermark. */
   def readKafka(spark: org.apache.spark.sql.SparkSession, bootstrap: String, topic: String,

@@ -166,4 +166,28 @@ class StreamingSpec extends SparkSpec {
       col("ts"), "1 hour", Seq.empty, Seq(count(lit(1)).as("n")))
     assert(out.collect().head.getAs[Long]("n") == 1L)
   }
+
+  test("streaming dedup within watermark suppresses replays; batch dedup plain") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = Windows.dedup(
+      input.toDF().toDF("k", "ts"), Seq("k"),
+      Some(Watermark("ts", "10 minutes")))
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+        (2L, ts("2024-01-01 10:02:00")))
+      query.processAllAvailable()
+      // a replay of key 1 inside the watermark window, in a later batch
+      input.addData((1L, ts("2024-01-01 10:03:00")), (3L, ts("2024-01-01 10:04:00")))
+      query.processAllAvailable()
+      val keys = spark.table("dedup_out").select("k").as[Long].collect().sorted.toSeq
+      assert(keys == Seq(1L, 2L, 3L))
+    } finally query.stop()
+    // batch path: plain dropDuplicates, no watermark needed
+    val batch = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    assert(Windows.dedup(batch, Seq("k")).count() == 2L)
+  }
 }
