@@ -202,7 +202,7 @@ object Bench {
     // variant aged the block manager across the section so warm numbers
     // measured session churn, not plans. The DuckDB baseline is warm
     // best-of-3 over the same files, so best-of-2 warm is like-for-like.
-    for ((tag, protocol) <- Seq(("sf1", "coldThenBest2"), ("sf10", "coldThenBest2"), ("sf100", "adjacentBest2"))) {
+    for ((tag, protocol) <- Seq(("sf1", "coldThenBest2"), ("sf10", "coldThenBest2"), ("sf100", "adjacentBest3"))) {
       val dir = sys.env.getOrElse(s"SPARK_GRAFT_${tag.toUpperCase}_DIR", s"/root/repo/data/$tag")
       if (new java.io.File(dir).exists() && !sys.env.contains("SPARK_GRAFT_SKIP_BIG")) {
         // Scale the shuffle/scan sizing with the data: at sf100 (600M-row
@@ -230,9 +230,14 @@ object Bench {
         warmPageCache(dir)
         val names = headline.filter(SparkEntry.queries.contains)
         val w = protocol match {
-          case "adjacentBest2" =>
+          case "adjacentBest3" =>
+            // best-of-3 (was 2): single-query interference windows (host
+            // CPU steal / writeback bursts, 48g full-GC pauses landing
+            // inside a timed run) were observed to last past two adjacent
+            // attempts — a q01 steady at 4.5s once recorded 36.8s as the
+            // min of two. Three adjacent attempts bound one bad window.
             timeAt("q01_agg") // priming: codegen + catalog + first-scan setup
-            names.map(n => n -> math.min(timeAt(n), timeAt(n)))
+            names.map(n => n -> Seq.fill(3)(timeAt(n)).min)
           case _ =>
             names.foreach(timeAt) // cold pass
             val w1 = names.map(n => n -> timeAt(n)).toMap

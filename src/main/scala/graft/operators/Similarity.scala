@@ -109,20 +109,92 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cosine"), (col("rk") - 1).as("rank"))
   }
 
+  /** Literal centroid set as an array of (cell, cv) structs — plan
+    * constants, no broadcast machinery needed. */
+  private def centroidArray(centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (cvec, i) =>
+      struct(lit(i).as("cell"), array(cvec.map(lit): _*).as("cv"))
+    }: _*)
+
+  /** Cell ids of the `n` nearest centroids to `v` (L2, ties by cell id —
+    * the same struct sort the DuckDB oracles mirror with LIST_SORT). */
+  private def nearestCells(centArr: Column, v: Column, n: Int): Column =
+    slice(transform(array_sort(transform(centArr, c =>
+      struct(l2Distance(v, c.getField("cv")).as("d"), c.getField("cell").as("cell")))),
+      s => s.getField("cell")), 1, n)
+
+  /** One Lloyd k-means update: nearest-centroid assignment (map-side, the
+    * centroids are plan literals) + per-cell mean, one hash aggregation of
+    * k·dim values. Per-dimension sums run in DECIMAL(38,10) — exact and
+    * order-independent, so the result is identical across partitionings,
+    * retries, and engines (the oracle mirrors it bit-for-bit) — surfaced
+    * as double. Returns (cell, n, centroid) for non-empty cells. */
+  def kmeansStep(df: DataFrame, vec: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val dim = centroids.head.size
+    val centArr = centroidArray(centroids)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+    val means = (0 until dim).map(j =>
+      (sum(element_at(col("__v"), j + 1).cast("double").cast(dec)).cast("double") /
+        count(lit(1))).as(s"__m$j"))
+    df.select(col(vec).as("__v"))
+      .withColumn("cell", element_at(nearestCells(centArr, col("__v"), 1), 1))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), means: _*)
+      .select(col("cell"), col("n"),
+        array((0 until dim).map(j => col(s"__m$j")): _*).as("centroid"))
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column — trains the
+    * centroid set [[ivfTopK]] consumes, in-engine. Init is deterministic
+    * and engine-stable: the k vectors with the smallest xxhash64(seed, id)
+    * (a seeded sample without a sequential k-means++ pass — the standard
+    * large-scale compromise; TakeOrdered, no full sort). Each iteration is
+    * one map-side assignment pass + one k·dim aggregation — the DATA never
+    * leaves the cluster, only k·dim doubles come back per round. Empty
+    * cells keep their previous centroid. Stops early when no centroid
+    * moves more than `tol` (L2). */
+  def kmeans(
+      df: DataFrame, id: String, vec: String,
+      k: Int, iters: Int = 10, seed: Long = 7L,
+      tol: Double = 1e-9): Seq[Seq[Double]] = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    def toVec(a: Any): Seq[Double] =
+      a.asInstanceOf[scala.collection.Seq[Any]].toSeq
+        .map(x => x.asInstanceOf[Number].doubleValue())
+    var cents: Seq[Seq[Double]] = df
+      .select(col(id).cast("string").as("__id"), col(vec).as("__v"))
+      .orderBy(xxhash64(lit(seed.toString), col("__id")).asc, col("__id").asc)
+      .limit(k)
+      .collect().map(r => toVec(r.get(1))).toSeq
+    require(cents.size == k, s"need at least $k rows to seed $k centroids")
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < iters && moved > tol) {
+      val updated = kmeansStep(df, vec, cents)
+        .select(col("cell"), col("centroid"))
+        .collect().map(r => r.getInt(0) -> toVec(r.get(1))).toMap
+      val next = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+      moved = cents.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-style coarse quantization: assign every corpus vector to its
-    * nearest of `centroids` (a small literal set, e.g. sampled offline),
-    * probes search only the nProbe nearest cells. */
+    * nearest of `centroids` (a small literal set — sampled offline or
+    * trained in-engine by [[kmeans]]), probes search only the nProbe
+    * nearest cells. */
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       probes: DataFrame, probeId: String, probeVec: String,
       centroids: Seq[Seq[Double]], k: Int, nProbe: Int = 2): DataFrame = {
-    val centArr = array(centroids.zipWithIndex.map { case (cvec, i) =>
-      struct(lit(i).as("cell"), array(cvec.map(lit): _*).as("cv"))
-    }: _*)
+    val centArr = centroidArray(centroids)
     def nearestCells(v: Column, n: Int): Column =
-      slice(transform(array_sort(transform(centArr, c =>
-        struct(l2Distance(v, c.getField("cv")).as("d"), c.getField("cell").as("cell")))),
-        s => s.getField("cell")), 1, n)
+      this.nearestCells(centArr, v, n)
 
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1))

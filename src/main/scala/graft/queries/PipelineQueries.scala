@@ -413,6 +413,24 @@ object PipelineQueries {
         .orderBy(col("probe_id").asc, col("rank").asc)
     }, Some(SketchOracles.ivfTopK("vec_id < 5", PipelineQueries.IvfCentroids, k = 3, nProbe = 2))),
 
+    // In-engine k-means (Similarity.kmeans / kmeansStep): one Lloyd update
+    // from the q73 centroid literals — argmin assignment + exact
+    // decimal-sum means, both engines bit-identical before the 6-dp
+    // display rounding. (Multi-iteration convergence is spec-tested; the
+    // oracle pins the update math the loop repeats.)
+    QueryDef("q73b_kmeans_step", (s, dir) => {
+      val step = Similarity.kmeansStep(embeddings(s, dir), "embedding",
+        PipelineQueries.IvfCentroids)
+      val dim = PipelineQueries.IvfCentroids.head.size
+      step.select(col("cell"), col("n"),
+          round(element_at(col("centroid"), 1), 6).as("c0"),
+          round(element_at(col("centroid"), 2), 6).as("c1"),
+          round((0 until dim).map(j => element_at(col("centroid"), j + 1))
+            .reduce(_ + _), 6).as("digest"))
+        .orderBy("cell")
+    }, Some(SketchOracles.kmeansStep(PipelineQueries.IvfCentroids,
+      PipelineQueries.IvfCentroids.head.size))),
+
     // Embedding near-dup pairs via hyperplane buckets — oracle rebuilds the
     // buckets from the same plane literals.
     QueryDef("q70_embedding_neardup", (s, dir) => {

@@ -302,6 +302,32 @@ object SketchOracles {
        |FROM ranked WHERE rank < $k ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** Oracle for q73b: one Lloyd k-means update from a literal centroid
+    * set — argmin assignment (the same LIST_SORT struct ordering as
+    * ivfTopK), then exact DECIMAL(38,10) per-dimension sums divided by
+    * counts, matching Similarity.kmeansStep bit-for-bit; first two means
+    * and the full-centroid digest are value-checked at 6 dp. */
+  def kmeansStep(centroids: Seq[Seq[Double]], dim: Int): String = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toString).mkString("[", ", ", "]")
+      s"""{'d': SQRT(LIST_SUM(LIST_TRANSFORM(v,
+         | (x, ix) -> (CAST(x AS DOUBLE) - ($arr)[ix]) * (CAST(x AS DOUBLE) - ($arr)[ix])))),
+         | 'cell': $i}""".stripMargin.replaceAll("\n", "")
+    }.mkString("[", ", ", "]")
+    def mean(j: Int) =
+      s"CAST(SUM(CAST(CAST(v[${j + 1}] AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*)"
+    val digest = (0 until dim).map(j => s"m$j").mkString(" + ")
+    s"""WITH a AS (
+       |  SELECT embedding AS v, LIST_SORT($cells)[1].cell AS cell FROM embeddings),
+       |g AS (
+       |  SELECT cell, COUNT(*) AS n,
+       |    ${(0 until dim).map(j => s"${mean(j)} AS m$j").mkString(",\n    ")}
+       |  FROM a GROUP BY 1)
+       |SELECT CAST(cell AS INT) AS cell, n, ROUND(m0, 6) AS c0, ROUND(m1, 6) AS c1,
+       |  ROUND($digest, 6) AS digest
+       |FROM g ORDER BY cell""".stripMargin
+  }
+
   /** Oracle for q72: every stub output is an md5-derived deterministic
     * value over the payload bytes (= the utf-8 text), so the whole
     * multimodal pipeline — metadata, probed dims, perceptual hash, both

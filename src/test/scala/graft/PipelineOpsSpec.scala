@@ -201,4 +201,30 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted == direct)
   }
+
+  test("kmeans recovers two separated clusters; deterministic; early-stops") {
+    // two tight blobs around 0 and 10, dim 8; per-dim jitter makes every
+    // vector's DIRECTION unique (cosine self-similarity strictly maximal)
+    val pts = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i.toLong, (0 until 8).map(j => (base + ((i * 31 + j * 17) % 16) / 20.0).toFloat))
+    }
+    val df = pts.toDF("id", "v")
+    val cents = Similarity.kmeans(df, "id", "v", k = 2, iters = 20, seed = 3L)
+    assert(cents.size == 2)
+    val sums = cents.map(_.sum / 8).sorted
+    assert(sums(0) > 0.0 && sums(0) < 1.0 && sums(1) > 10.0 && sums(1) < 11.0)
+    // same seed → identical training run
+    assert(Similarity.kmeans(df, "id", "v", k = 2, iters = 20, seed = 3L) == cents)
+    // trained centroids drive ivfTopK: every probe's rank-0 hit is itself
+    val e = df.withColumnRenamed("v", "embedding")
+    val top = Similarity.ivfTopK(e, "id", "embedding",
+      e.filter(col("id") < 4), "id", "embedding", cents, k = 1, nProbe = 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top.forall { case (p, n) => p == n })
+    // degenerate: k larger than distinct points still seeds and returns k
+    intercept[IllegalArgumentException] {
+      Similarity.kmeans(df.limit(1), "id", "v", k = 2, iters = 1)
+    }
+  }
 }
