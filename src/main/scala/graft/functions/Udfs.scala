@@ -110,6 +110,45 @@ object Udfs {
       def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
     }
 
+  /** Misra-Gries heavy-hitter sketch over a string key column: a bounded
+    * map of at most `capacity` counters, single pass, merge-anywhere — the
+    * classic answer to "top tokens over 100 TB" when the key universe is
+    * too large to shuffle (a groupBy(token) exchanges every distinct key;
+    * this exchanges ≤ capacity counters per partition). Guarantees: every
+    * key with true count > n/(capacity+1) is present, and each reported
+    * count undercounts by at most n/(capacity+1). When capacity ≥ the
+    * number of distinct keys the counts are EXACT — the regime the oracle
+    * query pins; the error bound is spec-tested in the lossy regime.
+    * Merge = pointwise sum, then decrement all by the (capacity+1)-largest
+    * count and drop ≤0 (Agarwal et al.'s mergeable-summaries rule, which
+    * preserves the error bound — a plain top-k truncation would not). */
+  def misraGries(capacity: Int): Aggregator[String, Map[String, Long], Map[String, Long]] =
+    new Aggregator[String, Map[String, Long], Map[String, Long]] {
+      def zero: Map[String, Long] = Map.empty
+      def reduce(buf: Map[String, Long], key: String): Map[String, Long] = {
+        if (key == null) buf
+        else buf.get(key) match {
+          case Some(c) => buf.updated(key, c + 1)
+          case None if buf.size < capacity => buf.updated(key, 1L)
+          case None => // decrement-all: drop zeros, the arriving key is absorbed
+            buf.map { case (k, c) => k -> (c - 1) }.filter(_._2 > 0)
+        }
+      }
+      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+        val summed = b.foldLeft(a) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+        if (summed.size <= capacity) summed
+        else {
+          val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+          summed.map { case (k, c) => k -> (c - cut) }.filter(_._2 > 0)
+        }
+      }
+      def finish(m: Map[String, Long]): Map[String, Long] = m
+      def bufferEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+      def outputEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    }
+
   /** Scalar closure UDF example (the `@udf.scalar.python` analogue):
     * URL-safe slug. Prefer built-in functions when one exists — a closure
     * UDF is opaque to Catalyst (no pushdown through it, no codegen). */
@@ -123,6 +162,7 @@ object Udfs {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("kurtosis_sample", org.apache.spark.sql.functions.udaf(kurtosisSample))
     spark.udf.register("corr_sample", org.apache.spark.sql.functions.udaf(corrSample))
+    spark.udf.register("heavy_hitters", org.apache.spark.sql.functions.udaf(misraGries(256)))
     spark.udf.register("slugify", slugify)
   }
 }

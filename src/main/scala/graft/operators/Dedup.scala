@@ -532,4 +532,97 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("doc_a", "doc_b", "cosine")
   }
+
+  /** SemDeDup-style semantic duplicate pairs (reference near-dup family,
+    * ibis has no counterpart — Abbas et al. 2023 is the public recipe):
+    * assign every embedding to its nearest k-means centroid cell
+    * (map-side; the centroids are plan literals, trained in-engine by
+    * Similarity.kmeans), then compare cosine only WITHIN a cell. The
+    * cells bound the quadratic pair step exactly like LSH bands do for
+    * minhash — the shuffle carries (cell, id, vec) once and each task
+    * joins one cell locally; no all-pairs product ever forms. Recall is
+    * governed by k (more cells = faster, more boundary misses) — the
+    * standard SemDeDup trade, documented here rather than hidden. */
+  def semanticDupPairs(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      centroids: Seq[Seq[Double]],
+      threshold: Double = 0.95): DataFrame = {
+    val withCell = df.select(col(id).as("doc"), col(vec).as("v"))
+      .withColumn("cell", Similarity.cellOf(col("v"), centroids))
+    val l = withCell.select(col("cell"), col("doc").as("doc_a"), col("v").as("v_a"))
+    val r = withCell.select(col("cell"), col("doc").as("doc_b"), col("v").as("v_b"))
+    l.join(r, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
+  /** Semantic dedup: [[semanticDupPairs]] closed into connected components
+    * (pairs are within-cell, but a chain a–b–c where only a–b and b–c
+    * clear the threshold is still ONE duplicate group — the closure keeps
+    * a alone instead of dropping the whole chain), keep each group's
+    * minimum id. Returns the kept rows with all original columns. */
+  def semanticDedup(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      centroids: Seq[Seq[Double]],
+      threshold: Double = 0.95): DataFrame = {
+    val pairs = semanticDupPairs(df, id, vec, centroids, threshold)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    df.join(cc, df(id) === cc("__cc_id"), "left")
+      .filter(col("__cc_comp").isNull || col("__cc_comp") === df(id))
+      .drop("__cc_id", "__cc_comp")
+  }
+
+  /** Paragraph/segment-level exact dedup (the RefinedWeb/FineWeb "remove
+    * repeated boilerplate paragraphs corpus-wide" step): split every
+    * document on `sepRegex`, keep only the FIRST occurrence of each
+    * normalized segment across the whole corpus (first = smallest
+    * (id, position) — deterministic and retry-stable), and reassemble
+    * each document from its surviving segments in order.
+    *
+    * Scale shape: posexplode is map-side; the keep-first decision is ONE
+    * hash aggregation on the segment key (min_by partial aggregates — no
+    * global window, same plan as [[exact]]); re-assembly is one shuffle
+    * back on the document id. Segment text itself crosses the wire only
+    * for winning segments (the keeper join carries (key, id, pos)).
+    *
+    * Returns one row per input document: (id, text = deduped rejoin with
+    * `joiner`, n_segments, n_kept). Documents whose every segment was
+    * seen earlier come back with text = '' and n_kept = 0 — filtering
+    * them out is the caller's policy decision. */
+  def segmentDedup(
+      df: DataFrame,
+      id: String,
+      text: String,
+      sepRegex: String = "\\n{2,}",
+      joiner: String = "\n\n"): DataFrame = {
+    val segs = df
+      .select(col(id).as("__id"), posexplode(split(col(text), sepRegex)).as(Seq("__pos", "__seg")))
+      .withColumn("__key", md5(lower(trim(col("__seg")))))
+    // one aggregation finds each key's first (id, pos); a segment survives
+    // iff it IS its key's winner
+    val winners = segs.groupBy(col("__key"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"))
+      .select(col("__key"), col("__w.__id").as("__wid"), col("__w.__pos").as("__wpos"))
+    val kept = segs.join(winners, Seq("__key"))
+      .filter(col("__id") === col("__wid") && col("__pos") === col("__wpos"))
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(struct(col("__pos"), col("__seg")))),
+          s => s.getField("__seg")), joiner).as("__text"))
+    df.select(col(id).as("__id"),
+        size(split(col(text), sepRegex)).as("n_segments"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(id),
+        coalesce(col("__text"), lit("")).as(text),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -184,6 +184,13 @@ object Similarity {
     cents
   }
 
+  /** Nearest-centroid cell id for one vector (map-side: the centroids are
+    * plan literals; L2 distance, ties broken by cell id — the same struct
+    * sort the DuckDB oracles mirror with LIST_SORT). The assignment
+    * primitive shared by [[ivfTopK]] and Dedup.semanticDupPairs. */
+  def cellOf(v: Column, centroids: Seq[Seq[Double]]): Column =
+    element_at(nearestCells(centroidArray(centroids), v, 1), 1)
+
   /** IVF-style coarse quantization: assign every corpus vector to its
     * nearest of `centroids` (a small literal set — sampled offline or
     * trained in-engine by [[kmeans]]), probes search only the nProbe

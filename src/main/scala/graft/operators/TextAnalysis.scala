@@ -259,4 +259,26 @@ object TextAnalysis {
     }
     df.withColumn(scoreCol, coalesce(score, lit(0.0)))
   }
+
+  /** Corpus-level most-frequent tokens via the mergeable Misra-Gries
+    * sketch (Udfs.misraGries): ONE pass, no shuffle of the token
+    * universe — each partition sends ≤`capacity` counters to a single
+    * merge, so a 100 TB corpus with a billion-key vocabulary costs
+    * |partitions|·capacity map entries on the wire instead of a
+    * billion-group exchange. Counts are exact when capacity ≥ distinct
+    * tokens (the oracle regime) and undercount by ≤ n/(capacity+1)
+    * otherwise. Returns (token, count) for the top `k` reported keys,
+    * ties broken by token — deterministic given the sketch contents. */
+  def topTokens(
+      df: org.apache.spark.sql.DataFrame,
+      text: String,
+      k: Int,
+      capacity: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(graft.functions.Udfs.misraGries(capacity))
+    df.select(explode(Dedup.tokens(col(text))).as("__tok"))
+      .agg(agg(col("__tok")).as("__hh"))
+      .select(explode(col("__hh")).as(Seq("token", "count")))
+      .orderBy(col("count").desc, col("token").asc)
+      .limit(k)
+  }
 }

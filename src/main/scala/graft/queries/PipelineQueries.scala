@@ -440,6 +440,70 @@ object PipelineQueries {
         .orderBy(col("doc_a").asc, col("doc_b").asc)
     }, Some(SketchOracles.embeddingNearDups(planes = 4, dim = 64, seed = 7L, threshold = 0.25))),
 
+    // SemDeDup-style semantic dedup (Dedup.semanticDedup): k-means-cell
+    // assignment bounds the pair step, within-cell cosine >= threshold,
+    // connected components, keep each group's minimum vec_id. The oracle
+    // closes the identical pair graph with a recursive CTE — assignment
+    // argmin, cosine cut, AND the component min-labels all value-checked.
+    QueryDef("q70b_semantic_dedup", (s, dir) => {
+      Dedup.semanticDedup(embeddings(s, dir), "vec_id", "embedding",
+          centroids = PipelineQueries.IvfCentroids, threshold = 0.3)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }, Some(SketchOracles.semanticDedup(PipelineQueries.IvfCentroids, threshold = 0.3))),
+
+    // Paragraph/segment-level exact dedup (Dedup.segmentDedup): a derived
+    // corpus where each "page" concatenates 3 consecutive documents with
+    // blank-line separators — so every interior document is boilerplate
+    // repeated on 3 pages — deduped corpus-wide keep-first, documents
+    // reassembled from surviving segments. Counts AND the exact rebuilt
+    // text (md5) are value-checked against a window-based SQL twin.
+    QueryDef("q65d_segment_dedup", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("doc_id")
+      val base = documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id"), concat_ws("\n\n", col("text"),
+          lead(col("text"), 1).over(w), lead(col("text"), 2).over(w)).as("text"))
+      Dedup.segmentDedup(base, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_segments"), col("n_kept"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, CONCAT_WS(chr(10)||chr(10), text,
+          LEAD(text, 1) OVER (ORDER BY doc_id), LEAD(text, 2) OVER (ORDER BY doc_id)) AS text
+        FROM documents WHERE doc_id < 120),
+      lists AS (SELECT doc_id, STRING_SPLIT_REGEX(text, '\n{2,}') AS l FROM base),
+      segs AS (
+        SELECT doc_id, UNNEST(l) AS seg, UNNEST(range(1, LEN(l) + 1)) AS pos
+        FROM lists),
+      marked AS (
+        SELECT doc_id, pos, seg,
+          ROW_NUMBER() OVER (PARTITION BY MD5(LOWER(TRIM(seg))) ORDER BY doc_id, pos) AS rn
+        FROM segs),
+      reb AS (
+        SELECT doc_id,
+          COALESCE(STRING_AGG(seg, chr(10)||chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS new_text,
+          COUNT(*) AS n_segments,
+          COUNT(*) FILTER (WHERE rn = 1) AS n_kept
+        FROM marked GROUP BY doc_id)
+      SELECT doc_id, MD5(new_text) AS text_md5, CAST(n_segments AS INT) AS n_segments, n_kept
+      FROM reb ORDER BY doc_id""")),
+
+    // Corpus-level heavy hitters (TextAnalysis.topTokens): the mergeable
+    // Misra-Gries Aggregator run in its exact regime (capacity 512 >>
+    // corpus vocabulary), so the sketch counts equal true counts and the
+    // whole path — explode, bounded-map partials, mergeable-summaries
+    // merge, final top-k — is value-checked against plain GROUP BY.
+    QueryDef("q60f_top_tokens", (s, dir) => {
+      TextAnalysis.topTokens(documents(s, dir), "text", k = 15, capacity = 512)
+    }, Some("""
+      WITH toks AS (
+        SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '')) AS token
+        FROM documents)
+      SELECT token, COUNT(*) AS count FROM toks
+      GROUP BY token ORDER BY count DESC, token LIMIT 15""")),
+
     // End-to-end quality-filter pipeline: score → filter → per-lang stats.
     QueryDef("q71_quality_pipeline", (s, dir) => {
       Table(documents(s, dir))

@@ -274,6 +274,30 @@ object SketchOracles {
        |FROM pairs WHERE cos >= $threshold ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Oracle for q70b: SemDeDup-style semantic dedup — nearest-centroid
+    * cell assignment (the ivfTopK LIST_SORT argmin), within-cell cosine
+    * pairs at >= threshold, recursive-CTE transitive closure, keep each
+    * component's minimum vec_id plus all untouched singletons. */
+  def semanticDedup(centroids: Seq[Seq[Double]], threshold: Double): String = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toString).mkString("[", ", ", "]")
+      s"""{'d': SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+         | (x, ix) -> (CAST(x AS DOUBLE) - ($arr)[ix]) * (CAST(x AS DOUBLE) - ($arr)[ix])))),
+         | 'cell': $i}""".stripMargin.replaceAll("\n", "")
+    }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |a AS (SELECT vec_id, embedding, LIST_SORT($cells)[1].cell AS cell FROM embeddings),
+       |pairs AS (
+       |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+       |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE LIST_COSINE_SIMILARITY(LIST_TRANSFORM(x.embedding, v -> CAST(v AS DOUBLE)),
+       |        LIST_TRANSFORM(y.embedding, v -> CAST(v AS DOUBLE))) >= $threshold),
+       |$ccCtes
+       |SELECT e.vec_id FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+       |WHERE c.component IS NULL OR c.component = e.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Oracle for q73: IVF — nearest-cell assignment against the literal
     * centroid set (argmin by (distance, cell), the engine's array_sort
     * tie-break), probes explode their nProbe nearest cells. */

@@ -227,4 +227,68 @@ class PipelineOpsSpec extends SparkSpec {
       Similarity.kmeans(df.limit(1), "id", "v", k = 2, iters = 1)
     }
   }
+
+  test("semanticDedup keeps one representative per within-cell cosine group") {
+    // two well-separated cells; in cell A vectors 1/2/3 form a cosine
+    // chain (1~2, 2~3 close; 1 vs 3 a bit farther), 4 is orthogonal-ish;
+    // cell B holds 5 alone. Closure keeps 1 (chain min), 4, 5.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val df = Seq(
+      (1L, v(1.0, 0.02, 0.0, 0.0)),
+      (2L, v(1.0, 0.05, 0.0, 0.0)),
+      (3L, v(1.0, 0.08, 0.0, 0.0)),
+      (4L, v(0.1, 1.0, 0.0, 0.0)),
+      (5L, v(-1.0, 0.0, 0.1, 0.0))
+    ).toDF("id", "vec")
+    val cents = Seq(Seq(1.0, 0.3, 0.0, 0.0), Seq(-1.0, 0.0, 0.0, 0.0))
+    val kept = Dedup.semanticDedup(df, "id", "vec", cents, threshold = 0.995)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+    // pairs are strictly within-cell: nothing pairs 5 with the cell-A chain
+    val pairs = Dedup.semanticDupPairs(df, "id", "vec", cents, threshold = -1.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a < 5L && b < 5L })
+  }
+
+  test("segmentDedup keeps first occurrence corpus-wide and reassembles in order") {
+    val df = Seq(
+      (10L, "alpha beta\n\ncommon block\n\ngamma"),
+      (20L, "common block\n\ndelta"),          // "common block" seen in doc 10
+      (30L, "COMMON   BLOCK"),                 // normalization: trim+lower — but inner spaces differ → kept
+      (40L, "alpha beta\n\ncommon block")      // loses everything
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getString(1)).toSeq == Seq(
+      "alpha beta\n\ncommon block\n\ngamma", "delta", "COMMON   BLOCK", ""))
+    assert(out.map(_.getLong(3)).toSeq == Seq(3L, 1L, 1L, 0L))
+    assert(out.map(_.getInt(2)).toSeq == Seq(3, 2, 1, 2))
+    // case-insensitive match: an exact-case variant of a seen segment drops
+    val out2 = Dedup.segmentDedup(
+      Seq((1L, "Hello World"), (2L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out2.map(_.getString(1)).toSeq == Seq("Hello World", ""))
+  }
+
+  test("misraGries is exact when capacity covers the vocabulary and bounded when not") {
+    import graft.functions.Udfs
+    // exact regime: capacity >= distinct
+    val words = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(7)("c") ++ Seq("d")
+    val dfw = words.zipWithIndex.map { case (w, i) => (i, w) }.toDF("i", "w")
+      .repartition(8) // force multi-partition partials + merges
+    val exact = dfw.agg(udaf(Udfs.misraGries(16)).apply(col("w"))).head.getMap[String, Long](0)
+    assert(exact.toMap == Map("a" -> 50L, "b" -> 30L, "c" -> 7L, "d" -> 1L))
+    // lossy regime: capacity 2 over 4 keys, n=88 → undercount <= n/(cap+1)=29.3;
+    // the true heavy hitter (a: 50 > 29.3) must survive with count >= 50-29.3
+    val lossy = dfw.agg(udaf(Udfs.misraGries(2)).apply(col("w"))).head.getMap[String, Long](0).toMap
+    assert(lossy.contains("a") && lossy("a") >= 50L - 29L && lossy("a") <= 50L)
+    assert(lossy.forall { case (k, c) =>
+      c <= Map("a" -> 50L, "b" -> 30L, "c" -> 7L, "d" -> 1L)(k) })
+    // topTokens end-to-end (exact regime), deterministic ordering
+    val docs2 = Seq((1L, "x x x y y z"), (2L, "x y w")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTokens(docs2, "text", k = 3, capacity = 64)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("x", 4L), ("y", 3L), ("w", 1L)))
+  }
 }
