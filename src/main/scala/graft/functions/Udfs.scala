@@ -149,6 +149,31 @@ object Udfs {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     }
 
+  /** Mergeable bounded top-k: keep the k smallest (key, id) pairs seen,
+    * ties broken by id — the order-statistic primitive a per-group cap
+    * needs WITHOUT a window (a window over a hot group funnels the whole
+    * group through one task; this is an aggregation whose partial buffers
+    * are bounded by k, so partials combine map-side and the hot group
+    * costs k rows per partition, not its full size). Buffer kept sorted;
+    * inserts into a full buffer that lose to the current max are O(1)
+    * rejections. */
+  def topKMin(k: Int): Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] =
+    new Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+      private val ord = Ordering.Tuple2[Double, Long]
+      def zero: Seq[(Double, Long)] = Vector.empty
+      def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+        if (buf.size < k) (buf :+ x).sorted(ord)
+        else if (ord.lt(x, buf.last)) (buf.init :+ x).sorted(ord)
+        else buf
+      def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+        (a ++ b).sorted(ord).take(k)
+      def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+      def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+      def outputEncoder: Encoder[Seq[(Double, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    }
+
   /** Scalar closure UDF example (the `@udf.scalar.python` analogue):
     * URL-safe slug. Prefer built-in functions when one exists — a closure
     * UDF is opaque to Catalyst (no pushdown through it, no codegen). */

@@ -133,4 +133,35 @@ object Splits {
     df.withColumn(shardCol,
       least(floor(hashUnit(id, seed) * nShards), lit(nShards - 1L)).cast("int"))
   }
+
+  /** Deterministic per-group cap: keep at most `k` rows per group — the
+    * "cap documents per domain/source" mix-building step. The kept rows
+    * are the k smallest `hashUnit(id, seed)` in each group (ties by id),
+    * so the selection is seeded, retry-stable, and nested (a k=10 cap is
+    * a subset of the same seed's k=20 cap).
+    *
+    * Scale shape: NOT a row_number window — a window funnels each hot
+    * group through a single task (a 100M-row domain = one 100M-row
+    * partition). Instead the k winners come from ONE hash aggregation
+    * with the bounded mergeable top-k Aggregator (Udfs.topKMin): partial
+    * buffers are ≤k per partition regardless of group size, then a slim
+    * (group, id) winner set joins back to the input (broadcast when it
+    * fits — |groups|·k rows). */
+  def cappedPerGroup(
+      df: DataFrame,
+      id: String,
+      group: Column,
+      k: Int,
+      seed: Long = 7L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val topk = udaf(graft.functions.Udfs.topKMin(k))
+    val winners = df
+      .select(group.as("__g"), col(id).cast("long").as("__id"))
+      .withColumn("__u", hashUnit(col("__id"), seed))
+      .groupBy(col("__g"))
+      .agg(topk(col("__u"), col("__id")).as("__w"))
+      .select(explode(col("__w")).as("__p"))
+      .select(col("__p._2").as("__kid"))
+    df.join(winners, df(id).cast("long") === winners("__kid"), "left_semi")
+  }
 }

@@ -281,4 +281,40 @@ object TextAnalysis {
       .orderBy(col("count").desc, col("token").asc)
       .limit(k)
   }
+
+  /** CCNet-style unigram language-model quality score: mean per-token
+    * negative log-likelihood under a unigram model trained on the corpus
+    * itself (low = in-distribution text, high = noise/outliers — the
+    * cheap stand-in for the KenLM perplexity filter).
+    *
+    * The model is the corpus's `vocabSize` most frequent tokens — found
+    * by the Misra-Gries pass of [[topTokens]] (no token-universe
+    * shuffle), collected as PLAN LITERALS (a vocabSize-entry map — the
+    * same broadcast-a-tiny-model shape as bm25Score), plus one scalar
+    * total-token count. Scoring is then pure map-side: a single ordered
+    * fold over each document's tokens, p(oov) = oovCount/N additive
+    * floor. Two corpus scans (train + score), zero wide joins. */
+  def unigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      text: String,
+      vocabSize: Int = 1024,
+      capacity: Int = 65536,
+      oovCount: Double = 0.5,
+      scoreCol: String = "lm_score"): org.apache.spark.sql.DataFrame = {
+    val model = topTokens(df, text, vocabSize, capacity)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val n = df.select(sum(size(Dedup.tokens(col(text)))).cast("long")).head.getLong(0)
+    require(n > 0, "corpus has no tokens to train on")
+    val modelMap =
+      if (model.isEmpty) typedLit(Map.empty[String, Long])
+      else map(model.flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*)
+    val score = graft.functions.ibisfn.let1(Dedup.tokens(col(text))) { ts =>
+      when(size(ts) > 0,
+        aggregate(ts, lit(0.0),
+          (acc, t) => acc - log(coalesce(element_at(modelMap, t), lit(oovCount)) / n.toDouble))
+          / size(ts))
+        .otherwise(lit(0.0))
+    }
+    df.withColumn(scoreCol, score)
+  }
 }

@@ -504,6 +504,52 @@ object PipelineQueries {
       SELECT token, COUNT(*) AS count FROM toks
       GROUP BY token ORDER BY count DESC, token LIMIT 15""")),
 
+    // Deterministic per-group cap (Splits.cappedPerGroup): at most k docs
+    // per source, selected as the k smallest seeded id-hashes — computed
+    // with the bounded mergeable top-k Aggregator (no window over hot
+    // groups). The oracle IS the window formulation: both must pick the
+    // identical winner set.
+    QueryDef("q87c_capped_per_group", (s, dir) => {
+      Splits.cappedPerGroup(documents(s, dir), "doc_id", col("source"), k = 10, seed = 7L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id, source,
+          CAST(CONCAT('0x', SUBSTRING(MD5('7:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) / 268435456.0 AS u
+        FROM documents),
+      r AS (SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn FROM u)
+      SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      FROM r WHERE rn <= 10 GROUP BY 1 ORDER BY 1""")),
+
+    // CCNet-style unigram LM quality score (TextAnalysis.unigramLogProb):
+    // vocabSize 20 over a 31-token corpus vocabulary, so BOTH the
+    // in-model and the oov additive-floor paths are exercised. The
+    // oracle retrains the same model (count desc, token asc, limit) and
+    // mirrors the ordered per-token fold term by term.
+    QueryDef("q60g_unigram_lm", (s, dir) => {
+      TextAnalysis.unigramLogProb(documents(s, dir), "text",
+          vocabSize = 20, capacity = 4096)
+        .select(col("doc_id"), round(col("lm_score"), 6).as("lm_score"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents),
+      flat AS (SELECT doc_id, UNNEST(w) AS tok, UNNEST(range(1, LEN(w) + 1)) AS pos FROM toks),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM flat),
+      model AS (SELECT tok, COUNT(*) AS cnt FROM flat GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20),
+      terms AS (
+        SELECT f.doc_id, f.pos, -LN(COALESCE(m.cnt, 0.5) / n.total) AS t
+        FROM flat f LEFT JOIN model m ON f.tok = m.tok CROSS JOIN n),
+      agg AS (SELECT doc_id, LIST_SUM(LIST(t ORDER BY pos)) AS s, COUNT(*) AS c
+        FROM terms GROUP BY doc_id)
+      SELECT d.doc_id, ROUND(COALESCE(a.s / a.c, 0.0), 6) AS lm_score
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id""")),
+
     // End-to-end quality-filter pipeline: score → filter → per-lang stats.
     QueryDef("q71_quality_pipeline", (s, dir) => {
       Table(documents(s, dir))

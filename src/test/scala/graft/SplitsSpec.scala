@@ -142,4 +142,43 @@ class SplitsSpec extends SparkSpec {
       Splits.mixtureSample(d, col("id"), col("src"), Map("nope" -> 1.0), 5L)
     }
   }
+
+  test("cappedPerGroup keeps exactly k smallest-hash rows per group, nested across k") {
+    val d = spark.range(0, 300).toDF("id")
+      .withColumn("g", (col("id") % 3).cast("string"))
+    val k10 = Splits.cappedPerGroup(d, "id", col("g"), k = 10, seed = 7L)
+    val counts = k10.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(10L))
+    // matches the window formulation exactly
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(Splits.hashUnit(col("id"), 7L).asc, col("id").asc)
+    val viaWindow = d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("id").as[Long].collect().toSet
+    assert(k10.select("id").as[Long].collect().toSet == viaWindow)
+    // nested: the k=5 selection is a subset of k=10; groups smaller than k kept whole
+    val k5 = Splits.cappedPerGroup(d, "id", col("g"), k = 5, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(k5.subsetOf(viaWindow) && k5.size == 15)
+    val small = Splits.cappedPerGroup(d.filter(col("id") < 4), "id", col("g"), k = 10)
+    assert(small.count() == 4)
+  }
+
+  test("unigramLogProb: frequent-token docs score lower; oov floors; empty doc 0") {
+    val d = Seq(
+      (1L, "common common common common common"),
+      (2L, "common rare"),
+      (3L, ""),
+      (4L, "weird unseen junk")).toDF("id", "text")
+    val out = TextAnalysis.unigramLogProb(d, "text", vocabSize = 2, capacity = 64)
+      .select("id", "lm_score").as[(Long, Double)].collect().toMap
+    // N = 10 tokens; counts: common 6, junk/rare/unseen/weird 1 each
+    val n = 10.0
+    val pc = 6.0 / n
+    assert(math.abs(out(1L) - (-math.log(pc))) < 1e-9)
+    assert(out(2L) > out(1L)) // rare token raises the score
+    assert(out(3L) == 0.0)
+    // doc 4: mostly oov — the vocab-2 model keeps common(6) and junk(1,
+    // token-asc tie-break), so weird/unseen floor at 0.5/N → highest score
+    assert(out(4L) > out(2L))
+  }
 }
