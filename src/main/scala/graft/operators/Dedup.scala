@@ -625,4 +625,95 @@ object Dedup {
         col("n_segments"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  // ------------------------------------ cross-document repeated-span removal
+
+  /** Token spans covered by w-token windows that recur across documents —
+    * the exact-substring dedup signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), at token-window
+    * granularity: any `w`-token window whose hash occurs in ≥ `minDocs`
+    * DISTINCT documents marks its tokens as duplicated; overlapping and
+    * adjacent duplicated windows merge into maximal spans.
+    *
+    * Returns one row per document that has at least one duplicated window:
+    * (id, spans) where spans is a sorted array of struct(s, e) half-open
+    * 0-based token intervals.
+    *
+    * SCALE: windows are a map-side posexplode (one row per token, like the
+    * shingle stage); the duplicate-key cut is ONE hash aggregation on the
+    * window hash (count-distinct over doc ids — bounded by minDocs
+    * semantics, no doc list materialized); the join back ships only
+    * (key, id, start) for windows that survive the cut; span-merge is a
+    * per-document fold after a groupBy on id. No window function over the
+    * corpus, no cross product — three hash exchanges total, all on keys
+    * AQE can split. */
+  def repeatedSpans(
+      df: DataFrame,
+      id: String,
+      text: String,
+      w: Int,
+      minDocs: Int = 2,
+      windowHash: Column => Column = t => xxhash64(t)): DataFrame = {
+    require(w >= 1, "window must be >= 1 token")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val keys = graft.functions.ibisfn.let1(tokens(col(text))) { ts =>
+      // guard BEFORE sequence(): sequence(0, k) runs DESCENDING for k < 0
+      when(size(ts) < w, array().cast("array<long>")).otherwise(
+        transform(sequence(lit(0), size(ts) - w),
+          i => windowHash(concat_ws(" ", slice(ts, i + 1, lit(w))))))
+    }
+    val wins = df.select(col(id).as("__id"), posexplode(keys).as(Seq("__start", "__key")))
+    val dupKeys = wins.groupBy("__key")
+      .agg(countDistinct(col("__id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__key")
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    wins.join(dupKeys, Seq("__key"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__start"))).as("__starts"))
+      .select(col("__id").as(id),
+        aggregate(col("__starts"), emptySpans, (acc, st) =>
+          when(size(acc) === 0, array(struct(st.as("s"), (st + lit(w)).as("e"))))
+            .otherwise(graft.functions.ibisfn.let1(element_at(acc, size(acc))) { last =>
+              when(last.getField("e") >= st,
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(struct(last.getField("s").as("s"),
+                    greatest(last.getField("e"), st + lit(w)).as("e")))))
+                .otherwise(concat(acc, array(struct(st.as("s"), (st + lit(w)).as("e")))))
+            })
+            // aggregate() requires merge-type == zero-type exactly
+            .cast("array<struct<s:int,e:int>>")).as("spans"))
+  }
+
+  /** Remove cross-document repeated spans from each document (see
+    * [[repeatedSpans]]): every token covered by a duplicated window is
+    * dropped, the remainder re-joined with single spaces. Adds
+    * `clean_text` and `n_removed_tokens`; all input columns are kept and
+    * every input row comes back (documents with no duplicated window keep
+    * their token stream verbatim in `clean_text`).
+    *
+    * Note clean_text is rebuilt from the LOWERCASED token stream (the same
+    * normalization the window keys use — [[tokens]]); callers who need
+    * original casing preserved should map spans back themselves. */
+  def stripRepeatedSpans(
+      df: DataFrame,
+      id: String,
+      text: String,
+      w: Int,
+      minDocs: Int = 2,
+      windowHash: Column => Column = t => xxhash64(t)): DataFrame = {
+    val spans = repeatedSpans(df, id, text, w, minDocs, windowHash)
+      .withColumnRenamed(id, "__sid")
+    val emptySpans = array().cast("array<struct<s:int,e:int>>")
+    df.join(spans, df(id) === spans("__sid"), "left")
+      .drop("__sid")
+      .withColumn("__ts", tokens(col(text)))
+      .withColumn("__kept", graft.functions.ibisfn.let1(coalesce(col("spans"), emptySpans)) { sp =>
+        filter(col("__ts"), (t, j) =>
+          !exists(sp, x => x.getField("s") <= j && j < x.getField("e")))
+      })
+      .withColumn("clean_text", concat_ws(" ", col("__kept")))
+      .withColumn("n_removed_tokens", (size(col("__ts")) - size(col("__kept"))).cast("long"))
+      .drop("spans", "__ts", "__kept")
+  }
 }

@@ -164,4 +164,106 @@ object Splits {
       .select(col("__p._2").as("__kid"))
     df.join(winners, df(id).cast("long") === winners("__kid"), "left_semi")
   }
+
+  // --------------------------- DSIR importance weights (hashed n-grams)
+
+  /** Unigrams followed by bigrams of a token array — the DSIR feature set. */
+  private[graft] def ngramFeatures(ts: Column): Column =
+    graft.functions.ibisfn.let1(ts) { w =>
+      concat(w,
+        when(size(w) < 2, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(0), size(w) - 2),
+            i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))))
+    }
+
+  /** md5-derived feature-hash bucket in [0, buckets) — the engine-portable
+    * sibling of [[hashUnit]] (`"<seed>:<gram>"`, first 7 hex chars). */
+  private def gramBucket(g: Column, seed: Long, buckets: Int): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit(":"), g).cast("binary")), 1, 7), 16, 10)
+      .cast("long") % buckets
+
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each document
+    * by how much likelier its hashed n-gram features (unigrams + bigrams)
+    * are under the TARGET distribution than under the RAW corpus
+    * distribution:
+    *
+    *   logw(d) = Σ_g [ ln p̂_T(b(g)) − ln p̂_R(b(g)) ]
+    *
+    * where b() hashes grams into `buckets` buckets and both distributions
+    * are Laplace-smoothed bucket frequencies — p̂(b) = (c_b + α)/(N + αB).
+    * The target slice is the rows where `isTarget` holds (e.g. a trusted
+    * in-domain subset); high logw = looks like the target.
+    *
+    * SCALE: ONE aggregation over the exploded gram stream (≤`buckets`
+    * groups on the wire — the gram universe never shuffles as strings,
+    * only its bucket ids), collected as a `buckets`-entry log-ratio array
+    * of PLAN LITERALS; scoring is then a pure map-side ordered fold. Two
+    * corpus scans total (stats + score), no wide join — the same
+    * broadcast-a-tiny-model shape as bm25Score/unigramLogProb. */
+  def dsirLogWeights(
+      df: DataFrame,
+      text: String,
+      isTarget: Column,
+      buckets: Int = 256,
+      alpha: Double = 0.5,
+      seed: Long = 11L,
+      scoreCol: String = "dsir_logw"): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "buckets must be in (0, 65536]")
+    require(alpha > 0, "alpha must be positive (Laplace smoothing)")
+    val ex = df.select(isTarget.cast("boolean").as("__t"),
+        explode(ngramFeatures(Dedup.tokens(col(text)))).as("__g"))
+      .select(col("__t"), gramBucket(col("__g"), seed, buckets).as("__b"))
+    val rows = ex.groupBy("__b").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+        count(lit(1)).as("__rc"))
+      .collect()
+    val tCnt = Array.fill(buckets)(0L)
+    val rCnt = Array.fill(buckets)(0L)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      tCnt(b) = r.getLong(1); rCnt(b) = r.getLong(2)
+    }
+    val nT = tCnt.sum.toDouble
+    val nR = rCnt.sum.toDouble
+    require(nT > 0, "target slice has no grams to estimate from")
+    // per-bucket log-ratio literals; ln of smoothed frequencies — the same
+    // IEEE arithmetic an oracle engine reproduces from the same counts
+    val lr = (0 until buckets).map { b =>
+      math.log((tCnt(b) + alpha) / (nT + alpha * buckets)) -
+        math.log((rCnt(b) + alpha) / (nR + alpha * buckets))
+    }
+    val lrArr = array(lr.map(lit): _*)
+    val score = graft.functions.ibisfn.let1(ngramFeatures(Dedup.tokens(col(text)))) { gs =>
+      aggregate(gs, lit(0.0),
+        (acc, g) => acc + element_at(lrArr, (gramBucket(g, seed, buckets) + 1).cast("int")))
+    }
+    df.withColumn(scoreCol, score)
+  }
+
+  /** DSIR selection: Gumbel-top-`n` resampling over [[dsirLogWeights]] —
+    * sample without replacement ∝ exp(logw/temperature) by taking the top
+    * n of `logw/temperature + Gumbel(hashUnit(id, seed+1))` (the standard
+    * Gumbel-top-k trick; temperature → 0 approaches deterministic top-n
+    * by weight). Seeded and retry-stable like everything here. The
+    * selection is one TakeOrdered (no global sort materialized). */
+  def dsirSample(
+      df: DataFrame,
+      id: Column,
+      text: String,
+      isTarget: Column,
+      n: Int,
+      buckets: Int = 256,
+      alpha: Double = 0.5,
+      seed: Long = 11L,
+      temperature: Double = 1.0): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val scored = dsirLogWeights(df, text, isTarget, buckets, alpha, seed)
+    // clamp u away from 0: Spark's log(0) yields null, which would sort the
+    // row to the end instead of giving it an extreme Gumbel draw
+    val u = greatest(hashUnit(id, seed + 1), lit(1e-12))
+    val gumbel = -log(-log(u))
+    scored.orderBy((col("dsir_logw") / temperature + gumbel).desc, id.asc).limit(n)
+  }
 }

@@ -140,6 +140,87 @@ object TextAnalysis {
       })
   }
 
+  // ----------------------------------------- line-level (Gopher) signals
+
+  /** Non-empty trimmed lines of a document — the unit of Gopher's
+    * line-level format/repetition rules (Rae et al. 2021, §A1.1). */
+  private def lineList(text: Column, sepRegex: String): Column =
+    filter(transform(split(text, sepRegex), l => trim(l)), l => length(l) > 0)
+
+  /** Fraction of lines starting with a bullet character (- * •). */
+  def bulletLineFraction(text: Column, sepRegex: String = "\\n"): Column =
+    graft.functions.ibisfn.let1(lineList(text, sepRegex)) { ls =>
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        size(filter(ls, l => l.rlike("^[-*•]"))).cast("double") / size(ls))
+    }
+
+  /** Fraction of lines ending in an ellipsis ("..." or …). */
+  def ellipsisLineFraction(text: Column, sepRegex: String = "\\n"): Column =
+    graft.functions.ibisfn.let1(lineList(text, sepRegex)) { ls =>
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        size(filter(ls, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / size(ls))
+    }
+
+  /** Fraction of lines that repeat an earlier line: 1 − distinct/total. */
+  def dupLineFraction(text: Column, sepRegex: String = "\\n"): Column =
+    graft.functions.ibisfn.let1(lineList(text, sepRegex)) { ls =>
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+    }
+
+  /** Fraction of characters inside repeated line occurrences (every
+    * occurrence beyond a line value's first): Σ_v (count_v − 1)·len(v)
+    * over Σ len — Gopher's "duplicate line character fraction".
+    * Per-row cost O(lines·distinct) — bounded by document size. */
+  def dupLineCharFraction(text: Column, sepRegex: String = "\\n"): Column =
+    graft.functions.ibisfn.let1(lineList(text, sepRegex)) { ls =>
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        graft.functions.ibisfn.let1(
+          aggregate(ls, lit(0L), (a, l) => a + length(l))) { total =>
+          when(total === 0L, lit(0.0)).otherwise(
+            aggregate(array_distinct(ls), lit(0L),
+              (a, v) => a + (size(filter(ls, x => x === v)) - 1) * length(v))
+              .cast("double") / total)
+        })
+    }
+
+  /** Fraction of whitespace words containing at least one letter —
+    * Gopher requires ≥0.8 (filters symbol/number soup). */
+  def alphaWordFraction(text: Column): Column =
+    graft.functions.ibisfn.let1(
+      filter(split(text, "\\s+"), w => length(w) > 0)) { ws =>
+      when(size(ws) === 0, lit(0.0)).otherwise(
+        size(filter(ws, w => w.rlike("\\p{L}"))).cast("double") / size(ws))
+    }
+
+  /** Symbol-to-word ratio: occurrences of '#' or '...' per word —
+    * Gopher rejects > 0.1. */
+  def symbolWordRatio(text: Column): Column =
+    graft.functions.ibisfn.let1(
+      size(filter(split(text, "\\s+"), w => length(w) > 0))) { nw =>
+      when(nw === 0, lit(0.0)).otherwise(
+        regexp_count(text, lit("#|\\.\\.\\.")).cast("double") / nw)
+    }
+
+  /** The composed Gopher quality gate (Rae et al. 2021 §A1.1 thresholds):
+    * 50 ≤ words ≤ 100k, mean word length in [3, 10], symbol/word ≤ 0.1,
+    * bullet lines ≤ 90%, ellipsis lines ≤ 30%, ≥80% of words alphabetic,
+    * and at least 2 distinct stopwords present. Pure map-side boolean. */
+  def gopherQualityPass(text: Column, sepRegex: String = "\\n"): Column = {
+    val nWords = tokenCount(text)
+    val awl = avgWordLength(text)
+    val distinctStops = graft.functions.ibisfn.let1(Dedup.tokens(text)) { ts =>
+      size(array_intersect(array_distinct(ts), array(EnglishStopwords.map(lit): _*)))
+    }
+    nWords.between(50, 100000) &&
+      awl.between(3.0, 10.0) &&
+      symbolWordRatio(text) <= 0.1 &&
+      bulletLineFraction(text, sepRegex) <= 0.9 &&
+      ellipsisLineFraction(text, sepRegex) <= 0.3 &&
+      alphaWordFraction(text) >= 0.8 &&
+      distinctStops >= 2
+  }
+
   /** OpenRefine-style key fingerprint: sorted distinct lowercase tokens
     * joined — canonical form for clustering near-identical records. */
   def fingerprintKey(text: Column): Column =

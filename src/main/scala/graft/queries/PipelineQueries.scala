@@ -490,6 +490,60 @@ object PipelineQueries {
       SELECT doc_id, MD5(new_text) AS text_md5, CAST(n_segments AS INT) AS n_segments, n_kept
       FROM reb ORDER BY doc_id""")),
 
+    // Cross-document repeated-window span removal (exact-substring dedup,
+    // Lee et al. 2022 shape) — md5 window-hash mode so DuckDB rebuilds the
+    // identical duplicate-window set, merges spans with a gaps-and-islands
+    // twin, and the cleaned text md5 must agree byte-for-byte. The corpus
+    // is given planted cross-doc duplication (each doc concatenated with
+    // its successor, so every window inside doc i+1's text occurs in both
+    // doc i and doc i+1).
+    QueryDef("q65e_repeated_spans", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("doc_id")
+      val base = documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"), lead(col("text"), 1, "").over(w)).as("text"))
+      Dedup.stripRepeatedSpans(base, "doc_id", "text", w = 8,
+          windowHash = Dedup.md5Hash28)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_removed_tokens"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, text || ' ' || LEAD(text, 1, '') OVER (ORDER BY doc_id) AS text
+        FROM documents WHERE doc_id < 150),
+      toks AS (
+        SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS t
+        FROM base),
+      wins AS (
+        SELECT doc_id, t, UNNEST(range(0, GREATEST(LEN(t) - 8 + 1, 0))) AS s FROM toks),
+      keyed AS (
+        SELECT doc_id, s,
+          CAST(CONCAT('0x', SUBSTRING(MD5(ARRAY_TO_STRING(t[s+1:s+8], ' ')), 1, 7)) AS BIGINT) AS key
+        FROM wins),
+      dup AS (SELECT key FROM keyed GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 2),
+      ds AS (SELECT DISTINCT doc_id, s FROM keyed JOIN dup USING (key)),
+      brk AS (
+        SELECT doc_id, s,
+          CASE WHEN s <= MAX(s + 8) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 0 ELSE 1 END AS b
+        FROM ds),
+      isl AS (SELECT doc_id, s, SUM(b) OVER (PARTITION BY doc_id ORDER BY s) AS g FROM brk),
+      spans AS (SELECT doc_id, MIN(s) AS ss, MAX(s) + 8 AS ee FROM isl GROUP BY doc_id, g),
+      tokpos AS (SELECT doc_id, UNNEST(t) AS tok, UNNEST(range(0, LEN(t))) AS j FROM toks),
+      kept AS (
+        SELECT tp.doc_id, tp.tok, tp.j FROM tokpos tp
+        WHERE NOT EXISTS (SELECT 1 FROM spans sp
+          WHERE sp.doc_id = tp.doc_id AND sp.ss <= tp.j AND tp.j < sp.ee)),
+      reb AS (
+        SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY j) AS ct, COUNT(*) AS nk
+        FROM kept GROUP BY doc_id)
+      SELECT b.doc_id, MD5(COALESCE(r.ct, '')) AS clean_md5,
+        CAST(LEN(t.t) - COALESCE(r.nk, 0) AS BIGINT) AS n_removed_tokens
+      FROM base b JOIN toks t USING (doc_id) LEFT JOIN reb r ON b.doc_id = r.doc_id
+      ORDER BY doc_id""")),
+
     // Corpus-level heavy hitters (TextAnalysis.topTokens): the mergeable
     // Misra-Gries Aggregator run in its exact regime (capacity 512 >>
     // corpus vocabulary), so the sketch counts equal true counts and the
@@ -549,6 +603,72 @@ object PipelineQueries {
         FROM terms GROUP BY doc_id)
       SELECT d.doc_id, ROUND(COALESCE(a.s / a.c, 0.0), 6) AS lm_score
       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id""")),
+
+    // Gopher line-level rule battery (Rae et al. 2021 §A1.1): the corpus
+    // is given a line structure (original text, a bulleted neighbor line,
+    // the original repeated, an ellipsis footer) so every signal is
+    // non-trivial; the oracle recomputes each fraction and the composed
+    // pass gate from the same construction.
+    QueryDef("q60h_gopher_rules", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("doc_id")
+      val base = documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat_ws("\n",
+          col("text"),
+          concat(lit("- "), lead(col("text"), 1, "item").over(w)),
+          col("text"),
+          lit("read more ...")).as("text"))
+      base.select(col("doc_id"),
+          round(TextAnalysis.bulletLineFraction(col("text")), 6).as("bullet_frac"),
+          round(TextAnalysis.ellipsisLineFraction(col("text")), 6).as("ellipsis_frac"),
+          round(TextAnalysis.dupLineFraction(col("text")), 6).as("dup_line_frac"),
+          round(TextAnalysis.dupLineCharFraction(col("text")), 6).as("dup_char_frac"),
+          round(TextAnalysis.alphaWordFraction(col("text")), 6).as("alpha_frac"),
+          round(TextAnalysis.symbolWordRatio(col("text")), 6).as("symbol_ratio"),
+          TextAnalysis.gopherQualityPass(col("text")).as("gopher_pass"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+          text || chr(10) || '- ' || LEAD(text, 1, 'item') OVER (ORDER BY doc_id)
+            || chr(10) || text || chr(10) || 'read more ...' AS text
+        FROM documents WHERE doc_id < 200),
+      lns AS (
+        SELECT doc_id, text,
+          LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)), l -> TRIM(l)),
+            l -> l != '') AS ls,
+          LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'), x -> x != '') AS ws,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM base),
+      flat AS (SELECT doc_id, UNNEST(ls) AS l FROM lns),
+      dupc AS (
+        SELECT doc_id, SUM((cnt - 1) * LEN(l)) AS dchars, SUM(cnt * LEN(l)) AS tchars
+        FROM (SELECT doc_id, l, COUNT(*) AS cnt FROM flat GROUP BY doc_id, l)
+        GROUP BY doc_id),
+      m AS (
+        SELECT lns.doc_id,
+          LEN(LIST_FILTER(ls, l -> regexp_matches(l, '^[-*•]'))) / CAST(LEN(ls) AS DOUBLE) AS bullet_frac,
+          LEN(LIST_FILTER(ls, l -> regexp_matches(l, '(\.\.\.|…)$'))) / CAST(LEN(ls) AS DOUBLE) AS ellipsis_frac,
+          1.0 - LEN(LIST_DISTINCT(ls)) / CAST(LEN(ls) AS DOUBLE) AS dup_line_frac,
+          dupc.dchars / CAST(dupc.tchars AS DOUBLE) AS dup_char_frac,
+          LEN(LIST_FILTER(ws, x -> regexp_matches(x, '\p{L}'))) / CAST(LEN(ws) AS DOUBLE) AS alpha_frac,
+          LEN(REGEXP_EXTRACT_ALL(text, '#|\.\.\.')) / CAST(LEN(ws) AS DOUBLE) AS symbol_ratio,
+          LEN(w) AS nw,
+          CAST(LIST_SUM(LIST_TRANSFORM(w, x -> LEN(x))) AS DOUBLE) / LEN(w) AS awl,
+          LEN(LIST_FILTER(LIST_DISTINCT(w), x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','that','this','be','from'], x))) AS nstops
+        FROM lns JOIN dupc ON lns.doc_id = dupc.doc_id)
+      SELECT doc_id,
+        ROUND(bullet_frac, 6) AS bullet_frac,
+        ROUND(ellipsis_frac, 6) AS ellipsis_frac,
+        ROUND(dup_line_frac, 6) AS dup_line_frac,
+        ROUND(dup_char_frac, 6) AS dup_char_frac,
+        ROUND(alpha_frac, 6) AS alpha_frac,
+        ROUND(symbol_ratio, 6) AS symbol_ratio,
+        (nw BETWEEN 50 AND 100000) AND (awl BETWEEN 3.0 AND 10.0)
+          AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+          AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+          AND nstops >= 2 AS gopher_pass
+      FROM m ORDER BY doc_id""")),
 
     // End-to-end quality-filter pipeline: score → filter → per-lang stats.
     QueryDef("q71_quality_pipeline", (s, dir) => {
@@ -680,6 +800,46 @@ object PipelineQueries {
       FROM u JOIN r ON r.lang = u.lang
       WHERE u.u < r.rate
       GROUP BY 1 ORDER BY 1""")),
+
+    // DSIR hashed-ngram importance log-weights (Splits.dsirLogWeights):
+    // the oracle retrains BOTH bucket distributions from the same corpus
+    // (target slice = source 'src0'), mirrors the Laplace smoothing
+    // arithmetic exactly, and replays the per-gram ln-ratio fold
+    // term-by-term in document gram order (unigrams then bigrams).
+    QueryDef("q87d_dsir_weights", (s, dir) => {
+      Splits.dsirLogWeights(documents(s, dir), "text",
+          isTarget = col("source") === "src0", buckets = 64, alpha = 0.5, seed = 11L)
+        .select(col("doc_id"), round(col("dsir_logw"), 6).as("dsir_logw"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+          w || LIST_TRANSFORM(range(1, GREATEST(LEN(w), 1)), i -> w[i] || ' ' || w[i+1]) AS g
+        FROM toks),
+      flat AS (
+        SELECT doc_id, source, UNNEST(g) AS gram, UNNEST(range(1, LEN(g) + 1)) AS pos
+        FROM grams),
+      bk AS (
+        SELECT doc_id, source, pos,
+          CAST(CONCAT('0x', SUBSTRING(MD5('11:' || gram), 1, 7)) AS BIGINT) % 64 AS b
+        FROM flat),
+      stats AS (
+        SELECT b, SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tc, COUNT(*) AS rc
+        FROM bk GROUP BY b),
+      tot AS (SELECT CAST(SUM(tc) AS DOUBLE) AS nt, CAST(SUM(rc) AS DOUBLE) AS nr FROM stats),
+      lr AS (
+        SELECT s.b,
+          LN((s.tc + 0.5) / (t.nt + 32.0)) - LN((s.rc + 0.5) / (t.nr + 32.0)) AS v
+        FROM stats s CROSS JOIN tot t),
+      terms AS (
+        SELECT bk.doc_id, bk.pos, lr.v FROM bk JOIN lr ON bk.b = lr.b),
+      agg AS (SELECT doc_id, LIST_SUM(LIST(v ORDER BY pos)) AS sc FROM terms GROUP BY doc_id)
+      SELECT d.doc_id, ROUND(COALESCE(a.sc, 0.0), 6) AS dsir_logw
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id ORDER BY d.doc_id""")),
 
     // Seeded corpus shuffle (Splits.shuffled) + loader shard assignment
     // (Splits.shardAssign): first 50 docs of the seed-3 epoch permutation,

@@ -14,6 +14,36 @@ class PipelineOpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog near the river bank today")  // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("repeatedSpans finds cross-doc duplicated windows and merges overlaps") {
+    // docs 1 and 2 share the 12-token prefix; doc 3 shares nothing 4-gram-long
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", w = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getInt(0), s.getInt(1)))).toMap
+    // 14 tokens; doc 2 diverges at token 13 ("now"), so its final window
+    // [10,14) is unique while windows 0..9 recur in docs 1/4 → merged span
+    // [0,13). Docs 1 and 4 are identical → every window recurs → [0,14).
+    assert(spans(1L) == Seq((0, 14)))
+    assert(spans(2L) == Seq((0, 13)))
+    assert(spans(4L) == Seq((0, 14)))
+    assert(!spans.contains(3L))
+  }
+
+  test("stripRepeatedSpans removes covered tokens, keeps clean docs verbatim") {
+    val out = Dedup.stripRepeatedSpans(docs, "doc_id", "text", w = 4)
+      .select("doc_id", "clean_text", "n_removed_tokens")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "" && out(1L)._2 == 14L)
+    assert(out(2L) == (("now", 13L)))
+    assert(out(3L)._2 == 0L &&
+      out(3L)._1 == "completely different content about spark query engines and columnar io")
+    assert(out.size == 4) // every input row returned
+  }
+
+  test("stripRepeatedSpans with minDocs above corpus multiplicity is a no-op") {
+    val out = Dedup.stripRepeatedSpans(docs, "doc_id", "text", w = 4, minDocs = 4)
+    assert(out.filter(col("n_removed_tokens") > 0).count() == 0)
+  }
+
   test("exact dedup keeps first by order column") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))

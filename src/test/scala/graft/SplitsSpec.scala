@@ -181,4 +181,82 @@ class SplitsSpec extends SparkSpec {
     // token-asc tie-break), so weird/unseen floor at 0.5/N → highest score
     assert(out(4L) > out(2L))
   }
+
+  test("gopher line rules: fractions and the composed gate") {
+    val text = "the data is good and it works well for all of us every day here now\n" +
+      "- item one\n" +
+      "the data is good and it works well for all of us every day here now\n" +
+      "loading ..."
+    val d = Seq((1L, text)).toDF("id", "text")
+    val row = d.select(
+      TextAnalysis.bulletLineFraction(col("text")).as("b"),
+      TextAnalysis.ellipsisLineFraction(col("text")).as("e"),
+      TextAnalysis.dupLineFraction(col("text")).as("dl"),
+      TextAnalysis.dupLineCharFraction(col("text")).as("dc"),
+      TextAnalysis.alphaWordFraction(col("text")).as("a"),
+      TextAnalysis.gopherQualityPass(col("text")).as("p")).head()
+    assert(row.getDouble(0) == 0.25)  // 1 of 4 lines bulleted
+    assert(row.getDouble(1) == 0.25)  // 1 of 4 ends in ...
+    assert(row.getDouble(2) == 0.25)  // line 3 repeats line 1
+    val lineLen = "the data is good and it works well for all of us every day here now".length
+    val total = 2 * lineLen + "- item one".length + "loading ...".length
+    assert(math.abs(row.getDouble(3) - lineLen.toDouble / total) < 1e-12)
+    // words: 16+16+3+2 = 37; "-" and "..." carry no letter → 35/37
+    assert(math.abs(row.getDouble(4) - 35.0 / 37.0) < 1e-12)
+    assert(!row.getBoolean(5)) // 35 alnum words < 50 → fails the gate
+    // a long plain English doc passes
+    val ok = Seq((1L, ("the quick brown fox jumps over the lazy dog and runs far " * 6))).toDF("id", "text")
+    assert(ok.select(TextAnalysis.gopherQualityPass(col("text"))).head().getBoolean(0))
+    // empty text: every fraction 0, gate false
+    val empty = Seq((1L, "")).toDF("id", "text")
+    val er = empty.select(
+      TextAnalysis.bulletLineFraction(col("text")),
+      TextAnalysis.dupLineCharFraction(col("text")),
+      TextAnalysis.alphaWordFraction(col("text")),
+      TextAnalysis.gopherQualityPass(col("text"))).head()
+    assert(er.getDouble(0) == 0.0 && er.getDouble(1) == 0.0 && er.getDouble(2) == 0.0)
+    assert(!er.getBoolean(3))
+  }
+
+  private lazy val dsirDocs = Seq(
+    (1L, "physics quantum energy field theory particle wave", true),
+    (2L, "quantum field particle physics energy state wave", true),
+    (3L, "physics theory energy quantum particle spin", true),
+    (4L, "cheap pills buy now click here discount offer", false),
+    (5L, "click buy discount cheap offer now deal", false),
+    (6L, "quantum energy particle physics wave theory state", false), // target-like, raw-labeled
+    (7L, "buy cheap click discount now offer pills deal", false)
+  ).toDF("id", "text", "is_t")
+
+  test("dsirLogWeights: target-like documents outscore off-target ones") {
+    val out = Splits.dsirLogWeights(dsirDocs, "text", col("is_t"), buckets = 128, seed = 5L)
+      .select("id", "dsir_logw").as[(Long, Double)].collect().toMap
+    // the raw-labeled doc that shares the target vocabulary must outscore
+    // every spam doc, and the target docs must outscore all spam docs
+    assert(out(6L) > out(4L) && out(6L) > out(5L) && out(6L) > out(7L))
+    for (t <- Seq(1L, 2L, 3L); s <- Seq(4L, 5L, 7L)) assert(out(t) > out(s))
+    // deterministic
+    val again = Splits.dsirLogWeights(dsirDocs, "text", col("is_t"), buckets = 128, seed = 5L)
+      .select("id", "dsir_logw").as[(Long, Double)].collect().toMap
+    assert(out == again)
+    // empty doc scores exactly 0
+    val withEmpty = Splits.dsirLogWeights(
+      dsirDocs.union(Seq((8L, "", false)).toDF("id", "text", "is_t")),
+      "text", col("is_t"), buckets = 128, seed = 5L)
+      .filter(col("id") === 8L).select("dsir_logw").as[Double].head()
+    assert(withEmpty == 0.0)
+  }
+
+  test("dsirSample: seeded Gumbel top-n is deterministic and target-enriched") {
+    val sel = Splits.dsirSample(dsirDocs, col("id"), "text", col("is_t"),
+      n = 3, buckets = 128, seed = 5L, temperature = 0.05)
+    val got = sel.select("id").as[Long].collect().toSet
+    assert(got.size == 3)
+    // at near-zero temperature selection ≈ top-3 by weight — all target-like
+    assert(got.subsetOf(Set(1L, 2L, 3L, 6L)))
+    val again = Splits.dsirSample(dsirDocs, col("id"), "text", col("is_t"),
+      n = 3, buckets = 128, seed = 5L, temperature = 0.05)
+      .select("id").as[Long].collect().toSet
+    assert(got == again)
+  }
 }
