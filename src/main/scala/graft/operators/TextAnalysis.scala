@@ -221,6 +221,53 @@ object TextAnalysis {
       distinctStops >= 2
   }
 
+  /** Shannon entropy (bits/char) of the character distribution — low
+    * entropy flags repeated-character junk, high entropy flags
+    * base64/binary soup (both standard web-corpus cut signals).
+    * Computed as the POSITION-ORDERED mean of −log2 p(char at position)
+    * (mathematically Σ −p·log2 p, but the ordered fold is what a
+    * different engine can replay addition-order-exactly). Per-row cost
+    * O(len·distinct-chars); map-side. */
+  def charEntropy(text: Column): Column =
+    graft.functions.ibisfn.let1(
+      when(length(text) === 0, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1))))) { cs =>
+      when(size(cs) === 0, lit(0.0)).otherwise(
+        aggregate(cs, lit(0.0), (acc, c) =>
+          acc - log(2.0, size(filter(cs, x => x === c)).cast("double") / size(cs)))
+          / size(cs))
+    }
+
+  /** fastText-style linear quality-classifier scoring: sigmoid of a
+    * bag-of-hashed-ngrams dot product — the "quality classifier" step of
+    * the GPT-3/LLaMA-family pipelines, with weights trained offline and
+    * applied here at corpus scale. Features are [[Splits.ngramFeatures]]
+    * (unigrams+bigrams) hashed into `weights.size` buckets (md5, engine-
+    * portable), tf-weighted: score = σ(Σ_g w[b(g)]/n + bias). A pure
+    * map-side fold over each document's grams — the weight vector rides
+    * as plan literals, nothing shuffles. */
+  def classifierScore(
+      text: Column,
+      weights: Seq[Double],
+      bias: Double = 0.0,
+      seed: Long = 13L): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val dim = weights.size
+    val wArr = array(weights.map(lit): _*)
+    val bucket: Column => Column = g =>
+      conv(substring(md5(concat(lit(seed.toString), lit(":"), g).cast("binary")), 1, 7), 16, 10)
+        .cast("long") % dim
+    graft.functions.ibisfn.let1(Splits.ngramFeatures(Dedup.tokens(text))) { gs =>
+      graft.functions.ibisfn.let1(
+        when(size(gs) === 0, lit(0.0)).otherwise(
+          aggregate(gs, lit(0.0),
+            (acc, g) => acc + element_at(wArr, (bucket(g) + 1).cast("int"))) / size(gs))
+      ) { dot =>
+        lit(1.0) / (lit(1.0) + exp(-(dot + bias)))
+      }
+    }
+  }
+
   /** OpenRefine-style key fingerprint: sorted distinct lowercase tokens
     * joined — canonical form for clustering near-identical records. */
   def fingerprintKey(text: Column): Column =

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.api.{SortKey, Table}
-import graft.operators.{Dedup, Multimodal, Similarity, Splits, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Splits, TextAnalysis, UrlOps}
 import Tables._
 
 /** Training-data pipeline corpus: text analysis, dedup (exact / minhash-LSH /
@@ -670,6 +670,55 @@ object PipelineQueries {
           AND nstops >= 2 AS gopher_pass
       FROM m ORDER BY doc_id""")),
 
+    // Quality-classifier scoring + character entropy: fastText-style
+    // hashed-ngram linear classifier (weights as plan literals, shared
+    // verbatim with the oracle below) and the position-ordered entropy
+    // fold — the oracle replays bucket hashing, the weight lookup, the
+    // ln-based log2, and both ordered sums term-by-term.
+    QueryDef("q60i_classifier_entropy", (s, dir) => {
+      val w = (0 until 32).map(i => ((i * 37) % 19 - 9) / 10.0)
+      documents(s, dir).select(col("doc_id"),
+          round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"),
+          round(TextAnalysis.classifierScore(col("text"), w, bias = -0.1, seed = 13L), 6)
+            .as("clf_score"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+          tk || LIST_TRANSFORM(range(1, GREATEST(LEN(tk), 1)), i -> tk[i] || ' ' || tk[i+1]) AS g
+        FROM toks),
+      gflat AS (
+        SELECT doc_id, UNNEST(g) AS gram, UNNEST(range(1, LEN(g) + 1)) AS pos FROM grams),
+      gterm AS (
+        SELECT doc_id, pos,
+          (${(0 until 32).map(i => ((i * 37) % 19 - 9) / 10.0).mkString("[", ", ", "]")})[
+            CAST(CAST(CONCAT('0x', SUBSTRING(MD5('13:' || gram), 1, 7)) AS BIGINT) % 32 AS INT) + 1] AS t
+        FROM gflat),
+      gd AS (SELECT doc_id, LIST_SUM(LIST(t ORDER BY pos)) / COUNT(*) AS dot
+        FROM gterm GROUP BY doc_id),
+      ch AS (
+        SELECT doc_id,
+          UNNEST(LIST_TRANSFORM(range(1, LEN(text) + 1), i -> SUBSTRING(text, i, 1))) AS c,
+          UNNEST(range(1, LEN(text) + 1)) AS pos
+        FROM documents),
+      cn AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+      nn AS (SELECT doc_id, COUNT(*) AS n FROM ch GROUP BY doc_id),
+      et AS (
+        SELECT ch.doc_id, ch.pos, -(LN(cn.k / CAST(nn.n AS DOUBLE)) / LN(2.0)) AS t
+        FROM ch JOIN cn ON ch.doc_id = cn.doc_id AND ch.c = cn.c
+        JOIN nn ON ch.doc_id = nn.doc_id),
+      ea AS (SELECT doc_id, LIST_SUM(LIST(t ORDER BY pos)) / COUNT(*) AS h
+        FROM et GROUP BY doc_id)
+      SELECT d.doc_id, ROUND(COALESCE(ea.h, 0.0), 6) AS entropy,
+        ROUND(1.0 / (1.0 + EXP(-(COALESCE(gd.dot, 0.0) + -0.1))), 6) AS clf_score
+      FROM documents d LEFT JOIN ea ON d.doc_id = ea.doc_id
+      LEFT JOIN gd ON d.doc_id = gd.doc_id
+      ORDER BY d.doc_id""")),
+
     // End-to-end quality-filter pipeline: score → filter → per-lang stats.
     QueryDef("q71_quality_pipeline", (s, dir) => {
       Table(documents(s, dir))
@@ -934,6 +983,90 @@ object PipelineQueries {
           ELSE LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(g2), x -> LEN(LIST_FILTER(g2, y -> y = x)))) / CAST(LEN(g2) AS DOUBLE) END, 6) AS top2_frac,
         ROUND(CASE WHEN LEN(w) < 3 THEN 0.0
           ELSE LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(g3), x -> LEN(LIST_FILTER(g3, y -> y = x)))) / CAST(LEN(g3) AS DOUBLE) END, 6) AS top3_frac
-      FROM g ORDER BY doc_id"""))
+      FROM g ORDER BY doc_id""")),
+
+    // URL hygiene battery (UrlOps): synthetic-but-rich URLs built from doc
+    // fields (case noise, www, two-level TLDs, default port, tracking
+    // params in leading/trailing position, fragments), then host
+    // extraction, registrable-domain rollup, normalization, and the
+    // domain blocklist filter ('data.net' dropped). The oracle rebuilds
+    // the identical URLs and replays each regex step (RE2-portable
+    // subset, 'g' flag to match Spark's replace-all).
+    QueryDef("q89c_url_ops", (s, dir) => {
+      val idS = col("doc_id").cast("string")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+        when(col("doc_id") % 5 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit("."),
+        element_at(array(lit("shop.co.uk"), lit("example.com"), lit("blog.org"), lit("data.net")),
+          (col("doc_id") % 4).cast("int") + 1),
+        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), idS,
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&id="), idS, lit("&utm_campaign=x#f")))
+          .otherwise(concat(lit("?id="), idS)))
+      val withUrl = documents(s, dir).withColumn("__url", url)
+      UrlOps.filterBlockedDomains(withUrl, col("__url"), Seq("data.net"))
+        .select(col("doc_id"),
+          UrlOps.urlHost(col("__url")).as("host"),
+          UrlOps.registrableDomain(UrlOps.urlHost(col("__url"))).as("domain"),
+          UrlOps.urlNormalize(col("__url")).as("norm"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+          || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+          || source || '.'
+          || (['shop.co.uk','example.com','blog.org','data.net'])[CAST(doc_id % 4 AS INT) + 1]
+          || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+          || '/p/' || CAST(doc_id AS VARCHAR)
+          || (CASE WHEN doc_id % 3 = 0
+              THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#f'
+              ELSE '?id=' || CAST(doc_id AS VARCHAR) END) AS url
+        FROM documents),
+      h AS (
+        SELECT doc_id, url,
+          NULLIF(REGEXP_REPLACE(
+            LIST_EXTRACT(STRING_SPLIT(
+              LOWER(REGEXP_EXTRACT(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '@'), -1),
+            ':[0-9]+$', ''), '') AS host
+        FROM u),
+      d AS (
+        SELECT doc_id, url, host,
+          STRING_SPLIT(host, '.') AS p
+        FROM h),
+      dom AS (
+        SELECT doc_id, url, host,
+          CASE WHEN LEN(p) <= 2 THEN host
+               WHEN LIST_CONTAINS(['co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au','co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in','co.kr','com.tw','com.sg','co.nz'],
+                 p[-2] || '.' || p[-1]) AND LEN(p) >= 3
+                 THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+               ELSE p[-2] || '.' || p[-1] END AS domain
+        FROM d),
+      n AS (
+        SELECT doc_id, host, domain,
+          REGEXP_REPLACE(
+            REGEXP_REPLACE(
+              REGEXP_REPLACE(
+                REGEXP_REPLACE(
+                  REGEXP_REPLACE(
+                    REGEXP_REPLACE(
+                      REGEXP_REPLACE(
+                        REGEXP_REPLACE(
+                          LOWER(REGEXP_EXTRACT(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                            || REGEXP_EXTRACT(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1),
+                          '#.*$', '', 'g'),
+                        '^(https://[^/?#:]+):443([/?]|$)', '\1\2', 'g'),
+                      '^(http://[^/?#:]+):80([/?]|$)', '\1\2', 'g'),
+                    '&(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*', '', 'g'),
+                  '\?(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*&', '?', 'g'),
+                '\?(utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*$', '', 'g'),
+              '[?&]$', '', 'g'),
+            '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\1', 'g') AS norm
+        FROM dom)
+      SELECT doc_id, host, domain, norm FROM n
+      WHERE domain IS NULL OR NOT LIST_CONTAINS(['data.net'], domain)
+      ORDER BY doc_id"""))
   )
 }

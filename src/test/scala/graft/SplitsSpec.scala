@@ -182,6 +182,31 @@ class SplitsSpec extends SparkSpec {
     assert(out(4L) > out(2L))
   }
 
+  test("charEntropy: constant string 0, uniform chars log2(k), empty 0") {
+    val d = Seq((1L, "aaaa"), (2L, "abcd"), (3L, ""), (4L, "aabb")).toDF("id", "text")
+    val out = d.select(col("id"), TextAnalysis.charEntropy(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.0)
+    assert(math.abs(out(2L) - 2.0) < 1e-12) // 4 distinct uniform → log2 4
+    assert(out(3L) == 0.0)
+    assert(math.abs(out(4L) - 1.0) < 1e-12) // two chars, 50/50
+  }
+
+  test("classifierScore: sigmoid bounds, bias shift, weight sensitivity") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "")).toDF("id", "text")
+    val zero = d.select(col("id"),
+      TextAnalysis.classifierScore(col("text"), Seq.fill(16)(0.0), bias = 0.0))
+      .as[(Long, Double)].collect().toMap
+    assert(zero(1L) == 0.5 && zero(2L) == 0.5) // zero weights → σ(0)
+    val pos = d.select(TextAnalysis.classifierScore(col("text"), Seq.fill(16)(2.0), bias = 0.0))
+      .as[Double].head()
+    assert(math.abs(pos - 1.0 / (1.0 + math.exp(-2.0))) < 1e-12) // all grams hit w=2, tf sums to 1... scaled by 1/n each of n grams
+    val biased = d.filter(col("id") === 2L)
+      .select(TextAnalysis.classifierScore(col("text"), Seq.fill(16)(0.0), bias = 3.0))
+      .as[Double].head()
+    assert(math.abs(biased - 1.0 / (1.0 + math.exp(-3.0))) < 1e-12)
+  }
+
   test("gopher line rules: fractions and the composed gate") {
     val text = "the data is good and it works well for all of us every day here now\n" +
       "- item one\n" +
