@@ -49,20 +49,36 @@ object TpchQueries {
           .selectNames("s_suppkey", "s_nationkey").df))
       val oAsia = Table(o).join(asiaCust, o("o_custkey") === asiaCust.df("c_custkey"))
         .selectNames("o_orderkey", "c_nationkey")
+      // money as exact 10⁻⁴-unit longs (the MoneySum4 rounding contract —
+      // round-half-away of amount·10⁴), so BOTH aggregation levels below
+      // are plain codegen long sums: exact, order-independent, and
+      // engine-stable under any partitioning
+      val scaled = l("l_extendedprice") * (lit(1) - l("l_discount")) * 10000.0
       val lAsia = Table(l).join(asiaSup, l("l_suppkey") === asiaSup.df("s_suppkey"))
-        .mutate("amount" -> (l("l_extendedprice") * (lit(1) - l("l_discount"))))
-        .selectNames("l_orderkey", "s_nationkey", "amount")
+        .mutate("units" -> when(scaled >= 0, (scaled + 0.5).cast("long"))
+          .otherwise((scaled - 0.5).cast("long")))
+        .selectNames("l_orderkey", "s_nationkey", "units")
+        // EAGER per-(order, nation) aggregation BELOW the exchange pair:
+        // lineitem rows for one order are adjacent in TPC-H-shaped data,
+        // so the map-side partial collapses the avg-4 lines/order before
+        // anything ships — the exchange carries ~30M pre-summed rows
+        // instead of ~120M, and its hash partitioning on exactly the join
+        // keys (l_orderkey, s_nationkey) is REUSED by the join, so the
+        // extra aggregate costs no extra exchange
+        .groupBy(col("l_orderkey"), col("s_nationkey"))
+        .aggregate(sum(col("units")).as("units"))
       // aggregate on the int nationkey and re-attach the name AFTER the
       // 5-row result exists: the exchange pair then carries no strings at
-      // all (ints + the money value), ~25% less shuffle volume than
-      // shipping n_name with every orders row
+      // all (ints + the unit longs)
       val n3 = Table(nation(s, dir)).selectNames("n_nationkey", "n_name")
       Table(lAsia.join(oAsia,
           lAsia.df("l_orderkey") === oAsia.df("o_orderkey") &&
           lAsia.df("s_nationkey") === oAsia.df("c_nationkey"))
         .groupBy(col("c_nationkey"))
-        .aggregate(dsum(col("amount")).as("revenue"))
+        .aggregate(sum(col("units")).as("u"))
         .df.join(broadcast(n3.df), col("c_nationkey") === col("n_nationkey")))
+        // exact units → double exactly like a decimal(38,4) cast would
+        .mutate("revenue" -> (col("u").cast("decimal(38,0)") / 10000).cast("double"))
         .selectNames("n_name", "revenue")
         .sort(SortKey.desc(col("revenue")), SortKey.asc(col("n_name")))
         .df

@@ -112,6 +112,21 @@ class PlanQualitySpec extends SparkSpec {
       s"lineitem joins before aggregating:\n$p")
   }
 
+  test("q101 pre-aggregates lineitem per (order, nation) below its exchange") {
+    val p = plan("q101_tpch5_local_volume")
+    val lines = p.linesIterator.toSeq
+    val scanIdx = lines.indexWhere(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+    assert(scanIdx >= 0, "no lineitem scan")
+    // walking up from the scan, the per-(order, nation) partial aggregate
+    // must come before the shuffle — the exchange pair ships pre-summed
+    // rows (~4x fewer), and its partitioning doubles as the join's
+    val above = lines.take(scanIdx).reverse
+    val aggIdx = above.indexWhere(_.contains("HashAggregate"))
+    val exIdx = above.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(aggIdx >= 0 && exIdx >= 0 && aggIdx < exIdx,
+      s"lineitem ships un-aggregated rows into the exchange:\n$p")
+  }
+
   test("q63 keep-first dedup is an aggregation with map-side partials, not a window") {
     val p = plan("q63_dedup_keep_first")
     // min_by with a struct buffer plans as SortAggregate (immutable buffer
