@@ -268,6 +268,51 @@ object TextAnalysis {
     }
   }
 
+  // --------------------------------------------- C4 line cleaning / scripts
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    * lines that (1) end in terminal punctuation, (2) have ≥ `minWords`
+    * words, (3) contain no curly brace, and (4) none of the boilerplate
+    * phrases (javascript / lorem ipsum / cookie policy / terms of use).
+    * Returns the re-joined kept lines — pure codegen, map-side. */
+  def c4CleanLines(text: Column, sepRegex: String = "\\n", minWords: Int = 3): Column = {
+    val keep: Column => Column = l =>
+      l.rlike("[.!?\"']$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minWords &&
+        !l.contains("{") && !l.contains("}") &&
+        !lower(l).rlike("javascript|lorem ipsum|cookie policy|terms of use|privacy policy")
+    array_join(filter(
+      filter(transform(split(text, sepRegex), l => trim(l)), l => length(l) > 0),
+      keep), "\n")
+  }
+
+  /** Fraction of a line set surviving [[c4CleanLines]] — the audit signal
+    * (how much of this corpus is C4-clean). */
+  def c4KeepFraction(text: Column, sepRegex: String = "\\n", minWords: Int = 3): Column =
+    graft.functions.ibisfn.let1(
+      filter(transform(split(text, sepRegex), l => trim(l)), l => length(l) > 0)) { ls =>
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        size(filter(split(c4CleanLines(text, sepRegex, minWords), "\n"),
+          l => length(l) > 0)).cast("double") / size(ls))
+    }
+
+  /** Per-script character fractions (Latin letters, CJK ideographs,
+    * Cyrillic, Arabic) — the CCNet-style script-mix signal for routing
+    * and mixed-script spam cuts. Codepoint-range character classes, not
+    * named script classes — `\p{script=...}` syntax differs between Java
+    * and RE2, while explicit ranges mean the same thing in both (Java
+    * `\uXXXX`, RE2 `\x{XXXX}`). */
+  def scriptRatios(text: Column): Column = {
+    def frac(cls: String): Column =
+      when(length(text) === 0, lit(0.0)).otherwise(
+        (length(text) - length(regexp_replace(text, cls, ""))).cast("double") / length(text))
+    struct(
+      frac("[A-Za-z]").as("latin"),
+      frac("[\\u4e00-\\u9fff\\u3040-\\u30ff]").as("cjk"),
+      frac("[\\u0400-\\u04ff]").as("cyrillic"),
+      frac("[\\u0600-\\u06ff]").as("arabic"))
+  }
+
   /** OpenRefine-style key fingerprint: sorted distinct lowercase tokens
     * joined — canonical form for clustering near-identical records. */
   def fingerprintKey(text: Column): Column =

@@ -719,6 +719,65 @@ object PipelineQueries {
       LEFT JOIN gd ON d.doc_id = gd.doc_id
       ORDER BY d.doc_id""")),
 
+    // C4 line-level cleaning + script-mix ratios: lines with planted
+    // boilerplate (javascript / cookie-policy phrases, braces, short and
+    // unpunctuated lines) and a CJK tail on every third doc; the oracle
+    // replays the C4 keep predicate per line and both script-range counts.
+    QueryDef("q60j_c4_scripts", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("doc_id")
+      val base = documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("click here javascript required"),
+          lit("Accept our cookie policy now."),
+          concat(lead(col("text"), 1, "and then some more").over(w), lit("!")),
+          lit("short one"),
+          lit("{ config }"),
+          when(col("doc_id") % 3 === 0, lit("你好世界 hello."))
+            .otherwise(lit("plain tail line."))).as("text"))
+      base.select(col("doc_id"),
+          md5(TextAnalysis.c4CleanLines(col("text"))).as("clean_md5"),
+          round(TextAnalysis.c4KeepFraction(col("text")), 6).as("keep_frac"),
+          round(TextAnalysis.scriptRatios(col("text"))("latin"), 6).as("latin_frac"),
+          round(TextAnalysis.scriptRatios(col("text"))("cjk"), 6).as("cjk_frac"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+          text || '.' || chr(10)
+          || 'click here javascript required' || chr(10)
+          || 'Accept our cookie policy now.' || chr(10)
+          || LEAD(text, 1, 'and then some more') OVER (ORDER BY doc_id) || '!' || chr(10)
+          || 'short one' || chr(10)
+          || '{ config }' || chr(10)
+          || (CASE WHEN doc_id % 3 = 0 THEN '你好世界 hello.' ELSE 'plain tail line.' END) AS text
+        FROM documents WHERE doc_id < 150),
+      lns AS (
+        SELECT doc_id, text,
+          LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)), l -> TRIM(l)),
+            l -> l != '') AS ls
+        FROM base),
+      keepref AS (
+        SELECT doc_id, ls,
+          LIST_FILTER(ls, l ->
+            regexp_matches(l, '[.!?"'']$')
+            AND LEN(LIST_FILTER(STRING_SPLIT_REGEX(l, '\s+'), x -> x != '')) >= 3
+            AND NOT CONTAINS(l, '{') AND NOT CONTAINS(l, '}')
+            AND NOT regexp_matches(LOWER(l),
+              'javascript|lorem ipsum|cookie policy|terms of use|privacy policy')) AS kept
+        FROM lns)
+      SELECT k.doc_id,
+        MD5(ARRAY_TO_STRING(kept, chr(10))) AS clean_md5,
+        ROUND(CASE WHEN LEN(ls) = 0 THEN 0.0
+          ELSE LEN(kept) / CAST(LEN(ls) AS DOUBLE) END, 6) AS keep_frac,
+        ROUND((LENGTH(b.text) - LENGTH(REGEXP_REPLACE(b.text, '[A-Za-z]', '', 'g')))
+          / CAST(LENGTH(b.text) AS DOUBLE), 6) AS latin_frac,
+        ROUND((LENGTH(b.text) - LENGTH(REGEXP_REPLACE(b.text,
+            '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]', '', 'g')))
+          / CAST(LENGTH(b.text) AS DOUBLE), 6) AS cjk_frac
+      FROM keepref k JOIN base b ON k.doc_id = b.doc_id ORDER BY k.doc_id""")),
+
     // End-to-end quality-filter pipeline: score → filter → per-lang stats.
     QueryDef("q71_quality_pipeline", (s, dir) => {
       Table(documents(s, dir))

@@ -106,6 +106,24 @@ object Windows {
       w.dropDuplicatesWithinWatermark(keys)
     } else df.dropDuplicates(keys)
 
+  /** Stream-static enrichment: join a (possibly streaming) event frame
+    * against a bounded dimension table, force-broadcast — the standard
+    * "attach user/device/document metadata to every event" step. Works
+    * identically on batch frames; on a stream Spark re-plans the
+    * broadcast per micro-batch, so a cache()'d dimension is read once.
+    * Inner or left join only (stream-static right/outer is not defined
+    * by Spark's model for the static side). */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      on: Seq[String],
+      joinType: String = "left"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"stream-static enrichment supports inner/left, got $joinType")
+    require(!dim.isStreaming, "dimension side must be a bounded (static) frame")
+    events.join(org.apache.spark.sql.functions.broadcast(dim), on, joinType)
+  }
+
   /** Kafka source (ibis read_kafka, backends/pyspark/__init__.py:1080):
     * value parsed against a declared schema, optional watermark. */
   def readKafka(spark: org.apache.spark.sql.SparkSession, bootstrap: String, topic: String,

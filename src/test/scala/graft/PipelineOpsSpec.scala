@@ -44,6 +44,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.filter(col("n_removed_tokens") > 0).count() == 0)
   }
 
+  test("stripRepeatedSpans matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Array("a", "b", "c", "d")
+    for (trial <- 1 to 5) {
+      val w = 2 + rnd.nextInt(3) // 2..4
+      val corpus = (0 until 25).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      // brute force: window string -> set of docs; covered token positions
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val where = scala.collection.mutable.Map.empty[String, Set[Long]]
+      for ((id, ts) <- toks; i <- 0 to ts.length - w)
+        where(ts.slice(i, i + w).mkString(" ")) =
+          where.getOrElse(ts.slice(i, i + w).mkString(" "), Set.empty) + id
+      val expected = corpus.map { case (id, _) =>
+        val ts = toks(id)
+        val covered = Array.fill(ts.length)(false)
+        for (i <- 0 to ts.length - w
+             if where(ts.slice(i, i + w).mkString(" ")).size >= 2;
+             j <- i until i + w) covered(j) = true
+        val kept = ts.zipWithIndex.collect { case (t, j) if !covered(j) => t }
+        id -> (kept.mkString(" "), covered.count(identity).toLong)
+      }.toMap
+      val got = Dedup.stripRepeatedSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", w = w)
+        .select("doc_id", "clean_text", "n_removed_tokens")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got == expected, s"trial $trial (w=$w) diverged from brute force")
+    }
+  }
+
   test("exact dedup keeps first by order column") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))

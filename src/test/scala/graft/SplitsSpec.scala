@@ -243,6 +243,34 @@ class SplitsSpec extends SparkSpec {
     assert(!er.getBoolean(3))
   }
 
+  test("c4CleanLines keeps only punctuated, long-enough, brace- and boilerplate-free lines") {
+    val text = "The data pipeline works well.\n" +
+      "enable javascript to continue.\n" +
+      "We updated our cookie policy today.\n" +
+      "short line.\n" +
+      "if (x) { return }\n" +
+      "no terminal punctuation here\n" +
+      "Another good line stays in!"
+    val d = Seq((1L, text)).toDF("id", "text")
+    val cleaned = d.select(TextAnalysis.c4CleanLines(col("text"))).head().getString(0)
+    assert(cleaned == "The data pipeline works well.\nAnother good line stays in!")
+    val frac = d.select(TextAnalysis.c4KeepFraction(col("text"))).head().getDouble(0)
+    assert(math.abs(frac - 2.0 / 7.0) < 1e-12)
+    // empty doc: empty clean, 0 fraction
+    val e = Seq((1L, "")).toDF("id", "text")
+    assert(e.select(TextAnalysis.c4CleanLines(col("text"))).head().getString(0) == "")
+    assert(e.select(TextAnalysis.c4KeepFraction(col("text"))).head().getDouble(0) == 0.0)
+  }
+
+  test("scriptRatios: latin/cjk/cyrillic fractions by codepoint range") {
+    val d = Seq((1L, "ab你好да")).toDF("id", "text")
+    val r = d.select(TextAnalysis.scriptRatios(col("text")).as("s")).select("s.*").head()
+    assert(math.abs(r.getDouble(0) - 2.0 / 6.0) < 1e-12) // latin
+    assert(math.abs(r.getDouble(1) - 2.0 / 6.0) < 1e-12) // cjk
+    assert(math.abs(r.getDouble(2) - 2.0 / 6.0) < 1e-12) // cyrillic
+    assert(r.getDouble(3) == 0.0)                        // arabic
+  }
+
   private lazy val dsirDocs = Seq(
     (1L, "physics quantum energy field theory particle wave", true),
     (2L, "quantum field particle physics energy state wave", true),

@@ -190,4 +190,33 @@ class StreamingSpec extends SparkSpec {
     val batch = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
     assert(Windows.dedup(batch, Seq("k")).count() == 2L)
   }
+
+  test("stream-static enrichment broadcast-joins dimension rows per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "mobile"), (2L, "desktop")).toDF("user_id", "device").cache()
+    val input = MemoryStream[(Long, Double)]
+    val enriched = Windows.enrich(
+      input.toDF().toDF("user_id", "amount"), dim, Seq("user_id"))
+    val query = enriched.writeStream
+      .format("memory").queryName("enrich_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((1L, 10.0), (3L, 7.0))
+      query.processAllAvailable()
+      input.addData((2L, 5.0))
+      query.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      // left join: unmatched user 3 survives with null device
+      assert(out == Set((1L, 10.0, "mobile"), (3L, 7.0, null), (2L, 5.0, "desktop")))
+    } finally query.stop()
+    // batch path: identical call
+    val b = Windows.enrich(Seq((2L, 1.0)).toDF("user_id", "amount"), dim, Seq("user_id"), "inner")
+    assert(b.collect().map(_.getString(2)).toSeq == Seq("desktop"))
+    // streaming dimension side is rejected
+    intercept[IllegalArgumentException] {
+      Windows.enrich(input.toDF().toDF("user_id", "amount"),
+        input.toDF().toDF("user_id", "amount"), Seq("user_id"))
+    }
+  }
 }
