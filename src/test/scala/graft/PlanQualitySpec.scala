@@ -127,6 +127,33 @@ class PlanQualitySpec extends SparkSpec {
       s"lineitem ships un-aggregated rows into the exchange:\n$p")
   }
 
+  test("q65e repeated-span removal: keyed exchanges only, no cartesian, no corpus window") {
+    val p = plan("q65e_repeated_spans")
+    assert(!p.contains("CartesianProduct"), s"cartesian in span dedup:\n$p")
+    // the only Windows are the test-harness corpus construction (lead
+    // over doc_id, one per derived branch); the operator itself must not
+    // add any
+    assert(p.linesIterator.filter(_.contains("Window ")).forall(_.contains("lead(")),
+      s"span-merge regressed to a window plan:\n$p")
+    // (no exchange assertion: the lead-window corpus construction makes
+    // the whole test plan SinglePartition, which satisfies every
+    // distribution — the operator's exchanges only materialize on
+    // multi-partition input)
+  }
+
+  test("q87d DSIR scoring is map-side: no exchange in the scoring plan") {
+    // dsirLogWeights trains via one collected aggregation, then scoring is
+    // a pure projection — the scored frame's plan must not shuffle
+    val df = graft.operators.Splits.dsirLogWeights(
+      graft.queries.Tables.documents(spark, sfDir), "text",
+      org.apache.spark.sql.functions.col("source") === "src0", buckets = 16)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try df.queryExecution.executedPlan.toString
+            finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!p.contains("Exchange"), s"DSIR scoring should be map-side:\n$p")
+    assert(p.contains("FileScan"), "expected a single scan")
+  }
+
   test("q63 keep-first dedup is an aggregation with map-side partials, not a window") {
     val p = plan("q63_dedup_keep_first")
     // min_by with a struct buffer plans as SortAggregate (immutable buffer
