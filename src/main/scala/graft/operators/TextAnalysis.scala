@@ -268,6 +268,25 @@ object TextAnalysis {
     }
   }
 
+  /** Within-document repeated-segment removal: drop every repeat of an
+    * earlier segment (paragraph) INSIDE the same document — the map-side
+    * sibling of [[Dedup.segmentDedup]] (which dedups corpus-wide): no
+    * shuffle at all, each row cleans itself. First occurrences keep
+    * their order; comparison is on the trimmed lowercase segment. */
+  def dedupSegmentsWithinDoc(
+      text: Column,
+      sepRegex: String = "\\n{2,}",
+      joiner: String = "\n\n"): Column =
+    graft.functions.ibisfn.let1(
+      filter(split(text, sepRegex), s => length(trim(s)) > 0)) { segs =>
+      array_join(
+        // keep seg i iff no earlier j has the same normalized form;
+        // O(n²) in segments per doc — bounded by document size
+        filter(segs, (s, i) =>
+          !exists(slice(segs, lit(1), i),
+            p => lower(trim(p)) === lower(trim(s)))), joiner)
+    }
+
   // --------------------------------------------- C4 line cleaning / scripts
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.api.{SortKey, Table}
-import graft.operators.{Dedup, Multimodal, Similarity, Splits, TextAnalysis, UrlOps}
+import graft.operators.{Dedup, Multimodal, PhraseFilter, Similarity, Splits, TextAnalysis, UrlOps}
 import Tables._
 
 /** Training-data pipeline corpus: text analysis, dedup (exact / minhash-LSH /
@@ -489,6 +489,39 @@ object PipelineQueries {
         FROM marked GROUP BY doc_id)
       SELECT doc_id, MD5(new_text) AS text_md5, CAST(n_segments AS INT) AS n_segments, n_kept
       FROM reb ORDER BY doc_id""")),
+
+    // Within-document repeated-segment removal (map-side sibling of
+    // segmentDedup): every doc gets a planted internal repeat; first
+    // occurrences keep their order and original text.
+    QueryDef("q65f_withindoc_segments", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("doc_id")
+      val base = documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), concat_ws("\n\n",
+          col("text"), lead(col("text"), 1, "tail seg").over(w), col("text")).as("text"))
+      base.select(col("doc_id"),
+          md5(TextAnalysis.dedupSegmentsWithinDoc(col("text"))).as("clean_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, text || chr(10) || chr(10)
+          || LEAD(text, 1, 'tail seg') OVER (ORDER BY doc_id)
+          || chr(10) || chr(10) || text AS text
+        FROM documents WHERE doc_id < 150),
+      segs AS (
+        SELECT doc_id, UNNEST(l) AS seg, UNNEST(range(1, LEN(l) + 1)) AS pos
+        FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\n{2,}') AS l FROM base)),
+      marked AS (
+        SELECT doc_id, pos, seg,
+          ROW_NUMBER() OVER (PARTITION BY doc_id, MD5(LOWER(TRIM(seg)))
+            ORDER BY pos) AS rn
+        FROM segs WHERE TRIM(seg) != ''),
+      reb AS (
+        SELECT doc_id,
+          STRING_AGG(seg, chr(10)||chr(10) ORDER BY pos) FILTER (WHERE rn = 1) AS ct
+        FROM marked GROUP BY doc_id)
+      SELECT b.doc_id, MD5(COALESCE(r.ct, '')) AS clean_md5
+      FROM base b LEFT JOIN reb r ON b.doc_id = r.doc_id ORDER BY b.doc_id""")),
 
     // Cross-document repeated-window span removal (exact-substring dedup,
     // Lee et al. 2022 shape) — md5 window-hash mode so DuckDB rebuilds the
@@ -1043,6 +1076,33 @@ object PipelineQueries {
         ROUND(CASE WHEN LEN(w) < 3 THEN 0.0
           ELSE LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(g3), x -> LEN(LIST_FILTER(g3, y -> y = x)))) / CAST(LEN(g3) AS DOUBLE) END, 6) AS top3_frac
       FROM g ORDER BY doc_id""")),
+
+    // Phrase-blocklist matching (PhraseFilter.matches, the join path): the
+    // oracle's twin uses the token-boundary padded-LIKE identity — a
+    // phrase occurs as a contiguous token run iff ' '+join(tokens)+' '
+    // contains ' '+phrase+' '. Phrases are pre-normalized so both sides
+    // compare the same strings.
+    QueryDef("q89d_phrase_blocklist", (s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val phrases = s.createDataFrame(
+        java.util.Arrays.asList(
+          Row("table scan"), Row("the fast key"), Row("group query"), Row("zzz qqq never")),
+        StructType(Seq(StructField("phrase", StringType))))
+      PhraseFilter.matches(documents(s, dir), "doc_id", "text", phrases)
+        .orderBy("doc_id", "phrase")
+    }, Some("""
+      WITH p(phrase) AS (VALUES
+        ('table scan'), ('the fast key'), ('group query'), ('zzz qqq never')),
+      t AS (
+        SELECT doc_id,
+          ' ' || ARRAY_TO_STRING(
+            LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != ''),
+            ' ') || ' ' AS s
+        FROM documents)
+      SELECT DISTINCT doc_id, phrase
+      FROM t JOIN p ON CONTAINS(t.s, ' ' || p.phrase || ' ')
+      ORDER BY doc_id, phrase""")),
 
     // URL hygiene battery (UrlOps): synthetic-but-rich URLs built from doc
     // fields (case noise, www, two-level TLDs, default port, tracking

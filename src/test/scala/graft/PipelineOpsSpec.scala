@@ -75,6 +75,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("phrase filter: join path finds token-boundary phrases; filterOut and fast path agree") {
+    val phrases = Seq("quick brown fox", "river bank", "columnar io", "absent phrase").toDF("phrase")
+    val m = graft.operators.PhraseFilter.matches(docs, "doc_id", "text", phrases)
+      .as[(Long, String)].collect().toSet
+    assert(m == Set(
+      (1L, "quick brown fox"), (2L, "quick brown fox"), (4L, "quick brown fox"),
+      (1L, "river bank"), (2L, "river bank"), (4L, "river bank"),
+      (3L, "columnar io")))
+    val kept = graft.operators.PhraseFilter.filterOut(
+      docs, "doc_id", "text", Seq("columnar io").toDF("phrase"))
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    val fast = docs.filter(
+      graft.operators.PhraseFilter.containsAnyPhrase(col("text"), Seq("river bank", "nope")))
+    assert(fast.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // partial-token text must NOT match ("rows" does not contain phrase "row")
+    val part = Seq((9L, "rows flowing")).toDF("doc_id", "text")
+    assert(graft.operators.PhraseFilter.matches(
+      part, "doc_id", "text", Seq("row").toDF("phrase")).count() == 0)
+  }
+
+  test("dedupSegmentsWithinDoc keeps first occurrences in order, map-side") {
+    val d = Seq((1L, "alpha beta\n\nGamma\n\nalpha beta\n\ndelta\n\ngamma")).toDF("id", "text")
+    val out = d.select(TextAnalysis.dedupSegmentsWithinDoc(col("text"))).head().getString(0)
+    // 'alpha beta' repeat dropped; 'gamma' dropped (case-insensitive match
+    // with 'Gamma'); originals keep their text and order
+    assert(out == "alpha beta\n\nGamma\n\ndelta")
+    assert(d.select(TextAnalysis.dedupSegmentsWithinDoc(lit(""))).head().getString(0) == "")
+  }
+
   test("exact dedup keeps first by order column") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
