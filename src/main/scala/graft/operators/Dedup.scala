@@ -149,6 +149,20 @@ object Dedup {
     * jaccard >= threshold. Candidate generation cost is |buckets| join, not
     * |docs|² — the LSH banding bound.
     */
+  /** Pick (bands, rows) for [[minhashLsh]] from a target Jaccard
+    * threshold: among factor pairs bands·rows = numHashes, choose the one
+    * whose S-curve inflection point (1/bands)^(1/rows) lies closest to
+    * the threshold — the standard LSH tuning rule (more bands ⇒ catches
+    * lower similarities at more candidate-pair cost). */
+  def lshParams(threshold: Double, numHashes: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    require(numHashes > 0, "numHashes must be positive")
+    val best = (1 to numHashes).filter(numHashes % _ == 0)
+      .map { b => (b, numHashes / b, math.pow(1.0 / b, 1.0 / (numHashes / b))) }
+      .minBy { case (_, _, t) => math.abs(t - threshold) }
+    (best._1, best._2)
+  }
+
   def minhashLsh(
       df: DataFrame,
       id: String,

@@ -84,4 +84,22 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(merge.head, merge.tail: _*)
   }
+
+  /** Measure-before-mitigating: the top-k hottest values of a (join or
+    * group) key column with approximate counts, in ONE pass with bounded
+    * memory — the Misra-Gries sketch ships ≤`capacity` counters per
+    * partition instead of shuffling the key universe. Counts undercount by
+    * at most n/(capacity+1); a key that matters at skew scale dwarfs that
+    * bound. Use the result to decide: hot key fits broadcast? → plain
+    * join; hot GROUP key? → [[saltedAgg]]; un-splittable joint hot key
+    * against a beyond-broadcast build? → [[saltedJoin]]. */
+  def hotKeys(df: DataFrame, key: Column, k: Int, capacity: Int = 4096): DataFrame = {
+    require(k > 0 && capacity >= k, "need k > 0 and capacity >= k")
+    val mg = udaf(graft.functions.Udfs.misraGries(capacity))
+    df.select(key.cast("string").as("__k"))
+      .agg(mg(col("__k")).as("__hh"))
+      .select(explode(col("__hh")).as(Seq("key", "approx_count")))
+      .orderBy(col("approx_count").desc, col("key").asc)
+      .limit(k)
+  }
 }

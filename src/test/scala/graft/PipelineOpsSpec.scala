@@ -104,6 +104,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d.select(TextAnalysis.dedupSegmentsWithinDoc(lit(""))).head().getString(0) == "")
   }
 
+  test("hotKeys surfaces the dominant key with near-exact count") {
+    val d = (1 to 900).map(_ => "hot") ++ (1 to 50).map(i => s"k$i")
+    val out = Skew.hotKeys(d.toDF("k"), col("k"), k = 3, capacity = 256)
+      .as[(String, Long)].collect()
+    assert(out.head._1 == "hot")
+    // undercount bound: n/(capacity+1) = 950/257 < 4
+    assert(out.head._2 >= 900 - 4 && out.head._2 <= 900)
+  }
+
+  test("lshParams picks the factor pair with inflection nearest the threshold") {
+    val (b, r) = Dedup.lshParams(0.5, 128)
+    assert(b * r == 128)
+    val t = math.pow(1.0 / b, 1.0 / r)
+    // every other factorization must be no closer
+    for (b2 <- 1 to 128 if 128 % b2 == 0) {
+      val t2 = math.pow(1.0 / b2, 1.0 / (128 / b2))
+      assert(math.abs(t - 0.5) <= math.abs(t2 - 0.5))
+    }
+    // extremes: tiny threshold wants many bands, high threshold few
+    assert(Dedup.lshParams(0.05, 64)._1 > Dedup.lshParams(0.95, 64)._1)
+  }
+
   test("exact dedup keeps first by order column") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
