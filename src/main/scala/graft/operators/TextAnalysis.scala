@@ -268,6 +268,19 @@ object TextAnalysis {
     }
   }
 
+  /** WordPiece subword tokenization of a whole document: the exact
+    * HuggingFace/BERT greedy longest-match algorithm per word (custom
+    * Expression [[graft.exts.WordPiece]] — the vocab set builds once per
+    * executor and rides the plan), flattened across the word stream.
+    * This is the REAL tokenizer the regex [[subwordCount]] estimates. */
+  def wordpieceTokens(text: Column, vocab: Seq[String], unk: String = "[UNK]"): Column =
+    flatten(transform(Dedup.tokens(text),
+      w => graft.exts.TokenizerExpressions.wordpiece(w, vocab, unk)))
+
+  /** Exact subword token count under a WordPiece vocab. */
+  def wordpieceCount(text: Column, vocab: Seq[String], unk: String = "[UNK]"): Column =
+    size(wordpieceTokens(text, vocab, unk))
+
   /** Within-document repeated-segment removal: drop every repeat of an
     * earlier segment (paragraph) INSIDE the same document — the map-side
     * sibling of [[Dedup.segmentDedup]] (which dedups corpus-wide): no

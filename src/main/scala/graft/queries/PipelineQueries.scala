@@ -17,6 +17,17 @@ object PipelineQueries {
   val IvfCentroids: Seq[Seq[Double]] = (0 until 4).map(c =>
     (0 until 64).map(j => if (((c >> (j % 2)) & 1) == 1) 0.5 else -0.5).toSeq)
 
+  /** Shared WordPiece vocab (engine literal + oracle VALUES list for
+    * q60k): covers the whole corpus vocabulary EXCEPT the continuations
+    * of "agg" and "dup", so those two words exercise the UNK collapse. */
+  val WordpieceVocab: Seq[String] = Seq(
+    "a", "ba", "##tch", "big", "co", "##lumn", "cu", "##st", "##omer",
+    "da", "##ta", "fa", "fi", "##lter", "gr", "##oup", "ha", "##sh",
+    "jo", "##in", "key", "li", "##ne", "me", "##rge", "or", "##der",
+    "pa", "##rt", "qu", "##ery", "row", "sc", "##an", "slow", "sm",
+    "##all", "so", "##rt", "sp", "##ark", "st", "##ream", "ta", "##ble",
+    "the", "va", "##lue", "ve", "##ctor", "wi", "##ndow")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Text quality/statistics battery (C4/Gopher-style signals).
@@ -751,6 +762,56 @@ object PipelineQueries {
       FROM documents d LEFT JOIN ea ON d.doc_id = ea.doc_id
       LEFT JOIN gd ON d.doc_id = gd.doc_id
       ORDER BY d.doc_id""")),
+
+    // WordPiece subword tokenization (TextAnalysis.wordpieceTokens — the
+    // exact HF greedy longest-match algorithm as a custom Expression):
+    // the oracle replays the algorithm step-by-step with a recursive CTE
+    // (longest matching piece via a correlated ORDER BY LEN DESC LIMIT 1,
+    // any unmatched position collapsing the word to [UNK]). The vocab is
+    // one shared literal list.
+    QueryDef("q60k_wordpiece", (s, dir) => {
+      val pieces = TextAnalysis.wordpieceTokens(col("text"), WordpieceVocab)
+      documents(s, dir).filter(col("doc_id") < 80)
+        .select(col("doc_id"),
+          size(pieces).as("n_pieces"),
+          md5(concat_ws(" ", pieces).cast("binary")).as("pieces_md5"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH RECURSIVE
+      v(p) AS (VALUES ${WordpieceVocab.map(p => s"('$p')").mkString(", ")}),
+      toks AS (
+        SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents WHERE doc_id < 80),
+      words AS (
+        SELECT doc_id, UNNEST(w) AS word, UNNEST(range(1, LEN(w) + 1)) AS widx FROM toks),
+      step(doc_id, widx, word, pos, pieces) AS (
+        SELECT doc_id, widx, word, 0, CAST([] AS VARCHAR[]) FROM words
+        UNION ALL
+        SELECT doc_id, widx, word,
+          CASE WHEN mp IS NULL THEN LEN(word)
+               ELSE pos + LEN(CASE WHEN pos > 0 THEN SUBSTRING(mp, 3) ELSE mp END) END,
+          CASE WHEN mp IS NULL THEN ['[UNK]'] ELSE list_append(pieces, mp) END
+        FROM (
+          SELECT doc_id, widx, word, pos, pieces,
+            (SELECT p FROM v
+             WHERE CASE WHEN pos > 0
+               THEN p LIKE '##%' AND SUBSTRING(word, pos + 1) LIKE SUBSTRING(p, 3) || '%'
+               ELSE p NOT LIKE '##%' AND SUBSTRING(word, pos + 1) LIKE p || '%' END
+             ORDER BY LEN(p) DESC LIMIT 1) AS mp
+          FROM step WHERE pos < LEN(word) AND pieces != ['[UNK]'])),
+      fin AS (SELECT doc_id, widx, pieces FROM step WHERE pos >= LEN(word)),
+      flat AS (
+        SELECT doc_id, widx, UNNEST(pieces) AS piece,
+          UNNEST(range(1, LEN(pieces) + 1)) AS pidx
+        FROM fin)
+      SELECT t.doc_id,
+        CAST(COALESCE(f.n, 0) AS INT) AS n_pieces,
+        MD5(COALESCE(f.s, '')) AS pieces_md5
+      FROM toks t LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n, STRING_AGG(piece, ' ' ORDER BY widx, pidx) AS s
+        FROM flat GROUP BY doc_id) f ON t.doc_id = f.doc_id
+      ORDER BY t.doc_id""")),
 
     // C4 line-level cleaning + script-mix ratios: lines with planted
     // boilerplate (javascript / cookie-policy phrases, braces, short and

@@ -243,6 +243,20 @@ class SplitsSpec extends SparkSpec {
     assert(!er.getBoolean(3))
   }
 
+  test("wordpieceTokens: HF greedy longest-match semantics incl. UNK collapse") {
+    val vocab = Seq("un", "##aff", "##able", "aff", "able", "runn", "##ing", "run", "the")
+    val d = Seq((1L, "unaffable running the unknownword")).toDF("id", "text")
+    val out = d.select(TextAnalysis.wordpieceTokens(col("text"), vocab))
+      .head().getSeq[String](0)
+    // "running" takes the LONGEST first piece (runn, not run); any
+    // unmatched position collapses the WHOLE word to [UNK]
+    assert(out == Seq("un", "##aff", "##able", "runn", "##ing", "the", "[UNK]"))
+    assert(d.select(TextAnalysis.wordpieceCount(col("text"), vocab)).head().getInt(0) == 7)
+    // empty text → zero pieces
+    val e = Seq((1L, "")).toDF("id", "text")
+    assert(e.select(TextAnalysis.wordpieceCount(col("text"), vocab)).head().getInt(0) == 0)
+  }
+
   test("c4CleanLines keeps only punctuated, long-enough, brace- and boilerplate-free lines") {
     val text = "The data pipeline works well.\n" +
       "enable javascript to continue.\n" +
