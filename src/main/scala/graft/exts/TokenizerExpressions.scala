@@ -65,6 +65,62 @@ case class WordPiece(
   }
 }
 
+/** Byte-pair-encoding tokenization of ONE word under a ranked merge list —
+  * the GPT-2/Sennrich reference loop: repeatedly find the LOWEST-RANK
+  * adjacent piece pair present and merge ALL its occurrences left-to-right
+  * (overlaps skip — merging (a,a) over [a,a,a] gives [aa,a]), until no
+  * listed pair remains. Char-level start (no byte fallback — the corpus
+  * contract here is text). Same once-per-executor rank-map economics as
+  * [[WordPiece]]. */
+case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "bpe_tokenize"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenize =
+    copy(child = newChild)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokenize needs a string word, got ${child.dataType.catalogString}")
+
+  @transient private lazy val rank: java.util.HashMap[(String, String), Int] = {
+    val m = new java.util.HashMap[(String, String), Int](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, i) => if (!m.containsKey(p)) m.put(p, i) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val word = input.asInstanceOf[UTF8String].toString
+    if (word.isEmpty) return new GenericArrayData(Array.empty[Any])
+    var pieces: Vector[String] = word.map(_.toString).toVector
+    var done = false
+    while (!done && pieces.length > 1) {
+      var best: (String, String) = null
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < pieces.length - 1) {
+        val r = rank.getOrDefault((pieces(i), pieces(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (pieces(i), pieces(i + 1)) }
+        i += 1
+      }
+      if (best == null) done = true
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < pieces.length) {
+          if (j < pieces.length - 1 && pieces(j) == best._1 && pieces(j + 1) == best._2) {
+            out += (best._1 + best._2); j += 2
+          } else { out += pieces(j); j += 1 }
+        }
+        pieces = out.result()
+      }
+    }
+    new GenericArrayData(pieces.map(p => UTF8String.fromString(p): Any).toArray)
+  }
+}
+
 object TokenizerExpressions {
   import org.apache.spark.sql.Column
 
@@ -73,4 +129,9 @@ object TokenizerExpressions {
       unk: String = "[UNK]", maxInputChars: Int = 100): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       WordPiece(org.apache.spark.sql.GraftSqlBridge.expression(word), vocab, unk, maxInputChars))
+
+  /** Column wrapper: BPE pieces of one word under a ranked merge list. */
+  def bpe(word: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      BpeTokenize(org.apache.spark.sql.GraftSqlBridge.expression(word), merges))
 }

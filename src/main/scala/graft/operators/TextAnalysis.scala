@@ -281,6 +281,16 @@ object TextAnalysis {
   def wordpieceCount(text: Column, vocab: Seq[String], unk: String = "[UNK]"): Column =
     size(wordpieceTokens(text, vocab, unk))
 
+  /** BPE subword tokenization of a whole document under a ranked merge
+    * list — the GPT-2/Sennrich family ([[graft.exts.BpeTokenize]]). */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(Dedup.tokens(text),
+      w => graft.exts.TokenizerExpressions.bpe(w, merges)))
+
+  /** Exact subword token count under a BPE merge list. */
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeTokens(text, merges))
+
   /** Within-document repeated-segment removal: drop every repeat of an
     * earlier segment (paragraph) INSIDE the same document — the map-side
     * sibling of [[Dedup.segmentDedup]] (which dedups corpus-wide): no

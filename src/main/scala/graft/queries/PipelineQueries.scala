@@ -17,6 +17,14 @@ object PipelineQueries {
   val IvfCentroids: Seq[Seq[Double]] = (0 until 4).map(c =>
     (0 until 64).map(j => if (((c >> (j % 2)) & 1) == 1) 0.5 else -0.5).toSeq)
 
+  /** Shared ranked BPE merge list (engine literal + oracle VALUES for
+    * q60l): tokenizes scan/the/order/row/key/fast fully through
+    * multi-iteration cascades; everything else stays partial pieces. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("a", "n"), ("s", "c"), ("sc", "an"), ("t", "h"), ("th", "e"),
+    ("o", "r"), ("d", "e"), ("de", "r"), ("or", "der"), ("r", "o"), ("ro", "w"),
+    ("k", "e"), ("ke", "y"), ("f", "a"), ("fa", "s"), ("fas", "t"))
+
   /** Shared WordPiece vocab (engine literal + oracle VALUES list for
     * q60k): covers the whole corpus vocabulary EXCEPT the continuations
     * of "agg" and "dup", so those two words exercise the UNK collapse. */
@@ -801,6 +809,64 @@ object PipelineQueries {
              ORDER BY LEN(p) DESC LIMIT 1) AS mp
           FROM step WHERE pos < LEN(word) AND pieces != ['[UNK]'])),
       fin AS (SELECT doc_id, widx, pieces FROM step WHERE pos >= LEN(word)),
+      flat AS (
+        SELECT doc_id, widx, UNNEST(pieces) AS piece,
+          UNNEST(range(1, LEN(pieces) + 1)) AS pidx
+        FROM fin)
+      SELECT t.doc_id,
+        CAST(COALESCE(f.n, 0) AS INT) AS n_pieces,
+        MD5(COALESCE(f.s, '')) AS pieces_md5
+      FROM toks t LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n, STRING_AGG(piece, ' ' ORDER BY widx, pidx) AS s
+        FROM flat GROUP BY doc_id) f ON t.doc_id = f.doc_id
+      ORDER BY t.doc_id""")),
+
+    // BPE tokenization (TextAnalysis.bpeTokens — GPT-2/Sennrich ranked
+    // merges as a custom Expression): the oracle replays the loop with a
+    // recursive CTE over a '|'-separated piece state — lowest-rank pair
+    // present via correlated lookup, nested REPLACE to take every
+    // occurrence (boundary-sharing chains resolve across nestings, same
+    // fixpoint as the engine's merge-all pass).
+    QueryDef("q60l_bpe", (s, dir) => {
+      val pieces = TextAnalysis.bpeTokens(col("text"), BpeMerges)
+      documents(s, dir).filter(col("doc_id") < 80)
+        .select(col("doc_id"),
+          size(pieces).as("n_pieces"),
+          md5(concat_ws(" ", pieces).cast("binary")).as("pieces_md5"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH RECURSIVE
+      m(a, b, r) AS (VALUES ${BpeMerges.zipWithIndex.map {
+        case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")}),
+      toks AS (
+        SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents WHERE doc_id < 80),
+      words AS (
+        SELECT doc_id, UNNEST(w) AS word, UNNEST(range(1, LEN(w) + 1)) AS widx FROM toks),
+      step(doc_id, widx, state) AS (
+        SELECT doc_id, widx,
+          '|' || ARRAY_TO_STRING(LIST_TRANSFORM(range(1, LEN(word) + 1), i -> word[i]), '|') || '|'
+        FROM words
+        UNION ALL
+        SELECT doc_id, widx,
+          REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(state, pat, rep),
+            pat, rep), pat, rep), pat, rep), pat, rep), pat, rep)
+        FROM (
+          SELECT doc_id, widx, state,
+            (SELECT '|' || a || '|' || b || '|' FROM m
+             WHERE CONTAINS(state, '|' || a || '|' || b || '|')
+             ORDER BY r LIMIT 1) AS pat,
+            (SELECT '|' || a || b || '|' FROM m
+             WHERE CONTAINS(state, '|' || a || '|' || b || '|')
+             ORDER BY r LIMIT 1) AS rep
+          FROM step) WHERE pat IS NOT NULL),
+      fin AS (
+        SELECT doc_id, widx,
+          LIST_FILTER(STRING_SPLIT(state, '|'), x -> x != '') AS pieces
+        FROM step s
+        WHERE NOT EXISTS (SELECT 1 FROM m
+          WHERE CONTAINS(s.state, '|' || a || '|' || b || '|'))),
       flat AS (
         SELECT doc_id, widx, UNNEST(pieces) AS piece,
           UNNEST(range(1, LEN(pieces) + 1)) AS pidx

@@ -257,6 +257,16 @@ class SplitsSpec extends SparkSpec {
     assert(e.select(TextAnalysis.wordpieceCount(col("text"), vocab)).head().getInt(0) == 0)
   }
 
+  test("bpeTokens: ranked merges, multi-iteration cascade, overlap skip") {
+    val merges = Seq(("a", "b"), ("ab", "c"), ("a", "a"))
+    val d = Seq((1L, "abc aaa abab xyz")).toDF("id", "text")
+    val out = d.select(TextAnalysis.bpeTokens(col("text"), merges)).head().getSeq[String](0)
+    // abc: (a,b) then (ab,c) cascade → [abc]; aaa: overlap skip → [aa, a];
+    // abab: both occurrences in one pass → [ab, ab]; xyz: untouched chars
+    assert(out == Seq("abc", "aa", "a", "ab", "ab", "x", "y", "z"))
+    assert(d.select(TextAnalysis.bpeCount(col("text"), merges)).head().getInt(0) == 8)
+  }
+
   test("c4CleanLines keeps only punctuated, long-enough, brace- and boilerplate-free lines") {
     val text = "The data pipeline works well.\n" +
       "enable javascript to continue.\n" +
