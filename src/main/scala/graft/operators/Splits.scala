@@ -165,6 +165,46 @@ object Splits {
     df.join(winners, df(id).cast("long") === winners("__kid"), "left_semi")
   }
 
+  /** Quantile-bucket assignment (quality bands, curriculum tiers, length
+    * strata): adds `bucketCol` ∈ [0, n) with bucket boundaries at the
+    * 1/n..(n-1)/n quantiles of `value`.
+    *
+    * The scale-correct shape: ONE aggregation computes the n−1 thresholds
+    * (exact `percentile` by default — matches any engine's interpolated
+    * quantile; `approx = true` switches to the t-digest sketch for
+    * 100 TB inputs where exact percentile's per-group buffer is the
+    * bottleneck), collected as plan literals, then a map-side when-chain
+    * assigns buckets. `ntile(n)` gives the same bands only by globally
+    * sorting the corpus in ONE task — the window trap this avoids.
+    * Ties/duplicated thresholds degrade gracefully (empty buckets). */
+  def bucketByQuantiles(
+      df: DataFrame,
+      value: Column,
+      n: Int,
+      bucketCol: String = "bucket",
+      approx: Boolean = false): DataFrame = {
+    require(n >= 2, "need at least 2 buckets")
+    val probs = (1 until n).map(_.toDouble / n)
+    val probsLit = array(probs.map(lit): _*)
+    val thrCol =
+      if (approx) approx_percentile(value, probsLit, lit(10000))
+      else percentile(value, probsLit)
+    val row = df.agg(thrCol.as("t")).head()
+    val thresholds = row.getSeq[Any](0).map {
+      case d: java.lang.Double => d.doubleValue()
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+    }
+    val v = value.cast("double")
+    val expr = thresholds.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (t, i)) =>
+        val cond = v <= lit(t)
+        Some(acc.fold(when(cond, lit(i)))(_.when(cond, lit(i))))
+    }.fold(lit(n - 1))(_.otherwise(lit(n - 1)))
+    df.withColumn(bucketCol, when(v.isNull, lit(null)).otherwise(expr))
+  }
+
   // --------------------------- DSIR importance weights (hashed n-grams)
 
   /** Unigrams followed by bigrams of a token array — the DSIR feature set. */

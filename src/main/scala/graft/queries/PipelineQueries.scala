@@ -1069,6 +1069,26 @@ object PipelineQueries {
       WHERE u.u < r.rate
       GROUP BY 1 ORDER BY 1""")),
 
+    // Quantile bucketing (Splits.bucketByQuantiles, exact mode): corpus
+    // length quartiles as plan-literal thresholds + map-side assignment;
+    // the oracle recomputes the same interpolated quantiles and replays
+    // the <=-chain. (Integer values sit off the non-integral interpolated
+    // thresholds, so ulp-level engine differences cannot flip a bucket.)
+    QueryDef("q87e_quantile_buckets", (s, dir) => {
+      Splits.bucketByQuantiles(documents(s, dir), col("n_chars"), 4)
+        .select(col("doc_id"), col("bucket").cast("int").as("bucket"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH thr AS (
+        SELECT QUANTILE_CONT(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(CASE WHEN n_chars <= t[1] THEN 0
+                  WHEN n_chars <= t[2] THEN 1
+                  WHEN n_chars <= t[3] THEN 2
+                  ELSE 3 END AS INT) AS bucket
+      FROM documents CROSS JOIN thr ORDER BY doc_id""")),
+
     // DSIR hashed-ngram importance log-weights (Splits.dsirLogWeights):
     // the oracle retrains BOTH bucket distributions from the same corpus
     // (target slice = source 'src0'), mirrors the Laplace smoothing

@@ -257,6 +257,27 @@ class SplitsSpec extends SparkSpec {
     assert(e.select(TextAnalysis.wordpieceCount(col("text"), vocab)).head().getInt(0) == 0)
   }
 
+  test("bucketByQuantiles: balanced bands, monotone, null passthrough") {
+    val d = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Splits.bucketByQuantiles(d, col("v"), 4)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    // 1..100 into quartiles: 1-25 → 0, 26-50 → 1, 51-75 → 2, 76-100 → 3
+    assert(out(1L) == 0 && out(25L) == 0)
+    assert(out(26L) == 1 && out(50L) == 1)
+    assert(out(51L) == 2 && out(75L) == 2)
+    assert(out(76L) == 3 && out(100L) == 3)
+    // nulls stay null
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(9.0)))
+      .toDF("id", "v")
+    val nb = Splits.bucketByQuantiles(withNull, col("v"), 2)
+      .filter(col("id") === 2L).select("bucket").head()
+    assert(nb.isNullAt(0))
+    // approx mode assigns every row a bucket in range
+    val ap = Splits.bucketByQuantiles(d, col("v"), 5, approx = true)
+      .select("bucket").as[Int].collect()
+    assert(ap.forall(b => b >= 0 && b < 5))
+  }
+
   test("bpeTokens: ranked merges, multi-iteration cascade, overlap skip") {
     val merges = Seq(("a", "b"), ("ab", "c"), ("a", "a"))
     val d = Seq((1L, "abc aaa abab xyz")).toDF("id", "text")
