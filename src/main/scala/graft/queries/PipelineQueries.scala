@@ -968,6 +968,31 @@ object PipelineQueries {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM scored WHERE quality >= 0.75 GROUP BY lang ORDER BY lang""")),
 
+    // The FULL curation pipeline end-to-end, value-checked at every stage
+    // through one stacked oracle: quality gate (all four criteria) →
+    // exact keep-first dedup on the token-stream md5 → minhash-LSH
+    // near-dedup (md5 mode, CC closure, keep min id) → seeded 80% sample
+    // → context-window packing. The oracle (SketchOracles.fullPipeline)
+    // replays each stage's arithmetic over the exact survivor set.
+    QueryDef("q71b_full_curation", (s, dir) => {
+      val base = documents(s, dir).filter(col("doc_id") < 300)
+        .filter(TextAnalysis.qualityScore(col("text")) >= 1.0)
+      val exact = Dedup.exact(
+        base.withColumn("__ck",
+          md5(concat_ws(" ", Dedup.tokens(col("text"))).cast("binary"))),
+        Seq("__ck"), "doc_id").drop("__ck")
+      val near = Dedup.nearDedup(exact, "doc_id", "text",
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.5,
+        tokenHash = Dedup.md5Hash28)
+      val sampled = near.filter(Splits.hashUnit(col("doc_id"), 5L) < 0.8)
+      TextAnalysis.packByBudget(
+          sampled.withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+          col("n_tokens"), 512L, orderBy = Seq(col("doc_id")))
+        .select(col("doc_id"), col("n_tokens"), col("pack_offset"), col("pack_id"))
+        .orderBy("doc_id")
+    }, Some(SketchOracles.fullPipeline(numHashes = 32, bands = 8,
+      threshold = 0.5, maxDocId = 300, seed = 5L, frac = 0.8, budget = 512L))),
+
     // Multimodal plumbing: binary payload + typed metadata + stubbed
     // decode/featurize/frame-sample. The stubs are md5-derived
     // deterministic fakes (see Multimodal), so the whole pipeline —

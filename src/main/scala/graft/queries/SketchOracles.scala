@@ -52,7 +52,8 @@ object SketchOracles {
     * parameters, banding on the signature slices, bucket self-join,
     * exact-jaccard verify), composable into downstream oracles (q65's
     * direct listing, q65c's connected-components dedup). */
-  private def minhashPairsCtes(numHashes: Int, bands: Int, threshold: Double): String = {
+  private def minhashPairsCtes(numHashes: Int, bands: Int, threshold: Double,
+      docFilter: String = ""): String = {
     val p = Dedup.MinhashPrime
     val params = Dedup.minhashParams(numHashes, 42L)
     val rows = numHashes / bands
@@ -65,7 +66,7 @@ object SketchOracles {
       val key = (0 until rows).map(r => s"m${bnd * rows + r}").mkString(", ")
       s"SELECT doc, $bnd AS band, [$key] AS bucket FROM sigs"
     }.mkString("\n    UNION ALL ")
-    s"""${shingleSetCte("")},
+    s"""${shingleSetCte(docFilter)},
        |sigs AS (SELECT doc, sh,
        |    $mins
        |  FROM shs WHERE LEN(sh) > 0),
@@ -116,6 +117,49 @@ object SketchOracles {
        |SELECT d.doc_id FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
        |WHERE c.component IS NULL OR c.component = d.doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for q71b: the full curation pipeline end-to-end — quality
+    * gate (all four q71 criteria), exact keep-first dedup on the
+    * token-stream md5, minhash-LSH near-dedup closed into components
+    * (keep min id), seeded deterministic sample, context-window packing.
+    * Every stage replays the engine's arithmetic exactly; the minhash
+    * stage runs over the exact survivor set via the docFilter hook. */
+  def fullPipeline(numHashes: Int, bands: Int, threshold: Double,
+      maxDocId: Long, seed: Long, frac: Double, budget: Long): String = {
+    val stops = "['the','a','an','and','or','of','to','in','is','are','was','it','for','on','with','as','at','by','that','this','be','from']"
+    val quality =
+      s"""((CASE WHEN LEN(w) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+         | + (CASE WHEN LEN(LIST_FILTER(w, x -> LIST_CONTAINS($stops, x))) / CAST(LEN(w) AS DOUBLE) > 0.01 THEN 1.0 ELSE 0.0 END)
+         | + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[[:punct:]]', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE) < 0.2 THEN 1.0 ELSE 0.0 END)
+         | + (CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0""".stripMargin
+    s"""WITH RECURSIVE
+       |qd AS (
+       |  SELECT doc_id, text, $Words AS w FROM documents WHERE doc_id < $maxDocId),
+       |qual AS (SELECT doc_id, w FROM qd WHERE $quality >= 1.0),
+       |ck AS (
+       |  SELECT doc_id, w, ROW_NUMBER() OVER (
+       |    PARTITION BY MD5(ARRAY_TO_STRING(w, ' ')) ORDER BY doc_id) AS rn
+       |  FROM qual),
+       |survivors AS (SELECT doc_id, w FROM ck WHERE rn = 1),
+       |${minhashPairsCtes(numHashes, bands, threshold,
+            " WHERE doc_id IN (SELECT doc_id FROM survivors)")},
+       |$ccCtes,
+       |kept AS (
+       |  SELECT s.doc_id, s.w FROM survivors s LEFT JOIN comp c ON c.id = s.doc_id
+       |  WHERE c.component IS NULL OR c.component = s.doc_id),
+       |sampled AS (
+       |  SELECT doc_id, w FROM kept
+       |  WHERE CAST(CONCAT('0x', SUBSTRING(MD5('$seed:' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+       |    / 268435456.0 < $frac),
+       |packed AS (
+       |  SELECT doc_id, CAST(LEN(w) AS INT) AS n_tokens,
+       |    COALESCE(SUM(CAST(LEN(w) AS BIGINT)) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+       |  FROM sampled)
+       |SELECT doc_id, n_tokens, pack_offset,
+       |  CAST(FLOOR(pack_offset / $budget.0) AS BIGINT) AS pack_id
+       |FROM packed ORDER BY doc_id""".stripMargin
+  }
 
   /** Oracle for q66b: connected components over the exact unigram-jaccard
     * pair graph (the q66 edge definition), min-label clusters. */
