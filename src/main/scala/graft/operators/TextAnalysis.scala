@@ -268,6 +268,47 @@ object TextAnalysis {
     }
   }
 
+  /** One-call corpus health report: a tidy (metric, value) frame with
+    * document/token counts, token-length distribution (exact interpolated
+    * percentiles), empty-document and exact-duplicate fractions, and one
+    * `group_frac_<v>` row per value of `group` (source/lang mix).
+    *
+    * Cost: ONE wide aggregation over the corpus plus one |groups|-sized
+    * aggregation — no window, no self-join; the duplicate fraction uses
+    * count-distinct over the token-stream md5 (a single hash shuffle).
+    * The curation dashboard every pipeline run should log. */
+  def corpusReport(
+      df: org.apache.spark.sql.DataFrame,
+      text: String,
+      group: Column): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val ts = Dedup.tokens(col(text))
+    val ck = md5(concat_ws(" ", ts).cast("binary"))
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      sum(size(ts)).cast("double").as("tot"),
+      round(avg(size(ts)), 6).as("mean"),
+      percentile(size(ts), array(lit(0.5), lit(0.9))).as("pcts"),
+      sum(when(size(ts) === 0, 1L).otherwise(0L)).cast("double").as("empties"),
+      countDistinct(ck).cast("double").as("distincts")).head()
+    val n = row.getLong(0)
+    val scalarRows = Seq(
+      "n_docs" -> n.toDouble,
+      "total_tokens" -> row.getDouble(1),
+      "mean_tokens" -> row.getDouble(2),
+      "p50_tokens" -> row.getSeq[Double](3).head,
+      "p90_tokens" -> row.getSeq[Double](3)(1),
+      "empty_frac" -> (if (n == 0) 0.0 else row.getDouble(4) / n),
+      "exact_dup_frac" -> (if (n == 0) 0.0 else 1.0 - row.getDouble(5) / n))
+    import spark.implicits._
+    val scalars = scalarRows.toDF("metric", "value")
+      .select(col("metric"), round(col("value"), 6).as("value"))
+    val groups = df.groupBy(group.cast("string").as("__g")).count()
+      .select(concat(lit("group_frac_"), col("__g")).as("metric"),
+        round(col("count") / lit(n.toDouble), 6).as("value"))
+    scalars.union(groups)
+  }
+
   /** WordPiece subword tokenization of a whole document: the exact
     * HuggingFace/BERT greedy longest-match algorithm per word (custom
     * Expression [[graft.exts.WordPiece]] — the vocab set builds once per

@@ -821,6 +821,38 @@ object PipelineQueries {
         FROM flat GROUP BY doc_id) f ON t.doc_id = f.doc_id
       ORDER BY t.doc_id""")),
 
+    // One-call corpus report (TextAnalysis.corpusReport): counts, token
+    // distribution (exact percentiles), empty/dup fractions, source mix —
+    // the oracle recomputes every metric row.
+    QueryDef("q60m_corpus_report", (s, dir) => {
+      TextAnalysis.corpusReport(documents(s, dir), "text", col("source"))
+        .orderBy("metric")
+    }, Some("""
+      WITH t AS (
+        SELECT source,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents),
+      d AS (SELECT source, LEN(w) AS n_toks, MD5(ARRAY_TO_STRING(w, ' ')) AS k FROM t),
+      agg AS (
+        SELECT COUNT(*) AS n, CAST(SUM(n_toks) AS DOUBLE) AS tot, AVG(n_toks) AS mean,
+          QUANTILE_CONT(CAST(n_toks AS DOUBLE), [0.5, 0.9]) AS pcts,
+          SUM(CASE WHEN n_toks = 0 THEN 1 ELSE 0 END) AS empties,
+          COUNT(DISTINCT k) AS dk
+        FROM d)
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, ROUND(CAST(n AS DOUBLE), 6) AS value FROM agg
+        UNION ALL SELECT 'total_tokens', ROUND(tot, 6) FROM agg
+        UNION ALL SELECT 'mean_tokens', ROUND(mean, 6) FROM agg
+        UNION ALL SELECT 'p50_tokens', ROUND(pcts[1], 6) FROM agg
+        UNION ALL SELECT 'p90_tokens', ROUND(pcts[2], 6) FROM agg
+        UNION ALL SELECT 'empty_frac', ROUND(empties / CAST(n AS DOUBLE), 6) FROM agg
+        UNION ALL SELECT 'exact_dup_frac', ROUND(1.0 - dk / CAST(n AS DOUBLE), 6) FROM agg
+        UNION ALL
+        SELECT 'group_frac_' || source,
+          ROUND(COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM agg), 6)
+        FROM documents GROUP BY source)
+      ORDER BY metric""")),
+
     // BPE tokenization (TextAnalysis.bpeTokens — GPT-2/Sennrich ranked
     // merges as a custom Expression): the oracle replays the loop with a
     // recursive CTE over a '|'-separated piece state — lowest-rank pair

@@ -257,6 +257,21 @@ class SplitsSpec extends SparkSpec {
     assert(e.select(TextAnalysis.wordpieceCount(col("text"), vocab)).head().getInt(0) == 0)
   }
 
+  test("corpusReport: counts, dup/empty fractions, group mix by hand") {
+    val d = Seq(
+      (1L, "a b c d", "web"), (2L, "a b c d", "web"),  // exact dup pair
+      (3L, "e f", "book"), (4L, "", "web"))
+      .toDF("id", "text", "src")
+    val out = TextAnalysis.corpusReport(d, "text", col("src"))
+      .as[(String, Double)].collect().toMap
+    assert(out("n_docs") == 4.0)
+    assert(out("total_tokens") == 10.0)
+    assert(out("empty_frac") == 0.25)
+    assert(out("exact_dup_frac") == 0.25)   // 3 distinct keys over 4 docs
+    assert(out("group_frac_web") == 0.75 && out("group_frac_book") == 0.25)
+    assert(out("mean_tokens") == 2.5)
+  }
+
   test("bucketByQuantiles: balanced bands, monotone, null passthrough") {
     val d = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val out = Splits.bucketByQuantiles(d, col("v"), 4)
