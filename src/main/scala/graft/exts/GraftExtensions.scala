@@ -83,6 +83,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("geo_npoints"),
       new ExpressionInfo(classOf[GeoNPointsExpr].getName, "geo_npoints"),
       (children: Seq[Expression]) => GeoNPointsExpr(children.head)))
+    // subword tokenizers (TokenizerExpressions.scala), SQL-callable with
+    // the vocab/merge list as a foldable array literal — evaluated once
+    // at plan build so the per-executor set/rank-map economics hold:
+    //   wordpiece(word, array('un', '##aff', ...))
+    //   bpe(word, array(array('t','h'), array('th','e'), ...))
+    def foldedStrings(e: Expression, what: String): Seq[String] = {
+      require(e.foldable, s"$what must be a foldable array literal")
+      e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+    }
+    ext.injectFunction((
+      FunctionIdentifier("wordpiece"),
+      new ExpressionInfo(classOf[WordPiece].getName, "wordpiece"),
+      (children: Seq[Expression]) =>
+        WordPiece(children.head, foldedStrings(children(1), "wordpiece vocab"))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe"),
+      new ExpressionInfo(classOf[BpeTokenize].getName, "bpe"),
+      (children: Seq[Expression]) => {
+        require(children(1).foldable, "bpe merges must be a foldable array literal")
+        val merges = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(children(1).dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+          .map { pair =>
+            val a = pair.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(org.apache.spark.sql.types.StringType)
+            require(a.length == 2, "each bpe merge must be a 2-element array")
+            (a(0).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+              a(1).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+          }.toSeq
+        BpeTokenize(children.head, merges)
+      }))
     // the planar-feasible remainder (GeoGeometryOps.scala): DE-9IM-style
     // predicates, linear referencing, simplify/buffer, SRID/EWKB plumbing
     GeoRelate2.ops.keys.foreach { op =>

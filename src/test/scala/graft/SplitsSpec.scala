@@ -293,6 +293,17 @@ class SplitsSpec extends SparkSpec {
     assert(ap.forall(b => b >= 0 && b < 5))
   }
 
+  test("tokenizers are SQL-callable with literal vocab/merge arrays") {
+    val wp = spark.sql(
+      "SELECT wordpiece('unaffable', array('un', '##aff', '##able'))")
+      .head().getSeq[String](0)
+    assert(wp == Seq("un", "##aff", "##able"))
+    val bp = spark.sql(
+      "SELECT bpe('the', array(array('t','h'), array('th','e')))")
+      .head().getSeq[String](0)
+    assert(bp == Seq("the"))
+  }
+
   test("bpeTokens: ranked merges, multi-iteration cascade, overlap skip") {
     val merges = Seq(("a", "b"), ("ab", "c"), ("a", "a"))
     val d = Seq((1L, "abc aaa abab xyz")).toDF("id", "text")
