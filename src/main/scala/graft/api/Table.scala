@@ -314,8 +314,10 @@ final class Table(val df: DataFrame) {
       by: Seq[(String, String)] = Seq.empty,
       tolerance: Option[String] = None,
       lname: String = "",
-      rname: String = "{name}_right"): Table =
-    new Table(graft.operators.AsofJoin(df, right.df, leftOn, rightOn, by, tolerance, lname, rname))
+      rname: String = "{name}_right",
+      direction: String = "backward"): Table =
+    new Table(graft.operators.AsofJoin(df, right.df, leftOn, rightOn, by, tolerance,
+      lname, rname, direction = direction))
 
   // --------------------------------------------------------------- set ops
 

@@ -9,7 +9,11 @@ import org.apache.spark.sql.types._
   * `rightOn <= leftOn` within the same `by` partition, left-outer semantics
   * (every left row kept). Matches ibis `Table.asof_join`
   * (/root/reference/ibis/expr/types/relations.py:3736-3866) and DuckDB's
-  * `ASOF LEFT JOIN` used as the oracle.
+  * `ASOF LEFT JOIN` used as the oracle. `direction = "forward"` flips the
+  * inequality (smallest `rightOn >= leftOn` — ibis expresses this by
+  * passing `left <= right` as the `on` predicate); internally forward is
+  * backward on negated times, so both physical plans below serve both
+  * directions unchanged.
   *
   * Spark has no asof primitive (SURVEY.md §2.1). Two physical strategies:
   *
@@ -67,14 +71,18 @@ object AsofJoin {
       tolerance: Option[String] = None,
       lname: String = "",
       rname: String = "{name}_right",
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto",
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val useCompact = strategy match {
       case "compact" => require(by.nonEmpty, "compact asof requires by keys"); true
       case "window"  => false
       case _         => by.nonEmpty
     }
-    if (useCompact) compactPlan(left, right, leftOn, rightOn, by, tolerance, lname, rname)
-    else windowPlan(left, right, leftOn, rightOn, by, tolerance, lname, rname)
+    if (useCompact) compactPlan(left, right, leftOn, rightOn, by, tolerance, lname, rname, fwd)
+    else windowPlan(left, right, leftOn, rightOn, by, tolerance, lname, rname, fwd)
   }
 
   /** Output-column collision policy shared with Table.joinOn
@@ -110,7 +118,8 @@ object AsofJoin {
       by: Seq[(String, String)],
       tolerance: Option[String],
       lname: String,
-      rname: String): DataFrame = {
+      rname: String,
+      fwd: Boolean): DataFrame = {
 
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
@@ -130,8 +139,11 @@ object AsofJoin {
     // value, making the picked match DETERMINISTIC (the window plan breaks
     // time-ties by arbitrary input order). __rt keeps the original-typed
     // right time for the tolerance check.
+    // forward asof = backward asof on NEGATED times: runs sort descending,
+    // the probe's greatest(-t_r <= -t_l) is the smallest t_r >= t_l
+    def sgn(c: Column): Column = if (fwd) -c else c
     val payload = struct(
-      (normTime(rightOn, rDt, target).as("__tk") +:
+      (sgn(normTime(rightOn, rDt, target)).as("__tk") +:
         rightOn.as("__rt") +:
         rOut.map(col)): _*)
     val byProbe = by.zipWithIndex.map { case ((_, rk), i) => col(rk).as(s"__abk_$i") }
@@ -148,11 +160,13 @@ object AsofJoin {
       .reduce(_ && _)
     val joined = left.join(rRuns, cond, "left")
 
-    val idx = graft.exts.exprs.asofSearch(col("__tks"), normTime(leftOn, lDt, target))
+    val idx = graft.exts.exprs.asofSearch(col("__tks"), sgn(normTime(leftOn, lDt, target)))
     val m0 = element_at(col("__runs"), idx)
     val matched = tolerance match {
       // match only if leftOn - rightOn <= tolerance; an out-of-range match
       // nulls the WHOLE struct, so every right column drops together
+      case Some(tol) if fwd =>
+        when(m0.isNotNull && m0.getField("__rt") <= leftOn + expr(tol), m0)
       case Some(tol) => when(m0.isNotNull && leftOn <= m0.getField("__rt") + expr(tol), m0)
       case None      => m0
     }
@@ -171,7 +185,8 @@ object AsofJoin {
       by: Seq[(String, String)],
       tolerance: Option[String],
       lname: String,
-      rname: String): DataFrame = {
+      rname: String,
+      fwd: Boolean): DataFrame = {
 
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
@@ -201,9 +216,13 @@ object AsofJoin {
     val byCols = by.map { case (lk, _) => col(s"__by_$lk") }
     // Right rows sort before left rows at the same timestamp → inclusive
     // (l.t >= r.t) matching, like DuckDB ASOF and pandas merge_asof default.
+    // forward: scan times DESCENDING — "preceding" rows then have t >= the
+    // current left row, and last(right) is the nearest future right row.
+    // Right still sorts before left at equal t → inclusive both ways.
+    val tOrder = if (fwd) col("__t").desc_nulls_last else col("__t").asc_nulls_last
     val w = Window
       .partitionBy(byCols: _*)
-      .orderBy(col("__t").asc_nulls_last, col("__side").asc)
+      .orderBy(tOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // One struct per right row (struct itself is never null for a right row,
@@ -218,6 +237,10 @@ object AsofJoin {
       .filter(col("__side") === 1)
 
     val withTol = tolerance match {
+      case Some(tol) if fwd =>
+        val rt = col("__m").getField("__rt")
+        propagated.withColumn("__m",
+          when(rt.isNotNull && rt <= col("__t") + expr(tol), col("__m")))
       case Some(tol) =>
         val rt = col("__m").getField("__rt")
         propagated.withColumn("__m",

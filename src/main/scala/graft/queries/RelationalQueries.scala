@@ -384,6 +384,28 @@ object RelationalQueries {
         ON a.user_id = b.user_id AND a.ts::TIMESTAMP >= b.ts::TIMESTAMP
       ORDER BY a.event_id""")),
 
+    // Forward as-of: the next click at-or-after each purchase within the
+    // tolerance (ibis spells this by passing `left <= right` as the asof
+    // `on` predicate; DuckDB ASOF flips the same way).
+    QueryDef("q20b_asof_forward", (s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"), col("value").as("click_value"))
+      AsofJoin(purchases, clicks, col("ts"), col("cts"),
+          by = Seq("user_id" -> "cu"), tolerance = Some("INTERVAL 1 HOUR"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"), col("click_value"))
+        .orderBy(col("event_id").asc)
+    }, Some("""
+      SELECT a.event_id, a.user_id,
+        CASE WHEN b.ts::TIMESTAMP - a.ts::TIMESTAMP <= INTERVAL 1 HOUR THEN b.value END AS click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        ON a.user_id = b.user_id AND a.ts::TIMESTAMP <= b.ts::TIMESTAMP
+      ORDER BY a.event_id""")),
+
     // Positional join of two independently sorted projections.
     QueryDef("q21_positional_join", (s, dir) => {
       val byKey = Table(nation(s, dir)).sort(SortKey.asc(col("n_nationkey")))

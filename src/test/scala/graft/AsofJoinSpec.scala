@@ -54,6 +54,54 @@ class AsofJoinSpec extends SparkSpec {
   // must agree exactly. Right-side (key, time) pairs are kept unique:
   // at duplicate timestamps the tie-break is documented as
   // strategy-dependent and would be a false property failure.
+  test("forward direction picks the next right row at-or-after, both strategies") {
+    for (strategy <- Seq("compact", "window")) {
+      val out = AsofJoin(left, right, col("t"), col("rt"),
+          by = Seq("user" -> "ruser"), strategy = strategy, direction = "forward")
+        .orderBy("id").collect()
+      // u1@10:00 → next click 11:59 (20.0); u1@12:00 → none after;
+      // u2@09:00 → equal timestamp matches inclusively (30.0);
+      // u3 has no right rows at all
+      assert(out.map(r => (r.getLong(0), Option(r.get(4)))).toSeq == Seq(
+        (1L, Some(20.0)), (2L, None), (3L, Some(30.0)), (4L, None)),
+        s"strategy=$strategy")
+    }
+  }
+
+  test("property: forward direction agrees with the reference model (750 seeded cases)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 3) {
+      val tol = Seq(None, Some("5"), Some("50"))(round % 3)
+      val nKeys = 1 + rnd.nextInt(8)
+      val leftRows = (1 to 250).map(i =>
+        (s"k${rnd.nextInt(nKeys + 2)}", rnd.nextInt(1000).toLong, i.toLong))
+      val rightRows = Seq.fill(300)((s"k${rnd.nextInt(nKeys)}", rnd.nextInt(1000).toLong))
+        .distinct.map { case (k, t) => (k, t, rnd.nextInt(1000000).toDouble) }
+      val l = leftRows.toDF("k", "t", "lid")
+      val r = rightRows.toDF("rk", "rt", "rv")
+      val expected: Map[Long, Option[(Long, Double)]] = leftRows.map { case (k, t, lid) =>
+        val cands = rightRows.filter { case (rk, rt, _) =>
+          rk == k && rt >= t && tol.forall(x => rt - t <= x.toLong) }
+        lid -> (if (cands.isEmpty) None
+                else { val m = cands.minBy(_._2); Some((m._2, m._3)) })
+      }.toMap
+      for (strategy <- Seq("compact", "window")) {
+        val got = AsofJoin(l, r, col("t"), col("rt"), by = Seq("k" -> "rk"),
+            tolerance = tol, strategy = strategy, direction = "forward")
+          .collect()
+          .map(row => row.getLong(2) ->
+            (if (row.isNullAt(4)) None else Some((row.getLong(3), row.getDouble(4)))))
+          .toMap
+        assert(got.size == leftRows.size, s"round $round $strategy lost left rows")
+        val bad = expected.collect {
+          case (lid, exp) if got(lid) != exp => (lid, exp, got(lid))
+        }
+        assert(bad.isEmpty,
+          s"round $round, strategy=$strategy, tol=$tol: ${bad.take(5).mkString("; ")}")
+      }
+    }
+  }
+
   test("property: compact and window strategies agree with the reference model (1500 seeded cases)") {
     val rnd = new scala.util.Random(20260813L)
     for (round <- 1 to 6) {
