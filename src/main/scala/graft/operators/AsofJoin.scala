@@ -73,15 +73,20 @@ object AsofJoin {
       rname: String = "{name}_right",
       strategy: String = "auto",
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val fwd = direction == "forward"
+    val nearest = direction == "nearest"
     val useCompact = strategy match {
       case "compact" => require(by.nonEmpty, "compact asof requires by keys"); true
       case "window"  => false
       case _         => by.nonEmpty
     }
-    if (useCompact) compactPlan(left, right, leftOn, rightOn, by, tolerance, lname, rname, fwd)
+    // nearest = compare the backward hit with its successor in the sorted
+    // run — only the compact plan has the run at hand
+    require(!nearest || (useCompact && by.nonEmpty),
+      "direction=nearest requires by keys (compact plan)")
+    if (useCompact) compactPlan(left, right, leftOn, rightOn, by, tolerance, lname, rname, fwd, nearest)
     else windowPlan(left, right, leftOn, rightOn, by, tolerance, lname, rname, fwd)
   }
 
@@ -119,7 +124,8 @@ object AsofJoin {
       tolerance: Option[String],
       lname: String,
       rname: String,
-      fwd: Boolean): DataFrame = {
+      fwd: Boolean,
+      nearest: Boolean): DataFrame = {
 
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
@@ -161,10 +167,24 @@ object AsofJoin {
     val joined = left.join(rRuns, cond, "left")
 
     val idx = graft.exts.exprs.asofSearch(col("__tks"), sgn(normTime(leftOn, lDt, target)))
-    val m0 = element_at(col("__runs"), idx)
+    val mBack = element_at(col("__runs"), idx)
+    // nearest: the forward candidate is the backward hit's successor in the
+    // sorted run (or the first element when nothing is <= left); pick the
+    // smaller absolute delta, ties to the backward side (pandas rule)
+    val m0 = if (!nearest) mBack else {
+      val mFwd = try_element_at(col("__runs"), coalesce(idx, lit(0)) + 1)
+      val tl = normTime(leftOn, lDt, target)
+      when(mBack.isNull, mFwd)
+        .when(mFwd.isNull, mBack)
+        .when(tl - mBack.getField("__tk") <= mFwd.getField("__tk") - tl, mBack)
+        .otherwise(mFwd)
+    }
     val matched = tolerance match {
       // match only if leftOn - rightOn <= tolerance; an out-of-range match
       // nulls the WHOLE struct, so every right column drops together
+      case Some(tol) if nearest =>
+        when(m0.isNotNull && m0.getField("__rt") <= leftOn + expr(tol) &&
+          leftOn <= m0.getField("__rt") + expr(tol), m0)
       case Some(tol) if fwd =>
         when(m0.isNotNull && m0.getField("__rt") <= leftOn + expr(tol), m0)
       case Some(tol) => when(m0.isNotNull && leftOn <= m0.getField("__rt") + expr(tol), m0)

@@ -102,6 +102,67 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest direction picks the closer side, ties to backward") {
+    val l = Seq((1L, "k", 100L), (2L, "k", 10L), (3L, "k", 205L), (4L, "k", 150L))
+      .toDF("id", "k", "t")
+    val r = Seq(("k", 90L, 1.0), ("k", 120L, 2.0), ("k", 200L, 3.0))
+      .toDF("rk", "rt", "rv")
+    val out = AsofJoin(l, r, col("t"), col("rt"), by = Seq("k" -> "rk"),
+        direction = "nearest")
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getDouble(4))).toSeq
+    // id1 t=100: back 90 (d10) vs fwd 120 (d20) → 1.0
+    // id2 t=10: nothing before → fwd 90 → 1.0
+    // id3 t=205: back 200 (d5), nothing after → 3.0
+    // id4 t=150: back 120 (d30) vs fwd 200 (d50) → 2.0
+    assert(out == Seq((1L, 1.0), (2L, 1.0), (3L, 3.0), (4L, 2.0)))
+    // exact tie → backward side
+    val tie = AsofJoin(Seq((9L, "k", 105L)).toDF("id", "k", "t"), r,
+      col("t"), col("rt"), by = Seq("k" -> "rk"), direction = "nearest")
+      .collect().head.getDouble(4)
+    assert(tie == 1.0) // 90 (d15) vs 120 (d15) → backward
+    // tolerance bounds BOTH sides
+    val tol = AsofJoin(l, r, col("t"), col("rt"), by = Seq("k" -> "rk"),
+        direction = "nearest", tolerance = Some("7"))
+      .orderBy("id").collect().map(x => (x.getLong(0), Option(x.get(4)))).toSeq
+    assert(tol == Seq((1L, None), (2L, None), (3L, Some(3.0)), (4L, None)))
+  }
+
+  test("property: nearest direction agrees with the reference model (750 seeded cases)") {
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 3) {
+      val tol = Seq(None, Some("5"), Some("50"))(round % 3)
+      val nKeys = 1 + rnd.nextInt(8)
+      val leftRows = (1 to 250).map(i =>
+        (s"k${rnd.nextInt(nKeys + 2)}", rnd.nextInt(1000).toLong, i.toLong))
+      val rightRows = Seq.fill(300)((s"k${rnd.nextInt(nKeys)}", rnd.nextInt(1000).toLong))
+        .distinct.map { case (k, t) => (k, t, rnd.nextInt(1000000).toDouble) }
+      val l = leftRows.toDF("k", "t", "lid")
+      val r = rightRows.toDF("rk", "rt", "rv")
+      val expected: Map[Long, Option[(Long, Double)]] = leftRows.map { case (k, t, lid) =>
+        val cands = rightRows.filter { case (rk, rt, _) =>
+          rk == k && tol.forall(x => math.abs(rt - t) <= x.toLong) }
+        lid -> (if (cands.isEmpty) None
+                else {
+                  // min |delta|, tie → backward (rt <= t), then largest rt
+                  val m = cands.minBy { case (_, rt, _) =>
+                    (math.abs(rt - t), if (rt <= t) 0 else 1) }
+                  Some((m._2, m._3))
+                })
+      }.toMap
+      val got = AsofJoin(l, r, col("t"), col("rt"), by = Seq("k" -> "rk"),
+          tolerance = tol, direction = "nearest")
+        .collect()
+        .map(row => row.getLong(2) ->
+          (if (row.isNullAt(4)) None else Some((row.getLong(3), row.getDouble(4)))))
+        .toMap
+      assert(got.size == leftRows.size, s"round $round lost left rows")
+      val bad = expected.collect {
+        case (lid, exp) if got(lid) != exp => (lid, exp, got(lid))
+      }
+      assert(bad.isEmpty, s"round $round, tol=$tol: ${bad.take(5).mkString("; ")}")
+    }
+  }
+
   test("property: compact and window strategies agree with the reference model (1500 seeded cases)") {
     val rnd = new scala.util.Random(20260813L)
     for (round <- 1 to 6) {
