@@ -437,6 +437,31 @@ object TextAnalysis {
       .withColumn("pack_id", (col("pack_offset") / budget).cast("long"))
   }
 
+  /** Loader manifest for [[packByBudget]]: one row per (shard, pack) with
+    * the ordered documents it contains — (doc id, token offset within the
+    * stream, token count) structs plus pack totals. This is the artifact
+    * a data-loader worker reads to assemble fixed-budget training
+    * sequences. One groupBy over the packed frame; the per-pack doc list
+    * is bounded by budget/min-doc-tokens. */
+  def packManifest(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      tokensCol: Column,
+      budget: Long,
+      orderBy: Seq[Column],
+      shard: Seq[Column] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    val packed = packByBudget(df, tokensCol, budget, orderBy, shard)
+    val keys = shard :+ col("pack_id")
+    packed.groupBy(keys: _*)
+      .agg(
+        sort_array(collect_list(struct(
+          col("pack_offset").as("offset"),
+          id.as("doc_id"),
+          tokensCol.cast("long").as("n_tokens")))).as("docs"),
+        sum(tokensCol.cast("long")).as("pack_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** Sliding-window text chunking (the RAG/pretraining "split long
     * documents into overlapping windows" step): whitespace words, windows
     * of `chunkTokens` advancing by `chunkTokens - overlapTokens`. A window

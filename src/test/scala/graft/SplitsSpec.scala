@@ -257,6 +257,25 @@ class SplitsSpec extends SparkSpec {
     assert(e.select(TextAnalysis.wordpieceCount(col("text"), vocab)).head().getInt(0) == 0)
   }
 
+  test("packManifest groups packed docs in stream order with totals") {
+    val d = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 100L))
+      .toDF("id", "n_tok")
+    val m = TextAnalysis.packManifest(d, col("id"), col("n_tok"),
+        budget = 512L, orderBy = Seq(col("id")))
+      .orderBy("pack_id").collect()
+    // offsets 0/300/600/900 → packs 0,0,1,1
+    assert(m.length == 2)
+    val p0 = m(0)
+    assert(p0.getAs[Long]("pack_id") == 0L && p0.getAs[Long]("n_docs") == 2L &&
+      p0.getAs[Long]("pack_tokens") == 600L)
+    assert(p0.getSeq[org.apache.spark.sql.Row](p0.fieldIndex("docs"))
+      .map(_.getLong(1)) == Seq(1L, 2L))
+    val p1 = m(1)
+    assert(p1.getSeq[org.apache.spark.sql.Row](p1.fieldIndex("docs"))
+      .map(_.getLong(1)) == Seq(3L, 4L))
+    assert(p1.getAs[Long]("pack_tokens") == 400L)
+  }
+
   test("corpusReport: counts, dup/empty fractions, group mix by hand") {
     val d = Seq(
       (1L, "a b c d", "web"), (2L, "a b c d", "web"),  // exact dup pair
