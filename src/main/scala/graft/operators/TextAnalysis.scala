@@ -140,6 +140,24 @@ object TextAnalysis {
       })
   }
 
+  /** Sentences: split on terminal punctuation runs (. ! ?) followed by
+    * whitespace or end, trimmed, blanks dropped. Regex-only — the
+    * engine-portable approximation (no abbreviation dictionary). */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+(\\s+|$)"), s => trim(s)), s => length(s) > 0)
+
+  def sentenceCount(text: Column): Column = size(sentences(text))
+
+  /** Mean sentence length in word tokens — short-sentence soup and
+    * unbroken walls of text both flag extraction problems. */
+  def meanSentenceLength(text: Column): Column =
+    graft.functions.ibisfn.let1(sentences(text)) { ss =>
+      when(size(ss) === 0, lit(0.0)).otherwise(
+        aggregate(ss, lit(0L),
+          (acc, s) => acc + size(filter(split(s, "\\s+"), w => length(w) > 0)))
+          .cast("double") / size(ss))
+    }
+
   // ----------------------------------------- line-level (Gopher) signals
 
   /** Non-empty trimmed lines of a document — the unit of Gopher's

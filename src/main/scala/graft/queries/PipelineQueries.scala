@@ -821,6 +821,48 @@ object PipelineQueries {
         FROM flat GROUP BY doc_id) f ON t.doc_id = f.doc_id
       ORDER BY t.doc_id""")),
 
+    // Sentence segmentation stats: the corpus gets a sentence structure
+    // (period-joined neighbor texts, a planted question and exclamation),
+    // then count and mean word-length per sentence — oracle replays the
+    // same terminal-punctuation split.
+    QueryDef("q60n_sentences", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("doc_id")
+      val base = documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat_ws(" ",
+          concat(col("text"), lit(".")),
+          concat(lead(col("text"), 1, "next words").over(w), lit("!")),
+          lit("Is that so?"),
+          col("text")).as("text"))
+      base.select(col("doc_id"),
+          TextAnalysis.sentenceCount(col("text")).as("n_sentences"),
+          round(TextAnalysis.meanSentenceLength(col("text")), 6).as("mean_sentence_words"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+          text || '.' || ' ' || LEAD(text, 1, 'next words') OVER (ORDER BY doc_id) || '!'
+          || ' ' || 'Is that so?' || ' ' || text AS text
+        FROM documents WHERE doc_id < 200),
+      ss AS (
+        SELECT doc_id,
+          LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT_REGEX(text, '[.!?]+(\s+|$)'),
+            x -> TRIM(x)), x -> x != '') AS sent
+        FROM base),
+      fl AS (
+        SELECT doc_id, UNNEST(sent) AS s,
+          UNNEST(range(1, LEN(sent) + 1)) AS pos
+        FROM ss),
+      cnt AS (
+        SELECT doc_id, COUNT(*) AS n,
+          SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(s, '\s+'), x -> x != ''))) AS words
+        FROM fl GROUP BY doc_id)
+      SELECT b.doc_id,
+        CAST(COALESCE(c.n, 0) AS INT) AS n_sentences,
+        ROUND(COALESCE(c.words / CAST(c.n AS DOUBLE), 0.0), 6) AS mean_sentence_words
+      FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id
+      ORDER BY b.doc_id""")),
+
     // One-call corpus report (TextAnalysis.corpusReport): counts, token
     // distribution (exact percentiles), empty/dup fractions, source mix —
     // the oracle recomputes every metric row.

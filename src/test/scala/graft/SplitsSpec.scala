@@ -257,6 +257,20 @@ class SplitsSpec extends SparkSpec {
     assert(e.select(TextAnalysis.wordpieceCount(col("text"), vocab)).head().getInt(0) == 0)
   }
 
+  test("sentence stats: terminal-punctuation split, counts and mean words") {
+    val d = Seq((1L, "One two three. Four five! Six? seven eight nine ten")).toDF("id", "text")
+    val r = d.select(
+      TextAnalysis.sentenceCount(col("text")),
+      TextAnalysis.meanSentenceLength(col("text"))).head()
+    assert(r.getInt(0) == 4)
+    assert(math.abs(r.getDouble(1) - 10.0 / 4.0) < 1e-12)
+    val empty = Seq((1L, "")).toDF("id", "text")
+    val e = empty.select(
+      TextAnalysis.sentenceCount(col("text")),
+      TextAnalysis.meanSentenceLength(col("text"))).head()
+    assert(e.getInt(0) == 0 && e.getDouble(1) == 0.0)
+  }
+
   test("packManifest groups packed docs in stream order with totals") {
     val d = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 100L))
       .toDF("id", "n_tok")
