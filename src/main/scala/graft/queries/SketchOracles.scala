@@ -156,7 +156,8 @@ object SketchOracles {
        |    COALESCE(SUM(CAST(LEN(w) AS BIGINT)) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
        |  FROM sampled)
-       |SELECT doc_id, n_tokens, pack_offset,
+       |SELECT doc_id, n_tokens,
+       |  CAST(pack_offset AS BIGINT) AS pack_offset,
        |  CAST(FLOOR(pack_offset / $budget.0) AS BIGINT) AS pack_id
        |FROM packed ORDER BY doc_id""".stripMargin
   }

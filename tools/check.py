@@ -17,7 +17,10 @@ if RUN_VERIFY:
     shutil.rmtree(OUT, ignore_errors=True)
     r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
                        capture_output=True, text=True, cwd="/root/repo")
-    errs = [l for l in (r.stdout + r.stderr).splitlines() if "[verify]" in l or "error]" in l.lower()]
+    with open("/tmp/verify_sbt.log", "w") as f:   # full log for codegen-error hunting
+        f.write(r.stdout + r.stderr)
+    errs = [l for l in (r.stdout + r.stderr).splitlines()
+            if "[verify]" in l or "error]" in l.lower() or "Code grows beyond" in l]
     for l in errs[:40]:
         print(l)
 
@@ -62,6 +65,15 @@ for name in names:
             i = m.idxmax()
             bad = (c, f"row {i}: got={gv[i]!r} exp={ev[i]!r} ({int(m.sum())} diffs)")
             break
+    # the driver hashes values dtype-sensitively: an int64 Spark column vs a
+    # float64 oracle column (e.g. DuckDB HUGEINT sums) is value-equal here
+    # but hash-red there — surface it as a failure locally too
+    if bad is None:
+        for c in g.columns:
+            gk, ek = g[c].dtype.kind, e[c].dtype.kind
+            if gk != ek and {gk, ek} & {'f'} and {gk, ek} & {'i', 'u'}:
+                bad = (c, f"dtype kind mismatch: spark={g[c].dtype} oracle={e[c].dtype} (driver hash would differ)")
+                break
     if bad:
         print(f"FAIL {name}: col {bad[0]}: {bad[1]}"); fail += 1
     else:
