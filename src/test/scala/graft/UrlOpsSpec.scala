@@ -45,6 +45,24 @@ class UrlOpsSpec extends SparkSpec {
     assert(norm("https://E.com/CaseSensitive/Path") == "https://e.com/CaseSensitive/Path")
   }
 
+  test("urlNormalize passes scheme-less values through unchanged (no '' collapse)") {
+    // regression: both extracts yield '' on a scheme-less input, so every
+    // such value used to normalize to "" — one shared exact-dedup key
+    assert(norm("not a url") == "not a url")
+    assert(norm("/relative/path?utm_source=x#f") == "/relative/path?utm_source=x#f")
+    assert(norm("example.com/page") == "example.com/page")
+  }
+
+  test("registrableDomain of a null host is null, not ''") {
+    val d = Seq((1L, "no scheme here"), (2L, "https://a.example.com/x"))
+      .toDF("id", "u")
+    val out = d.select(col("id"),
+        UrlOps.registrableDomain(UrlOps.urlHost(col("u"))).as("dom"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) == None)
+    assert(out(2L) == Some("example.com"))
+  }
+
   test("filterBlockedDomains drops blocked eTLD+1 incl. subdomains, keeps unparseable") {
     val d = Seq(
       (1L, "https://spam.bad.com/x"),
