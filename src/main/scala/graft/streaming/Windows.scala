@@ -124,23 +124,42 @@ object Windows {
     events.join(org.apache.spark.sql.functions.broadcast(dim), on, joinType)
   }
 
+  /** The value codec [[readKafka]] applies to the broker's wire frame
+    * (`value: binary` holding JSON): parse against the declared schema,
+    * unnest, then register the watermark. Factored out of the source so
+    * the parse/watermark logic is executable WITHOUT the connector jar —
+    * StreamingSpec drives it end-to-end over a MemoryStream carrying the
+    * same wire schema; only the `format("kafka")` wiring itself remains
+    * environment-blocked (DIVERGENCES.md §2). */
+  private[graft] def decodeKafkaValue(raw: DataFrame,
+      valueSchema: org.apache.spark.sql.types.StructType,
+      wm: Option[Watermark]): DataFrame = {
+    val parsed = raw
+      .select(from_json(col("value").cast("string"), valueSchema).as("v"))
+      .select("v.*")
+    wm.fold(parsed)(w => parsed.withWatermark(w.timeCol, w.allowedDelay))
+  }
+
+  /** The value codec [[toKafka]] applies before the broker: every column
+    * packed as one JSON `value` — the inverse of [[decodeKafkaValue]]. */
+  private[graft] def encodeKafkaValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(col("*"))).as("value"))
+
   /** Kafka source (ibis read_kafka, backends/pyspark/__init__.py:1080):
     * value parsed against a declared schema, optional watermark. */
   def readKafka(spark: org.apache.spark.sql.SparkSession, bootstrap: String, topic: String,
-      valueSchema: org.apache.spark.sql.types.StructType, wm: Option[Watermark]): DataFrame = {
-    val raw = spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .load()
-      .select(from_json(col("value").cast("string"), valueSchema).as("v"))
-      .select("v.*")
-    wm.fold(raw)(w => raw.withWatermark(w.timeCol, w.allowedDelay))
-  }
+      valueSchema: org.apache.spark.sql.types.StructType, wm: Option[Watermark]): DataFrame =
+    decodeKafkaValue(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load(),
+      valueSchema, wm)
 
   /** Kafka sink (ibis to_kafka, backends/pyspark/__init__.py:1144). */
   def toKafka(df: DataFrame, bootstrap: String, topic: String, checkpoint: String) =
-    df.select(to_json(struct(col("*"))).as("value"))
+    encodeKafkaValue(df)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
