@@ -283,7 +283,14 @@ object Bench {
     // output through StdoutOutput (undecorated), and the exact line is also
     // written to a file in case any wrapper still mangles stdout.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    // The round-5 driver record lost this line to tail-capture: spark.stop()
+    // and the JVM shutdown hooks spew thousands of tmpfs shuffle-cleanup
+    // WARNs AFTER the metric printed, flooding the log tail. Silence
+    // shutdown logging entirely and re-print the metric as the absolute
+    // last stdout line so any tail window still contains it.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
 
   /** Sequential byte read of every file under dir: warms the OS page cache
