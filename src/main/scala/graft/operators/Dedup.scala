@@ -25,8 +25,16 @@ object Dedup {
     * it parallelizes; when the scan already has ≥ defaultParallelism
     * splits (the 100 TB case) this is a no-op. */
   private[graft] def scatter(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // plan-level split estimate (catalyst size / maxPartitionBytes), NOT
+    // df.rdd.getNumPartitions — touching .rdd materializes the analyzed
+    // plan's RDD lineage on the driver at every operator construction, a
+    // real planner cost on wide plans. Catalyst stats are free. Unknown
+    // sizes estimate huge → no-op, the safe direction at scale.
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 
   /** Exact dedup, "keep first by `orderCol`" semantics (`orderCol` should
@@ -37,14 +45,27 @@ object Dedup {
     * the map side and ships one candidate row per (mapper, key). */
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     val allCols = df.columns.toSeq
-    // ordering key is a struct with a nulls-last flag: min_by alone returns
-    // a null struct (→ an all-null output row) for a group whose orderCol
-    // is entirely null; with the flag such groups keep a real row, matching
-    // the row_number()==1 formulation this plan replaced
-    val ord = struct(col(orderCol).isNull, col(orderCol))
-    df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(struct(allCols.map(col): _*), ord).as("__row"))
-      .select(allCols.map(c => col("__row").getField(c).as(c)): _*)
+    val payload = allCols.filterNot(c => keyCols.contains(c) || c == orderCol)
+    if (payload.isEmpty) {
+      // Every output column is a group key or the ordering column itself:
+      // min_by degenerates to plain min (nulls ignored = nulls-last; a
+      // group that is entirely null keeps a null-ord row either way).
+      // This buffer is a primitive, so the plan is a whole-stage-codegen
+      // HashAggregate instead of the SortAggregate the struct buffer
+      // forces — prune BEFORE deduping to hit this path (DuckDB's
+      // optimizer does the same pruning automatically).
+      df.groupBy(keyCols.map(col): _*).agg(min(col(orderCol)).as(orderCol))
+        .select(allCols.map(col): _*)
+    } else {
+      // ordering key is a struct with a nulls-last flag: min_by alone
+      // returns a null struct (→ an all-null output row) for a group whose
+      // orderCol is entirely null; with the flag such groups keep a real
+      // row, matching the row_number()==1 formulation this plan replaced
+      val ord = struct(col(orderCol).isNull, col(orderCol))
+      df.groupBy(keyCols.map(col): _*)
+        .agg(min_by(struct(allCols.map(col): _*), ord).as("__row"))
+        .select(allCols.map(c => col("__row").getField(c).as(c)): _*)
+    }
   }
 
   /** Exact-duplicate groups (hash-groupBy): content hash → ids + count. */

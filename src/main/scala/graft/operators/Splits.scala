@@ -186,17 +186,18 @@ object Splits {
     require(n >= 2, "need at least 2 buckets")
     val probs = (1 until n).map(_.toDouble / n)
     val probsLit = array(probs.map(lit): _*)
-    val thrCol =
-      if (approx) approx_percentile(value, probsLit, lit(10000))
-      else percentile(value, probsLit)
-    val row = df.agg(thrCol.as("t")).head()
-    val thresholds = row.getSeq[Any](0).map {
-      case d: java.lang.Double => d.doubleValue()
-      case l: java.lang.Long => l.toDouble
-      case i: java.lang.Integer => i.toDouble
-      case d: java.math.BigDecimal => d.doubleValue()
-    }
     val v = value.cast("double")
+    // aggregate over the double-cast value so the threshold row is
+    // uniformly Array[Double] regardless of the input column's numeric
+    // type (approx_percentile returns the INPUT type — a Float/Short
+    // column would otherwise MatchError here)
+    val thrCol =
+      if (approx) approx_percentile(v, probsLit, lit(10000))
+      else percentile(v, probsLit)
+    val row = df.agg(thrCol.as("t")).head()
+    require(!row.isNullAt(0),
+      "bucketByQuantiles: no non-null values to compute quantile thresholds from")
+    val thresholds = row.getSeq[Double](0)
     val expr = thresholds.zipWithIndex.foldLeft(Option.empty[Column]) {
       case (acc, (t, i)) =>
         val cond = v <= lit(t)

@@ -242,18 +242,24 @@ object TextAnalysis {
   /** Shannon entropy (bits/char) of the character distribution — low
     * entropy flags repeated-character junk, high entropy flags
     * base64/binary soup (both standard web-corpus cut signals).
-    * Computed as the POSITION-ORDERED mean of −log2 p(char at position)
-    * (mathematically Σ −p·log2 p, but the ordered fold is what a
-    * different engine can replay addition-order-exactly). Per-row cost
-    * O(len·distinct-chars); map-side. */
+    * Computed as Σ_c k_c·(−log2 k_c/n) / n folded over the DISTINCT
+    * characters in first-occurrence order (`array_distinct` preserves
+    * it; an oracle engine replays the same order via MIN(pos)) — the
+    * deterministic-order form of Σ −p·log2 p. Per-row cost
+    * O(len·distinct-chars), distinct-chars bounded by the alphabet;
+    * map-side. */
   def charEntropy(text: Column): Column =
     graft.functions.ibisfn.let1(
       when(length(text) === 0, array().cast("array<string>")).otherwise(
         transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1))))) { cs =>
       when(size(cs) === 0, lit(0.0)).otherwise(
-        aggregate(cs, lit(0.0), (acc, c) =>
-          acc - log(2.0, size(filter(cs, x => x === c)).cast("double") / size(cs)))
-          / size(cs))
+        graft.functions.ibisfn.let1(array_distinct(cs)) { ds =>
+          aggregate(ds, lit(0.0), (acc, c) =>
+            acc + graft.functions.ibisfn.let1(
+              size(filter(cs, x => x === c)).cast("double")) { k =>
+                k * -log(2.0, k / size(cs))
+              }) / size(cs)
+        })
     }
 
   /** fastText-style linear quality-classifier scoring: sigmoid of a
@@ -434,25 +440,82 @@ object TextAnalysis {
     * straddle a boundary belongs to the pack its first token lands in).
     * Adds `pack_id` and `pack_offset` (token offset within the stream).
     *
-    * SCALE: packing is a prefix-sum — inherently sequential — so it runs
-    * per `shard` (a window PARTITION BY): each shard packs independently
-    * and in parallel, which is exactly how a multi-worker loader shards
-    * anyway. Omitting the shard gives one global stream = one partition;
-    * fine for tests, wrong at 100 TB — always shard at scale. */
+    * SCALE: packing is a prefix-sum — inherently sequential — so with a
+    * `shard` it runs per shard (a window PARTITION BY): each shard packs
+    * independently and in parallel, which is exactly how a multi-worker
+    * loader shards anyway. WITHOUT a shard the global stream is computed
+    * as a distributed prefix sum (range-partition on `orderBy` → local
+    * running totals per partition → one |partitions|-row shift pass), so
+    * the corpus never funnels through a single task either way. */
   def packByBudget(
       df: org.apache.spark.sql.DataFrame,
       tokensCol: Column,
       budget: Long,
       orderBy: Seq[Column],
-      shard: Seq[Column] = Seq.empty): org.apache.spark.sql.DataFrame = {
+      shard: Seq[Column] = Seq.empty,
+      numShards: Int = 0): org.apache.spark.sql.DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w0 = if (shard.isEmpty) org.apache.spark.sql.expressions.Window.partitionBy()
-             else org.apache.spark.sql.expressions.Window.partitionBy(shard: _*)
-    val w = w0.orderBy(orderBy: _*)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val before = coalesce(sum(tokensCol.cast("long")).over(w), lit(0L))
-    df.withColumn("pack_offset", before)
+    if (shard.nonEmpty) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(shard: _*)
+        .orderBy(orderBy: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val before = coalesce(sum(tokensCol.cast("long")).over(w), lit(0L))
+      df.withColumn("pack_offset", before)
+        .withColumn("pack_id", (col("pack_offset") / budget).cast("long"))
+    } else globalPack(df, tokensCol, budget, orderBy, numShards)
+  }
+
+  /** Distributed global prefix sum for the shard-less [[packByBudget]]
+    * stream: range-partition + sort on `orderBy` (equal keys land in one
+    * partition, partition i holds strictly lower keys than i+1), one
+    * sequential local pass per partition (the one place `mapPartitions`
+    * is the right tool — a running total is inherently imperative), then
+    * an exclusive prefix over the |partitions|-row totals (a bounded
+    * plan-literal collect, repo convention) broadcast-joined back as a
+    * per-partition shift. Result is bit-identical to a global
+    * `SUM OVER (ORDER BY …)` window without any single-task stage. */
+  private def globalPack(
+      df: org.apache.spark.sql.DataFrame,
+      tokensCol: Column,
+      budget: Long,
+      orderBy: Seq[Column],
+      numShards: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (numShards > 0) numShards
+            else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // materialize the ranged layout once; both passes below reuse it
+    val ranged = df.withColumn("__tok", tokensCol.cast("long"))
+      .repartitionByRange(n, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .localCheckpoint()
+    val tokIdx = ranged.schema.fieldIndex("__tok")
+    val outSchema = ranged.schema
+      .add("__pid", org.apache.spark.sql.types.IntegerType)
+      .add("__local", org.apache.spark.sql.types.LongType)
+    val withLocal = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = 0L
+      it.map { r =>
+        val local = acc
+        if (!r.isNullAt(tokIdx)) acc += r.getLong(tokIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ local)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // one row per physical partition — bounded by numShards
+    val totals = withLocal.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__tok")), lit(0L)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var run = 0L
+    val shifts = totals.keys.toSeq.sorted.map { p =>
+      val s = run; run += totals(p); (p, s)
+    }
+    val shiftDf = shifts.toDF("__pid", "__shift")
+    val outCols = df.columns.map(col).toSeq :+ col("pack_offset") :+ col("pack_id")
+    withLocal.join(broadcast(shiftDf), "__pid")
+      .withColumn("pack_offset", col("__local") + col("__shift"))
       .withColumn("pack_id", (col("pack_offset") / budget).cast("long"))
+      .select(outCols: _*)
   }
 
   /** Loader manifest for [[packByBudget]]: one row per (shard, pack) with

@@ -270,9 +270,14 @@ object PipelineQueries {
       FROM (SELECT doc_id, ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:2], ' ') AS key2 FROM documents)
       GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY content_hash""")),
 
-    // Keep-first dedup (one shuffle, row_number==1).
+    // Keep-first dedup (one shuffle, row_number==1). Projection is pushed
+    // BELOW the dedup by hand: the min_by struct buffer blocks Catalyst
+    // column pruning, so feeding the full row would scan+ship `text` for a
+    // 3-column result — DuckDB's optimizer prunes the same way on its side.
+    // With payload ⊆ keys+ord, Dedup.exact plans as a codegen HashAggregate.
     QueryDef("q63_dedup_keep_first", (s, dir) => {
-      Table(Dedup.exact(documents(s, dir), Seq("lang", "source"), "doc_id"))
+      Table(Dedup.exact(documents(s, dir).select("doc_id", "lang", "source"),
+          Seq("lang", "source"), "doc_id"))
         .selectNames("doc_id", "lang", "source")
         .sort(SortKey.asc(col("doc_id")))
         .df
@@ -757,13 +762,13 @@ object PipelineQueries {
           UNNEST(LIST_TRANSFORM(range(1, LEN(text) + 1), i -> SUBSTRING(text, i, 1))) AS c,
           UNNEST(range(1, LEN(text) + 1)) AS pos
         FROM documents),
-      cn AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+      cn AS (SELECT doc_id, c, COUNT(*) AS k, MIN(pos) AS fp FROM ch GROUP BY doc_id, c),
       nn AS (SELECT doc_id, COUNT(*) AS n FROM ch GROUP BY doc_id),
       et AS (
-        SELECT ch.doc_id, ch.pos, -(LN(cn.k / CAST(nn.n AS DOUBLE)) / LN(2.0)) AS t
-        FROM ch JOIN cn ON ch.doc_id = cn.doc_id AND ch.c = cn.c
-        JOIN nn ON ch.doc_id = nn.doc_id),
-      ea AS (SELECT doc_id, LIST_SUM(LIST(t ORDER BY pos)) / COUNT(*) AS h
+        SELECT cn.doc_id, cn.fp, nn.n,
+          cn.k * -(LN(cn.k / CAST(nn.n AS DOUBLE)) / LN(2.0)) AS t
+        FROM cn JOIN nn ON cn.doc_id = nn.doc_id),
+      ea AS (SELECT doc_id, LIST_SUM(LIST(t ORDER BY fp)) / ANY_VALUE(n) AS h
         FROM et GROUP BY doc_id)
       SELECT d.doc_id, ROUND(COALESCE(ea.h, 0.0), 6) AS entropy,
         ROUND(1.0 / (1.0 + EXP(-(COALESCE(gd.dot, 0.0) + -0.1))), 6) AS clf_score

@@ -292,6 +292,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(6L) == (1L, 600L))
   }
 
+  test("packByBudget global path: distributed prefix sum matches the windowed reference") {
+    import org.apache.spark.sql.expressions.Window
+    // 1000 docs spread over 8 input partitions, token counts with nulls;
+    // the distributed range-shard + shift path must be bit-identical to a
+    // single-partition running-sum window
+    val d = spark.range(1000).repartition(8).select(col("id"),
+      when(col("id") % 97 === 0, lit(null)).otherwise(col("id") % 13 + 1).as("toks"))
+    val got = graft.operators.TextAnalysis.packByBudget(
+        d.toDF, col("toks"), 64L, Seq(col("id")), numShards = 8)
+      .select("id", "pack_offset", "pack_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    val ref = d.coalesce(1)
+      .withColumn("pack_offset", coalesce(sum(col("toks").cast("long")).over(w), lit(0L)))
+      .withColumn("pack_id", (col("pack_offset") / 64L).cast("long"))
+      .select("id", "pack_offset", "pack_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == 1000 && got == ref)
+  }
+
   test("saltedJoin matches the plain join result on a hot key") {
     val probe = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // key 1 is hot (100 rows)

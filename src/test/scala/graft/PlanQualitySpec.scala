@@ -175,6 +175,33 @@ class PlanQualitySpec extends SparkSpec {
       s"batch tumble still materializes the window struct:\n$p")
   }
 
+  test("packByBudget never plans an unpartitioned window — global path included") {
+    // The shard-less path must be the distributed prefix sum (range
+    // exchange + per-partition local pass + broadcast shift), never a
+    // Window.partitionBy() that funnels the corpus through one task; the
+    // sharded path must keep its partition spec. Checked on the physical
+    // plans via WindowExec partitionSpec.
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    def windowSpecs(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+      }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.range(100).select(col("id"),
+        (col("id") % 7 + 1).as("toks"), (col("id") % 3).cast("string").as("lang"))
+      val global = TextAnalysis.packByBudget(d.toDF, col("toks"), 16L, Seq(col("id")))
+      assert(windowSpecs(global).isEmpty,
+        "global packByBudget must not plan any WindowExec")
+      val sharded = TextAnalysis.packByBudget(d.toDF, col("toks"), 16L,
+        Seq(col("id")), shard = Seq(col("lang")))
+      val specs = windowSpecs(sharded)
+      assert(specs.nonEmpty && specs.forall(_.nonEmpty),
+        s"sharded packByBudget must partition its window, got $specs")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("describe() default plans without an Expand over every column") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

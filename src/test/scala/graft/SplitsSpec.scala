@@ -326,6 +326,25 @@ class SplitsSpec extends SparkSpec {
     assert(ap.forall(b => b >= 0 && b < 5))
   }
 
+  test("bucketByQuantiles: float/short columns and all-null input") {
+    // regression: approx_percentile returns the INPUT column type — a
+    // float column used to MatchError in the threshold decode
+    val f = (1 to 40).map(i => (i.toLong, i.toFloat)).toDF("id", "v")
+    val fb = Splits.bucketByQuantiles(f, col("v"), 2, approx = true)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(fb(1L) == 0 && fb(40L) == 1)
+    val s = (1 to 40).map(i => (i.toLong, i.toShort)).toDF("id", "v")
+    val sb = Splits.bucketByQuantiles(s, col("v"), 2)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(sb(1L) == 0 && sb(40L) == 1)
+    // all-null input: clear error, not an NPE
+    val nulls = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Splits.bucketByQuantiles(nulls, col("v"), 2)
+    }
+    assert(ex.getMessage.contains("no non-null values"))
+  }
+
   test("tokenizers are SQL-callable with literal vocab/merge arrays") {
     val wp = spark.sql(
       "SELECT wordpiece('unaffable', array('un', '##aff', '##able'))")
