@@ -403,6 +403,15 @@ final class Table(val df: DataFrame) {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(name)
 
+  /** Arrow IPC export — the Scala-native answer to the reference's
+    * to_pyarrow/to_pandas (backends/pyspark/__init__.py:250-320): the
+    * result as an Arrow stream any pyarrow/polars/duckdb client opens
+    * directly. Bounded results only — see [[graft.interop.ArrowExport]]. */
+  def toArrowFile(path: String, maxRecordsPerBatch: Int = 10000): Long =
+    graft.interop.ArrowExport.toArrowFile(df, path, maxRecordsPerBatch)
+  def toArrowBytes(maxRecordsPerBatch: Int = 10000): Array[Byte] =
+    graft.interop.ArrowExport.toArrowStreamBytes(df, maxRecordsPerBatch)
+
   /** ibis to_parquet / to_csv / to_json (+ ORC)
     * (backends/pyspark/__init__.py:993,1411). */
   def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)
