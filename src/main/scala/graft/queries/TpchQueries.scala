@@ -15,27 +15,30 @@ import Tables._
   * Catalyst picks broadcast strategies for the dimension sides. */
 object TpchQueries {
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // Q5 shape: local-supplier volume through a 6-way join (region →
-    // nation → supplier/customer colocation → orders → lineitem).
-    QueryDef("q101_tpch5_local_volume", (s, dir) => {
-      // Spark-first TPC-H Q5. The region cut fixes BOTH admissible customer
-      // and supplier sets (ASIA ⇒ 5 of 25 nations), yet the naive 6-way
-      // chain shuffles all of orders on o_custkey and all of lineitem on
-      // l_orderkey before anything is cut. Instead, both dimension maps are
-      // force-broadcast (region⋈nation⋈customer projected to 3 columns —
-      // routine map-join material on a sized cluster), so the ONLY exchange
-      // pair left is the o_orderkey join of the two pre-cut fact sides (1/5
-      // of orders, 1/5 of lineitem); supplier-customer colocation rides as a
-      // join residual. Measured at SF100: 39s warm (round-3 shape) → ~7.5s
-      // (≈DuckDB parity). A runtime bloom on l_orderkey was measured 30%
-      // SLOWER on top of this: its scalar subquery serializes the orders
-      // side ahead of the lineitem scan, and on a page-cached local[32] the
-      // 5× shuffle-volume saving doesn't pay for the lost scan parallelism
-      // (it would on an IO-bound cluster — revisit there).
+  /** Spark-first TPC-H Q5 with injectable fact sides: the bench shape
+    * feeds the parquet scans; `tools.BucketedTpch5` feeds o_orderkey-
+    * bucketed catalog tables to measure the zero-exchange co-located
+    * layout (round-5 verdict experiment 6a).
+    *
+    * The region cut fixes BOTH admissible customer
+    * and supplier sets (ASIA ⇒ 5 of 25 nations), yet the naive 6-way
+    * chain shuffles all of orders on o_custkey and all of lineitem on
+    * l_orderkey before anything is cut. Instead, both dimension maps are
+    * force-broadcast (region⋈nation⋈customer projected to 3 columns —
+    * routine map-join material on a sized cluster), so the ONLY exchange
+    * pair left is the o_orderkey join of the two pre-cut fact sides (1/5
+    * of orders, 1/5 of lineitem); supplier-customer colocation rides as a
+    * join residual. Measured at SF100: 39s warm (round-3 shape) → ~7.5s
+    * (≈DuckDB parity). A runtime bloom on l_orderkey was measured 30%
+    * SLOWER on top of this: its scalar subquery serializes the orders
+    * side ahead of the lineitem scan, and on a page-cached local[32] the
+    * 5× shuffle-volume saving doesn't pay for the lost scan parallelism
+    * (it would on an IO-bound cluster — revisit there). */
+  private[graft] def tpch5Body(s: org.apache.spark.sql.SparkSession, dir: String,
+      o: org.apache.spark.sql.DataFrame,
+      l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val n = nation(s, dir); val c = customer(s, dir); val r = region(s, dir)
-      val o = orders(s, dir); val l = lineitem(s, dir); val su = supplier(s, dir)
+      val su = supplier(s, dir)
       val asiaCust = Table(broadcast(
         Table(r).filter(r("r_name") === "ASIA")
           .join(Table(n), r("r_regionkey") === n("n_regionkey"))
@@ -82,7 +85,15 @@ object TpchQueries {
         .selectNames("n_name", "revenue")
         .sort(SortKey.desc(col("revenue")), SortKey.asc(col("n_name")))
         .df
-    }, Some("""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q5 shape: local-supplier volume through a 6-way join (region →
+    // nation → supplier/customer colocation → orders → lineitem).
+    QueryDef("q101_tpch5_local_volume",
+      (s, dir) => tpch5Body(s, dir, orders(s, dir), lineitem(s, dir)),
+      Some("""
       SELECT n_name,
         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
       FROM region
