@@ -367,6 +367,52 @@ object Dedup {
     exactClean.join(contaminated, exactClean(id) === contaminated("doc"), "left_anti")
   }
 
+  /** Exact decontamination against a blocklist too large to broadcast —
+    * the 10⁹-key benchmark-contamination case. A Bloom filter built over
+    * the blocklist's content keys (driver-side bits, `fpp` sized) rides
+    * to every task; only the bloom-POSITIVE slice — true matches plus an
+    * `fpp` fraction of false positives — ever shuffles (as slim
+    * (id, key) pairs, never document text), and a semi-join against the
+    * real key set verifies every candidate, so the RESULT is exact: the
+    * bloom can only let a non-contaminated row into the verify stage,
+    * never drop a contaminated one. The final anti-join on the verified
+    * id set is AQE-broadcastable (contaminated sets are small).
+    *
+    * Versus [[decontaminate]]'s exact stage (anti-join on the key): this
+    * trades one extra corpus scan (map-side, column-pruned) for removing
+    * the corpus-wide key shuffle — the right trade once row count ×
+    * key width dwarfs `fpp` × corpus. Same content-key definition, same
+    * exact semantics, same oracle. */
+  def decontaminateExactBloom(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      blocklist: DataFrame,
+      blockText: String,
+      expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    def contentKey(t: Column) = md5(concat_ws(" ", tokens(t)))
+    val keys = blocklist.select(contentKey(col(blockText)).as("__bkey")).distinct()
+    // |blocklist|-bounded driver work: one count (skippable via
+    // expectedItems) and the bloom bits themselves
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, keys.count())
+    // floor the sizing: tiny n × loose fpp can compute to 0 bits, which
+    // the aggregate rejects
+    val numBits = math.max(64L,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp))
+    val bloom = keys.stat.bloomFilter("__bkey", n, numBits)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val cands = corpus
+      .select(col(id).as("__cid"), contentKey(col(text)).as("__ck"))
+      .filter(might(col("__ck")))
+    val contaminatedIds = cands
+      .join(keys, cands("__ck") === keys("__bkey"), "left_semi")
+      .select(col("__cid")).distinct()
+    corpus.join(contaminatedIds, corpus(id) === contaminatedIds("__cid"), "left_anti")
+  }
+
   /** Exact pairwise n-gram Jaccard within a blocking key (e.g. language or
     * length bucket) — the verify-everything baseline for small blocks. */
   def ngramJaccardPairs(

@@ -334,6 +334,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }, Some(SketchOracles.decontaminate(numHashes = 32, bands = 8, threshold = 0.5))),
 
+    // Bloom-prefiltered exact decontamination (Dedup.decontaminateExactBloom):
+    // the huge-blocklist scale path — bloom cuts the corpus to candidates
+    // map-side, a semi-join verifies, so the RESULT is exact and shares
+    // the plain exact-removal oracle (every 14th doc's untouched text
+    // matches; the bloom adds no semantic difference by construction).
+    QueryDef("q65g_decontaminate_bloom", (s, dir) => {
+      val docs = documents(s, dir)
+      val block = docs.filter(col("doc_id") % 14 === 0).select(col("text").as("btext"))
+      Dedup.decontaminateExactBloom(docs, "doc_id", "text", block, "btext",
+          fpp = 0.01)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH ck AS (
+        SELECT doc_id,
+          MD5(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != ''), ' ')) AS k
+        FROM documents),
+      bk AS (
+        SELECT DISTINCT MD5(ARRAY_TO_STRING(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != ''), ' ')) AS k
+        FROM documents WHERE doc_id % 14 = 0)
+      SELECT doc_id FROM ck WHERE k NOT IN (SELECT k FROM bk) ORDER BY doc_id""")),
+
     // Cluster-aware near-dedup (Dedup.nearDedup): minhash-LSH pairs →
     // connected components (large-star/small-star) → keep each duplicate
     // cluster's minimum doc_id. Transitive-closure-correct: a chain

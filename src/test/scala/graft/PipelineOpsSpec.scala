@@ -131,11 +131,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("exact dedup fast path (payload ⊆ keys+ord) matches the struct path incl. null ords") {
+    // when every column is a group key or the ordering column, exact()
+    // degenerates to a plain min HashAggregate; results must equal the
+    // full-row min_by formulation, including groups whose ord is all-null
+    val d = Seq(
+      ("a", "x", Some(3L)), ("a", "x", Some(1L)), ("a", "y", Some(2L)),
+      ("b", "x", None), ("b", "x", None),          // all-null ord group
+      ("b", "y", None), ("b", "y", Some(7L)))      // mixed-null group
+      .toDF("k1", "k2", "ord")
+    val fast = Dedup.exact(d, Seq("k1", "k2"), "ord")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.get(2)))).toSet
+    // reference: the general path, forced by a payload column, then pruned
+    val general = Dedup.exact(d.withColumn("pay", concat(col("k1"), col("k2"))),
+        Seq("k1", "k2"), "ord")
+      .select("k1", "k2", "ord")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(fast == general)
+    assert(fast == Set(("a", "x", Some(1L)), ("a", "y", Some(2L)),
+      ("b", "x", None), ("b", "y", Some(7L))))
+  }
+
   test("exactGroups finds the duplicate group with sorted members") {
     val g = Dedup.exactGroups(docs, "doc_id", col("text")).collect()
     assert(g.length == 1)
     assert(g.head.getAs[Long]("keeper_id") == 1L)
     assert(g.head.getAs[scala.collection.Seq[Long]]("member_ids").toSeq == Seq(1L, 4L))
+  }
+
+  test("decontaminateExactBloom removes exactly the blocklist matches (bloom is prefilter-only)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "unique text here"),
+      (4L, "ALPHA beta   gamma!"), (5L, "another clean doc"))
+      .toDF("doc_id", "text")
+    val block = Seq("alpha beta gamma", "delta epsilon", "not in corpus")
+      .toDF("btext")
+    // doc 4 normalizes to doc 1's token stream → also removed (same
+    // content-key definition as decontaminate's exact stage)
+    val kept = Dedup.decontaminateExactBloom(corpus, "doc_id", "text", block, "btext")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L))
+    // an aggressive fpp floods the verify stage with false positives —
+    // the result must not change (semi-join verification is exact)
+    val keptHighFpp = Dedup.decontaminateExactBloom(
+        corpus, "doc_id", "text", block, "btext", expectedItems = 1L, fpp = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptHighFpp == Set(3L, 5L))
   }
 
   test("minhash LSH surfaces near-dup and exact-dup pairs, not distinct docs") {
