@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MoneySum4(Cast(children.head, org.apache.spark.sql.types.DoubleType))
           .toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("image_header"),
+      new ExpressionInfo(classOf[ImageHeader].getName, "image_header"),
+      (children: Seq[Expression]) => ImageHeader(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("geo_point"),
       new ExpressionInfo(classOf[GeoPointWkb].getName, "geo_point"),
       (children: Seq[Expression]) => GeoPointWkb(
@@ -194,4 +198,8 @@ object exprs {
     * equivalent of `sum(x.cast("decimal(38,4)")).cast("double")`. */
   def moneySum4(x: Column): Column =
     co(MoneySum4(Cast(ex(x), org.apache.spark.sql.types.DoubleType)).toAggregateExpression())
+
+  /** Real image-header probe (see [[ImageHeader]]): struct(width, height,
+    * format) from PNG/GIF/BMP/JPEG header bytes, null on no match. */
+  def imageHeader(payload: Column): Column = co(ImageHeader(ex(payload)))
 }

@@ -45,8 +45,18 @@ object Multimodal {
   // outputs are cross-engine verifiable) so the distributed plumbing is
   // fully testable end-to-end.
 
+  /** REAL image-header probe (round 6): parses PNG IHDR, GIF screen
+    * descriptor, BMP info header, and the JPEG SOF marker walk directly
+    * from the payload bytes — no codec library involved, so this part of
+    * the decode story is genuine even in this container. Returns
+    * struct(width, height, format); null when no signature matches.
+    * Codegen'd custom expression; also SQL-registered as `image_header`. */
+  def imageHeader(payload: Column): Column = graft.exts.exprs.imageHeader(payload)
+
   /** STUB image decode → (width, height, channels) header probe. A real
-    * implementation parses the format header (pure-JVM for JPEG/PNG). */
+    * implementation parses the format header (pure-JVM for JPEG/PNG —
+    * that part is now REAL in [[imageHeader]]; this md5 fake remains for
+    * the oracle-checked q72 plumbing over synthetic payloads). */
   def probeImageDims(payload: Column): Column = struct(
     (pmod(Dedup.md5Hash28(payload), lit(1920L)) + 1L).cast(IntegerType).as("width"),
     (pmod(Dedup.md5Hash28(concat(payload, lit("h").cast(BinaryType))), lit(1080L)) + 1L)

@@ -159,6 +159,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(g.head.getAs[scala.collection.Seq[Long]]("member_ids").toSeq == Seq(1L, 4L))
   }
 
+  test("imageHeader parses real PNG/GIF/BMP/JPEG header bytes; unknown -> null") {
+    import java.nio.ByteBuffer
+    // minimal VALID headers synthesized byte-for-byte per format spec
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13); b.put("IHDR".getBytes); b.putInt(w); b.putInt(h)
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte); b.position(18); b.putInt(w); b.putInt(-h) // top-down negative height
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++ new Array[Byte](14)
+      val sof0 = Array(0xff, 0xc0, 0x00, 0x11, 0x08,
+        (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, 3).map(_.toByte)
+      Array(0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++ new Array[Byte](10)
+    }
+    val rows = Seq(
+      ("png", png(640, 480)), ("gif", gif(320, 200)),
+      ("bmp", bmp(1024, 768)), ("jpeg", jpeg(1920, 1080)),
+      ("junk", "not an image at all".getBytes))
+      .toDF("tag", "payload")
+    val out = rows.select(col("tag"),
+        graft.operators.Multimodal.imageHeader(col("payload")).as("hdr"))
+      .collect().map { r =>
+        val h = r.getStruct(1)
+        r.getString(0) -> Option(h).map(s => (s.getInt(0), s.getInt(1), s.getString(2)))
+      }.toMap
+    assert(out("png") == Some((640, 480, "png")))
+    assert(out("gif") == Some((320, 200, "gif")))
+    assert(out("bmp") == Some((1024, 768, "bmp")))
+    assert(out("jpeg") == Some((1920, 1080, "jpeg")))
+    assert(out("junk") == None)
+    // SQL-registered variant agrees
+    rows.createOrReplaceTempView("imgs")
+    val sql = spark.sql("SELECT image_header(payload).format f FROM imgs WHERE tag='png'")
+    assert(sql.head().getString(0) == "png")
+  }
+
   test("decontaminateExactBloom removes exactly the blocklist matches (bloom is prefilter-only)") {
     val corpus = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "unique text here"),
