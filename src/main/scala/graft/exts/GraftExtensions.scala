@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ImageHeader].getName, "image_header"),
       (children: Seq[Expression]) => ImageHeader(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("audio_header"),
+      new ExpressionInfo(classOf[AudioHeader].getName, "audio_header"),
+      (children: Seq[Expression]) => AudioHeader(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("geo_point"),
       new ExpressionInfo(classOf[GeoPointWkb].getName, "geo_point"),
       (children: Seq[Expression]) => GeoPointWkb(
@@ -202,4 +206,7 @@ object exprs {
   /** Real image-header probe (see [[ImageHeader]]): struct(width, height,
     * format) from PNG/GIF/BMP/JPEG header bytes, null on no match. */
   def imageHeader(payload: Column): Column = co(ImageHeader(ex(payload)))
+
+  /** Real WAV/RIFF audio-header probe (see [[AudioHeader]]). */
+  def audioHeader(payload: Column): Column = co(AudioHeader(ex(payload)))
 }

@@ -47,6 +47,80 @@ case class ImageHeader(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** REAL audio-header probe, the WAV/RIFF sibling of [[ImageHeader]]:
+  * sample rate / channels / bits per sample straight from the fmt chunk,
+  * duration derived from the data chunk size — all plain header bytes.
+  * Returns struct(sample_rate, channels, bits, duration_ms, format);
+  * null when the payload is not RIFF/WAVE. */
+case class AudioHeader(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AudioHeader.schema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"audio_header needs binary input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    AudioHeader.probe(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("hdr")
+      s"""
+        InternalRow $r = graft.exts.AudioHeader.probe($b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AudioHeader =
+    copy(child = newChild)
+}
+
+object AudioHeader {
+  val schema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("format", StringType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
+
+  /** Static probe — called from both eval and generated code. Walks the
+    * RIFF chunk list for fmt and data (order not assumed). */
+  def probe(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 36) return null
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    var rate = 0L; var channels = 0; var bits = 0
+    var byteRate = 0L; var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val sz = le32(b, i + 4)
+      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        byteRate = le32(b, i + 16)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataLen = sz
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      if (sz < 0 || sz > Int.MaxValue) return null
+    }
+    if (rate <= 0 || channels <= 0 || rate > Int.MaxValue) return null
+    val durationMs =
+      if (dataLen >= 0 && byteRate > 0) dataLen * 1000L / byteRate else -1L
+    new GenericInternalRow(Array[Any](rate.toInt, channels, bits,
+      if (durationMs >= 0) durationMs else null, UTF8String.fromString("wav")))
+  }
+}
+
 object ImageHeader {
   val schema: StructType = StructType(Seq(
     StructField("width", IntegerType),

@@ -53,6 +53,11 @@ object Multimodal {
     * Codegen'd custom expression; also SQL-registered as `image_header`. */
   def imageHeader(payload: Column): Column = graft.exts.exprs.imageHeader(payload)
 
+  /** REAL WAV/RIFF audio-header probe (round 6): sample rate, channels,
+    * bits, and data-chunk-derived duration from the raw header bytes —
+    * the audio sibling of [[imageHeader]]. SQL: `audio_header`. */
+  def audioHeader(payload: Column): Column = graft.exts.exprs.audioHeader(payload)
+
   /** STUB image decode → (width, height, channels) header probe. A real
     * implementation parses the format header (pure-JVM for JPEG/PNG —
     * that part is now REAL in [[imageHeader]]; this md5 fake remains for

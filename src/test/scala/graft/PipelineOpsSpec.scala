@@ -204,6 +204,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sql.head().getString(0) == "png")
   }
 
+  test("audioHeader parses a real WAV header (fmt + data chunks, either order)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wav(rate: Int, ch: Int, bits: Int, dataBytes: Int, dataFirst: Boolean): Array[Byte] = {
+      val fmt = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      fmt.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(ch.toShort)
+        .putInt(rate).putInt(rate * ch * bits / 8).putShort((ch * bits / 8).toShort)
+        .putShort(bits.toShort)
+      val data = ByteBuffer.allocate(8 + dataBytes).order(ByteOrder.LITTLE_ENDIAN)
+      data.put("data".getBytes).putInt(dataBytes)
+      val chunks = if (dataFirst) data.array() ++ fmt.array() else fmt.array() ++ data.array()
+      val hdr = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.put("RIFF".getBytes).putInt(4 + chunks.length).put("WAVE".getBytes)
+      hdr.array() ++ chunks
+    }
+    // 16kHz mono 16-bit, 32000 data bytes = exactly 1000 ms
+    val rows = Seq(
+      ("fwd", wav(16000, 1, 16, 32000, dataFirst = false)),
+      ("rev", wav(44100, 2, 16, 44100, dataFirst = true)),   // 250 ms stereo
+      ("junk", "RIFFxxxxJUNK".getBytes))
+      .toDF("tag", "payload")
+    val out = rows.select(col("tag"),
+        graft.operators.Multimodal.audioHeader(col("payload")).as("h"))
+      .collect().map { r =>
+        val h = r.getStruct(1)
+        r.getString(0) -> Option(h).map(s =>
+          (s.getInt(0), s.getInt(1), s.getInt(2), s.getLong(3), s.getString(4)))
+      }.toMap
+    assert(out("fwd") == Some((16000, 1, 16, 1000L, "wav")))
+    assert(out("rev") == Some((44100, 2, 16, 250L, "wav")))
+    assert(out("junk") == None)
+  }
+
   test("decontaminateExactBloom removes exactly the blocklist matches (bloom is prefilter-only)") {
     val corpus = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "unique text here"),
