@@ -1099,6 +1099,51 @@ object PipelineQueries {
     // deterministic fakes (see Multimodal), so the whole pipeline —
     // including BOTH feature paths (pure expression and mapPartitions
     // batch) — is oracle-checked.
+    // REAL header parsers, end-to-end: GIF and WAV headers are SYNTHESIZED
+    // in-query from known fields (doc_id/n_chars → LE byte packing via
+    // hex/unhex), parsed back by the custom expressions, and the oracle
+    // predicts the roundtrip from the same arithmetic — so the parser's
+    // byte-offset/endianness logic is value-checked without any image lib.
+    QueryDef("q72b_header_probes", (s, dir) => {
+      def le16(v: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(pmod(v, lit(256))), 2, "0"), lpad(hex((v / 256).cast("int")), 2, "0")))
+      def le32(v: org.apache.spark.sql.Column) = unhex(concat(
+        lpad(hex(pmod(v, lit(256))), 2, "0"),
+        lpad(hex(pmod((v / 256).cast("long"), lit(256))), 2, "0"),
+        lpad(hex(pmod((v / 65536).cast("long"), lit(256))), 2, "0"),
+        lpad(hex(pmod((v / 16777216).cast("long"), lit(256))), 2, "0")))
+      val w = (col("n_chars") % 1000 + 1).cast("int")
+      val h = (col("doc_id") % 500 + 1).cast("int")
+      val gif = concat(lit("GIF89a").cast("binary"), le16(w), le16(h))
+      val rate = (col("doc_id") % 40000 + 8000).cast("int")
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val byteRate = rate * ch * 2
+      val dataBytes = (col("n_chars") * 4).cast("int")
+      val wav = concat(
+        lit("RIFF").cast("binary"), le32(lit(36) + dataBytes), lit("WAVE").cast("binary"),
+        lit("fmt ").cast("binary"), le32(lit(16)), le16(lit(1)), le16(ch),
+        le32(rate), le32(byteRate), le16(ch * 2), le16(lit(16)),
+        lit("data").cast("binary"), le32(dataBytes))
+      documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Multimodal.imageHeader(gif).getField("width").as("gif_w"),
+          Multimodal.imageHeader(gif).getField("height").as("gif_h"),
+          Multimodal.imageHeader(gif).getField("format").as("gif_fmt"),
+          Multimodal.audioHeader(wav).getField("sample_rate").as("wav_rate"),
+          Multimodal.audioHeader(wav).getField("channels").as("wav_ch"),
+          Multimodal.audioHeader(wav).getField("duration_ms").as("wav_ms"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CAST(n_chars % 1000 + 1 AS INT) AS gif_w,
+        CAST(doc_id % 500 + 1 AS INT) AS gif_h,
+        'gif' AS gif_fmt,
+        CAST(doc_id % 40000 + 8000 AS INT) AS wav_rate,
+        CAST(doc_id % 2 + 1 AS INT) AS wav_ch,
+        CAST(CAST(n_chars * 4 AS BIGINT) * 1000
+          // ((doc_id % 40000 + 8000) * (doc_id % 2 + 1) * 2) AS BIGINT) AS wav_ms
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
     QueryDef("q72_multimodal", (s, dir) => {
       val d = documents(s, dir)
         .filter(col("doc_id") < 20)
