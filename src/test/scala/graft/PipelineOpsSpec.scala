@@ -204,6 +204,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sql.head().getString(0) == "png")
   }
 
+  test("header probes never throw on arbitrary or truncated bytes") {
+    import graft.exts.{AudioHeader, ImageHeader}
+    val rnd = new scala.util.Random(42)
+    for (len <- Seq(0, 1, 5, 9, 10, 23, 35, 36, 50, 200); _ <- 1 to 50) {
+      val b = Array.fill(len)(rnd.nextInt(256).toByte)
+      ImageHeader.probe(b); AudioHeader.probe(b) // parse-or-null, never throw
+    }
+    // adversarial: valid signatures with truncated/garbage bodies
+    val sigs = Seq(
+      "GIF89a".getBytes("ISO-8859-1"),
+      ("RIFF\u0000\u0000\u0000\u0000WAVE").getBytes("ISO-8859-1"),
+      "BM".getBytes("ISO-8859-1"),
+      Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array(0xff, 0xd8).map(_.toByte))
+    for (sig <- sigs; pad <- 0 to 48) {
+      val b = sig ++ Array.fill(pad)(rnd.nextInt(256).toByte)
+      ImageHeader.probe(b); AudioHeader.probe(b)
+    }
+    // null payload through the expression is null, not an NPE
+    val out = Seq((1L, Option.empty[Array[Byte]])).toDF("id", "p")
+      .select(graft.operators.Multimodal.imageHeader(col("p"))).head()
+    assert(out.isNullAt(0))
+  }
+
   test("audioHeader parses a real WAV header (fmt + data chunks, either order)") {
     import java.nio.{ByteBuffer, ByteOrder}
     def wav(rate: Int, ch: Int, bits: Int, dataBytes: Int, dataFirst: Boolean): Array[Byte] = {
