@@ -97,21 +97,23 @@ object AudioHeader {
   def probe(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 36) return null
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    var i = 12
+    // cursor is a Long: a chunk size field near 0xFFFFFFFF would wrap an
+    // Int cursor negative and index out of bounds on adversarial input
+    var i = 12L
     var rate = 0L; var channels = 0; var bits = 0
     var byteRate = 0L; var dataLen = -1L
     while (i + 8 <= b.length) {
-      val sz = le32(b, i + 4)
-      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        byteRate = le32(b, i + 16)
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
+      val at = i.toInt
+      val sz = le32(b, at + 4)
+      if (tag(b, at, "fmt ") && i + 24 <= b.length) {
+        channels = le16(b, at + 10)
+        rate = le32(b, at + 12)
+        byteRate = le32(b, at + 16)
+        bits = le16(b, at + 22)
+      } else if (tag(b, at, "data")) {
         dataLen = sz
       }
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-      if (sz < 0 || sz > Int.MaxValue) return null
+      i += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
     if (rate <= 0 || channels <= 0 || rate > Int.MaxValue) return null
     val durationMs =
@@ -150,9 +152,20 @@ object ImageHeader {
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row(le16(b, 6), le16(b, 8), "gif")
-    // BMP: "BM" + BITMAPINFOHEADER (width/|height| LE int32 at 18/22)
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      return row(le32(b, 18), math.abs(le32(b, 22).toInt).toLong, "bmp")
+    // BMP: "BM" + DIB header, whose SIZE field at 14 picks the layout —
+    // BITMAPINFOHEADER family stores int32 width/|height| at 18/22, the
+    // OS/2 BITMAPCOREHEADER stores uint16 at 18/20; reading the 32-bit
+    // layout unconditionally would return confidently wrong numbers for
+    // core-header files. Unknown DIB sizes return null, never a guess.
+    if (b.length >= 22 && b(0) == 'B' && b(1) == 'M') {
+      val dib = le32(b, 14)
+      if (dib == 12L)
+        return row(le16(b, 18), le16(b, 20), "bmp")
+      if (b.length >= 26 &&
+          (dib == 40L || dib == 52L || dib == 56L || dib == 64L || dib == 108L || dib == 124L))
+        return row(le32(b, 18), math.abs(le32(b, 22).toInt).toLong, "bmp")
+      return null
+    }
     // JPEG: FFD8, walk marker segments to the first SOFn frame header
     if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
       var i = 2

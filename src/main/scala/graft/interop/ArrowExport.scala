@@ -57,6 +57,14 @@ object ArrowExport {
   private def toArrowField(name: String, dt: DataType, nullable: Boolean,
       tz: String): Field = dt match {
     case ArrayType(elem, containsNull) =>
+      // reject HERE, before any batch is written: the writer covers only
+      // numeric list elements, and failing mid-stream would leave a
+      // truncated Arrow file behind without naming the column
+      elem match {
+        case IntegerType | LongType | FloatType | DoubleType => ()
+        case other => throw new UnsupportedOperationException(
+          s"ArrowExport: column '$name' is array<$other>; list exports cover numeric elements only")
+      }
       new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
         Seq(toArrowField("element", elem, containsNull, tz)).asJava)
     case other =>

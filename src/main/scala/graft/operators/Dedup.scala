@@ -33,7 +33,17 @@ object Dedup {
     // real planner cost on wide plans. Catalyst stats are free. Unknown
     // sizes estimate huge → no-op, the safe direction at scale.
     val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
-    val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit + 1
+    val bytesSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit + 1
+    // the bytes estimate overshoots for UNSPLITTABLE compressed sources
+    // (few large .gz files = few tasks no matter the byte count) — there
+    // the real ceiling is the file count. inputFiles is cached listing
+    // metadata, no RDD involved.
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    val unsplittableExt = Seq(".gz", ".zst", ".lz4", ".deflate", ".br", ".sz")
+    val allUnsplittable = files.nonEmpty &&
+      files.forall(f => unsplittableExt.exists(f.endsWith))
+    val estSplits =
+      if (allUnsplittable) BigInt(files.length) else bytesSplits
     if (estSplits < target) df.repartition(target) else df
   }
 
@@ -46,7 +56,12 @@ object Dedup {
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
     val allCols = df.columns.toSeq
     val payload = allCols.filterNot(c => keyCols.contains(c) || c == orderCol)
-    if (payload.isEmpty) {
+    if (payload.isEmpty && keyCols.contains(orderCol)) {
+      // ordering column IS a group key: every row of a group is identical
+      // on all output columns, so keep-first = distinct (aliasing min(ord)
+      // as ord would otherwise collide with the grouping column)
+      df.select(allCols.map(col): _*).distinct()
+    } else if (payload.isEmpty) {
       // Every output column is a group key or the ordering column itself:
       // min_by degenerates to plain min (nulls ignored = nulls-last; a
       // group that is entirely null keeps a null-ord row either way).

@@ -95,5 +95,13 @@ class ArrowExportSpec extends SparkSpec {
       ArrowExport.toArrowStreamBytes(df)
     }
     assert(ex.getMessage.contains("Map"))
+    // array<string> must be rejected BEFORE any batch is written (a
+    // mid-stream failure would leave a truncated Arrow file), naming the
+    // column (review finding)
+    val tokens = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+    val ex2 = intercept[UnsupportedOperationException] {
+      ArrowExport.toArrowStreamBytes(tokens)
+    }
+    assert(ex2.getMessage.contains("toks") && ex2.getMessage.contains("String"))
   }
 }

@@ -150,6 +150,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fast == general)
     assert(fast == Set(("a", "x", Some(1L)), ("a", "y", Some(2L)),
       ("b", "x", None), ("b", "y", Some(7L))))
+    // orderCol that is ALSO a group key: aliasing min(ord) as ord would
+    // duplicate the column name (review finding) — distinct path instead
+    val kd = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "ord")
+    val dedup = Dedup.exact(kd, Seq("k", "ord"), "ord")
+    assert(dedup.columns.toSeq == Seq("k", "ord"))
+    assert(dedup.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 1L), ("a", 2L), ("b", 1L)))
+  }
+
+  test("scatter spreads unsplittable-compressed sources by file count, not byte estimate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gz").toFile
+    // one gzip json file = one scan task regardless of its byte size
+    val gz = new java.io.File(dir, "docs.json.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    (1 to 5000).foreach { i =>
+      out.write(s"""{"id":$i,"text":"document number $i with some words"}\n""".getBytes) }
+    out.close()
+    val df = spark.read.json(dir.getAbsolutePath)
+    val scattered = graft.operators.Dedup.scatter(df)
+    assert(scattered.rdd.getNumPartitions >=
+      spark.sparkContext.defaultParallelism,
+      "gzip source must be spread across the cluster before CPU-heavy stages")
+    // parquet stays un-scattered when its byte estimate says enough splits
+    gz.delete(); dir.delete()
   }
 
   test("exactGroups finds the duplicate group with sorted members") {
@@ -173,7 +197,16 @@ class PipelineOpsSpec extends SparkSpec {
         (h & 0xff).toByte, (h >> 8).toByte)
     def bmp(w: Int, h: Int): Array[Byte] = {
       val b = ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put('B'.toByte).put('M'.toByte); b.position(18); b.putInt(w); b.putInt(-h) // top-down negative height
+      b.put('B'.toByte).put('M'.toByte)
+      b.position(14); b.putInt(40) // BITMAPINFOHEADER size
+      b.putInt(w); b.putInt(-h) // top-down negative height
+      b.array()
+    }
+    def bmpCore(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(22).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte)
+      b.position(14); b.putInt(12) // OS/2 BITMAPCOREHEADER: uint16 dims
+      b.putShort(w.toShort); b.putShort(h.toShort)
       b.array()
     }
     def jpeg(w: Int, h: Int): Array[Byte] = {
@@ -184,7 +217,8 @@ class PipelineOpsSpec extends SparkSpec {
     }
     val rows = Seq(
       ("png", png(640, 480)), ("gif", gif(320, 200)),
-      ("bmp", bmp(1024, 768)), ("jpeg", jpeg(1920, 1080)),
+      ("bmp", bmp(1024, 768)), ("bmpcore", bmpCore(100, 50)),
+      ("jpeg", jpeg(1920, 1080)),
       ("junk", "not an image at all".getBytes))
       .toDF("tag", "payload")
     val out = rows.select(col("tag"),
@@ -196,6 +230,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("png") == Some((640, 480, "png")))
     assert(out("gif") == Some((320, 200, "gif")))
     assert(out("bmp") == Some((1024, 768, "bmp")))
+    assert(out("bmpcore") == Some((100, 50, "bmp")))
     assert(out("jpeg") == Some((1920, 1080, "jpeg")))
     assert(out("junk") == None)
     // SQL-registered variant agrees
@@ -226,6 +261,17 @@ class PipelineOpsSpec extends SparkSpec {
     val out = Seq((1L, Option.empty[Array[Byte]])).toDF("id", "p")
       .select(graft.operators.Multimodal.imageHeader(col("p"))).head()
     assert(out.isNullAt(0))
+    // adversarial WAV chunk size near 0xFFFFFFFF: an Int cursor would wrap
+    // negative and index out of bounds (review finding) — must return
+    // parse-or-null, not throw
+    for (szBytes <- Seq(
+        Array(0xff, 0xff, 0xff, 0x7f), // Int.MaxValue
+        Array(0xec, 0xff, 0xff, 0x7f), // MaxValue - 19
+        Array(0xff, 0xff, 0xff, 0xff))) { // uint32 max
+      val evil = "RIFF".getBytes ++ Array.fill(4)(0.toByte) ++ "WAVE".getBytes ++
+        "junk".getBytes ++ szBytes.map(_.toByte) ++ Array.fill(24)(0.toByte)
+      AudioHeader.probe(evil) // must not throw
+    }
   }
 
   test("audioHeader parses a real WAV header (fmt + data chunks, either order)") {
