@@ -136,6 +136,31 @@ class TableApiSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join on a SUPERSET of the bucket key drops the exchange with the subset-key conf") {
+    // the tools.BucketedTpch5 mechanism: tables bucketed on k, join on
+    // (k, k2) — partitioning on k alone still co-locates every (k, k2)
+    // group, accepted via requireAllClusterKeysForCoPartition=false
+    for (t <- Seq("graft_facts_b2", "graft_dims_b2")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    Table(spark.range(1000).toDF("k")
+        .withColumn("k2", col("k") % 7).withColumn("v", col("k") * 2))
+      .toBucketedTable("graft_facts_b2", 4, "k")
+    Table(spark.range(100).toDF("k").withColumn("k2", col("k") % 7))
+      .toBucketedTable("graft_dims_b2", 4, "k")
+    val f = spark.table("graft_facts_b2"); val d = spark.table("graft_dims_b2")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      withConf("spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+        val joined = f.join(d, Seq("k", "k2"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"superset-key bucketed join still shuffles:\n$plan")
+        assert(joined.count() == 100)
+      }
+    }
+  }
+
   private def withConf[T](kv: (String, String))(body: => T): T = {
     val old = spark.conf.getOption(kv._1)
     spark.conf.set(kv._1, kv._2)
