@@ -521,8 +521,15 @@ object Table {
     new Table(spark.read.option("header", header.toString).option("inferSchema", "true").csv(path))
   def readJson(spark: SparkSession, path: String): Table = new Table(spark.read.json(path))
   /** ORC — native in spark-sql (the DuckDB reference backend's extra-format
-    * role; delta/kafka need their connector jars on the cluster classpath). */
+    * role; kafka needs its connector jar on the cluster classpath). */
   def readOrc(spark: SparkSession, path: String): Table = new Table(spark.read.orc(path))
+
+  /** ibis read_delta (backends/pyspark/__init__.py:801) — native
+    * transaction-log replay for protocol-v1 tables, no delta-spark jar
+    * needed for the read side; see [[graft.sources.DeltaRead]]. */
+  def readDelta(spark: SparkSession, path: String,
+      asOfVersion: Option[Long] = None): Table =
+    new Table(graft.sources.DeltaRead.readDelta(spark, path, asOfVersion))
 
   /** ibis memtable (ibis/expr/api.py). */
   def memtable(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
