@@ -412,6 +412,13 @@ final class Table(val df: DataFrame) {
   def toArrowBytes(maxRecordsPerBatch: Int = 10000): Array[Byte] =
     graft.interop.ArrowExport.toArrowStreamBytes(df, maxRecordsPerBatch)
 
+  /** ibis to_delta (backends/pyspark/__init__.py:954) — native
+    * single-writer commit for rename-atomic filesystems; returns the
+    * committed version. See [[graft.sources.DeltaWrite]]. */
+  def toDelta(path: String,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Long =
+    graft.sources.DeltaWrite.toDelta(df, path, mode)
+
   /** ibis to_parquet / to_csv / to_json (+ ORC)
     * (backends/pyspark/__init__.py:993,1411). */
   def toParquet(path: String): Unit = df.write.mode("overwrite").parquet(path)

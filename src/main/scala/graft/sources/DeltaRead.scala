@@ -30,9 +30,52 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaRead {
 
+  private[sources] case class LogState(
+    var minReader: Int = 1,
+    var schemaJson: String = null,
+    var partitionCols: Seq[String] = Seq.empty,
+    active: scala.collection.mutable.LinkedHashMap[String, Unit] =
+      scala.collection.mutable.LinkedHashMap.empty)
+
+  /** Relative paths of the currently active files — the remove set an
+    * overwrite commit must publish ([[DeltaWrite]]). */
+  def activeFiles(spark: SparkSession, path: String): Seq[String] =
+    replay(spark, path, None).active.keys.toSeq
+
   /** Read a Delta table at its latest version (or `asOfVersion`). */
   def readDelta(spark: SparkSession, path: String,
       asOfVersion: Option[Long] = None): DataFrame = {
+    val st = replay(spark, path, asOfVersion)
+    require(st.minReader <= 1,
+      s"Delta table at $path requires minReaderVersion=${st.minReader}; " +
+        "this native reader implements protocol v1 only (no deletion " +
+        "vectors / column mapping) — read it with delta-spark instead")
+    require(st.schemaJson != null, s"Delta log at $path has no metaData action")
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val files = st.active.keys.toSeq.map { p =>
+      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      if (decoded.startsWith("/") || decoded.contains("://")) decoded
+      else new File(path, decoded).getAbsolutePath
+    }
+    if (files.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      // basePath keeps hive-style partition directories as columns; the
+      // declared data schema excludes them in the Delta layout
+      val dataSchema = StructType(schema.filterNot(f => st.partitionCols.contains(f.name)))
+      val df = spark.read
+        .option("basePath", path)
+        .schema(StructType(dataSchema ++
+          schema.filter(f => st.partitionCols.contains(f.name))))
+        .parquet(files: _*)
+      // restore declared column order
+      df.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
+
+  private def replay(spark: SparkSession, path: String,
+      asOfVersion: Option[Long]): LogState = {
     val logDir = new File(path, "_delta_log")
     require(logDir.isDirectory, s"not a Delta table (no _delta_log): $path")
 
@@ -54,13 +97,7 @@ object DeltaRead {
     // action stream in commit order: checkpoint rows first (their order
     // is irrelevant — a checkpoint holds one action per live entity),
     // then each later commit's actions
-    case class State(
-      var minReader: Int = 1,
-      var schemaJson: String = null,
-      var partitionCols: Seq[String] = Seq.empty,
-      active: scala.collection.mutable.LinkedHashMap[String, Unit] =
-        scala.collection.mutable.LinkedHashMap.empty)
-    val st = State()
+    val st = LogState()
 
     def applyActions(df: DataFrame): Unit = {
       val cols = df.columns.toSet
@@ -89,32 +126,6 @@ object DeltaRead {
       // one commit at a time keeps action ordering exact across commits
       applyActions(spark.read.json(f.getAbsolutePath))
     }
-
-    require(st.minReader <= 1,
-      s"Delta table at $path requires minReaderVersion=${st.minReader}; " +
-        "this native reader implements protocol v1 only (no deletion " +
-        "vectors / column mapping) — read it with delta-spark instead")
-    require(st.schemaJson != null, s"Delta log at $path has no metaData action")
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    val files = st.active.keys.toSeq.map { p =>
-      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
-      if (decoded.startsWith("/") || decoded.contains("://")) decoded
-      else new File(path, decoded).getAbsolutePath
-    }
-    if (files.isEmpty) {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
-      // basePath keeps hive-style partition directories as columns; the
-      // declared data schema excludes them in the Delta layout
-      val dataSchema = StructType(schema.filterNot(f => st.partitionCols.contains(f.name)))
-      val df = spark.read
-        .option("basePath", path)
-        .schema(StructType(dataSchema ++
-          schema.filter(f => st.partitionCols.contains(f.name))))
-        .parquet(files: _*)
-      // restore declared column order
-      df.select(schema.fieldNames.map(col).toSeq: _*)
-    }
+    st
   }
 }

