@@ -172,6 +172,35 @@ object MiscQueries {
       SELECT COUNT(*) AS n_parquet, COUNT(*) AS n_csv, COUNT(*) AS n_json,
         COUNT(*) AS n_orc FROM nation""")),
 
+    // Native Delta round trip (sources/DeltaRead+DeltaWrite — the public
+    // transaction-log protocol, no delta-spark jar): overwrite, append,
+    // overwrite again, then read BOTH the latest version and a
+    // time-travel version; the oracle predicts all four numbers from the
+    // same nation/region inputs.
+    QueryDef("q98b_delta_roundtrip", (s, dir) => {
+      val base = "/root/repo/target/delta_roundtrip"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val n = Table(nation(s, dir)).selectNames("n_nationkey", "n_name")
+      val r = Table(region(s, dir)).selectNames("r_regionkey", "r_name")
+        .rename("r_regionkey" -> "n_nationkey", "r_name" -> "n_name")
+      n.toDelta(base)                                        // v0: nations
+      r.toDelta(base, org.apache.spark.sql.SaveMode.Append)  // v1: + regions
+      n.toDelta(base)                                        // v2: nations only
+      val latest = Table.readDelta(s, base).df
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"))
+      val v1 = Table.readDelta(s, base, asOfVersion = Some(1L)).df
+        .agg(count(lit(1)).as("n_v1"))
+      val v0 = Table.readDelta(s, base, asOfVersion = Some(0L)).df
+        .agg(count(lit(1)).as("n_v0"))
+      latest.crossJoin(v1).crossJoin(v0)
+    }, Some("""
+      SELECT
+        (SELECT COUNT(*) FROM nation) AS n_latest,
+        (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation) AS key_sum,
+        (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS n_v1,
+        (SELECT COUNT(*) FROM nation) AS n_v0""")),
+
     // memtable (InMemoryTable) + DummyTable (1-row literals).
     QueryDef("q99_memtable", (s, dir) => {
       import org.apache.spark.sql.Row
