@@ -4,26 +4,35 @@ import java.io.File
 import java.nio.file.{Files, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.types.{DataType, StructType}
 
-/** Native Delta Lake WRITE for filesystems with atomic rename — the
+/** Native Delta Lake WRITE for filesystems with atomic link/rename — the
   * single-writer side of [[DeltaRead]], per the same public protocol:
   * data lands as plain parquet parts, then ONE commit JSON
   * (`_delta_log/%020d.json`) publishes them with add (and, for
-  * overwrite, remove) actions. The commit is made visible by an ATOMIC
-  * `Files.move` of a temp file into the versioned name, failing if the
-  * version already exists — exactly the put-if-absent contract the Delta
-  * spec requires of a log store. That makes this writer correct for
-  * local/NFS/HDFS-style rename semantics (the delta-standalone model);
-  * S3-style multi-writer coordination needs a real log-store service and
-  * stays with delta-spark (DIVERGENCES.md §3).
+  * overwrite, remove) actions. The commit is made visible by hard-link
+  * creation into the versioned name — atomic AND failing when the
+  * version already exists, which is the put-if-absent contract the Delta
+  * spec requires of a log store (plain rename() silently REPLACES on
+  * POSIX). Correct for local/NFS/HDFS-style semantics, the
+  * delta-standalone model; S3-style multi-writer coordination needs a
+  * real log-store service and stays with delta-spark (DIVERGENCES §3).
+  *
+  * The writer replays the existing table state first (checkpoints
+  * included, via [[DeltaRead]]): the next version counts BOTH commit
+  * JSONs and checkpoints, appends validate the schema against the
+  * table's metaData (a silent mismatch would read back as all-null
+  * columns), overwrite with a NEW schema publishes an updated metaData
+  * action, and partitioned tables are refused — this writer emits
+  * unpartitioned layouts only.
   *
   * Tables written here carry protocol (1,2) and read back both through
   * [[DeltaRead]] and any standard Delta reader. */
 object DeltaWrite {
 
   /** Write `df` to a Delta table at `path`. Supported modes: Overwrite
-    * (logically removes previously active files) and Append. Returns the
-    * committed version. */
+    * (logically removes previously active files; may change the schema)
+    * and Append (schema must match). Returns the committed version. */
   def toDelta(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"toDelta supports Overwrite/Append, got $mode")
@@ -31,43 +40,62 @@ object DeltaWrite {
     val logDir = new File(table, "_delta_log")
     logDir.mkdirs()
 
-    val existing = Option(logDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("\\d{20}\\.json"))
-      .map(_.getName.take(20).toLong)
-    val version = if (existing.isEmpty) 0L else existing.max + 1
-    val isFirst = existing.isEmpty
-
-    // previously active files (to remove on overwrite) via the reader's
-    // replay — bounded driver-side metadata work
+    // existing table state — version counting must see CHECKPOINTS too
+    // (a checkpoint-only log is a real table, not a fresh one)
+    val prior = DeltaRead.currentState(df.sparkSession, path)
+    val version = prior.map(_.version + 1).getOrElse(0L)
+    prior.foreach { st =>
+      require(st.partitionCols.isEmpty,
+        s"Delta table at $path is partitioned by ${st.partitionCols.mkString(",")}; " +
+          "this writer emits unpartitioned layouts only — use delta-spark")
+      if (mode == SaveMode.Append && st.schemaJson != null) {
+        val existing = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+        val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
+          df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        require(same,
+          s"append schema ${df.schema.simpleString} does not match the table's " +
+            s"${existing.simpleString} at $path — the mismatch would read back " +
+            "as null columns")
+      }
+    }
     val priorActive: Seq[String] =
-      if (!isFirst && mode == SaveMode.Overwrite)
-        DeltaRead.activeFiles(df.sparkSession, path)
+      if (mode == SaveMode.Overwrite) prior.map(_.active.keys.toSeq).getOrElse(Seq.empty)
       else Seq.empty
+    val schemaChanged = prior.forall(_.schemaJson == null) ||
+      prior.exists { st =>
+        DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+          .fields.map(f => (f.name, f.dataType)).toSeq !=
+          df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      }
+    val needMeta = prior.isEmpty || (mode == SaveMode.Overwrite && schemaChanged)
 
-    // data: write parts into a temp dir, move them in under unique names
+    // data: write parts into a temp dir, move them in under unique names;
+    // the staging dir is removed afterwards
     val tmp = Files.createTempDirectory("graft_delta_write").toFile
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
-    val commitUuid = java.util.UUID.randomUUID().toString
-    val parts = Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val added = parts.zipWithIndex.map { case (p, i) =>
-      val name = f"part-$i%05d-$commitUuid.snappy.parquet"
-      Files.move(p.toPath, new File(table, name).toPath,
-        StandardCopyOption.REPLACE_EXISTING)
-      name -> p.length()
-    }.toSeq
+    val added = try {
+      df.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+      val commitUuid = java.util.UUID.randomUUID().toString
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.map { case (p, i) =>
+          val name = f"part-$i%05d-$commitUuid.snappy.parquet"
+          Files.move(p.toPath, new File(table, name).toPath,
+            StandardCopyOption.REPLACE_EXISTING)
+          name -> new File(table, name).length()
+        }.toSeq
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
 
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
-    if (isFirst) {
+    if (prior.isEmpty)
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    if (needMeta)
       lines += s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":${jstr(df.schema.json)},""" +
         s""""partitionColumns":[],"configuration":{},"createdTime":$now}}"""
-    }
     priorActive.foreach { p =>
       lines += s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
@@ -76,21 +104,27 @@ object DeltaWrite {
         s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
 
-    // atomic publish with PUT-IF-ABSENT: plain rename() would silently
-    // REPLACE an existing version on POSIX — hard-link creation is both
-    // atomic and fails when the target exists, which is exactly the
-    // log-store contract
-    val tmpCommit = new File(logDir, s".${version}_$commitUuid.json.tmp")
-    Files.write(tmpCommit.toPath, (lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    // atomic publish with PUT-IF-ABSENT via hard-link creation
+    val tmpCommit = new File(logDir,
+      s".${version}_${java.util.UUID.randomUUID().toString}.json.tmp")
     val target = new File(logDir, f"$version%020d.json")
     try {
-      Files.createLink(target.toPath, tmpCommit.toPath)
-      tmpCommit.delete()
-    } catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        tmpCommit.delete()
-        throw new IllegalStateException(
-          s"concurrent Delta commit at version $version for $path", e)
+      Files.write(tmpCommit.toPath, (lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+      try Files.createLink(target.toPath, tmpCommit.toPath)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"concurrent Delta commit at version $version for $path", e)
+        case _: UnsupportedOperationException =>
+          // no hard links on this fs: best-effort existence check + atomic
+          // move (still atomic; loses only the concurrent-writer guard)
+          if (target.exists())
+            throw new IllegalStateException(
+              s"concurrent Delta commit at version $version for $path")
+          Files.move(tmpCommit.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally {
+      if (tmpCommit.exists()) tmpCommit.delete()
     }
     version
   }

@@ -134,6 +134,75 @@ class DeltaReadSpec extends SparkSpec {
     assert(v4 == 4L)
   }
 
+  test("partition values come from the add actions — non-hive file layout reads correctly") {
+    // PROTOCOL.md: partitionValues is authoritative; directory naming is
+    // only a convention. Files at the table ROOT with partitionValues set
+    // must still read with correct partition columns.
+    val table = Files.createTempDirectory("graft_delta_nh").toFile
+    val full = Seq((1L, "x", "en")).toDF("id", "s", "lang")
+    val schemaJson = full.schema.json.replace("\"", "\\\"")
+    writePart(table, "flat-1.parquet", Seq((1L, "x")).toDF("id", "s"))
+    writePart(table, "flat-2.parquet", Seq((2L, "y")).toDF("id", "s"))
+    writeCommit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["lang"],"configuration":{}}}""",
+      """{"add":{"path":"flat-1.parquet","partitionValues":{"lang":"en"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"flat-2.parquet","partitionValues":{"lang":"de"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val out = DeltaRead.readDelta(spark, table.getAbsolutePath)
+    assert(out.select("id", "lang").as[(Long, String)].collect().toSet ==
+      Set((1L, "en"), (2L, "de")))
+  }
+
+  test("time travel to a nonexistent version errors instead of clamping") {
+    val table = Files.createTempDirectory("graft_delta_tt").toFile.getAbsolutePath
+    graft.api.Table(Seq((1L, "a")).toDF("id", "s")).toDelta(table)
+    val ex = intercept[IllegalArgumentException] {
+      DeltaRead.readDelta(spark, table, asOfVersion = Some(99L))
+    }
+    assert(ex.getMessage.contains("no version 99"))
+  }
+
+  test("non-contiguous log (aged-out prefix, no checkpoint) errors instead of partial data") {
+    val table = Files.createTempDirectory("graft_delta_gap").toFile
+    val schemaJson = Seq((1L, "a")).toDF("id", "s").schema.json.replace("\"", "\\\"")
+    writePart(table, "part-5.parquet", Seq((5L, "e")).toDF("id", "s"))
+    // only version 5 survives — 0..4 aged out with no checkpoint
+    writeCommit(table, 5L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"part-5.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val ex = intercept[IllegalArgumentException] {
+      DeltaRead.readDelta(spark, table.getAbsolutePath)
+    }
+    assert(ex.getMessage.contains("not contiguous"))
+  }
+
+  test("append with a mismatched schema fails; checkpoint-only tables keep version counting") {
+    import org.apache.spark.sql.SaveMode
+    val table = Files.createTempDirectory("graft_delta_sv").toFile
+    graft.api.Table(Seq((1L, "a")).toDF("id", "s")).toDelta(table.getAbsolutePath)
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.Table(Seq((1, 2.0)).toDF("a", "b"))
+        .toDelta(table.getAbsolutePath, SaveMode.Append)
+    }
+    assert(ex.getMessage.contains("does not match"))
+    // collapse the log to a checkpoint ONLY (json aged out): the next
+    // write must count from the checkpoint version, not restart at 0
+    val log = new File(table, "_delta_log")
+    val cpJson = spark.read.json(
+      new File(log, f"${0L}%020d.json").getAbsolutePath)
+    val tmp = Files.createTempDirectory("graft_cp2").toFile
+    cpJson.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    Files.move(tmp.listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+      new File(log, f"${0L}%020d.checkpoint.parquet").toPath)
+    new File(log, f"${0L}%020d.json").delete()
+    val v1 = graft.api.Table(Seq((2L, "b")).toDF("id", "s"))
+      .toDelta(table.getAbsolutePath, SaveMode.Append)
+    assert(v1 == 1L)
+    assert(DeltaRead.readDelta(spark, table.getAbsolutePath)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("reader features beyond v1 fail clearly, not wrongly") {
     val table = Files.createTempDirectory("graft_delta_v3").toFile
     val schemaJson = Seq((1L, "a")).toDF("id", "s").schema.json.replace("\"", "\\\"")
