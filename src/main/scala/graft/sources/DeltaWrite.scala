@@ -104,12 +104,59 @@ object DeltaWrite {
         s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
 
+    publishCommit(logDir, version, lines.result(), path)
+    version
+  }
+
+  /** Collapse the table's current state into a parquet checkpoint at the
+    * latest version (+ `_last_checkpoint` pointer), so replay cost stays
+    * bounded as history grows — the standard log-maintenance step.
+    * Aged-out JSON prefixes are then safe to delete: [[DeltaRead]] starts
+    * from the newest complete checkpoint. Returns the checkpointed
+    * version. */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val st = DeltaRead.currentState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no Delta table at $path"))
+    val logDir = new File(new File(path), "_delta_log")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val lines =
+      Seq(s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
+          s""""format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(st.schemaJson)},""" +
+          s""""partitionColumns":${st.partitionCols.map(jstr).mkString("[", ",", "]")},""" +
+          """"configuration":{}}}""") ++
+      st.active.toSeq.map { case (p, pv) =>
+        val pvJson = pv.toSeq.map { case (k, v) =>
+          s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }.mkString("{", ",", "}")
+        s"""{"add":{"path":${jstr(p)},"partitionValues":$pvJson,"size":0,""" +
+          s""""modificationTime":0,"dataChange":false}}"""
+      }
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_delta_cp").toFile
+    try {
+      spark.read.json(lines.toDS).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+      val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        new File(logDir, f"${st.version}%020d.checkpoint.parquet").toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    Files.write(new File(logDir, "_last_checkpoint").toPath,
+      s"""{"version":${st.version},"size":${lines.size}}\n""".getBytes("UTF-8"))
+    st.version
+  }
+
+  private def publishCommit(logDir: File, version: Long, lines: Seq[String],
+      path: String): Unit = {
     // atomic publish with PUT-IF-ABSENT via hard-link creation
     val tmpCommit = new File(logDir,
       s".${version}_${java.util.UUID.randomUUID().toString}.json.tmp")
     val target = new File(logDir, f"$version%020d.json")
     try {
-      Files.write(tmpCommit.toPath, (lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+      Files.write(tmpCommit.toPath, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
       try Files.createLink(target.toPath, tmpCommit.toPath)
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -126,6 +173,5 @@ object DeltaWrite {
     } finally {
       if (tmpCommit.exists()) tmpCommit.delete()
     }
-    version
   }
 }

@@ -203,6 +203,27 @@ class DeltaReadSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
   }
 
+  test("checkpoint() collapses history; aged-out prefix then reads fine") {
+    import org.apache.spark.sql.SaveMode
+    val table = Files.createTempDirectory("graft_delta_ckpt").toFile
+    graft.api.Table(Seq((1L, "a")).toDF("id", "s")).toDelta(table.getAbsolutePath)
+    graft.api.Table(Seq((2L, "b")).toDF("id", "s"))
+      .toDelta(table.getAbsolutePath, SaveMode.Append)
+    val cv = graft.sources.DeltaWrite.checkpoint(spark, table.getAbsolutePath)
+    assert(cv == 1L)
+    // age out ALL the json prefix — the checkpoint alone must carry state
+    val log = new File(table, "_delta_log")
+    new File(log, f"${0L}%020d.json").delete()
+    new File(log, f"${1L}%020d.json").delete()
+    assert(DeltaRead.readDelta(spark, table.getAbsolutePath)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // and writing continues from the checkpointed version
+    val v2 = graft.api.Table(Seq((3L, "c")).toDF("id", "s"))
+      .toDelta(table.getAbsolutePath, SaveMode.Append)
+    assert(v2 == 2L)
+    assert(DeltaRead.readDelta(spark, table.getAbsolutePath).count() == 3)
+  }
+
   test("reader features beyond v1 fail clearly, not wrongly") {
     val table = Files.createTempDirectory("graft_delta_v3").toFile
     val schemaJson = Seq((1L, "a")).toDF("id", "s").schema.json.replace("\"", "\\\"")
