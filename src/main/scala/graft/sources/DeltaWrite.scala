@@ -149,6 +149,40 @@ object DeltaWrite {
     st.version
   }
 
+  /** Delete data files no longer referenced by the current table version
+    * and older than `retentionMs` (default 7 days — the retention window
+    * protects readers of recent historical versions and in-flight
+    * writers). Returns the deleted paths. The log itself is never
+    * touched; time travel to versions whose files were vacuumed will
+    * fail at scan time, same as delta-spark. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    require(retentionMs >= 0, "retentionMs must be >= 0")
+    val st = DeltaRead.currentState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no Delta table at $path"))
+    val table = new File(path)
+    val activeAbs = st.active.keys.map { p =>
+      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      val f = if (decoded.startsWith("/")) new File(decoded) else new File(table, decoded)
+      f.getCanonicalPath
+    }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val logCanon = new File(table, "_delta_log").getCanonicalPath
+    def walk(dir: File): Seq[File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory)
+          { if (f.getCanonicalPath == logCanon) Seq.empty else walk(f) }
+        else Seq(f)
+      }
+    val deleted = walk(table).filter { f =>
+      f.getName.endsWith(".parquet") &&
+        !activeAbs.contains(f.getCanonicalPath) &&
+        f.lastModified() < cutoff
+    }
+    deleted.foreach(_.delete())
+    deleted.map(_.getAbsolutePath)
+  }
+
   private def publishCommit(logDir: File, version: Long, lines: Seq[String],
       path: String): Unit = {
     // atomic publish with PUT-IF-ABSENT via hard-link creation

@@ -224,6 +224,22 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.readDelta(spark, table.getAbsolutePath).count() == 3)
   }
 
+  test("vacuum deletes only unreferenced files past retention; table keeps reading") {
+    import org.apache.spark.sql.SaveMode
+    val table = Files.createTempDirectory("graft_delta_vac").toFile
+    graft.api.Table(Seq((1L, "a")).toDF("id", "s")).toDelta(table.getAbsolutePath)
+    graft.api.Table(Seq((2L, "b")).toDF("id", "s")).toDelta(table.getAbsolutePath) // orphans v0 files
+    val parquetsBefore = Option(table.listFiles()).get.count(_.getName.endsWith(".parquet"))
+    assert(parquetsBefore == 2)
+    // default retention protects the fresh orphan
+    assert(graft.sources.DeltaWrite.vacuum(spark, table.getAbsolutePath).isEmpty)
+    // retention 0 removes it
+    val deleted = graft.sources.DeltaWrite.vacuum(spark, table.getAbsolutePath, retentionMs = 0L)
+    assert(deleted.size == 1)
+    assert(DeltaRead.readDelta(spark, table.getAbsolutePath)
+      .as[(Long, String)].collect().toSet == Set((2L, "b")))
+  }
+
   test("reader features beyond v1 fail clearly, not wrongly") {
     val table = Files.createTempDirectory("graft_delta_v3").toFile
     val schemaJson = Seq((1L, "a")).toDF("id", "s").schema.json.replace("\"", "\\\"")
