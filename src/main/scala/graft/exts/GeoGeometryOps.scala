@@ -1019,10 +1019,13 @@ object GeoGeomOps {
   private final val EarthR = 6378137.0
 
   /** Is this SRID one geo_transform can reproject? 4326, 3857 (web
-    * mercator), and the UTM zones 326zz (north) / 327zz (south). */
+    * mercator), the UTM zones 326zz (north) / 327zz (south), plus the
+    * published-parameter conic/azimuthal set in [[GeoProjections]]
+    * (3035 LAEA Europe, 5070 Conus Albers, 2154 Lambert-93). */
   def supportedSrid(srid: Int): Boolean =
     srid == 4326 || srid == 3857 ||
-      (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760)
+      (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760) ||
+      GeoProjections.Srids.contains(srid)
 
   /** srid → 4326 lon/lat. */
   private def toGeo(srid: Int): (Double, Double) => (Double, Double) = srid match {
@@ -1030,6 +1033,7 @@ object GeoGeomOps {
     case 3857 => (x, y) =>
       (math.toDegrees(x / EarthR),
        math.toDegrees(2.0 * math.atan(math.exp(y / EarthR)) - math.Pi / 2.0))
+    case s if GeoProjections.Srids.contains(s) => GeoProjections.inverse(s)
     case utm => TransverseMercator.utmInverse(utm)
   }
 
@@ -1039,20 +1043,22 @@ object GeoGeomOps {
     case 3857 => (lon, lat) =>
       (EarthR * math.toRadians(lon),
        EarthR * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0)))
+    case s if GeoProjections.Srids.contains(s) => GeoProjections.forward(s)
     case utm => TransverseMercator.utmForward(utm)
   }
 
   /** Reproject every coordinate between supported CRSs (4326 ↔ 3857 ↔ any
-    * UTM zone — non-4326 pairs hop through lon/lat); output carries the
-    * target SRID as EWKB. Multi* / GeometryCollection inputs reproject
-    * each member. Unsupported (from, to) → IllegalArgumentException
-    * (caught at plan time by GeoProject's type check). */
+    * UTM zone ↔ LAEA/Albers/Lambert-93 — non-4326 pairs hop through
+    * lon/lat); output carries the target SRID as EWKB. Multi* /
+    * GeometryCollection inputs reproject each member. Unsupported
+    * (from, to) → IllegalArgumentException (caught at plan time by
+    * GeoProject's type check). */
   def transform(bytes: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
     val g = parse(bytes)
     if (g == null) return null
     if (fromSrid == toSrid) return setSrid(GeoGeom.write(g), toSrid)
     require(supportedSrid(fromSrid) && supportedSrid(toSrid),
-      s"geo_transform supports EPSG 4326/3857/UTM(326zz,327zz), got ($fromSrid, $toSrid)")
+      s"geo_transform supports EPSG 4326/3857/UTM(326zz,327zz)/3035/5070/2154, got ($fromSrid, $toSrid)")
     val to4326 = toGeo(fromSrid)
     val from4326 = fromGeo(toSrid)
     val fn: (Double, Double) => (Double, Double) =
