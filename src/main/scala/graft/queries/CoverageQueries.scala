@@ -691,6 +691,81 @@ object CoverageQueries {
         TRUE AS e_in_band
       FROM nation ORDER BY 1""")),
 
+    // Round-6 conic/azimuthal CRSs (GeoProjections: 2154 Lambert-93,
+    // 3035 LAEA, 5070 Albers). The Lambert-93 FORWARD is replayed in
+    // self-contained SQL (closed-form Snyder LCC-2SP — constants n, F,
+    // rho0 derived in the oracle from the same published parameters), and
+    // all three must round-trip to identity at 1e-6 degrees, which only
+    // holds when forward AND the iterative inverse are real.
+    QueryDef("q74e_geo_projections", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val lon = lit(3.0) + (k % 5 - 2).cast("double") * 1.5
+      val lat = lit(44.0) + (k % 7).cast("double") * 0.8
+      val p = geo.point(lon, lat)
+      val l93 = geo.transform(p, 4326, 2154)
+      val back93 = geo.transform(l93, 2154, 4326)
+      val eLon = lit(10.0) + (k % 5 - 2).cast("double") * 4.0
+      val eLat = lit(45.0) + (k % 7).cast("double") * 3.0
+      val backE = geo.transform(geo.transform(geo.point(eLon, eLat), 4326, 3035), 3035, 4326)
+      val aLon = lit(-96.0) + (k % 5 - 2).cast("double") * 8.0
+      val aLat = lit(30.0) + (k % 7).cast("double") * 2.5
+      val backA = geo.transform(geo.transform(geo.point(aLon, aLat), 4326, 5070), 5070, 4326)
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        round(geo.x(l93), 3).as("x93"),
+        round(geo.y(l93), 3).as("y93"),
+        geo.srid(l93).as("srid93"),
+        round(geo.x(back93), 6).as("lon93_rt"),
+        round(geo.y(back93), 6).as("lat93_rt"),
+        round(geo.x(backE), 6).as("lon3035_rt"),
+        round(geo.y(backE), 6).as("lat3035_rt"),
+        round(geo.x(backA), 6).as("lon5070_rt"),
+        round(geo.y(backA), 6).as("lat5070_rt"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH c AS (
+        SELECT 6378137.0 AS a, 1.0/298.257222101 AS f,
+          (1.0/298.257222101)*(2.0 - 1.0/298.257222101) AS e2,
+          SQRT((1.0/298.257222101)*(2.0 - 1.0/298.257222101)) AS e,
+          RADIANS(49.0) AS p1, RADIANS(44.0) AS p2,
+          RADIANS(46.5) AS p0, RADIANS(3.0) AS l0),
+      k AS (
+        SELECT a, e2, e, l0,
+          COS(p1)/SQRT(1-e2*SIN(p1)*SIN(p1)) AS m1,
+          COS(p2)/SQRT(1-e2*SIN(p2)*SIN(p2)) AS m2,
+          TAN(PI()/4-p1/2)/POW((1-e*SIN(p1))/(1+e*SIN(p1)), e/2) AS t1,
+          TAN(PI()/4-p2/2)/POW((1-e*SIN(p2))/(1+e*SIN(p2)), e/2) AS t2,
+          TAN(PI()/4-p0/2)/POW((1-e*SIN(p0))/(1+e*SIN(p0)), e/2) AS t0
+        FROM c),
+      kn AS (SELECT *, (LN(m1)-LN(m2))/(LN(t1)-LN(t2)) AS n FROM k),
+      kf AS (SELECT *, m1/(n*POW(t1,n)) AS ff FROM kn),
+      kr AS (SELECT *, a*ff*POW(t0,n) AS rho0 FROM kf),
+      pts AS (
+        SELECT n_nationkey,
+          3.0 + (n_nationkey % 5 - 2)*1.5 AS lon,
+          44.0 + (n_nationkey % 7)*0.8 AS lat
+        FROM nation),
+      proj AS (
+        SELECT n_nationkey, lon, lat, kr.n*(RADIANS(lon)-kr.l0) AS theta,
+          kr.a*kr.ff*POW(
+            TAN(PI()/4-RADIANS(lat)/2) /
+              POW((1-kr.e*SIN(RADIANS(lat)))/(1+kr.e*SIN(RADIANS(lat))), kr.e/2),
+            kr.n) AS rho,
+          kr.rho0
+        FROM pts CROSS JOIN kr)
+      SELECT n_nationkey,
+        ROUND(700000.0 + rho*SIN(theta), 3) AS x93,
+        ROUND(6600000.0 + rho0 - rho*COS(theta), 3) AS y93,
+        CAST(2154 AS INT) AS srid93,
+        ROUND(lon, 6) AS lon93_rt, ROUND(lat, 6) AS lat93_rt,
+        ROUND(10.0 + (n_nationkey % 5 - 2)*4.0, 6) AS lon3035_rt,
+        ROUND(45.0 + (n_nationkey % 7)*3.0, 6) AS lat3035_rt,
+        ROUND(-96.0 + (n_nationkey % 5 - 2)*8.0, 6) AS lon5070_rt,
+        ROUND(30.0 + (n_nationkey % 7)*2.5, 6) AS lat5070_rt
+      FROM proj ORDER BY 1""")),
+
     // DE-9IM-style predicate battery (exts/GeoGeometryOps.scala;
     // geospatial.py:179 touches, :172 overlaps, :49 covers, :77 equals,
     // :161 ordering_equals, :63 crosses, :42 contains_properly, :405
