@@ -382,6 +382,35 @@ object Dedup {
     exactClean.join(contaminated, exactClean(id) === contaminated("doc"), "left_anti")
   }
 
+  /** N-gram overlap decontamination — the GPT-3/PaLM-style "13-gram
+    * collision" benchmark test: a corpus document is removed when it
+    * shares ANY n-token shingle with the blocklist (far stricter than
+    * whole-document or jaccard matching — one leaked benchmark sentence
+    * inside a long web page is enough). Documents shorter than n tokens
+    * fall back to whole-token-stream matching on both sides
+    * ([[shingles]]' rule), so short items still decontaminate.
+    *
+    * SCALE: grams ship as md5 digests — the corpus side of the gram join
+    * is a slim (id, digest) stream, never text; the blocklist side is
+    * |bench|·len distinct digests (broadcast-sized for real benchmark
+    * suites); the hit-id set is small → the final anti-join is
+    * AQE-broadcastable. Exact (digest equality ⟺ gram equality modulo
+    * md5 collision), fully oracle-replayable. */
+  def decontaminateNgrams(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      blocklist: DataFrame,
+      blockText: String,
+      n: Int = 13): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    def grams(t: Column) = transform(shingles(tokens(t), n), g => md5(g.cast("binary")))
+    val bg = blocklist.select(explode(grams(col(blockText))).as("__g")).distinct()
+    val cg = corpus.select(col(id).as("__cid"), explode(grams(col(text))).as("__g"))
+    val hit = cg.join(bg, "__g").select(col("__cid")).distinct()
+    corpus.join(hit, corpus(id) === hit("__cid"), "left_anti")
+  }
+
   /** Exact decontamination against a blocklist too large to broadcast —
     * the 10⁹-key benchmark-contamination case. A Bloom filter built over
     * the blocklist's content keys (driver-side bits, `fpp` sized) rides

@@ -356,6 +356,44 @@ object PipelineQueries {
         FROM documents WHERE doc_id % 14 = 0)
       SELECT doc_id FROM ck WHERE k NOT IN (SELECT k FROM bk) ORDER BY doc_id""")),
 
+    // N-gram overlap decontamination (Dedup.decontaminateNgrams — the
+    // GPT-3 13-gram collision test, here 8-grams so the synthetic docs
+    // actually collide): blocklist = a 20-token window from every 9th
+    // document, so exactly the documents long enough to contain their own
+    // window's 8-grams get removed. The oracle rebuilds both gram sets
+    // with the same sliding windows and removes on any intersection.
+    QueryDef("q65h_decontaminate_ngrams", (s, dir) => {
+      val docs = documents(s, dir)
+      val block = docs.filter(col("doc_id") % 9 === 0)
+        .select(concat_ws(" ",
+          slice(Dedup.tokens(col("text")), 5, 20)).as("btext"))
+      Dedup.decontaminateNgrams(docs, "doc_id", "text", block, "btext", n = 8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x != '') AS w
+        FROM documents),
+      blk AS (
+        SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(
+            ARRAY_TO_STRING(w[5:24], ' ')), '[^a-z0-9]+'), x -> x != '') AS bw
+        FROM tok WHERE doc_id % 9 = 0),
+      bg AS (
+        SELECT DISTINCT g FROM blk, UNNEST(
+          CASE WHEN LEN(bw) < 8 THEN [ARRAY_TO_STRING(bw, ' ')]
+               ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(bw)-7),
+                 i -> ARRAY_TO_STRING(bw[i:i+7], ' ')) END) AS t(g)),
+      cg AS (
+        SELECT doc_id, UNNEST(
+          CASE WHEN LEN(w) < 8 THEN [ARRAY_TO_STRING(w, ' ')]
+               ELSE LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w)-7),
+                 i -> ARRAY_TO_STRING(w[i:i+7], ' ')) END) AS g
+        FROM tok),
+      hits AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+      SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+      ORDER BY doc_id""")),
+
     // Cluster-aware near-dedup (Dedup.nearDedup): minhash-LSH pairs →
     // connected components (large-star/small-star) → keep each duplicate
     // cluster's minimum doc_id. Transitive-closure-correct: a chain

@@ -306,6 +306,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("junk") == None)
   }
 
+  test("decontaminateNgrams removes docs sharing ANY n-gram; short docs whole-stream match") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains the leaked trigram
+      (2L, "totally different words entirely here"),
+      (3L, "x gamma delta epsilon y z"),              // also contains it
+      (4L, "tiny doc"),                               // < n tokens
+      (5L, "gamma delta unrelated epsilon"))          // has the words, not the trigram
+      .toDF("doc_id", "text")
+    val block = Seq("leaked prefix gamma delta epsilon suffix", "tiny doc")
+      .toDF("btext")
+    val kept = Dedup.decontaminateNgrams(corpus, "doc_id", "text", block, "btext", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // 1 and 3 share the "gamma delta epsilon" trigram; 4 (< n tokens)
+    // whole-stream-matches the short blocklist entry... but that entry has
+    // >= 3 tokens so it shingles — 4 survives only if no gram equals its
+    // whole stream. "tiny doc" blocklist entry is 2 tokens -> whole-stream
+    // gram "tiny doc" == doc 4's stream -> removed.
+    assert(kept == Set(2L, 5L))
+  }
+
   test("decontaminateExactBloom removes exactly the blocklist matches (bloom is prefilter-only)") {
     val corpus = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "unique text here"),
