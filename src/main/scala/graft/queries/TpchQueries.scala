@@ -105,6 +105,38 @@ object TpchQueries {
       WHERE r_name = 'ASIA'
       GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    // Floor control for q101 (round-6 verdict #4): the exchange pair ALONE.
+    // q101's plan pre-cuts both fact sides via broadcast dimension maps and
+    // pre-aggregates lineitem per order below its single exchange pair; this
+    // control reproduces exactly that exchange — lineitem pre-aggregated per
+    // orderkey joined to orders on orderkey, both sides cut to ~1/5 by a
+    // deterministic orderkey residue (standing in for the ASIA cut, which is
+    // also a post-scan hash lookup) — with none of the dimension work. The
+    // delta between this and q101 is the broadcast pre-cut machinery; the
+    // delta between this and DuckDB's identical SQL is the shuffle-exchange
+    // floor. Excluded from the bench ratio geomean, like q80/q103 controls.
+    QueryDef("q101_control", (s, dir) => {
+      val o = orders(s, dir); val l = lineitem(s, dir)
+      val perOrder = Table(l)
+        .filter(l("l_orderkey") % 5 === 0)
+        .mutate("qty" -> l("l_quantity").cast("long"))
+        .groupBy(l("l_orderkey"))
+        .aggregate(sum(col("qty")).as("qty"))
+      Table(o)
+        .filter(o("o_orderkey") % 5 === 0)
+        .selectNames("o_orderkey")
+        .join(perOrder, col("o_orderkey") === perOrder.df("l_orderkey"))
+        .aggregate(count(lit(1)).as("n_orders"), sum(col("qty")).as("total_qty"))
+        .df
+    }, Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(qty) AS BIGINT) AS total_qty
+      FROM (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+        FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY l_orderkey) j
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderkey % 5 = 0""")),
+
     // Q7 shape: shipping volume between two nations by year.
     QueryDef("q102_tpch7_nation_volume", (s, dir) => {
       val n1 = Table(nation(s, dir)).rename("n_name" -> "supp_nation").df
