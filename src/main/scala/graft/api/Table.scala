@@ -416,8 +416,9 @@ final class Table(val df: DataFrame) {
     * single-writer commit for rename-atomic filesystems; returns the
     * committed version. See [[graft.sources.DeltaWrite]]. */
   def toDelta(path: String,
-      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Long =
-    graft.sources.DeltaWrite.toDelta(df, path, mode)
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite,
+      partitionBy: Seq[String] = Seq.empty): Long =
+    graft.sources.DeltaWrite.toDelta(df, path, mode, partitionBy)
 
   /** ibis to_parquet / to_csv / to_json (+ ORC)
     * (backends/pyspark/__init__.py:993,1411). */

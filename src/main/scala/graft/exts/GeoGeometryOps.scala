@@ -18,15 +18,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * GeoTouches :179, GeoCrosses :63, GeoOverlaps :172, GeoBuffer :362
   * (points, n-gon approximation), GeoSRID :346, GeoSetSRID :353,
   * GeoAsBinary :469, GeoAsEWKB :476, GeoAsEWKT :483, GeoNRings :336,
-  * GeoGeometryN :84, GeoTransform :450 / GeoConvert :459 (the closed-form
-  * EPSG:4326 ↔ EPSG:3857 web-mercator pair — the one reprojection a
-  * planar engine can do exactly; arbitrary proj pipelines stay descoped).
+  * GeoGeometryN :84, GeoTransform :450 / GeoConvert :459.
   *
-  * Still out of scope (GEOS computational geometry, documented divergence
-  * in COVERAGE.md): geometric set-op OUTPUTS (GeoUnion :195,
-  * GeoIntersection :426, GeoDifference :433, GeoUnaryUnion :186),
-  * GeoLineMerge :131 and Multi-geometry / GeometryCollection inputs, arbitrary-CRS
-  * GeoTransform, and Buffer of lines/polygons (curve offsetting).
+  * Scope grew through rounds 4-6 well past this file's original remit —
+  * the current state (see COVERAGE.md and [[GeoProjections]]):
+  * geometric set-op OUTPUTS on simple-ring operands
+  * (GeoUnion :195, GeoIntersection :426, GeoDifference :433,
+  * GeoUnaryUnion :186), GeoLineMerge :131, Multi-geometry /
+  * GeometryCollection INPUTS across the op surface, and GeoTransform
+  * over the closed-form Snyder set (EPSG:3857, all UTM zones, 3035 LAEA
+  * Europe, 5070 Conus Albers, 2154 Lambert-93). Still out of scope
+  * (DIVERGENCES.md §1): set-op outputs on holed/curved operands and the
+  * proj-database CRS long tail — unsupported shapes return null, never
+  * a wrong answer.
   *
   * DE-9IM-style predicates (touches/crosses/overlaps) are implemented
   * through interior-intersection tests: proper segment crossings plus

@@ -201,6 +201,31 @@ object MiscQueries {
         (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region) AS n_v1,
         (SELECT COUNT(*) FROM nation) AS n_v0""")),
 
+    // Native Delta PARTITIONED round trip (round-7): hive-style dirs +
+    // per-add partitionValues, append into matching partitioning, then a
+    // read whose partition column is reconstructed from the add actions
+    // (and cast back to its schema type) plus a partition-pruned filter.
+    QueryDef("q98c_delta_partitioned", (s, dir) => {
+      val base = "/root/repo/target/delta_partitioned"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val n = Table(nation(s, dir)).selectNames("n_nationkey", "n_name", "n_regionkey")
+      n.toDelta(base, partitionBy = Seq("n_regionkey"))          // v0: partitioned
+      n.filter(col("n_regionkey") === 0)                         // v1: + region-0 again
+        .toDelta(base, org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("n_regionkey"))
+      val latest = Table.readDelta(s, base).df
+      val totals = latest.agg(count(lit(1)).as("n_latest"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"))
+      val pruned = latest.filter(col("n_regionkey") === 1)
+        .agg(count(lit(1)).as("n_r1"))
+      totals.crossJoin(pruned)
+    }, Some("""
+      SELECT
+        (SELECT COUNT(*) FROM nation) +
+          (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0) AS n_latest,
+        CAST((SELECT SUM(n_nationkey) FROM nation) +
+          (SELECT SUM(n_nationkey) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS key_sum,
+        (SELECT COUNT(*) FROM nation WHERE n_regionkey = 1) AS n_r1""")),
+
     // memtable (InMemoryTable) + DummyTable (1-row literals).
     QueryDef("q99_memtable", (s, dir) => {
       import org.apache.spark.sql.Row

@@ -73,7 +73,9 @@ object DeltaRead {
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
 
     def resolve(p: String): String = {
-      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      // percent-decode only: URLDecoder's '+'→space rule would corrupt a
+      // literal '+' in a path (percent-encoding never emits '+')
+      val decoded = java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
       if (decoded.startsWith("/") || decoded.contains("://")) decoded
       else new File(path, decoded).getAbsolutePath
     }

@@ -20,22 +20,36 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * The writer replays the existing table state first (checkpoints
   * included, via [[DeltaRead]]): the next version counts BOTH commit
-  * JSONs and checkpoints, appends validate the schema against the
-  * table's metaData (a silent mismatch would read back as all-null
-  * columns), overwrite with a NEW schema publishes an updated metaData
-  * action, and partitioned tables are refused — this writer emits
-  * unpartitioned layouts only.
+  * JSONs and checkpoints, appends validate schema AND partitioning
+  * against the table's metaData (a silent mismatch would read back as
+  * all-null columns), and overwrite with a new schema or partitioning
+  * publishes an updated metaData action. Partitioned layouts are
+  * hive-style dirs with per-add `partitionValues` (see [[toDelta]]).
   *
   * Tables written here carry protocol (1,2) and read back both through
   * [[DeltaRead]] and any standard Delta reader. */
 object DeltaWrite {
 
   /** Write `df` to a Delta table at `path`. Supported modes: Overwrite
-    * (logically removes previously active files; may change the schema)
-    * and Append (schema must match). Returns the committed version. */
-  def toDelta(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Long = {
+    * (logically removes previously active files; may change the schema
+    * and the partitioning) and Append (schema AND partitioning must
+    * match the table's). `partitionBy` emits a hive-style directory
+    * layout (`col=value/part-*.parquet`, partition columns excluded from
+    * the data files) with each add action carrying the authoritative
+    * `partitionValues` map — the layout any standard Delta reader and
+    * [[DeltaRead]] consume, and the one that lets a 100 TB table prune
+    * whole partitions at the metadata level before any scan.
+    * Returns the committed version. */
+  def toDelta(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"toDelta supports Overwrite/Append, got $mode")
+    partitionBy.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"partition column $c is not in the dataframe schema ${df.schema.simpleString}")
+    }
+    require(partitionBy.size < df.schema.size,
+      "partitioning by every column would leave no data columns in the files")
     val table = new File(path)
     val logDir = new File(table, "_delta_log")
     logDir.mkdirs()
@@ -45,9 +59,10 @@ object DeltaWrite {
     val prior = DeltaRead.currentState(df.sparkSession, path)
     val version = prior.map(_.version + 1).getOrElse(0L)
     prior.foreach { st =>
-      require(st.partitionCols.isEmpty,
-        s"Delta table at $path is partitioned by ${st.partitionCols.mkString(",")}; " +
-          "this writer emits unpartitioned layouts only — use delta-spark")
+      if (mode == SaveMode.Append)
+        require(st.partitionCols == partitionBy,
+          s"append partitioning ${partitionBy.mkString("[", ",", "]")} does not match " +
+            s"the table's ${st.partitionCols.mkString("[", ",", "]")} at $path")
       if (mode == SaveMode.Append && st.schemaJson != null) {
         val existing = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
         val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -67,22 +82,43 @@ object DeltaWrite {
           .fields.map(f => (f.name, f.dataType)).toSeq !=
           df.schema.fields.map(f => (f.name, f.dataType)).toSeq
       }
-    val needMeta = prior.isEmpty || (mode == SaveMode.Overwrite && schemaChanged)
+    val partitioningChanged = prior.exists(_.partitionCols != partitionBy)
+    val needMeta = prior.isEmpty ||
+      (mode == SaveMode.Overwrite && (schemaChanged || partitioningChanged))
 
     // data: write parts into a temp dir, move them in under unique names;
-    // the staging dir is removed afterwards
+    // the staging dir is removed afterwards. With partitionBy Spark emits
+    // hive-style col=value dirs and EXCLUDES the partition columns from
+    // the files — exactly the Delta layout; the dir segments (hive-escaped)
+    // are parsed back into each file's partitionValues map.
     val tmp = Files.createTempDirectory("graft_delta_write").toFile
-    val added = try {
-      df.write.mode(SaveMode.Overwrite).parquet(tmp.getAbsolutePath)
+    val added: Seq[(String, Map[String, String], Long)] = try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.getAbsolutePath)
       val commitUuid = java.util.UUID.randomUUID().toString
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.map { case (p, i) =>
+      def walk(dir: File, rel: Seq[String]): Seq[(File, Seq[String])] =
+        Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+          if (f.isDirectory) walk(f, rel :+ f.getName)
+          else if (f.getName.endsWith(".parquet")) Seq(f -> rel)
+          else Seq.empty
+        }
+      walk(tmp, Seq.empty).sortBy { case (f, rel) => (rel.mkString("/"), f.getName) }
+        .zipWithIndex.map { case ((p, rel), i) =>
           val name = f"part-$i%05d-$commitUuid.snappy.parquet"
-          Files.move(p.toPath, new File(table, name).toPath,
-            StandardCopyOption.REPLACE_EXISTING)
-          name -> new File(table, name).length()
-        }.toSeq
+          val destDir = rel.foldLeft(table)(new File(_, _))
+          destDir.mkdirs()
+          val dest = new File(destDir, name)
+          Files.move(p.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+          val pv: Map[String, String] = rel.map { seg =>
+            val eq = seg.indexOf('=')
+            require(eq > 0, s"unexpected partition dir segment $seg")
+            val raw = unescapeHive(seg.substring(eq + 1))
+            seg.substring(0, eq) ->
+              (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+          }.toMap
+          ((rel :+ name).mkString("/"), pv, dest.length())
+        }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
 
     def jstr(s: String): String =
@@ -95,12 +131,15 @@ object DeltaWrite {
       lines += s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":${jstr(df.schema.json)},""" +
-        s""""partitionColumns":[],"configuration":{},"createdTime":$now}}"""
+        s""""partitionColumns":${partitionBy.map(jstr).mkString("[", ",", "]")},""" +
+        s""""configuration":{},"createdTime":$now}}"""
     priorActive.foreach { p =>
       lines += s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    added.foreach { case (name, size) =>
-      lines += s"""{"add":{"path":${jstr(name)},"partitionValues":{},""" +
+    added.foreach { case (relPath, pv, size) =>
+      val pvJson = pv.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }.mkString("{", ",", "}")
+      lines += s"""{"add":{"path":${jstr(encodePath(relPath))},"partitionValues":$pvJson,""" +
         s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
 
@@ -162,7 +201,9 @@ object DeltaWrite {
       throw new IllegalArgumentException(s"no Delta table at $path"))
     val table = new File(path)
     val activeAbs = st.active.keys.map { p =>
-      val decoded = java.net.URLDecoder.decode(p, "UTF-8")
+      // percent-decode only: URLDecoder's '+'→space rule would corrupt a
+      // literal '+' in a path (percent-encoding never emits '+')
+      val decoded = java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
       val f = if (decoded.startsWith("/")) new File(decoded) else new File(table, decoded)
       f.getCanonicalPath
     }.toSet
@@ -182,6 +223,17 @@ object DeltaWrite {
     deleted.foreach(_.delete())
     deleted.map(_.getAbsolutePath)
   }
+
+  /** Reverse of Spark/Hive's partition-dir escaping (escapePathName) for
+    * the `col=value` segments the parquet writer emitted. */
+  private def unescapeHive(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  /** Percent-encode a relative path for an add action (the Delta spec
+    * stores URL-encoded paths): spaces, '%', non-ASCII and the hive-escape
+    * '%XX' sequences all round-trip through [[DeltaRead]]'s decode. */
+  private def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).getRawPath
 
   private def publishCommit(logDir: File, version: Long, lines: Seq[String],
       path: String): Unit = {

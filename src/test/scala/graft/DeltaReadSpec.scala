@@ -240,6 +240,62 @@ class DeltaReadSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((2L, "b")))
   }
 
+  test("partitioned toDelta: hive dirs + partitionValues round trip, nulls and special chars") {
+    import org.apache.spark.sql.SaveMode
+    val table = Files.createTempDirectory("graft_delta_pw").toFile.getAbsolutePath
+    val df = Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", null.asInstanceOf[String]),
+      (4L, "d", "zh:Hans x")).toDF("id", "s", "lang")
+    val v0 = graft.api.Table(df).toDelta(table, partitionBy = Seq("lang"))
+    assert(v0 == 0L)
+    val back = DeltaRead.readDelta(spark, table)
+    assert(back.columns.toSeq == Seq("id", "s", "lang"))
+    assert(back.select("id", "lang").as[(Long, String)].collect().toSet ==
+      Set((1L, "en"), (2L, "de"), (3L, null), (4L, "zh:Hans x")))
+    // the layout is really hive-style: data files live under col= dirs and
+    // physically EXCLUDE the partition column
+    val enDir = new File(table, "lang=en")
+    assert(enDir.isDirectory && enDir.listFiles().exists(_.getName.endsWith(".parquet")))
+    val enFile = enDir.listFiles().find(_.getName.endsWith(".parquet")).get
+    assert(!spark.read.parquet(enFile.getAbsolutePath).columns.contains("lang"))
+    // append with matching partitioning lands as v1; mismatch is refused
+    val v1 = graft.api.Table(Seq((5L, "e", "en")).toDF("id", "s", "lang"))
+      .toDelta(table, SaveMode.Append, partitionBy = Seq("lang"))
+    assert(v1 == 1L)
+    assert(DeltaRead.readDelta(spark, table).count() == 5)
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.Table(Seq((6L, "f", "en")).toDF("id", "s", "lang"))
+        .toDelta(table, SaveMode.Append)
+    }
+    assert(ex.getMessage.contains("partitioning"))
+    assert(DeltaRead.readDelta(spark, table).filter(col("lang") === "en").count() == 2)
+  }
+
+  test("partitioned table: overwrite re-partitions, checkpoint and vacuum keep it readable") {
+    val table = Files.createTempDirectory("graft_delta_pw2").toFile
+    val path = table.getAbsolutePath
+    graft.api.Table(Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "s", "k"))
+      .toDelta(path, partitionBy = Seq("k"))
+    // overwrite switching to UNpartitioned updates metaData
+    graft.api.Table(Seq((3L, "c", 2)).toDF("id", "s", "k")).toDelta(path)
+    assert(DeltaRead.readDelta(spark, path).select("id").as[Long].collect().toSet == Set(3L))
+    // time travel back to the partitioned v0 (int partition col cast back)
+    assert(DeltaRead.readDelta(spark, path, asOfVersion = Some(0L))
+      .select("id", "k").as[(Long, Int)].collect().toSet == Set((1L, 0), (2L, 1)))
+    // back to partitioned; checkpoint; age out the whole json prefix
+    graft.api.Table(Seq((4L, "d", 7), (5L, "e", 8)).toDF("id", "s", "k"))
+      .toDelta(path, partitionBy = Seq("k"))
+    val cv = graft.sources.DeltaWrite.checkpoint(spark, path)
+    assert(cv == 2L)
+    val log = new File(table, "_delta_log")
+    (0L to 2L).foreach(v => new File(log, f"$v%020d.json").delete())
+    assert(DeltaRead.readDelta(spark, path)
+      .select("id", "k").as[(Long, Int)].collect().toSet == Set((4L, 7), (5L, 8)))
+    // vacuum removes the orphaned earlier files living in partition subdirs
+    val deleted = graft.sources.DeltaWrite.vacuum(spark, path, retentionMs = 0L)
+    assert(deleted.nonEmpty)
+    assert(DeltaRead.readDelta(spark, path).count() == 2)
+  }
+
   test("reader features beyond v1 fail clearly, not wrongly") {
     val table = Files.createTempDirectory("graft_delta_v3").toFile
     val schemaJson = Seq((1L, "a")).toDF("id", "s").schema.json.replace("\"", "\\\"")
