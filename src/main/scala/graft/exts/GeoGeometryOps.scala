@@ -1002,23 +1002,227 @@ object GeoGeomOps {
 
   final val BufferSegs = 32
 
-  /** ST_Buffer of a POINT as a 32-gon polygon approximation (the quadrant
-    * default of GEOS at quad_segs=8). Non-point input or r <= 0 → null
-    * (line/polygon offsetting is GEOS territory — documented divergence). */
+  /** ST_Buffer (geospatial.py:362). POINT → 32-gon disk (the quadrant
+    * default of GEOS at quad_segs=8). LINESTRING / single-ring POLYGON
+    * (round 7) → planar Minkowski offsetting with round joins: every
+    * directed edge offsets r to its right, convex turns join with
+    * circular arcs stepped at the same 32-gon pitch (so right-angle and
+    * cap arcs keep closed-form areas), reflex turns trim to the
+    * offset-line intersection — the Minkowski boundary's exact local
+    * form. Multi-part / collection inputs buffer per part and union-fold.
+    * The construction is exact while the offset boundary stays simple; a
+    * global simplicity check rejects the rest (r beyond the local
+    * feature size, loops that self-touch) with null, never a wrong
+    * geometry. r <= 0, holed polygons → null. */
   def buffer(bytes: Array[Byte], r: Double): Array[Byte] = {
-    val p = GeoWkb.readPoint(bytes)
-    if (p == null || r <= 0.0) return null
+    if (r <= 0.0) return null
+    val g = parse(bytes)
+    if (g == null) return null
+    g.kind match {
+      case 1 => bufferDisk(g.rings(0)(0), g.rings(0)(1), r)
+      case 2 => bufferLine(g.rings(0), r)
+      case 3 => if (g.rings.length != 1) null else offsetWalk(ringSegs(ccw(g.rings(0))), r)
+      case 4 | 5 | 6 | 7 =>
+        if (g.parts == null || g.parts.length == 0) return null
+        var acc: Array[Byte] = null
+        var i = 0
+        while (i < g.parts.length) {
+          val b = buffer(GeoGeom.write(g.parts(i)), r)
+          if (b == null) return null
+          acc = if (acc == null) b else union(acc, b)
+          if (acc == null) return null
+          i += 1
+        }
+        acc
+      case _ => null
+    }
+  }
+
+  private def bufferDisk(x: Double, y: Double, r: Double): Array[Byte] = {
     val flat = new Array[Double]((BufferSegs + 1) * 2)
     var k = 0
     while (k < BufferSegs) {
       val th = 2.0 * math.Pi * k / BufferSegs
-      flat(k * 2) = p(0) + r * math.cos(th)
-      flat(k * 2 + 1) = p(1) + r * math.sin(th)
+      flat(k * 2) = x + r * math.cos(th)
+      flat(k * 2 + 1) = y + r * math.sin(th)
       k += 1
     }
     flat(BufferSegs * 2) = flat(0); flat(BufferSegs * 2 + 1) = flat(1)
     GeoGeom.writePolygon(Array(flat))
   }
+
+  /** Drop consecutive duplicate vertices (they would produce zero-length
+    * directions the offset math cannot orient). */
+  private def dedupVerts(flat: Array[Double]): Array[Double] = {
+    val out = scala.collection.mutable.ArrayBuffer[Double](flat(0), flat(1))
+    var i = 2
+    while (i < flat.length) {
+      if (flat(i) != out(out.length - 2) || flat(i + 1) != out(out.length - 1)) {
+        out += flat(i); out += flat(i + 1)
+      }
+      i += 2
+    }
+    out.toArray
+  }
+
+  private def bufferLine(flat0: Array[Double], r: Double): Array[Byte] = {
+    val flat = dedupVerts(flat0)
+    val n = flat.length / 2
+    if (n == 1) return bufferDisk(flat(0), flat(1), r)
+    // closed walk: forward right side, U-turn cap, backward right side,
+    // U-turn cap — one uniform junction rule covers sides AND caps
+    val segs = new Array[Array[Double]]((n - 1) * 2)
+    var i = 0
+    while (i < n - 1) {
+      segs(i) = Array(flat(i * 2), flat(i * 2 + 1), flat(i * 2 + 2), flat(i * 2 + 3))
+      segs(2 * (n - 1) - 1 - i) =
+        Array(flat(i * 2 + 2), flat(i * 2 + 3), flat(i * 2), flat(i * 2 + 1))
+      i += 1
+    }
+    offsetWalk(segs, r)
+  }
+
+  /** Closed CCW ring (first pair == last) → directed segment cycle. */
+  private def ringSegs(ring0: Array[Double]): Array[Array[Double]] = {
+    val ring = dedupVerts(ring0)
+    val n = ring.length / 2 - 1
+    if (n < 3) return Array.empty
+    Array.tabulate(n)(i =>
+      Array(ring(i * 2), ring(i * 2 + 1), ring(i * 2 + 2), ring(i * 2 + 3)))
+  }
+
+  /** Offset boundary of a closed directed walk: the Minkowski-sum shell.
+    * Null when the walk is degenerate or the resulting ring is not
+    * simple. */
+  private def offsetWalk(segs: Array[Array[Double]], r: Double): Array[Byte] = {
+    val nSeg = segs.length
+    if (nSeg == 0) return null
+    // per-segment right-offset endpoints (mutable: reflex trims move them)
+    val offs = new Array[Array[Double]](nSeg)
+    val dirs = new Array[Array[Double]](nSeg)
+    var k = 0
+    while (k < nSeg) {
+      val s = segs(k)
+      val dx = s(2) - s(0); val dy = s(3) - s(1)
+      val len = math.sqrt(dx * dx + dy * dy)
+      if (len == 0.0) return null
+      val ux = dy / len; val uy = -dx / len // right normal
+      offs(k) = Array(s(0) + r * ux, s(1) + r * uy, s(2) + r * ux, s(3) + r * uy)
+      dirs(k) = Array(dx / len, dy / len)
+      k += 1
+    }
+    val step = 2.0 * math.Pi / BufferSegs
+    val arcs = new Array[Array[Double]](nSeg) // points inserted AFTER seg k
+    k = 0
+    while (k < nSeg) {
+      val nk = (k + 1) % nSeg
+      val cross = dirs(k)(0) * dirs(nk)(1) - dirs(k)(1) * dirs(nk)(0)
+      val dot = dirs(k)(0) * dirs(nk)(0) + dirs(k)(1) * dirs(nk)(1)
+      if (math.abs(cross) <= 1e-12 && dot >= 0.0) {
+        // straight-through: offsets already coincide
+      } else if (cross > 1e-12 || (math.abs(cross) <= 1e-12 && dot < 0.0)) {
+        // convex turn (or U-turn cap): arc around the shared vertex from
+        // seg k's right normal to seg nk's, equal steps at 32-gon pitch
+        val vx = segs(k)(2); val vy = segs(k)(3)
+        val th0 = math.atan2(offs(k)(3) - vy, offs(k)(2) - vx)
+        var sweep = math.atan2(cross, dot)
+        if (sweep <= 0.0) sweep = math.Pi // U-turn
+        val steps = math.max(1, math.ceil(sweep / step - 1e-9).toInt)
+        val d = sweep / steps
+        val pts = new Array[Double]((steps - 1) * 2)
+        var a = 1
+        while (a < steps) {
+          pts((a - 1) * 2) = vx + r * math.cos(th0 + a * d)
+          pts((a - 1) * 2 + 1) = vy + r * math.sin(th0 + a * d)
+          a += 1
+        }
+        arcs(k) = pts
+      } else {
+        // reflex turn: both offset lines bound the sum locally — trim to
+        // their intersection (guaranteed |cross| > 1e-12 here)
+        val a1x = offs(k)(0); val a1y = offs(k)(1)
+        val a2x = offs(nk)(0); val a2y = offs(nk)(1)
+        val t = ((a2x - a1x) * dirs(nk)(1) - (a2y - a1y) * dirs(nk)(0)) / cross
+        val px = a1x + t * dirs(k)(0); val py = a1y + t * dirs(k)(1)
+        offs(k)(2) = px; offs(k)(3) = py
+        offs(nk)(0) = px; offs(nk)(1) = py
+      }
+      k += 1
+    }
+    val pts = scala.collection.mutable.ArrayBuffer[Double]()
+    def push(x: Double, y: Double): Unit = {
+      val m = pts.length
+      if (m < 2 || math.abs(pts(m - 2) - x) > 1e-12 || math.abs(pts(m - 1) - y) > 1e-12) {
+        pts += x; pts += y
+      }
+    }
+    k = 0
+    while (k < nSeg) {
+      push(offs(k)(0), offs(k)(1))
+      push(offs(k)(2), offs(k)(3))
+      if (arcs(k) != null) {
+        var a = 0
+        while (a < arcs(k).length) { push(arcs(k)(a), arcs(k)(a + 1)); a += 2 }
+      }
+      k += 1
+    }
+    if (pts.length < 8) return null
+    // exact closure (drop a duplicated start point first if present)
+    if (math.abs(pts(0) - pts(pts.length - 2)) <= 1e-12 &&
+        math.abs(pts(1) - pts(pts.length - 1)) <= 1e-12) {
+      pts.remove(pts.length - 2, 2)
+    }
+    pts += pts(0); pts += pts(1)
+    val ring = pts.toArray
+    if (signedArea(ring) <= 0.0 || !ringIsSimple(ring)) return null
+    GeoGeom.writePolygon(Array(ring))
+  }
+
+  /** No two non-adjacent boundary segments may touch — the global guard
+    * that keeps offsetting honest (an offset radius past the local
+    * feature size self-intersects; GEOS resolves those, we refuse). */
+  private def ringIsSimple(f: Array[Double]): Boolean = {
+    val n = f.length / 2 - 1
+    if (n > 4096) return false // bound the quadratic check
+    def orient(px: Double, py: Double, qx: Double, qy: Double,
+        rx: Double, ry: Double, tol: Double): Int = {
+      val v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+      if (v > tol) 1 else if (v < -tol) -1 else 0
+    }
+    var i = 0
+    while (i < n) {
+      val ax = f(i * 2); val ay = f(i * 2 + 1)
+      val bx = f(i * 2 + 2); val by = f(i * 2 + 3)
+      var j = i + 2
+      while (j < n) {
+        if (!(i == 0 && j == n - 1)) {
+          val cx = f(j * 2); val cy = f(j * 2 + 1)
+          val dx = f(j * 2 + 2); val dy = f(j * 2 + 3)
+          val scale = math.max(1.0, Seq(ax, ay, bx, by, cx, cy, dx, dy)
+            .map(math.abs).max)
+          val tol = 1e-12 * scale * scale
+          val o1 = orient(ax, ay, bx, by, cx, cy, tol)
+          val o2 = orient(ax, ay, bx, by, dx, dy, tol)
+          val o3 = orient(cx, cy, dx, dy, ax, ay, tol)
+          val o4 = orient(cx, cy, dx, dy, bx, by, tol)
+          val touches =
+            if (o1 != o2 && o3 != o4) true
+            else if (o1 == 0 && within(cx, ax, bx) && within(cy, ay, by)) true
+            else if (o2 == 0 && within(dx, ax, bx) && within(dy, ay, by)) true
+            else if (o3 == 0 && within(ax, cx, dx) && within(ay, cy, dy)) true
+            else if (o4 == 0 && within(bx, cx, dx) && within(by, cy, dy)) true
+            else false
+          if (touches) return false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  private def within(v: Double, a: Double, b: Double): Boolean =
+    v >= math.min(a, b) - 1e-12 && v <= math.max(a, b) + 1e-12
 
   private final val EarthR = 6378137.0
 

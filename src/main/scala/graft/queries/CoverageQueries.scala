@@ -850,6 +850,55 @@ object CoverageQueries {
     // 16·r²·sin(π/16), and web mercator is 6378137·radians(lon) /
     // 6378137·ln(tan(π/4+radians(lat)/2)) (rounded where libm variance
     // could bite).
+    // Line/polygon buffer (geospatial.py:362, round 7): planar Minkowski
+    // offsetting with round joins at the 32-gon pitch keeps every area a
+    // CLOSED FORM the oracle can state in SQL — straight line: 2rL + full
+    // 32-gon (16r²sin(π/16)); right-angle L path: 2rL − r² (reflex
+    // double-count) + caps + one 8-step wedge (4r²sin(π/16)); square:
+    // A + Pr + four 8-step corner wedges (= a full 32-gon). The U-shaped
+    // probe whose arms sit closer than 2r exercises the simplicity
+    // refusal (null, never a wrong geometry).
+    QueryDef("q79b_geo_buffer", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val kd = k.cast("double")
+      val r = ((k % 3) + 1).cast("double")
+      val r2 = (((k % 2) + 1).cast("double")) * 0.5
+      val line0 = geo.makeLine(array(
+        geo.point(kd, lit(0.0)), geo.point(kd + 10.0, lit(0.0))))
+      val lpath = geo.makeLine(array(geo.point(kd, lit(0.0)),
+        geo.point(kd + 4.0, lit(0.0)), geo.point(kd + 4.0, lit(4.0))))
+      val sq = geo.makePolygon(array(
+        geo.point(kd, lit(0.0)), geo.point(kd + 4.0, lit(0.0)),
+        geo.point(kd + 4.0, lit(4.0)), geo.point(kd, lit(4.0))))
+      val uline = geo.makeLine(array(geo.point(kd, lit(0.0)),
+        geo.point(kd, lit(10.0)), geo.point(kd + 3.0, lit(10.0)),
+        geo.point(kd + 3.0, lit(0.0))))
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        round(geo.area(geo.buffer(line0, r)), 6).as("line_area"),
+        round(geo.area(geo.buffer(lpath, r2)), 6).as("l_area"),
+        round(geo.area(geo.buffer(sq, r)), 6).as("sq_area"),
+        geo.contains(geo.buffer(line0, r), geo.point(kd, lit(0.0))).as("covers_start"),
+        geo.buffer(uline, lit(2.0)).isNull.as("self_touch_null"),
+        geo.geometryType(geo.buffer(sq, r)).as("t"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (
+        SELECT n_nationkey,
+          CAST((n_nationkey % 3) + 1 AS DOUBLE) AS r,
+          CAST((n_nationkey % 2) + 1 AS DOUBLE) * 0.5 AS r2
+        FROM nation)
+      SELECT n_nationkey,
+        ROUND(2 * r * 10 + 16 * r * r * SIN(PI() / 16.0), 6) AS line_area,
+        ROUND(2 * r2 * 8 - r2 * r2 + 20 * r2 * r2 * SIN(PI() / 16.0), 6) AS l_area,
+        ROUND(16 + 16 * r + 16 * r * r * SIN(PI() / 16.0), 6) AS sq_area,
+        TRUE AS covers_start,
+        TRUE AS self_touch_null,
+        'POLYGON' AS t
+      FROM t ORDER BY 1""")),
+
     QueryDef("q79_geo_line_ops", (s, dir) => {
       import graft.functions.geo
       val k = col("n_nationkey")

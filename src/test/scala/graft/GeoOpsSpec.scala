@@ -160,17 +160,91 @@ class GeoOpsSpec extends SparkSpec {
     assert(r.getBoolean(6))
   }
 
-  test("buffer: 32-gon area and containment; non-point null") {
+  test("buffer: 32-gon area and containment for points") {
     val exp = 0.5 * 32 * 9.0 * math.sin(2 * math.Pi / 32)
     val r = one.select(
       geo.area(geo.buffer(geo.point(lit(5.0), lit(5.0)), lit(3.0))).as("a"),
       geo.contains(geo.buffer(geo.point(lit(5.0), lit(5.0)), lit(3.0)),
         geo.point(lit(5.0), lit(5.0))).as("c"),
-      geo.buffer(geo.makeLine(pts((0.0, 0.0), (1.0, 0.0))), lit(1.0)).isNull.as("ln"))
+      geo.buffer(geo.point(lit(0.0), lit(0.0)), lit(-1.0)).isNull.as("neg"))
       .collect().head
     assert(math.abs(r.getDouble(0) - exp) < 1e-9)
     assert(r.getBoolean(1))
     assert(r.getBoolean(2))
+  }
+
+  // the 32-gon pitch makes every arc area closed-form: a fan of k steps of
+  // π/16 at radius r has area k·(r²/2)·sin(π/16); a full disk is 32 steps
+  private def fan(k: Int, r: Double): Double = k * r * r / 2.0 * math.sin(math.Pi / 16)
+
+  test("buffer of a line: capsule, rotation invariance, containment") {
+    // straight (0,0)-(10,0), r=2: rect 2rL + two 16-step caps (a full disk)
+    val straight = geo.buffer(geo.makeLine(pts((0.0, 0.0), (10.0, 0.0))), lit(2.0))
+    // diagonal 3-4-5 triangle leg, r=1: same closed form, rotated
+    val diag = geo.buffer(geo.makeLine(pts((0.0, 0.0), (3.0, 4.0))), lit(1.0))
+    val r = one.select(
+      geo.area(straight).as("a"),
+      geo.contains(straight, geo.point(lit(5.0), lit(1.99))).as("cin"),
+      geo.contains(straight, geo.point(lit(5.0), lit(2.01))).as("cout"),
+      geo.area(diag).as("d"),
+      geo.geometryType(straight).as("t"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - (2 * 2 * 10 + fan(32, 2.0))) < 1e-9)
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+    assert(math.abs(r.getDouble(3) - (2 * 1 * 5 + fan(32, 1.0))) < 1e-9)
+    assert(r.getString(4) == "POLYGON")
+  }
+
+  test("buffer of a bent line: convex wedge + reflex trim are exact") {
+    // L path (0,0)-(4,0)-(4,4), r=1, L=8: rects 2rL minus the r² reflex
+    // double-count, plus two caps (32 steps) plus one 90° wedge (8 steps)
+    val l = geo.buffer(geo.makeLine(pts((0.0, 0.0), (4.0, 0.0), (4.0, 4.0))), lit(1.0))
+    val r = one.select(
+      geo.area(l).as("a"),
+      geo.contains(l, geo.point(lit(4.0), lit(0.0))).as("cv"),
+      geo.contains(l, geo.point(lit(4.8), lit(-0.8))).as("cwedge"),
+      geo.contains(l, geo.point(lit(3.2), lit(0.8))).as("cinner"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - (16.0 - 1.0 + fan(32, 1.0) + fan(8, 1.0))) < 1e-9)
+    assert(r.getBoolean(1))
+    assert(!r.getBoolean(2)) // outside the round join (dist √1.28 > 1)
+    assert(r.getBoolean(3))  // inside the reflex-trimmed elbow
+  }
+
+  test("buffer of polygons: convex exact, reflex corner, original contained") {
+    val sq = geo.buffer(square(0, 0, 4), lit(1.0))
+    // L-shaped polygon: area 27, perimeter 24, 5 convex + 1 reflex corner
+    val ell = geo.makePolygon(pts((0.0, 0.0), (6.0, 0.0), (6.0, 3.0),
+      (3.0, 3.0), (3.0, 6.0), (0.0, 6.0)))
+    val ebuf = geo.buffer(ell, lit(1.0))
+    val r = one.select(
+      geo.area(sq).as("a"),
+      geo.contains(sq, square(0, 0, 4)).as("c"),
+      geo.area(ebuf).as("e"),
+      geo.contains(ebuf, geo.point(lit(3.5), lit(3.5))).as("er"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - (16.0 + 16.0 + fan(32, 1.0))) < 1e-9)
+    assert(r.getBoolean(1))
+    assert(math.abs(r.getDouble(2) - (27.0 + 24.0 - 1.0 + 5 * fan(8, 1.0))) < 1e-9)
+    assert(r.getBoolean(3)) // reflex elbow interior is covered
+  }
+
+  test("buffer refuses what offsetting can't keep simple; multis union-fold") {
+    val u = geo.makeLine(pts((0.0, 0.0), (0.0, 10.0), (3.0, 10.0), (3.0, 0.0)))
+    val hole = geo.makePolygon(pts((0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0)))
+    val mp = geo.collectGeoms(pts((0.0, 0.0), (20.0, 0.0)))
+    val r = one.select(
+      geo.buffer(u, lit(2.0)).isNull.as("self"),     // arms 3 apart, r=2: overlap
+      geo.buffer(u, lit(1.0)).isNotNull.as("ok"),    // r=1 stays simple
+      geo.buffer(hole, lit(0.5)).isNull.as("bowtie"),
+      geo.area(geo.buffer(mp, lit(1.0))).as("mp"),
+      geo.geometryType(geo.buffer(mp, lit(1.0))).as("mpt"))
+      .collect().head
+    assert(r.getBoolean(0))
+    assert(r.getBoolean(1))
+    assert(r.getBoolean(2))
+    assert(math.abs(r.getDouble(3) - 2 * fan(32, 1.0)) < 1e-9)
+    assert(r.getString(4) == "MULTIPOLYGON")
   }
 
   test("srid/setSrid/asBinary/asEWKB/asEWKT roundtrip") {
