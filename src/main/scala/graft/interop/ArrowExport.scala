@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
 import org.apache.arrow.vector.ipc.ArrowStreamWriter
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
@@ -28,9 +28,10 @@ import org.apache.spark.sql.types._
 object ArrowExport {
 
   /** Arrow schema for a Spark schema. Covers the engine's result-surface
-    * types (primitives, decimal, string/binary, date/timestamp, and
-    * one-level numeric arrays — embeddings); anything else fails fast
-    * with the column name rather than silently re-encoding. */
+    * types (primitives, decimal, string/binary, date/timestamp) plus
+    * arbitrarily nested arrays and structs (round 7 — token lists,
+    * embeddings metadata, struct results); maps and anything else fail
+    * fast with the column path rather than silently re-encoding. */
   def arrowSchema(schema: StructType, timeZoneId: String): Schema = {
     new Schema(schema.fields.map(f => toArrowField(f.name, f.dataType,
       f.nullable, timeZoneId)).toSeq.asJava)
@@ -55,21 +56,27 @@ object ArrowExport {
   }
 
   private def toArrowField(name: String, dt: DataType, nullable: Boolean,
-      tz: String): Field = dt match {
-    case ArrayType(elem, containsNull) =>
-      // reject HERE, before any batch is written: the writer covers only
-      // numeric list elements, and failing mid-stream would leave a
-      // truncated Arrow file behind without naming the column
-      elem match {
-        case IntegerType | LongType | FloatType | DoubleType => ()
-        case other => throw new UnsupportedOperationException(
-          s"ArrowExport: column '$name' is array<$other>; list exports cover numeric elements only")
-      }
-      new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
-        Seq(toArrowField("element", elem, containsNull, tz)).asJava)
-    case other =>
-      new Field(name, new FieldType(nullable, toArrowType(other, tz), null),
-        java.util.Collections.emptyList[Field]())
+      tz: String, path: String = null): Field = {
+    val p = if (path == null) name else path
+    dt match {
+      case ArrayType(elem, containsNull) =>
+        new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
+          Seq(toArrowField("element", elem, containsNull, tz, s"$p.element")).asJava)
+      case st: StructType =>
+        new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
+          st.fields.map(f =>
+            toArrowField(f.name, f.dataType, f.nullable, tz, s"$p.${f.name}")).toSeq.asJava)
+      case other =>
+        // unsupported leaves throw HERE, before any batch is written (a
+        // mid-stream failure would leave a truncated Arrow file behind),
+        // and carry the full column path
+        val at = try toArrowType(other, tz) catch {
+          case _: UnsupportedOperationException => throw new UnsupportedOperationException(
+            s"ArrowExport: column '$p' has unsupported type $other")
+        }
+        new Field(name, new FieldType(nullable, at, null),
+          java.util.Collections.emptyList[Field]())
+    }
   }
 
   /** Stream `df`'s rows as Arrow IPC record batches into `out`. */
@@ -124,62 +131,85 @@ object ArrowExport {
   }
 
   private def setValue(vec: FieldVector, dt: DataType, idx: Int, row: Row,
-      col: Int): Unit = {
-    if (row.isNullAt(col)) { setNull(vec, dt, idx); return }
+      col: Int): Unit =
+    writeValue(vec, dt, idx, if (row.isNullAt(col)) null else row.get(col))
+
+  /** One recursive writer for every supported (vector, type, value)
+    * combination — top-level columns, list elements at any nesting depth,
+    * and struct children all route through here. Values arrive in Spark's
+    * external Row representation (BigDecimal, sql/time dates and
+    * timestamps, Seq, Row). */
+  private def writeValue(vec: FieldVector, dt: DataType, idx: Int, value: Any): Unit = {
+    if (value == null) { setNull(vec, idx); return }
     (vec, dt) match {
-      case (v: BitVector, BooleanType) => v.setSafe(idx, if (row.getBoolean(col)) 1 else 0)
-      case (v: TinyIntVector, ByteType) => v.setSafe(idx, row.getByte(col))
-      case (v: SmallIntVector, ShortType) => v.setSafe(idx, row.getShort(col))
-      case (v: IntVector, IntegerType) => v.setSafe(idx, row.getInt(col))
-      case (v: BigIntVector, LongType) => v.setSafe(idx, row.getLong(col))
-      case (v: Float4Vector, FloatType) => v.setSafe(idx, row.getFloat(col))
-      case (v: Float8Vector, DoubleType) => v.setSafe(idx, row.getDouble(col))
+      case (v: BitVector, BooleanType) =>
+        v.setSafe(idx, if (value.asInstanceOf[Boolean]) 1 else 0)
+      case (v: TinyIntVector, ByteType) => v.setSafe(idx, value.asInstanceOf[Byte])
+      case (v: SmallIntVector, ShortType) => v.setSafe(idx, value.asInstanceOf[Short])
+      case (v: IntVector, IntegerType) => v.setSafe(idx, value.asInstanceOf[Int])
+      case (v: BigIntVector, LongType) => v.setSafe(idx, value.asInstanceOf[Long])
+      case (v: Float4Vector, FloatType) => v.setSafe(idx, value.asInstanceOf[Float])
+      case (v: Float8Vector, DoubleType) => v.setSafe(idx, value.asInstanceOf[Double])
       case (v: VarCharVector, StringType) =>
-        v.setSafe(idx, row.getString(col).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        v.setSafe(idx, value.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case (v: VarBinaryVector, BinaryType) =>
-        v.setSafe(idx, row.getAs[Array[Byte]](col))
+        v.setSafe(idx, value.asInstanceOf[Array[Byte]])
       case (v: DecimalVector, _: DecimalType) =>
-        v.setSafe(idx, row.getDecimal(col))
+        val bd = value match {
+          case b: java.math.BigDecimal => b
+          case b: scala.math.BigDecimal => b.bigDecimal
+        }
+        v.setSafe(idx, bd)
       case (v: DateDayVector, DateType) =>
-        v.setSafe(idx, row.getDate(col).toLocalDate.toEpochDay.toInt)
+        val epochDay = value match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        }
+        v.setSafe(idx, epochDay.toInt)
       case (v: TimeStampVector, TimestampType) =>
-        val ts = row.getTimestamp(col)
-        v.setSafe(idx, math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+        val micros = value match {
+          case ts: java.sql.Timestamp =>
+            math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+          case i: java.time.Instant =>
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        v.setSafe(idx, micros)
       case (v: TimeStampVector, TimestampNTZType) =>
-        val ldt = row.getAs[java.time.LocalDateTime](col)
+        val ldt = value.asInstanceOf[java.time.LocalDateTime]
         v.setSafe(idx, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           ldt.getNano / 1000L)
       case (v: ListVector, ArrayType(elem, _)) =>
-        val seq = row.getSeq[Any](col)
+        val seq = value.asInstanceOf[scala.collection.Seq[Any]]
         val start = v.startNewValue(idx)
         val child = v.getDataVector
         var j = 0
         while (j < seq.length) {
-          writeListElem(child, elem, start + j, seq(j)); j += 1
+          writeValue(child, elem, start + j, seq(j)); j += 1
         }
         v.endValue(idx, seq.length)
+      case (v: StructVector, st: StructType) =>
+        val r = value.asInstanceOf[Row]
+        v.setIndexDefined(idx)
+        var j = 0
+        while (j < st.length) {
+          writeValue(v.getChildByOrdinal(j).asInstanceOf[FieldVector], st.fields(j).dataType, idx,
+            if (r.isNullAt(j)) null else r.get(j))
+          j += 1
+        }
       case (v, t) => throw new UnsupportedOperationException(
         s"ArrowExport: no writer for $t into ${v.getClass.getSimpleName}")
     }
   }
 
-  private def writeListElem(child: FieldVector, elem: DataType, at: Int,
-      e: Any): Unit =
-    if (e == null) child match {
-      case c: BaseFixedWidthVector => c.setNull(at)
-      case c => throw new UnsupportedOperationException(
-        s"ArrowExport: null element in ${c.getClass.getSimpleName} list")
-    } else (child, elem) match {
-      case (c: IntVector, IntegerType) => c.setSafe(at, e.asInstanceOf[Int])
-      case (c: BigIntVector, LongType) => c.setSafe(at, e.asInstanceOf[Long])
-      case (c: Float4Vector, FloatType) => c.setSafe(at, e.asInstanceOf[Float])
-      case (c: Float8Vector, DoubleType) => c.setSafe(at, e.asInstanceOf[Double])
-      case (_, other) => throw new UnsupportedOperationException(
-        s"ArrowExport list element type $other")
-    }
-
-  private def setNull(vec: FieldVector, dt: DataType, idx: Int): Unit = vec match {
+  private def setNull(vec: FieldVector, idx: Int): Unit = vec match {
     case v: ListVector => v.setNull(idx)
+    case v: StructVector =>
+      // a null struct must also null its children so variable-width child
+      // offsets stay monotonic for downstream validators
+      v.setNull(idx)
+      var j = 0
+      while (j < v.size()) { setNull(v.getChildByOrdinal(j).asInstanceOf[FieldVector], idx); j += 1 }
     case v: BaseFixedWidthVector => v.setNull(idx)
     case v: BaseVariableWidthVector => v.setNull(idx)
     case v => throw new UnsupportedOperationException(

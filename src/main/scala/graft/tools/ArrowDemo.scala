@@ -16,7 +16,13 @@ object ArrowDemo {
     val docs = spark.read.parquet(args(0) + "/documents.parquet")
     val emb = spark.read.parquet(args(0) + "/embeddings.parquet")
     val out = docs.join(emb, docs("doc_id") === emb("vec_id"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("embedding"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("embedding"),
+        // round-7 surface: token lists (list<string>), struct metadata,
+        // and a nested list — what pyarrow/duckdb clients actually ask for
+        slice(split(col("text"), "\\s+"), 1, 8).as("tokens"),
+        struct(col("lang").as("lang"), col("n_chars").as("n_chars")).as("meta"),
+        array(slice(split(col("text"), "\\s+"), 1, 2),
+          slice(split(col("text"), "\\s+"), 3, 2)).as("grams"))
       .orderBy("doc_id").limit(100)
     val n = graft.interop.ArrowExport.toArrowFile(out, args(1))
     println(s"[arrow] wrote $n rows to ${args(1)}")

@@ -89,19 +89,57 @@ class ArrowExportSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(path))
   }
 
-  test("unsupported types fail fast with the offending type") {
+  test("token lists (list<string>) roundtrip incl. null elements and null rows") {
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "gamma")),
+      (2L, null.asInstanceOf[Seq[String]]),
+      (3L, Seq.empty[String]),
+      (4L, Seq("solo", null)))
+      .toDF("id", "toks")
+    val (names, rows) = readAll(ArrowExport.toArrowStreamBytes(df, maxRecordsPerBatch = 3))
+    assert(names == Seq("id", "toks"))
+    val byId = rows.map(r => r.head.asInstanceOf[Long] -> r(1)).toMap
+    assert(byId(1L).asInstanceOf[java.util.List[_]].asScala.map(_.toString).toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    assert(byId(2L) == null)
+    assert(byId(3L).asInstanceOf[java.util.List[_]].asScala.isEmpty)
+    val l4 = byId(4L).asInstanceOf[java.util.List[_]].asScala.toSeq
+    assert(l4.length == 2 && l4.head.toString == "solo" && l4(1) == null)
+  }
+
+  test("struct columns and nested lists roundtrip") {
+    val df = Seq(
+      (1L, ("doc-a", 3, Seq(0.5, 1.5)), Seq(Seq(1, 2), Seq(3))),
+      (2L, null.asInstanceOf[(String, Int, Seq[Double])], Seq(Seq.empty[Int])),
+      (3L, ("doc-c", 7, null.asInstanceOf[Seq[Double]]), null.asInstanceOf[Seq[Seq[Int]]]))
+      .toDF("id", "meta", "grams")
+    val (names, rows) = readAll(ArrowExport.toArrowStreamBytes(df))
+    assert(names == Seq("id", "meta", "grams"))
+    val byId = rows.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    val m1 = byId(1L)(1).asInstanceOf[java.util.Map[String, Any]]
+    assert(m1.get("_1").toString == "doc-a" && m1.get("_2") == 3)
+    assert(m1.get("_3").asInstanceOf[java.util.List[_]].asScala.toSeq == Seq(0.5, 1.5))
+    assert(byId(2L)(1) == null)
+    val m3 = byId(3L)(1).asInstanceOf[java.util.Map[String, Any]]
+    assert(m3.get("_1").toString == "doc-c" && m3.get("_3") == null)
+    val g1 = byId(1L)(2).asInstanceOf[java.util.List[_]].asScala
+      .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq).toSeq
+    assert(g1 == Seq(Seq(1, 2), Seq(3)))
+    assert(byId(3L)(2) == null)
+  }
+
+  test("unsupported types fail fast with the offending column path") {
     val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
     val ex = intercept[UnsupportedOperationException] {
       ArrowExport.toArrowStreamBytes(df)
     }
-    assert(ex.getMessage.contains("Map"))
-    // array<string> must be rejected BEFORE any batch is written (a
-    // mid-stream failure would leave a truncated Arrow file), naming the
-    // column (review finding)
-    val tokens = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+    assert(ex.getMessage.contains("Map") && ex.getMessage.contains("'m'"))
+    // nested unsupported leaf names the full path, BEFORE any batch is
+    // written (a mid-stream failure would leave a truncated Arrow file)
+    val nested = Seq((1L, Seq(Map("a" -> 1)))).toDF("id", "lm")
     val ex2 = intercept[UnsupportedOperationException] {
-      ArrowExport.toArrowStreamBytes(tokens)
+      ArrowExport.toArrowStreamBytes(nested)
     }
-    assert(ex2.getMessage.contains("toks") && ex2.getMessage.contains("String"))
+    assert(ex2.getMessage.contains("lm.element") && ex2.getMessage.contains("Map"))
   }
 }
