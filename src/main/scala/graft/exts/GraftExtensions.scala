@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AudioHeader].getName, "audio_header"),
       (children: Seq[Expression]) => AudioHeader(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("bmp_pixels"),
+      new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
+      (children: Seq[Expression]) => BmpPixels(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("wav_samples"),
+      new ExpressionInfo(classOf[WavSamples].getName, "wav_samples"),
+      (children: Seq[Expression]) => WavSamples(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("geo_point"),
       new ExpressionInfo(classOf[GeoPointWkb].getName, "geo_point"),
       (children: Seq[Expression]) => GeoPointWkb(
@@ -209,4 +217,11 @@ object exprs {
 
   /** Real WAV/RIFF audio-header probe (see [[AudioHeader]]). */
   def audioHeader(payload: Column): Column = co(AudioHeader(ex(payload)))
+
+  /** Real BMP pixel decode (see [[BmpPixels]]): packed 0xRRGGBB ints,
+    * top-down row-major; null outside the decodable subset. */
+  def bmpPixels(payload: Column): Column = co(BmpPixels(ex(payload)))
+
+  /** Real WAV PCM sample decode (see [[WavSamples]]). */
+  def wavSamples(payload: Column): Column = co(WavSamples(ex(payload)))
 }

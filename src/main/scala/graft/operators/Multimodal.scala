@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   * the Spark-native layout for 100 TB multimodal corpora (payload stays in
   * parquet/columnar storage, metadata prunes without touching bytes).
   *
-  * The actual codec work (JPEG decode, resampling, frame extraction) needs
-  * native libraries that are NOT in this container — those steps are
-  * STUBBED with deterministic fakes, clearly marked below. Everything
-  * around them (schema, batching, partition behavior, pipeline shape) is
-  * real and tested.
+  * Decode reality, by format: header probes are REAL for PNG/GIF/BMP/JPEG
+  * and WAV (round 6); pixel/sample decode is REAL for the uncompressed
+  * formats BMP and WAV PCM (round 7 — pure byte layouts, no codec
+  * needed), feeding genuine channel stats, luminance features and the
+  * batched feature path. Only the entropy-coded formats (JPEG/PNG pixel
+  * data, compressed audio/video) remain STUBBED with deterministic
+  * md5 fakes, clearly marked below — those need codec libraries absent
+  * from this container. Everything around the stubs (schema, batching,
+  * partition behavior, pipeline shape) is real and tested.
   */
 object Multimodal {
 
@@ -57,6 +61,147 @@ object Multimodal {
     * bits, and data-chunk-derived duration from the raw header bytes —
     * the audio sibling of [[imageHeader]]. SQL: `audio_header`. */
   def audioHeader(payload: Column): Column = graft.exts.exprs.audioHeader(payload)
+
+  /** REAL BMP pixel decode (round 7 — no codec library, the format is
+    * pure byte layout): packed 0xRRGGBB ints in top-down row-major order
+    * (bottom-up storage and BGR channel order normalized), 24/32-bpp
+    * uncompressed only, null otherwise. SQL: `bmp_pixels`. */
+  def bmpPixels(payload: Column): Column = graft.exts.exprs.bmpPixels(payload)
+
+  /** REAL WAV PCM sample decode (round 7): signed sample values,
+    * channel-interleaved; 16-bit and 8-bit PCM only. SQL: `wav_samples`. */
+  def wavSamples(payload: Column): Column = graft.exts.exprs.wavSamples(payload)
+
+  /** Per-channel means over REAL decoded BMP pixels — all codegen HOFs
+    * over the decoded int array, no UDF in the hot path. */
+  def imageChannelStats(payload: Column): Column = {
+    val px = bmpPixels(payload)
+    val n = size(px)
+    def mean(shift: Int) = aggregate(px, lit(0L),
+      (acc, p) => acc + shiftright(p, shift).bitwiseAND(lit(255)).cast(LongType))
+      .cast(DoubleType) / n
+    struct(n.as("n_px"),
+      mean(16).as("mean_r"), mean(8).as("mean_g"), mean(0).as("mean_b"))
+  }
+
+  /** Integer luminance (BT.601 fixed-point: 299R + 587G + 114B — exact,
+    * engine-stable, oracle-reproducible) summed over `nBlocks` contiguous
+    * top-down row-major pixel blocks: a REAL spatial feature vector from
+    * real pixels. Block j covers indices [j*n/k, (j+1)*n/k). */
+  def luminanceBlocks(payload: Column, nBlocks: Int): Column = {
+    val px = bmpPixels(payload)
+    val n = size(px)
+    transform(sequence(lit(0), lit(nBlocks - 1)), j => {
+      val start = (j.cast(LongType) * n / nBlocks).cast(IntegerType)
+      val end = ((j.cast(LongType) + 1) * n / nBlocks).cast(IntegerType)
+      aggregate(slice(px, start + 1, end - start), lit(0L), (acc, p) =>
+        acc + (shiftright(p, 16).bitwiseAND(lit(255)) * 299 +
+               shiftright(p, 8).bitwiseAND(lit(255)) * 587 +
+               p.bitwiseAND(lit(255)) * 114).cast(LongType))
+    })
+  }
+
+  /** The [[extractFeaturesBatched]] stub-swap made REAL for BMP: same
+    * mapPartitions batching shape, but `embedBatch` now decodes actual
+    * pixels ([[graft.exts.BmpPixels]]) and emits block-averaged luminance
+    * in [0,1] — a genuine (if simple) visual feature. Non-BMP payloads
+    * embed to null. */
+  def extractFeaturesBmp(df: DataFrame, payloadCol: String,
+      dim: Int = 8, batchSize: Int = 64, outputCol: String = "features"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    require(!df.columns.contains(outputCol), s"column $outputCol already exists")
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outputCol, ArrayType(FloatType, containsNull = false), nullable = true))
+
+    def embedBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { bytes =>
+        val arr = graft.exts.BmpPixels.decode(bytes)
+        if (arr == null) null
+        else {
+          val n = arr.numElements()
+          val out = new Array[Float](dim)
+          var j = 0
+          while (j < dim) {
+            val s = (j.toLong * n / dim).toInt
+            val e = ((j + 1).toLong * n / dim).toInt
+            var acc = 0L
+            var i = s
+            while (i < e) {
+              val p = arr.getInt(i)
+              acc += ((p >> 16) & 255) * 299L + ((p >> 8) & 255) * 587L + (p & 255) * 114L
+              i += 1
+            }
+            // 255*1000 per pixel max → normalize to [0,1]
+            out(j) = if (e > s) (acc / (255000.0 * (e - s))).toFloat else 0f
+            j += 1
+          }
+          out
+        }
+      }
+
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = embedBatch(batch.map(_.getAs[Array[Byte]](idx)))
+        batch.lazyZip(feats).map((r, f) =>
+          Row.fromSeq(r.toSeq :+ (if (f == null) null else f.toSeq)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ------------------------------------------------- synthetic fixtures
+  // Deterministic generators for the two REAL-decode formats: pixel (x,y)
+  // and sample i values are closed-form in the key, so a SQL oracle can
+  // recompute every decoded statistic without parsing a byte — which is
+  // exactly what q72c does to prove the decoders (padding, bottom-up flip,
+  // BGR order, sign extension) byte-correct.
+
+  /** 24-bpp bottom-up BMP, width 8+2(k%4), height 6+2(k%3); pixel (x,y):
+    * r=(7x+13y+k)%256, g=(3x+5y+2k)%256, b=(11x+17y+3k)%256. */
+  def synthBmp(k: Long): Array[Byte] = {
+    val w = 8 + (k % 4).toInt * 2
+    val h = 6 + (k % 3).toInt * 2
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val buf = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = 0
+    while (row < h) {
+      val y = h - 1 - row // bottom-up storage
+      var x = 0
+      while (x < w) {
+        buf.put(((11 * x + 17 * y + 3 * k) % 256).toByte) // B
+        buf.put(((3 * x + 5 * y + 2 * k) % 256).toByte)   // G
+        buf.put(((7 * x + 13 * y + k) % 256).toByte)      // R
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowBytes) { buf.put(0.toByte); pad += 1 }
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** 16-bit mono PCM WAV at 8 kHz, 64+16(k%5) samples; sample i =
+    * (37i + 11k) % 2048 − 1024. */
+  def synthWav(k: Long): Array[Byte] = {
+    val n = 64 + (k % 5).toInt * 16
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      buf.putShort(((37 * i + 11 * k) % 2048 - 1024).toShort)
+      i += 1
+    }
+    buf.array()
+  }
 
   /** STUB image decode → (width, height, channels) header probe. A real
     * implementation parses the format header (pure-JVM for JPEG/PNG —

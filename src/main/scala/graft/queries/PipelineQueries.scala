@@ -1207,6 +1207,82 @@ object PipelineQueries {
         .orderBy(col("doc_id").asc)
     }, Some(SketchOracles.multimodal(durationMs = 5000L, everyMs = 1000L))),
 
+    // REAL pixel/sample decode, end-to-end (round 7): BMP payloads and
+    // WAV PCM payloads are SYNTHESIZED distributedly from the nation keys
+    // with closed-form pixel/sample values (Multimodal.synthBmp/synthWav),
+    // decoded back by the native expressions (bmp_pixels normalizes
+    // bottom-up BGR storage to top-down RGB ints; wav_samples
+    // sign-extends PCM16), then reduced to statistics the oracle
+    // recomputes from the same arithmetic WITHOUT parsing a byte — so
+    // padding, row order, channel order and sign extension are all
+    // value-checked. feat0 comes from the extractFeaturesBmp
+    // mapPartitions path: the batched stub-swap point running on real
+    // decoded pixels.
+    QueryDef("q72c_real_decode", (s, dir) => {
+      import s.implicits._
+      val keys = Table(nation(s, dir)).selectNames("n_nationkey").df
+        .as[Long].map(k => (k, Multimodal.synthBmp(k), Multimodal.synthWav(k)))
+        .toDF("k", "bmp", "wav")
+      val withF = Multimodal.extractFeaturesBmp(keys, "bmp",
+        dim = 4, batchSize = 8, outputCol = "feat")
+      val stats = Multimodal.imageChannelStats(col("bmp"))
+      val lum = Multimodal.luminanceBlocks(col("bmp"), 4)
+      val samples = Multimodal.wavSamples(col("wav"))
+      withF.select(
+        col("k").as("n_nationkey"),
+        stats.getField("n_px").cast("long").as("n_px"),
+        round(stats.getField("mean_r"), 6).as("mean_r"),
+        round(stats.getField("mean_g"), 6).as("mean_g"),
+        round(stats.getField("mean_b"), 6).as("mean_b"),
+        element_at(lum, 1).as("lum0"), element_at(lum, 2).as("lum1"),
+        element_at(lum, 3).as("lum2"), element_at(lum, 4).as("lum3"),
+        round(element_at(col("feat"), 1).cast("double"), 4).as("feat0"),
+        size(samples).cast("long").as("wav_n"),
+        round(aggregate(samples, lit(0L), (a, x) => a + x).cast("double") /
+          size(samples), 6).as("wav_mean"),
+        array_max(transform(samples, x => abs(x))).cast("long").as("wav_peak"))
+        .orderBy("n_nationkey")
+    }, Some("""
+      WITH keys AS (
+        SELECT n_nationkey AS k,
+               8 + (n_nationkey % 4) * 2 AS w,
+               6 + (n_nationkey % 3) * 2 AS h,
+               64 + (n_nationkey % 5) * 16 AS nw
+        FROM nation),
+      ser AS (SELECT UNNEST(RANGE(0, 128)) AS i),
+      pxl AS (
+        SELECT k, w, h,
+          (7*sx.i + 13*sy.i + k) % 256 AS r,
+          (3*sx.i + 5*sy.i + 2*k) % 256 AS g,
+          (11*sx.i + 17*sy.i + 3*k) % 256 AS b,
+          (sy.i*w + sx.i) * 4 // (w*h) AS blk
+        FROM keys, ser sx, ser sy WHERE sx.i < w AND sy.i < h),
+      lums AS (
+        SELECT k, blk, SUM(299*r + 587*g + 114*b) AS lumsum, COUNT(*) AS cnt
+        FROM pxl GROUP BY k, blk),
+      img AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_px,
+          ROUND(AVG(r), 6) AS mean_r, ROUND(AVG(g), 6) AS mean_g,
+          ROUND(AVG(b), 6) AS mean_b
+        FROM pxl GROUP BY k),
+      blk AS (
+        SELECT k,
+          CAST(SUM(CASE WHEN blk=0 THEN lumsum END) AS BIGINT) AS lum0,
+          CAST(SUM(CASE WHEN blk=1 THEN lumsum END) AS BIGINT) AS lum1,
+          CAST(SUM(CASE WHEN blk=2 THEN lumsum END) AS BIGINT) AS lum2,
+          CAST(SUM(CASE WHEN blk=3 THEN lumsum END) AS BIGINT) AS lum3,
+          ROUND(SUM(CASE WHEN blk=0 THEN lumsum END) / (255000.0 * MAX(cnt)), 4) AS feat0
+        FROM lums GROUP BY k),
+      wav AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS wav_n,
+          ROUND(AVG(((37*i + 11*k) % 2048) - 1024), 6) AS wav_mean,
+          CAST(MAX(ABS(((37*i + 11*k) % 2048) - 1024)) AS BIGINT) AS wav_peak
+        FROM keys, ser WHERE i < nw GROUP BY k)
+      SELECT img.k AS n_nationkey, n_px, mean_r, mean_g, mean_b,
+        lum0, lum1, lum2, lum3, feat0, wav_n, wav_mean, wav_peak
+      FROM img JOIN blk ON img.k = blk.k JOIN wav ON img.k = wav.k
+      ORDER BY 1""")),
+
     // Hash-based train/val/test assignment (Splits.assignSplit): split
     // membership is a pure function of (doc_id, seed) — retry/engine
     // stable, unlike rand(). Checksum = per-split count + id-sum.

@@ -274,6 +274,140 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bmp_pixels decodes real pixels: flip, BGR order, padding, variants; never throws") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.exts.BmpPixels
+    import graft.operators.Multimodal
+
+    def px(arr: org.apache.spark.sql.catalyst.util.ArrayData, w: Int, x: Int, y: Int): Int =
+      arr.getInt(y * w + x)
+    // the synthesized bottom-up BMP decodes to the closed-form top-down values
+    val k = 3L
+    val w = 8 + (k % 4).toInt * 2; val h = 6 + (k % 3).toInt * 2
+    val dec = BmpPixels.decode(Multimodal.synthBmp(k))
+    assert(dec != null && dec.numElements() == w * h)
+    for (x <- Seq(0, 1, w - 1); y <- Seq(0, 1, h - 1)) {
+      val r = (7 * x + 13 * y + k) % 256
+      val g = (3 * x + 5 * y + 2 * k) % 256
+      val b = (11 * x + 17 * y + 3 * k) % 256
+      assert(px(dec, w, x, y) == ((r << 16) | (g << 8) | b).toInt,
+        s"pixel ($x,$y)")
+    }
+
+    // a TOP-DOWN (negative height) 32-bpp BITMAPINFOHEADER variant with
+    // the same logical pixels decodes identically — flip and stride paths
+    def bmp32TopDown(): Array[Byte] = {
+      val buf = ByteBuffer.allocate(54 + w * h * 4).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + w * h * 4).putInt(0).putInt(54)
+      buf.putInt(40).putInt(w).putInt(-h).putShort(1).putShort(32)
+        .putInt(0).putInt(w * h * 4).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (y <- 0 until h; x <- 0 until w) { // stored top-down directly
+        buf.put(((11 * x + 17 * y + 3 * k) % 256).toByte)
+          .put(((3 * x + 5 * y + 2 * k) % 256).toByte)
+          .put(((7 * x + 13 * y + k) % 256).toByte)
+          .put(0xff.toByte) // alpha ignored
+      }
+      buf.array()
+    }
+    val dec32 = BmpPixels.decode(bmp32TopDown())
+    assert(dec32 != null &&
+      dec32.toIntArray().sameElements(dec.toIntArray()))
+
+    // OS/2 BITMAPCOREHEADER, 24-bpp, 2x2 (still bottom-up, still padded)
+    def bmpCore(): Array[Byte] = {
+      val rowBytes = (2 * 3 + 3) / 4 * 4
+      val buf = ByteBuffer.allocate(26 + rowBytes * 2).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(26 + rowBytes * 2).putInt(0).putInt(26)
+      buf.putInt(12).putShort(2).putShort(2).putShort(1).putShort(24)
+      // file rows bottom-up: y=1 first — pixels (x,y) value = 10x+y packed in blue
+      for (y <- Seq(1, 0)) {
+        for (x <- 0 until 2) buf.put((10 * x + y).toByte).put(0.toByte).put(0.toByte)
+        buf.put(0.toByte).put(0.toByte) // pad to 8
+      }
+      buf.array()
+    }
+    val core = BmpPixels.decode(bmpCore())
+    assert(core != null && core.numElements() == 4)
+    assert(Seq(px(core, 2, 0, 0), px(core, 2, 1, 0), px(core, 2, 0, 1), px(core, 2, 1, 1)) ==
+      Seq(0, 10, 1, 11))
+
+    // refusals: RLE compression, palette bpp, forged giant dims, truncation
+    val rle = bmp32TopDown(); rle(30) = 1 // biCompression = BI_RLE8
+    assert(BmpPixels.decode(rle) == null)
+    val giant = Multimodal.synthBmp(0L).clone()
+    giant(18) = 0xff.toByte; giant(19) = 0xff.toByte; giant(20) = 0xff.toByte
+    assert(BmpPixels.decode(giant) == null) // width bytes forged huge
+    val rnd = new scala.util.Random(7)
+    for (len <- Seq(0, 2, 14, 26, 54, 100); _ <- 1 to 40) {
+      val b = Array.fill(len)(rnd.nextInt(256).toByte)
+      BmpPixels.decode(b) // parse-or-null, never throw
+      if (len >= 2) { b(0) = 'B'; b(1) = 'M'; BmpPixels.decode(b) }
+    }
+  }
+
+  test("wav_samples decodes PCM: sign extension, 8-bit centering, stereo, truncation") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.exts.WavSamples
+    import graft.operators.Multimodal
+
+    val k = 2L
+    val n = 64 + (k % 5).toInt * 16
+    val dec = WavSamples.decode(Multimodal.synthWav(k))
+    assert(dec != null && dec.numElements() == n)
+    for (i <- Seq(0, 1, n - 1))
+      assert(dec.getInt(i) == ((37 * i + 11 * k) % 2048 - 1024).toInt, s"sample $i")
+
+    def wav(bits: Int, ch: Int, fmt: Int, samples: Seq[Int]): Array[Byte] = {
+      val bytesPer = bits / 8
+      val buf = ByteBuffer.allocate(44 + samples.length * bytesPer)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + samples.length * bytesPer).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(ch.toShort)
+        .putInt(8000).putInt(8000 * ch * bytesPer).putShort((ch * bytesPer).toShort)
+        .putShort(bits.toShort)
+      buf.put("data".getBytes).putInt(samples.length * bytesPer)
+      samples.foreach { s =>
+        if (bits == 16) buf.putShort(s.toShort) else buf.put(s.toByte)
+      }
+      buf.array()
+    }
+    // 16-bit stereo: interleaved, sign-extended
+    val st = WavSamples.decode(wav(16, 2, 1, Seq(-32768, 32767, -1, 5)))
+    assert(st.toIntArray().toSeq == Seq(-32768, 32767, -1, 5))
+    // 8-bit is stored unsigned, centered on decode
+    val b8 = WavSamples.decode(wav(8, 1, 1, Seq(0, 128, 255)))
+    assert(b8.toIntArray().toSeq == Seq(-128, 0, 127))
+    // IEEE-float WAV (fmt 3) is not PCM: null, never garbage
+    assert(WavSamples.decode(wav(16, 1, 3, Seq(1, 2))) == null)
+    // truncated data chunk: decode what is physically there
+    val full = wav(16, 1, 1, Seq(1, 2, 3, 4))
+    assert(WavSamples.decode(full.take(full.length - 4)).numElements() == 2)
+    val rnd = new scala.util.Random(11)
+    for (len <- Seq(0, 12, 44, 80); _ <- 1 to 40)
+      WavSamples.decode(Array.fill(len)(rnd.nextInt(256).toByte)) // never throw
+  }
+
+  test("extractFeaturesBmp embeds real pixels; non-BMP payloads get null features") {
+    val df = Seq(
+      (1L, graft.operators.Multimodal.synthBmp(1L)),
+      (2L, "not an image".getBytes)).toDF("id", "payload")
+    val out = graft.operators.Multimodal.extractFeaturesBmp(df, "payload", dim = 4)
+      .select(col("id"), col("features")).collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Float](1))).toMap
+    val f1 = out(1L)
+    assert(f1 != null && f1.length == 4 && f1.forall(v => v >= 0f && v <= 1f))
+    assert(f1.distinct.length > 1) // real spatial variation, not a constant
+    assert(out(2L) == null)
+    // and the features agree with the declarative luminanceBlocks path
+    val lum = Seq(Tuple1(graft.operators.Multimodal.synthBmp(1L))).toDF("payload")
+      .select(graft.operators.Multimodal.luminanceBlocks(col("payload"), 4).as("l"),
+        size(graft.operators.Multimodal.bmpPixels(col("payload"))).as("n"))
+      .head()
+    val blocks = lum.getSeq[Long](0); val npx = lum.getInt(1)
+    val expect = blocks.map(b => (b / (255000.0 * (npx / 4))).toFloat)
+    assert(f1.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
+
   test("audioHeader parses a real WAV header (fmt + data chunks, either order)") {
     import java.nio.{ByteBuffer, ByteOrder}
     def wav(rate: Int, ch: Int, bits: Int, dataBytes: Int, dataFirst: Boolean): Array[Byte] = {
