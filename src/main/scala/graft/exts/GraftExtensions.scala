@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[AudioHeader].getName, "audio_header"),
       (children: Seq[Expression]) => AudioHeader(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("time_format"),
+      new ExpressionInfo("graft.types.TypeMapper", "time_format"),
+      // composes stock codegen expressions (format_string/pmod/casts) —
+      // the rendering half of the µs-of-day TIME emulation
+      (children: Seq[Expression]) =>
+        graft.types.TypeMapper.timeFormatExpr(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("bmp_pixels"),
       new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
       (children: Seq[Expression]) => BmpPixels(children.head)))

@@ -109,6 +109,41 @@ object MiscQueries {
         CAST(HOUR(o_orderdate) * 3600 + MINUTE(o_orderdate) * 60 + SECOND(o_orderdate) + 43200 AS INT) AS hms_sec
       FROM orders WHERE o_orderkey < 30 ORDER BY o_orderkey""")),
 
+    // TIME emulation round trip (round 7, DIVERGENCES §4): parse
+    // "HH:mm:ss.ffffff" strings built from the nation keys into µs-of-day
+    // longs (ibisfn.stringToTime), render them back with
+    // TypeMapper.timeFormat — byte-identical to DuckDB's TIME→VARCHAR
+    // cast (trailing fraction zeros trimmed), which is exactly what the
+    // oracle states. Closes the "no visible TIME rendering" gap.
+    QueryDef("q94b_time_render", (s, dir) => {
+      import graft.functions.ibisfn
+      import graft.types.TypeMapper
+      val k = col("n_nationkey")
+      val tstr = format_string("%02d:%02d:%02d.%06d",
+        k % 24, (k * 7) % 60, (k * 13) % 60, (k * 123456L) % 1000000L)
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        ibisfn.stringToTime(tstr).as("t_us"),
+        TypeMapper.timeFormat(ibisfn.stringToTime(tstr)).as("t_render"),
+        TypeMapper.timeFormat(lit(0L)).as("t_zero"),
+        TypeMapper.timeFormat(lit(86399999999L)).as("t_max"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (
+        SELECT n_nationkey,
+          CAST(n_nationkey % 24 AS BIGINT) AS h,
+          CAST((n_nationkey * 7) % 60 AS BIGINT) AS m,
+          CAST((n_nationkey * 13) % 60 AS BIGINT) AS sec,
+          (CAST(n_nationkey AS BIGINT) * 123456) % 1000000 AS us
+        FROM nation)
+      SELECT n_nationkey,
+        CAST((h*3600 + m*60 + sec) * 1000000 + us AS BIGINT) AS t_us,
+        CAST(MAKE_TIME(h, m, sec + us / 1000000.0) AS VARCHAR) AS t_render,
+        '00:00:00' AS t_zero,
+        '23:59:59.999999' AS t_max
+      FROM t ORDER BY n_nationkey""")),
+
     // Selectors: numeric()/across — sum every numeric lineitem column.
     QueryDef("q95_selectors", (s, dir) => {
       val l = lineitem(s, dir)

@@ -72,6 +72,34 @@ object TypeMapper {
     case other => throw new IllegalArgumentException(s"unmapped Spark type: $other")
   }
 
+  /** Render a µs-of-day TIME emulation value (the [[toSpark]] mapping for
+    * `DTime`, and what `ibisfn.stringToTime` produces) as the string a
+    * native TIME type would display: `HH:MM:SS[.ffffff]` with trailing
+    * fraction zeros trimmed — byte-identical to DuckDB's TIME→VARCHAR
+    * cast, so oracles can state it directly. Values outside [0, 24h) wrap
+    * modulo one day (the emulation is a time-of-day, not a duration).
+    * All stock codegen expressions; SQL-registered as `time_format`. */
+  def timeFormat(usOfDay: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      timeFormatExpr(org.apache.spark.sql.GraftSqlBridge.expression(usOfDay)))
+
+  /** The catalyst tree behind [[timeFormat]] — built from stock codegen
+    * expressions directly (not the column DSL) so the SQL-registered
+    * `time_format` gets a resolved, evaluable tree. Pure integer
+    * arithmetic: no timestamp round trip, so the rendering can never
+    * depend on the session time zone. */
+  def timeFormatExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val w = Pmod(Cast(child, LongType), Literal(86400000000L))
+    def div(d: Long): Expression = IntegralDivide(w, Literal(d))
+    val s = FormatString(Literal("%02d:%02d:%02d.%06d"),
+      div(3600000000L), Remainder(div(60000000L), Literal(60L)),
+      Remainder(div(1000000L), Literal(60L)), Remainder(w, Literal(1000000L)))
+    RegExpReplace(RegExpReplace(s, Literal("0+$"), Literal("")),
+      Literal("\\.$"), Literal(""))
+  }
+
   /** Schema = ordered name→DType (ibis/expr/schema.py:27-33). */
   def schemaToSpark(fields: Seq[(String, DType)]): StructType =
     StructType(fields.map { case (n, t) => StructField(n, toSpark(t), t.nullable) })

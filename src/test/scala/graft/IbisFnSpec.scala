@@ -164,6 +164,27 @@ class IbisFnSpec extends SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
+  test("timeFormat renders µs-of-day like a native TIME (TypeMapper, DIVERGENCES §4)") {
+    import graft.types.TypeMapper
+    val cases = Seq(
+      0L -> "00:00:00",
+      1L -> "00:00:00.000001",
+      3723500000L -> "01:02:03.5",
+      45296123456L -> "12:34:56.123456",
+      86399999999L -> "23:59:59.999999",
+      86400000000L -> "00:00:00", // wraps modulo one day
+      -1L -> "23:59:59.999999")   // negative wraps too
+    val out = cases.map(_._1).toDF("us")
+      .select(TypeMapper.timeFormat(col("us")).as("r")).collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2))
+    // parse → render round trip, and the SQL registration agrees
+    val rt = Seq("13:45:30", "00:00:00.25").toDF("t")
+      .select(TypeMapper.timeFormat(graft.functions.ibisfn.stringToTime(col("t"))).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rt == Seq("13:45:30", "00:00:00.25"))
+    assert(spark.sql("SELECT time_format(3723500000)").head().getString(0) == "01:02:03.5")
+  }
+
   test("scalar closure udf: slugify") {
     graft.functions.Udfs.register(spark)
     val out = Seq("Hello, World!", "  a  B c ").toDF("s")
