@@ -1,0 +1,291 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Descending, Expression, Literal, NullsFirst, NullsLast, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+
+/** ibis `parse_sql` (expr/sql.py:402-428): SQL text → a COMPOSABLE,
+  * WALKABLE operation tree — the introspection intermediate the plain
+  * `Table.parseSql` plan-wrap lacks (DIVERGENCES §7). The reference uses
+  * sqlglot for this; here Spark's own SQL parser produces the unresolved
+  * LogicalPlan and [[SqlDecompile.decompile]] rebuilds it as a small ADT
+  * a user can inspect, transform (`SqlOp.rewrite`) and turn back into a
+  * live [[Table]] (`SqlOp.table`) that composes with every other verb.
+  *
+  * Coverage: the relational core SQL users actually introspect —
+  * project/filter/aggregate/having/join/sort/limit/offset/distinct,
+  * set ops, CTEs (held as scope, resolved at rebuild), subquery aliases.
+  * Anything beyond it degrades to [[SqlOpaque]], which still REBUILDS
+  * correctly (the raw plan executes as-is) — capability is never lost,
+  * only walkability, and `isFullyDecompiled` tells the user which. */
+sealed trait SqlOp {
+  /** Children in the op tree (inputs only — CTE bodies ride on SqlWith). */
+  def children: Seq[SqlOp]
+
+  /** Bottom-up structural rewrite — the "transform the decompiled
+    * expression graph" step of the reference surface. */
+  def rewrite(f: PartialFunction[SqlOp, SqlOp]): SqlOp = {
+    val withChildren = mapChildren(_.rewrite(f))
+    f.applyOrElse(withChildren, identity[SqlOp])
+  }
+
+  def mapChildren(f: SqlOp => SqlOp): SqlOp = this match {
+    case SqlProject(in, es) => SqlProject(f(in), es)
+    case SqlFilter(in, p) => SqlFilter(f(in), p)
+    case SqlHaving(in, p) => SqlHaving(f(in), p)
+    case SqlAggregate(in, ks, as) => SqlAggregate(f(in), ks, as)
+    case SqlJoin(l, r, how, cond) => SqlJoin(f(l), f(r), how, cond)
+    case SqlSort(in, ks) => SqlSort(f(in), ks)
+    case SqlLimit(in, n, off) => SqlLimit(f(in), n, off)
+    case SqlDistinct(in) => SqlDistinct(f(in))
+    case SqlSetOp(l, r, op, all) => SqlSetOp(f(l), f(r), op, all)
+    case SqlAlias(in, n) => SqlAlias(f(in), n)
+    case SqlWith(in, ctes) => SqlWith(f(in), ctes.map { case (n, b) => (n, f(b)) })
+    case leaf => leaf
+  }
+
+  def exists(p: SqlOp => Boolean): Boolean =
+    p(this) || children.exists(_.exists(p)) ||
+      (this match { case SqlWith(_, ctes) => ctes.exists(c => c._2.exists(p)); case _ => false })
+
+  def isFullyDecompiled: Boolean = !exists(_.isInstanceOf[SqlOpaque])
+
+  /** Rebuild as a live Table over `spark`'s catalog (CTE names resolve to
+    * their decompiled bodies; everything else through the catalog). */
+  def table(spark: SparkSession): Table =
+    new Table(SqlDecompile.rebuild(spark, this, Map.empty))
+}
+
+final case class SqlRelation(name: String) extends SqlOp { def children = Nil }
+final case class SqlProject(input: SqlOp, exprs: Seq[(String, String)]) extends SqlOp {
+  def children = Seq(input)
+}
+final case class SqlFilter(input: SqlOp, predicate: String) extends SqlOp {
+  def children = Seq(input)
+}
+/** HAVING differs from WHERE: the predicate may contain aggregate calls
+  * over the input's grouping, not just output columns. */
+final case class SqlHaving(input: SqlOp, predicate: String) extends SqlOp {
+  def children = Seq(input)
+}
+final case class SqlAggregate(input: SqlOp, keys: Seq[String],
+    aggs: Seq[(String, String)]) extends SqlOp { def children = Seq(input) }
+final case class SqlJoin(left: SqlOp, right: SqlOp, how: String,
+    condition: Option[String]) extends SqlOp { def children = Seq(left, right) }
+final case class SqlSort(input: SqlOp,
+    keys: Seq[(String, Boolean, Boolean)]) extends SqlOp { def children = Seq(input) }
+final case class SqlLimit(input: SqlOp, n: Option[Long], offset: Option[Long]) extends SqlOp {
+  def children = Seq(input)
+}
+final case class SqlDistinct(input: SqlOp) extends SqlOp { def children = Seq(input) }
+final case class SqlSetOp(left: SqlOp, right: SqlOp, op: String, all: Boolean) extends SqlOp {
+  def children = Seq(left, right)
+}
+final case class SqlAlias(input: SqlOp, name: String) extends SqlOp {
+  def children = Seq(input)
+}
+final case class SqlWith(input: SqlOp, ctes: Seq[(String, SqlOp)]) extends SqlOp {
+  def children = Seq(input)
+}
+/** Fallback for plan shapes outside the walkable core: carries the raw
+  * parsed subtree, which still executes verbatim on rebuild. */
+final case class SqlOpaque(plan: LogicalPlan) extends SqlOp { def children = Nil }
+
+object SqlDecompile {
+
+  /** Parse `sql` with Spark's parser and decompile the unresolved plan. */
+  def decompile(spark: SparkSession, sql: String): SqlOp =
+    fromPlan(spark.sessionState.sqlParser.parsePlan(sql))
+
+  /** Render an unresolved expression back to SQL text. Catalyst's
+    * Expression.sql on unresolved trees round-trips through the parser
+    * for the surface this decompiler covers. */
+  private def exprSql(e: Expression): String = e match {
+    case UnresolvedAlias(child, _) => exprSql(child)
+    case a: Alias => s"${exprSql(a.child)} AS ${a.name}"
+    case u: UnresolvedAttribute => u.nameParts.mkString(".")
+    case s: UnresolvedStar => starSql(s)
+    case other => other.sql
+  }
+
+  private def starSql(s: UnresolvedStar): String =
+    s.target.map(_.mkString(".") + ".*").getOrElse("*")
+
+  private def named(e: Expression): (String, String) = e match {
+    case UnresolvedAlias(child, _) => named(child)
+    case a: Alias => (a.name, exprSql(a.child))
+    case u: UnresolvedAttribute => (u.nameParts.last, exprSql(u))
+    case s: UnresolvedStar => ("*", starSql(s))
+    case other => (other.sql, other.sql)
+  }
+
+  /** Does this rendered expression parse back? Catalyst's .sql is not
+    * faithful for every unresolved node (window expressions render an
+    * unparseable frame, for one) — anything that fails the round trip
+    * degrades the containing plan node to [[SqlOpaque]] instead of
+    * shipping a string that breaks at rebuild. */
+  private def rendersBack(s: String): Boolean =
+    s == "*" || s.endsWith(".*") || {
+      try {
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
+        true
+      } catch { case _: Exception => false }
+    }
+
+  def fromPlan(plan: LogicalPlan): SqlOp = plan match {
+    case UnresolvedRelation(nameParts, _, _) => SqlRelation(nameParts.mkString("."))
+    case p @ Project(projectList, child) =>
+      val es = projectList.map(named)
+      if (es.forall(e => rendersBack(e._2))) SqlProject(fromPlan(child), es)
+      else SqlOpaque(p)
+    case f @ Filter(cond, child) =>
+      if (rendersBack(exprSql(cond))) SqlFilter(fromPlan(child), exprSql(cond))
+      else SqlOpaque(f)
+    case a @ Aggregate(grouping, aggExprs, child, _) =>
+      val ks = grouping.map(exprSql); val as = aggExprs.map(named)
+      if (ks.forall(rendersBack) && as.forall(e => rendersBack(e._2)))
+        SqlAggregate(fromPlan(child), ks, as)
+      else SqlOpaque(a)
+    case h @ UnresolvedHaving(cond, child) =>
+      if (rendersBack(exprSql(cond))) SqlHaving(fromPlan(child), exprSql(cond))
+      else SqlOpaque(h)
+    case Join(l, r, joinType, cond, _) =>
+      val how = joinType match {
+        case Inner => "inner"
+        case LeftOuter => "left"
+        case RightOuter => "right"
+        case FullOuter => "outer"
+        case LeftSemi => "semi"
+        case LeftAnti => "anti"
+        case Cross => "cross"
+        case other => other.sql.toLowerCase
+      }
+      SqlJoin(fromPlan(l), fromPlan(r), how, cond.map(exprSql))
+    case Sort(order, true, child, _) =>
+      SqlSort(fromPlan(child), order.map {
+        case SortOrder(e, dir, nulls, _) =>
+          (exprSql(e), dir == Ascending, nulls == NullsFirst)
+      })
+    case GlobalLimit(Literal(n: Int, _), LocalLimit(_, child)) =>
+      SqlLimit(fromPlan(child), Some(n.toLong), None)
+    case Offset(Literal(n: Int, _), child) =>
+      fromPlan(child) match {
+        case SqlLimit(in, lim, None) => SqlLimit(in, lim, Some(n.toLong))
+        case other => SqlLimit(other, None, Some(n.toLong))
+      }
+    case Distinct(child) => SqlDistinct(fromPlan(child))
+    case Union(Seq(l, r), false, false) => SqlSetOp(fromPlan(l), fromPlan(r), "union", all = true)
+    case Deduplicate(_, Union(Seq(l, r), false, false)) =>
+      SqlSetOp(fromPlan(l), fromPlan(r), "union", all = false)
+    case Intersect(l, r, isAll) => SqlSetOp(fromPlan(l), fromPlan(r), "intersect", isAll)
+    case Except(l, r, isAll) => SqlSetOp(fromPlan(l), fromPlan(r), "except", isAll)
+    case SubqueryAlias(id, child) => SqlAlias(fromPlan(child), id.name)
+    case UnresolvedWith(child, cteRelations, _) =>
+      SqlWith(fromPlan(child), cteRelations.map { case (name, body, _) =>
+        (name, fromPlan(body.child))
+      })
+    case other => SqlOpaque(other)
+  }
+
+  /** Rebuild a decompiled tree into a DataFrame. `scope` maps CTE names
+    * to their decompiled bodies. */
+  private[api] def rebuild(spark: SparkSession, op: SqlOp,
+      scope: Map[String, SqlOp]): org.apache.spark.sql.DataFrame = op match {
+    case SqlRelation(name) =>
+      scope.get(name.toLowerCase) match {
+        case Some(body) => rebuild(spark, body, scope)
+        case None => spark.table(name)
+      }
+    case SqlProject(in, exprs) =>
+      rebuild(spark, in, scope).selectExpr(exprs.map {
+        case (n, e) if n == e || n == "*" => e
+        case (n, e) => s"$e AS `$n`"
+      }: _*)
+    case SqlFilter(in, p) => rebuild(spark, in, scope).filter(p)
+    case SqlHaving(agg: SqlAggregate, p) =>
+      // HAVING over output aliases filters directly; HAVING over raw
+      // aggregate calls (count(1) > 1) must be computed WITH the
+      // aggregation — analysis is eager, so the failed direct form picks
+      // the extra-column strategy deterministically
+      try rebuild(spark, agg, scope).filter(p)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          rebuild(spark, agg.copy(aggs = agg.aggs :+ ("__graft_having__", p)), scope)
+            .filter(org.apache.spark.sql.functions.col("`__graft_having__`"))
+            .drop("__graft_having__")
+      }
+    case SqlHaving(in, p) => rebuild(spark, in, scope).filter(p)
+    case SqlAggregate(in, keys, aggs) =>
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      val df = rebuild(spark, in, scope)
+      if (keys.isEmpty) {
+        val aggCols = aggs.map { case (n, e) => expr(e).as(n) }
+        df.agg(aggCols.head, aggCols.tail: _*)
+      } else {
+        // groupBy().agg() auto-prepends the grouping columns; the SQL
+        // output order is the SELECT list's — so aggregate only the
+        // non-key entries, then reselect in the original order (key
+        // references map positionally onto the retained grouping cols)
+        val keyIdx = keys.zipWithIndex.toMap
+        val pure = aggs.filter { case (_, e) => !keyIdx.contains(e) }
+        val aggCols =
+          if (pure.isEmpty) Seq(count(lit(1)).as("__graft_dummy__"))
+          else pure.map { case (n, e) => expr(e).as(n) }
+        val agged = df.groupBy(keys.map(expr): _*).agg(aggCols.head, aggCols.tail: _*)
+        agged.select(aggs.map { case (n, e) =>
+          keyIdx.get(e) match {
+            case Some(i) => col(s"`${agged.columns(i)}`").as(n)
+            case None => col(s"`$n`")
+          }
+        }: _*)
+      }
+    case SqlJoin(l, r, how, cond) =>
+      val lf = rebuild(spark, l, scope); val rf = rebuild(spark, r, scope)
+      cond match {
+        case Some(c) => lf.join(rf, org.apache.spark.sql.functions.expr(c), how)
+        case None => if (how == "cross" || how == "inner") lf.crossJoin(rf)
+          else lf.join(rf)
+      }
+    case SqlSort(in, keys) =>
+      rebuild(spark, in, scope).orderBy(keys.map { case (e, asc, nullsFirst) =>
+        val c = org.apache.spark.sql.functions.expr(e)
+        (asc, nullsFirst) match {
+          case (true, true) => c.asc_nulls_first
+          case (true, false) => c.asc_nulls_last
+          case (false, true) => c.desc_nulls_first
+          case (false, false) => c.desc_nulls_last
+        }
+      }: _*)
+    case SqlLimit(in, n, off) =>
+      val base = rebuild(spark, in, scope)
+      val offset = off.fold(base)(o => base.offset(o.toInt))
+      n.fold(offset)(l => offset.limit(l.toInt))
+    case SqlDistinct(in) => rebuild(spark, in, scope).distinct()
+    case SqlSetOp(l, r, op2, all) =>
+      val lf = rebuild(spark, l, scope); val rf = rebuild(spark, r, scope)
+      op2 match {
+        case "union" => if (all) lf.union(rf) else lf.union(rf).distinct()
+        case "intersect" => if (all) lf.intersectAll(rf) else lf.intersect(rf)
+        case "except" => if (all) lf.exceptAll(rf) else lf.except(rf)
+      }
+    case SqlAlias(in, name) => rebuild(spark, in, scope).alias(name)
+    case SqlWith(in, ctes) =>
+      // later CTEs may reference earlier ones — extend the scope left to
+      // right, lowercased (SQL identifiers are case-insensitive here)
+      val extended = ctes.foldLeft(scope) { case (sc, (name, body)) =>
+        sc + (name.toLowerCase -> SqlResolved(rebuild(spark, body, sc)))
+      }
+      rebuild(spark, in, extended)
+    case SqlResolved(df) => df
+    case SqlOpaque(plan) =>
+      // the raw parsed subtree still executes verbatim — capability is
+      // never lost, only walkability
+      org.apache.spark.sql.GraftSqlBridge.ofPlan(spark, plan)
+  }
+
+  /** Internal scope entry: an already-rebuilt CTE body. */
+  private[api] final case class SqlResolved(
+      df: org.apache.spark.sql.DataFrame) extends SqlOp { def children = Nil }
+}

@@ -180,6 +180,33 @@ object MiscQueries {
           AND l_discount >= 0 AND l_tax >= 0) AS n_all_pos
       FROM lineitem""")),
 
+    // parse_sql decompile (round 7, DIVERGENCES §7): SQL text → walkable
+    // SqlOp tree → REWRITE (the decompiled-graph transform the reference
+    // surface exists for: here the filter threshold is edited in the
+    // tree) → rebuilt through the DataFrame API → composes with further
+    // verbs. The oracle states the REWRITTEN query — only a genuine
+    // decompile-transform-rebuild pipeline produces it from the original
+    // SQL text.
+    QueryDef("q97b_parse_sql_decompile", (s, dir) => {
+      import graft.api.{SqlDecompile, SqlFilter, SqlOp}
+      nation(s, dir).createOrReplaceTempView("nation_v")
+      val op = SqlDecompile.decompile(s,
+        """WITH big AS (SELECT n_regionkey, n_nationkey FROM nation_v WHERE n_nationkey > 990)
+           SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum
+           FROM big GROUP BY n_regionkey ORDER BY n_regionkey""")
+      require(op.isFullyDecompiled, "decompile fell back to an opaque plan")
+      val rewritten = op.rewrite {
+        case SqlFilter(in, p) if p.contains("990") => SqlFilter(in, p.replace("990", "9"))
+      }
+      rewritten.table(s)
+        .mutate("key_sum" -> col("key_sum").cast("long"))
+        .selectNames("n_regionkey", "n", "key_sum")
+        .df
+    }, Some("""
+      SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+      FROM nation WHERE n_nationkey > 9
+      GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {
       Table(nation(s, dir)).sql(

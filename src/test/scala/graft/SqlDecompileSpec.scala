@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api._
+
+/** parse_sql decompile (DIVERGENCES §7): SQL text → walkable SqlOp tree
+  * → rewrite → rebuilt DataFrame that matches spark.sql on the same
+  * text; opaque fallbacks still execute. */
+class SqlDecompileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ensureViews(): Unit = {
+    Seq((0L, "a", 0L), (1L, "b", 0L), (2L, "c", 1L), (3L, "d", 1L), (4L, "e", 2L))
+      .toDF("id", "name", "grp").createOrReplaceTempView("t1")
+    Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (9L, 90.0))
+      .toDF("id", "v").createOrReplaceTempView("t2")
+  }
+
+  private def roundTrip(sql: String, expectWalkable: Boolean = true): Unit = {
+    val op = SqlDecompile.decompile(spark, sql)
+    assert(op.isFullyDecompiled == expectWalkable, s"walkability of: $sql\n$op")
+    val rebuilt = op.table(spark).df
+    val direct = spark.sql(sql)
+    assert(rebuilt.columns.toSeq == direct.columns.toSeq, s"columns of: $sql")
+    assert(rebuilt.collect().toSeq == direct.collect().toSeq, s"rows of: $sql")
+  }
+
+  test("relational core round-trips: project/filter/agg/having/join/sort/limit/offset") {
+    ensureViews()
+    roundTrip("SELECT id, name FROM t1 WHERE id > 1 ORDER BY id")
+    roundTrip("SELECT grp, COUNT(*) AS n, SUM(id) AS s FROM t1 GROUP BY grp " +
+      "HAVING COUNT(*) > 1 ORDER BY grp")
+    roundTrip("SELECT t1.id, name, v FROM t1 JOIN t2 ON t1.id = t2.id ORDER BY t1.id")
+    roundTrip("SELECT t1.id, v FROM t1 LEFT JOIN t2 ON t1.id = t2.id ORDER BY t1.id, v")
+    roundTrip("SELECT id FROM t1 ORDER BY id DESC LIMIT 2")
+    roundTrip("SELECT id FROM t1 ORDER BY id LIMIT 2 OFFSET 1")
+    roundTrip("SELECT DISTINCT grp FROM t1 ORDER BY grp")
+    roundTrip("SELECT id FROM t1 UNION SELECT id FROM t2 ORDER BY id")
+    roundTrip("SELECT id FROM t1 UNION ALL SELECT id FROM t2 ORDER BY id")
+    roundTrip("SELECT id FROM t1 INTERSECT SELECT id FROM t2 ORDER BY id")
+    roundTrip("SELECT id FROM t1 EXCEPT SELECT id FROM t2 ORDER BY id")
+    roundTrip("SELECT upper(name) AS u, id * 2 AS d FROM t1 WHERE grp <> 2 ORDER BY d")
+  }
+
+  test("CTEs resolve through the decompiled scope, including chained ones") {
+    ensureViews()
+    roundTrip("""WITH a AS (SELECT id, grp FROM t1 WHERE id > 0),
+                      b AS (SELECT grp, COUNT(*) AS n FROM a GROUP BY grp)
+                 SELECT * FROM b ORDER BY grp""")
+  }
+
+  test("rewrite transforms the tree; rebuilt result composes with Table verbs") {
+    ensureViews()
+    val op = SqlDecompile.decompile(spark,
+      "SELECT grp, COUNT(*) AS n FROM t1 WHERE id < 99 GROUP BY grp")
+    // the walkable structure is really there
+    assert(op.exists { case SqlRelation("t1") => true; case _ => false })
+    assert(op.exists { case SqlAggregate(_, Seq("grp"), _) => true; case _ => false })
+    // swap the relation AND tighten the filter, purely in the tree
+    val rewritten = op.rewrite {
+      case SqlRelation("t1") => SqlRelation("t1")
+      case SqlFilter(in, p) => SqlFilter(in, p.replace("99", "3"))
+    }
+    val out = rewritten.table(spark)
+      .filter(col("n") >= 1).sort(api.SortKey.asc(col("grp"))) // composes
+      .df.as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L), (1L, 1L)))
+  }
+
+  test("shapes beyond the core degrade to opaque but still execute") {
+    ensureViews()
+    // window expressions render an unparseable frame from catalyst's
+    // .sql — the parse-back guard degrades them to opaque, same rows
+    roundTrip("SELECT id, row_number() OVER (ORDER BY id) AS rn FROM t1 ORDER BY id",
+      expectWalkable = false)
+    // LATERAL VIEW is a Generate plan node outside the walkable core →
+    // SqlOpaque, but the raw parsed subtree still executes verbatim
+    roundTrip("SELECT id, e FROM t1 LATERAL VIEW explode(array(1, 2)) x AS e ORDER BY id, e",
+      expectWalkable = false)
+  }
+}
