@@ -603,6 +603,62 @@ object GeoGeom {
         rb += 1
       }
     }
+    // the reverse poke (round 7): when b is AREAL, no vertex of a's OWN
+    // boundary may sit strictly inside b — if one does, part of a's
+    // boundary (typically a hole ring) is interior to b, so b's region
+    // escapes a's (a square "containing" a bigger square that swallows
+    // its hole was the failing case). A boundary point of a strictly
+    // interior to b ⊆ a is impossible for true containment, so this
+    // check never rejects a legitimate pair.
+    if (b.kind == 3 || b.kind == 6) {
+      var ra2 = 0
+      while (ra2 < a.rings.length) {
+        val ring = a.rings(ra2)
+        var i = 0
+        while (i < ring.length) {
+          val x = ring(i); val y = ring(i + 1)
+          if (pointInRings(x, y, b.rings)) {
+            // strictly inside = inside by even-odd AND not on b's boundary
+            var onB = false
+            var rb2 = 0
+            while (rb2 < b.rings.length && !onB) {
+              val br = b.rings(rb2)
+              val m = br.length / 2
+              var j = 0
+              while (j < m - 1 && !onB) {
+                if (pointSegDist(x, y, br(j * 2), br(j * 2 + 1),
+                    br(j * 2 + 2), br(j * 2 + 3)) == 0.0) onB = true
+                j += 1
+              }
+              rb2 += 1
+            }
+            if (!onB) return false
+          }
+          i += 2
+        }
+        ra2 += 1
+      }
+      // interior probe: b's boundary can lie ENTIRELY on a's boundary (b
+      // exactly filling a hole of a) and pass every edge test — probe a
+      // point of b's interior directly when the shell centroid lands
+      // inside b (true for convex and most shapes; concave misses just
+      // skip the probe, the edge tests above still constrain them)
+      val shell = b.rings(0)
+      var cx = 0.0; var cy = 0.0; var aa = 0.0
+      var ci = 0
+      while (ci < shell.length - 2) {
+        val cross = shell(ci) * shell(ci + 3) - shell(ci + 2) * shell(ci + 1)
+        aa += cross
+        cx += (shell(ci) + shell(ci + 2)) * cross
+        cy += (shell(ci + 1) + shell(ci + 3)) * cross
+        ci += 2
+      }
+      if (aa != 0.0) {
+        cx /= 3.0 * aa; cy /= 3.0 * aa
+        if (pointInRings(cx, cy, b.rings) && !pointInRings(cx, cy, a.rings))
+          return false
+      }
+    }
     true
   }
 

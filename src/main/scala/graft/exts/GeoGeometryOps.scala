@@ -581,12 +581,15 @@ object GeoGeomOps {
     poly
   }
 
-  /** GeoIntersection (geospatial.py:426) for the planar-exact cases:
-    * polygon ∩ CONVEX polygon (Sutherland-Hodgman; operands swapped if
-    * only one is convex — intersection commutes), line ∩ convex polygon
-    * when the clipped line is a single connected piece, and point ∩
-    * anything. Empty or unsupported (both concave, disconnected line
-    * pieces, GEOS-style general clipping) → null. */
+  /** GeoIntersection (geospatial.py:426): polygon ∩ polygon for ALL
+    * pairings since round 7 — polygon ∩ CONVEX hole-free polygon keeps
+    * the tangency-robust Sutherland-Hodgman fast path; concave-concave
+    * and holed pairs route through the same boundary-walk machinery as
+    * union/difference (keep A sub-edges strictly inside B + symmetric,
+    * collinear overlaps kept from the A side when interiors agree). Also
+    * line ∩ convex polygon when one connected piece survives, and point
+    * ∩ anything. Empty, touch-only (point/line-dimensional output) and
+    * adversarial-tangency stitches → null, never wrong. */
   def intersection(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
     val a = parse(aB); val b = parse(bB)
     if (a == null || b == null) return null
@@ -600,12 +603,14 @@ object GeoGeomOps {
         clipLineToConvex(a.rings(0), b.rings(0))
       case (3, 2) => intersection(bB, aB)
       case (3, 3) =>
-        // clip must be convex + hole-free; swap if only `b` qualifies
+        // convex hole-free clip + hole-free subject: Sutherland-Hodgman;
+        // everything else walks boundaries like union/difference
         val aOk = a.rings.length == 1 && isConvexRing(a.rings(0))
         val bOk = b.rings.length == 1 && isConvexRing(b.rings(0))
-        if (!aOk && !bOk) return null
+        if ((!aOk && !bOk) || (bOk && a.rings.length > 1) || (aOk && !bOk && b.rings.length > 1))
+          return generalIntersection(aB, bB, a, b)
         val (subj, clip) = if (bOk) (a, b) else (b, a)
-        if (subj.rings.length > 1) return null // hole-carrying subject: GEOS territory
+        if (subj.rings.length > 1) return generalIntersection(aB, bB, a, b)
         val out = clipRing(subj.rings(0), clip.rings(0))
         // drop consecutive duplicates, require a real (non-degenerate) ring
         val ded = scala.collection.mutable.ArrayBuffer[Double]()
@@ -627,6 +632,38 @@ object GeoGeomOps {
       case (2, 2) => null // 1-dim overlap output: GEOS territory
       case _ => null
     }
+  }
+
+  /** Boundary-walk polygon ∩ polygon for the pairs Sutherland-Hodgman
+    * cannot take (concave-concave, holed operands): keep A sub-edges
+    * strictly inside B, B sub-edges strictly inside A, collinear overlaps
+    * from the A side when the interiors locally agree; stitch + assemble.
+    * Empty interior or failed stitch → null. */
+  private def generalIntersection(aB: Array[Byte], bB: Array[Byte],
+      a: Geom, b: Geom): Array[Byte] = {
+    val ra = orientedRings(a); val rb = orientedRings(b)
+    if (ra == null || rb == null) return null
+    val d = GeoGeom.distance(aB, bB)
+    if (d != null && d.doubleValue() > 0.0) return null // disjoint: empty
+    val abIn = GeoGeom.contains(aB, bB)
+    if (abIn != null && abIn.booleanValue()) return GeoGeom.writePolygon(rb) // B ⊆ A
+    val baIn = GeoGeom.contains(bB, aB)
+    if (baIn != null && baIn.booleanValue()) return GeoGeom.writePolygon(ra) // A ⊆ B
+    val keep = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    ra.foreach(ring => splitEdges(ring, rb).foreach { s =>
+      val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
+      if (onAnyBoundary(mx, my, rb)) {
+        // collinear overlap: part of A∩B's boundary iff both interiors
+        // sit locally on the edge's left — kept from the A side only
+        if (interiorSide(s, ra, rb)) keep += s
+      } else if (strictlyInside(mx, my, rb)) keep += s
+    })
+    rb.foreach(ring => splitEdges(ring, ra).foreach { s =>
+      val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
+      if (!onAnyBoundary(mx, my, ra) && strictlyInside(mx, my, ra)) keep += s
+    })
+    if (keep.isEmpty) return null // touch-only: no areal intersection
+    stitchRings(keep.toSeq).map(assemblePolys).orNull
   }
 
   /** Clip a linestring to a convex ring; null unless exactly one connected
@@ -701,31 +738,46 @@ object GeoGeomOps {
   private def ccw(r: Array[Double]): Array[Double] =
     if (signedArea(r) >= 0.0) r else reverseRing(r)
 
+  private def cw(r: Array[Double]): Array[Double] =
+    if (signedArea(r) <= 0.0) r else reverseRing(r)
+
+  /** Polygon operand rings normalized to the interior-on-left invariant:
+    * shell (WKB ring 0) CCW, holes CW — so every boundary-walk keep/flip
+    * rule below holds uniformly for shells AND holes. Null otherwise. */
+  private def orientedRings(g: Geom): Array[Array[Double]] =
+    if (g == null || g.kind != 3 || g.rings.length == 0) null
+    else g.rings.zipWithIndex.map { case (r, i) => if (i == 0) ccw(r) else cw(r) }
+
   /** Directed sub-edges of `subj` (closed ring) split at every proper or
-    * endpoint crossing with `other`'s edges; collinear pairs contribute no
-    * split (their sub-edges classify by midpoint instead). Each element is
-    * [x1,y1,x2,y2]. */
-  private def splitEdges(subj: Array[Double], other: Array[Double])
+    * endpoint crossing with any of `others`' edges; collinear pairs
+    * contribute no split (their sub-edges classify by midpoint instead).
+    * Each element is [x1,y1,x2,y2]. */
+  private def splitEdges(subj: Array[Double], others: Array[Array[Double]])
       : scala.collection.mutable.ArrayBuffer[Array[Double]] = {
     val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     val ns = subj.length / 2 - 1
-    val no = other.length / 2 - 1
     var i = 0
     while (i < ns) {
       val ax = subj(i * 2); val ay = subj(i * 2 + 1)
       val bx = subj(i * 2 + 2); val by = subj(i * 2 + 3)
       val ts = scala.collection.mutable.ArrayBuffer[Double](0.0, 1.0)
-      var j = 0
-      while (j < no) {
-        val cx = other(j * 2); val cy = other(j * 2 + 1)
-        val dx = other(j * 2 + 2); val dy = other(j * 2 + 3)
-        val d = (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
-        if (d != 0.0) {
-          val t = ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx)) / d
-          val s = ((cx - ax) * (by - ay) - (cy - ay) * (bx - ax)) / d
-          if (t > 0.0 && t < 1.0 && s >= 0.0 && s <= 1.0) ts += t
+      var r = 0
+      while (r < others.length) {
+        val other = others(r)
+        val no = other.length / 2 - 1
+        var j = 0
+        while (j < no) {
+          val cx = other(j * 2); val cy = other(j * 2 + 1)
+          val dx = other(j * 2 + 2); val dy = other(j * 2 + 3)
+          val d = (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
+          if (d != 0.0) {
+            val t = ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx)) / d
+            val s = ((cx - ax) * (by - ay) - (cy - ay) * (bx - ax)) / d
+            if (t > 0.0 && t < 1.0 && s >= 0.0 && s <= 1.0) ts += t
+          }
+          j += 1
         }
-        j += 1
+        r += 1
       }
       val st = ts.distinct.sorted
       var k = 0
@@ -805,11 +857,12 @@ object GeoGeomOps {
       shells.map { case (s, hs) => GeoGeom.writePolygon((s +: hs).toArray) }.toArray)
   }
 
-  private def simpleRing(g: Geom): Array[Double] =
-    if (g.kind == 3 && g.rings.length == 1) ccw(g.rings(0)) else null
-
-  /** GeoUnion (geospatial.py:195). Polygon ∪ polygon (simple rings), plus
-    * point ∪ point → MULTIPOINT. Unsupported shapes → null. */
+  /** GeoUnion (geospatial.py:195). Polygon ∪ polygon — holed operands
+    * included since round 7 (the even-odd classifiers and the stitcher
+    * were already ring-set-general; orientation normalization makes the
+    * keep rules uniform: a B piece plugging A's hole drops the covered
+    * hole edges and the hole shrinks or fills exactly). Plus point ∪
+    * point → MULTIPOINT. Unsupported shapes → null. */
   def union(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
     val a = parse(aB); val b = parse(bB)
     if (a == null || b == null) return null
@@ -817,50 +870,54 @@ object GeoGeomOps {
       return if (java.util.Arrays.equals(asBinary(aB), asBinary(bB))) asBinary(aB)
       else GeoGeom.writeMulti(GeoGeom.MultiPointType, Array(asBinary(aB), asBinary(bB)))
     }
-    val ra = simpleRing(a); val rb = simpleRing(b)
+    val ra = orientedRings(a); val rb = orientedRings(b)
     if (ra == null || rb == null) return null
     val d = GeoGeom.distance(aB, bB)
     if (d != null && d.doubleValue() > 0.0) // disjoint: exact multipolygon
       return GeoGeom.writeMulti(GeoGeom.MultiPolygonType,
-        Array(GeoGeom.writePolygon(Array(ra)), GeoGeom.writePolygon(Array(rb))))
+        Array(GeoGeom.writePolygon(ra), GeoGeom.writePolygon(rb)))
     val abIn = GeoGeom.contains(aB, bB); val baIn = GeoGeom.contains(bB, aB)
-    if (abIn != null && abIn.booleanValue()) return GeoGeom.writePolygon(Array(ra))
-    if (baIn != null && baIn.booleanValue()) return GeoGeom.writePolygon(Array(rb))
+    if (abIn != null && abIn.booleanValue()) return GeoGeom.writePolygon(ra)
+    if (baIn != null && baIn.booleanValue()) return GeoGeom.writePolygon(rb)
     val keep = scala.collection.mutable.ArrayBuffer[Array[Double]]()
-    splitEdges(ra, rb).foreach { s =>
+    ra.foreach(ring => splitEdges(ring, rb).foreach { s =>
       val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
-      if (onAnyBoundary(mx, my, Array(rb))) {
+      if (onAnyBoundary(mx, my, rb)) {
         // collinear overlap: A's interior is left of the directed edge
-        // (CCW). Same-side interiors (bottom edges of two overlapping
-        // rectangles) → the edge stays union boundary, kept from the A
-        // side only; opposite sides (touching faces) → interior, drop.
+        // (interior-on-left normalization). Same-side interiors (bottom
+        // edges of two overlapping rectangles) → the edge stays union
+        // boundary, kept from the A side only; opposite sides (touching
+        // faces) → interior, drop.
         if (interiorSide(s, ra, rb)) keep += s
-      } else if (!strictlyInside(mx, my, Array(rb))) keep += s
-    }
-    splitEdges(rb, ra).foreach { s =>
+      } else if (!strictlyInside(mx, my, rb)) keep += s
+    })
+    rb.foreach(ring => splitEdges(ring, ra).foreach { s =>
       val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
-      if (!strictlyInside(mx, my, Array(ra)) && !onAnyBoundary(mx, my, Array(ra))) keep += s
-    }
+      if (!strictlyInside(mx, my, ra) && !onAnyBoundary(mx, my, ra)) keep += s
+    })
     stitchRings(keep.toSeq).map(assemblePolys).orNull
   }
 
-  /** For a directed sub-edge of a CCW ring lying ON `other`'s boundary:
-    * true iff `other`'s interior is locally on the edge's left (interior)
-    * side too — probed by nudging the midpoint toward the left normal. */
-  private def interiorSide(s: Array[Double], self: Array[Double],
-      other: Array[Double]): Boolean = {
+  /** For a directed sub-edge with interior-on-left lying ON `other`'s
+    * boundary: true iff `other`'s interior is locally on the edge's left
+    * (interior) side too — probed by nudging the midpoint toward the left
+    * normal (even-odd over the full ring set, so holes classify). */
+  private def interiorSide(s: Array[Double], self: Array[Array[Double]],
+      other: Array[Array[Double]]): Boolean = {
     val dx = s(2) - s(0); val dy = s(3) - s(1)
     val len = math.sqrt(dx * dx + dy * dy)
     if (len == 0.0) return false
     val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
     val eps = 1e-7 * math.max(1.0, math.max(math.abs(mx), math.abs(my)))
     val px = mx - dy / len * eps; val py = my + dx / len * eps
-    GeoGeom.pointInRings(px, py, Array(other))
+    GeoGeom.pointInRings(px, py, other)
   }
 
-  /** GeoDifference (geospatial.py:433): A − B. Polygon − polygon (simple
-    * rings; a fully-interior B becomes a hole, a splitting B yields a
-    * MULTIPOLYGON). A − lower-dimension geometry = A (area unchanged);
+  /** GeoDifference (geospatial.py:433): A − B. Polygon − polygon — holed
+    * operands included since round 7: a fully-interior B shell becomes a
+    * hole, B's own holes resurface as ISLANDS (the orientation flip turns
+    * a CW hole ring into a CCW shell), a splitting B yields a
+    * MULTIPOLYGON. A − lower-dimension geometry = A (area unchanged);
     * point/line minuends only when disjoint from B. Empty result or
     * unsupported shape → null. */
   def difference(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
@@ -873,30 +930,32 @@ object GeoGeomOps {
       else null
     }
     if (b.kind == 1 || b.kind == 2) return asBinary(aB) // zero-area subtrahend
-    val ra = simpleRing(a); val rb = simpleRing(b)
+    val ra = orientedRings(a); val rb = orientedRings(b)
     if (ra == null || rb == null) return null
     val d = GeoGeom.distance(aB, bB)
-    if (d != null && d.doubleValue() > 0.0) return GeoGeom.writePolygon(Array(ra))
+    if (d != null && d.doubleValue() > 0.0) return GeoGeom.writePolygon(ra)
     val baIn = GeoGeom.contains(bB, aB)
     if (baIn != null && baIn.booleanValue()) return null // A ⊆ B: empty
     val abIn = GeoGeom.contains(aB, bB)
-    val bTouchesABoundary = ra.grouped(2).exists(p => onAnyBoundary(p(0), p(1), Array(rb))) ||
-      rb.grouped(2).exists(p => onAnyBoundary(p(0), p(1), Array(ra)))
+    val bTouchesABoundary =
+      ra.exists(_.grouped(2).exists(p => onAnyBoundary(p(0), p(1), rb))) ||
+      rb.exists(_.grouped(2).exists(p => onAnyBoundary(p(0), p(1), ra)))
     if (abIn != null && abIn.booleanValue() && !bTouchesABoundary)
-      return GeoGeom.writePolygon(Array(ra, reverseRing(rb))) // interior bite: hole
+      // interior bite: B's shell becomes a hole, B's holes become islands
+      return assemblePolys(ra ++ rb.map(reverseRing))
     val keep = scala.collection.mutable.ArrayBuffer[Array[Double]]()
-    splitEdges(ra, rb).foreach { s =>
+    ra.foreach(ring => splitEdges(ring, rb).foreach { s =>
       val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
-      if (onAnyBoundary(mx, my, Array(rb))) {
+      if (onAnyBoundary(mx, my, rb)) {
         // collinear overlap: kept iff the interiors sit on OPPOSITE sides
         // (B pokes outward there, so the A boundary survives subtraction)
         if (!interiorSide(s, ra, rb)) keep += s
-      } else if (!strictlyInside(mx, my, Array(rb))) keep += s
-    }
-    splitEdges(rb, ra).foreach { s =>
+      } else if (!strictlyInside(mx, my, rb)) keep += s
+    })
+    rb.foreach(ring => splitEdges(ring, ra).foreach { s =>
       val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
-      if (strictlyInside(mx, my, Array(ra))) keep += Array(s(2), s(3), s(0), s(1)) // reversed
-    }
+      if (strictlyInside(mx, my, ra)) keep += Array(s(2), s(3), s(0), s(1)) // reversed
+    })
     stitchRings(keep.toSeq).map(assemblePolys).orNull
   }
 

@@ -655,6 +655,62 @@ object CoverageQueries {
         TRUE AS h_out
       FROM t ORDER BY 1""")),
 
+    // HOLED set-op operands (round 7 — the boundary walk generalized to
+    // ring sets): the holed plate is built IN-ENGINE via the interior-bite
+    // difference, then union plugs-or-shrinks its hole, difference against
+    // a holed subtrahend raises the subtrahend's hole as an island, and
+    // intersection with a square covering the hole keeps it. Every area is
+    // a closed form in the nation key; per-key geometry spacing keeps rows
+    // independent.
+    QueryDef("q74f_geo_holed_setops", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val base = (k * 10000).cast("double")
+      def rect(x0: org.apache.spark.sql.Column, y0: Double, w: Double, h: Double) =
+        geo.makePolygon(array(
+          geo.point(x0, lit(y0)), geo.point(x0 + w, lit(y0)),
+          geo.point(x0 + w, lit(y0 + h)), geo.point(x0, lit(y0 + h))))
+      // plate [0,10]² with hole [4,6]² (area 96), per-nation offset
+      val holed = geo.difference(rect(base, 0, 10, 10), rect(base + 4.0, 4, 2, 2))
+      // plug x-span [3.5, 4+w], y-span [3.5, 6.5] (offset half-units keep
+      // every edge off the hole/shell grid): covers hole width min(w,2) →
+      // union area 96 + min(w,2)*2
+      val w = ((k % 3).cast("double") * 0.75) + 1.0
+      val plugged = geo.union(holed, geo.makePolygon(array(
+        geo.point(base + 3.5, lit(3.5)), geo.point(base + 4.0 + w, lit(3.5)),
+        geo.point(base + 4.0 + w, lit(6.5)), geo.point(base + 3.5, lit(6.5)))))
+      // A − holedB: bite 36 minus the 4-area island that resurfaces
+      val island = geo.difference(rect(base, 0, 10, 10),
+        geo.difference(rect(base + 2.0, 2, 6, 6), rect(base + 4.0, 4, 2, 2)))
+      // holed ∩ square over the hole: 16 − 4
+      val sect = geo.intersection(holed, rect(base + 3.0, 3, 4, 4))
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        round(geo.area(holed), 6).as("holed_area"),
+        geo.nRings(holed).as("holed_nr"),
+        round(geo.area(plugged), 6).as("plug_area"),
+        round(geo.area(island), 6).as("island_area"),
+        geo.geometryType(island).as("island_type"),
+        round(geo.area(sect), 6).as("sect_area"),
+        geo.nRings(sect).as("sect_nr"),
+        geo.contains(island, geo.point(base + 5.0, lit(5.0))).as("on_island"),
+        geo.contains(island, geo.point(base + 3.0, lit(3.0))).as("in_bite"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (SELECT n_nationkey, CAST(n_nationkey % 3 AS DOUBLE) * 0.75 + 1.0 AS w FROM nation)
+      SELECT n_nationkey,
+        96.0 AS holed_area,
+        2 AS holed_nr,
+        96.0 + LEAST(w, 2.0) * 2.0 AS plug_area,
+        68.0 AS island_area,
+        'MULTIPOLYGON' AS island_type,
+        12.0 AS sect_area,
+        2 AS sect_nr,
+        TRUE AS on_island,
+        FALSE AS in_bite
+      FROM t ORDER BY 1""")),
+
     // UTM reprojection (round 4; GeoTransform geospatial.py:450 beyond the
     // 4326↔3857 pair): per-nation points inside zone 31, forward to
     // EPSG:32631 and back (plus a 32631→3857→4326 double hop). The Krüger

@@ -160,6 +160,64 @@ class GeoMultiSpec extends SparkSpec {
     assert(!r.getBoolean(7)) // hole excluded from containment
   }
 
+  test("holed operands: union plugs/shrinks holes, difference raises islands") {
+    // holed minuends/operands are built IN-ENGINE through the interior-bite
+    // difference path, so this also re-checks that path's ring output
+    val holedA = geo.difference(rect(0, 0, 10, 10), rect(4, 4, 2, 2)) // area 96
+    // B covers the hole entirely → union fills it: plain 100-area square
+    val filled = geo.union(holedA, rect(3, 3, 4, 4))
+    // adversarial: B EXACTLY equals the hole (every B edge collinear with
+    // a hole edge, every vertex shared) — still fills it
+    val exact = geo.union(holedA, rect(4, 4, 2, 2))
+    // B covers the LEFT half of the hole (+ some flesh) → hole shrinks to
+    // [5,6]x[4,6]: area 98, still one shell + one hole
+    val shrunk = geo.union(holedA, rect(3, 4, 2, 2))
+    // subtracting a holed B raises its hole as an ISLAND: area 100-36+4
+    val island = geo.difference(rect(0, 0, 10, 10),
+      geo.difference(rect(2, 2, 6, 6), rect(4, 4, 2, 2)))
+    // cutting away the left half of holedA leaves a notched plate (the
+    // half-hole merges into the outer boundary): area (100-4)-(50-2)
+    val notched = geo.difference(holedA, rect(-1, -1, 6, 12))
+    val r = one.select(
+      geo.area(holedA).as("a0"), geo.nRings(holedA).as("n0"),
+      geo.area(filled).as("a1"), geo.nRings(filled).as("n1"),
+      geo.area(shrunk).as("a2"), geo.nRings(shrunk).as("n2"),
+      geo.area(island).as("a3"), geo.geometryType(island).as("t3"),
+      geo.area(notched).as("a4"),
+      geo.contains(island, geo.point(lit(5.0), lit(5.0))).as("on_island"),
+      geo.contains(island, geo.point(lit(3.0), lit(3.0))).as("in_bite"),
+      geo.area(exact).as("a5"), geo.nRings(exact).as("n5"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 96.0) < 1e-9 && r.getInt(1) == 2)
+    assert(math.abs(r.getDouble(2) - 100.0) < 1e-9 && r.getInt(3) == 1)
+    assert(math.abs(r.getDouble(4) - 98.0) < 1e-9 && r.getInt(5) == 2)
+    assert(math.abs(r.getDouble(6) - 68.0) < 1e-9)
+    assert(r.getString(7) == "MULTIPOLYGON")
+    assert(math.abs(r.getDouble(8) - 48.0) < 1e-9)
+    assert(r.getBoolean(9))   // the island point survives A − holedB
+    assert(!r.getBoolean(10)) // the bitten flesh does not
+    assert(math.abs(r.getDouble(11) - 100.0) < 1e-9 && r.getInt(12) == 1)
+  }
+
+  test("intersection: holed and concave-concave pairs via the boundary walk") {
+    val holedA = geo.difference(rect(0, 0, 10, 10), rect(4, 4, 2, 2))
+    // B covers the hole and more → A ∩ B = B minus the hole: 16-4
+    val i1 = geo.intersection(holedA, rect(3, 3, 4, 4))
+    // two concave L-shapes crossing properly → two disjoint 1.5x1.5 cells
+    def ell(pts: Seq[(Double, Double)]) = geo.makePolygon(
+      org.apache.spark.sql.functions.array(
+        pts.map { case (x, y) => geo.point(lit(x), lit(y)) }: _*))
+    val a = ell(Seq((0.0, 0.0), (6.0, 0.0), (6.0, 2.0), (2.0, 2.0), (2.0, 6.0), (0.0, 6.0)))
+    val b = ell(Seq((6.5, 6.5), (0.5, 6.5), (0.5, 4.5), (4.5, 4.5), (4.5, 0.5), (6.5, 0.5)))
+    val i2 = geo.intersection(a, b)
+    val r = one.select(
+      geo.area(i1).as("a1"), geo.nRings(i1).as("n1"),
+      geo.area(i2).as("a2"), geo.geometryType(i2).as("t2")).collect().head
+    assert(math.abs(r.getDouble(0) - 12.0) < 1e-9 && r.getInt(1) == 2)
+    assert(math.abs(r.getDouble(2) - 4.5) < 1e-9)
+    assert(r.getString(3) == "MULTIPOLYGON")
+  }
+
   test("difference: empty and lower-dim cases") {
     val r = one.select(
       geo.difference(rect(2, 2, 1, 1), rect(0, 0, 6, 6)).as("empty"),
