@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.complex.{ListVector, MapVector, StructVector}
 import org.apache.arrow.vector.ipc.ArrowStreamWriter
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
@@ -29,9 +29,10 @@ object ArrowExport {
 
   /** Arrow schema for a Spark schema. Covers the engine's result-surface
     * types (primitives, decimal, string/binary, date/timestamp) plus
-    * arbitrarily nested arrays and structs (round 7 — token lists,
-    * embeddings metadata, struct results); maps and anything else fail
-    * fast with the column path rather than silently re-encoding. */
+    * arbitrarily nested arrays, structs and maps (round 7 — token lists,
+    * embeddings metadata, struct results, count maps); unsupported
+    * leaves (intervals) fail fast with the full column path rather than
+    * silently re-encoding. */
   def arrowSchema(schema: StructType, timeZoneId: String): Schema = {
     new Schema(schema.fields.map(f => toArrowField(f.name, f.dataType,
       f.nullable, timeZoneId)).toSeq.asJava)
@@ -62,6 +63,14 @@ object ArrowExport {
       case ArrayType(elem, containsNull) =>
         new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
           Seq(toArrowField("element", elem, containsNull, tz, s"$p.element")).asJava)
+      case MapType(kt, vt, valueContainsNull) =>
+        // Arrow maps are a list of non-null struct<key!, value> entries
+        val entries = new Field("entries",
+          new FieldType(false, ArrowType.Struct.INSTANCE, null),
+          Seq(toArrowField("key", kt, nullable = false, tz, s"$p.key"),
+            toArrowField("value", vt, valueContainsNull, tz, s"$p.value")).asJava)
+        new Field(name, new FieldType(nullable, new ArrowType.Map(false), null),
+          Seq(entries).asJava)
       case st: StructType =>
         new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
           st.fields.map(f =>
@@ -179,6 +188,18 @@ object ArrowExport {
         val ldt = value.asInstanceOf[java.time.LocalDateTime]
         v.setSafe(idx, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           ldt.getNano / 1000L)
+      case (v: MapVector, MapType(kt, vt, _)) => // before ListVector: a MapVector IS one
+        val m = value.asInstanceOf[scala.collection.Map[Any, Any]]
+        val start = v.startNewValue(idx)
+        val entries = v.getDataVector.asInstanceOf[StructVector]
+        var j = 0
+        m.foreach { case (k, mv) =>
+          entries.setIndexDefined(start + j)
+          writeValue(entries.getChildByOrdinal(0).asInstanceOf[FieldVector], kt, start + j, k)
+          writeValue(entries.getChildByOrdinal(1).asInstanceOf[FieldVector], vt, start + j, mv)
+          j += 1
+        }
+        v.endValue(idx, m.size)
       case (v: ListVector, ArrayType(elem, _)) =>
         val seq = value.asInstanceOf[scala.collection.Seq[Any]]
         val start = v.startNewValue(idx)

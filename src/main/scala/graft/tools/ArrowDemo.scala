@@ -22,7 +22,9 @@ object ArrowDemo {
         slice(split(col("text"), "\\s+"), 1, 8).as("tokens"),
         struct(col("lang").as("lang"), col("n_chars").as("n_chars")).as("meta"),
         array(slice(split(col("text"), "\\s+"), 1, 2),
-          slice(split(col("text"), "\\s+"), 3, 2)).as("grams"))
+          slice(split(col("text"), "\\s+"), 3, 2)).as("grams"),
+        map_from_arrays(array(lit("chars"), lit("id")),
+          array(col("n_chars"), col("doc_id"))).as("counts"))
       .orderBy("doc_id").limit(100)
     val n = graft.interop.ArrowExport.toArrowFile(out, args(1))
     println(s"[arrow] wrote $n rows to ${args(1)}")

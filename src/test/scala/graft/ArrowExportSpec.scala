@@ -128,18 +128,38 @@ class ArrowExportSpec extends SparkSpec {
     assert(byId(3L)(2) == null)
   }
 
+  test("map columns roundtrip as Arrow maps (list of key/value entries)") {
+    val df = Seq(
+      (1L, Map("a" -> 1, "b" -> 2)),
+      (2L, Map.empty[String, Int]),
+      (3L, null.asInstanceOf[Map[String, Int]]))
+      .toDF("id", "m")
+    val (names, rows) = readAll(ArrowExport.toArrowStreamBytes(df))
+    assert(names == Seq("id", "m"))
+    val byId = rows.map(r => r.head.asInstanceOf[Long] -> r(1)).toMap
+    val m1 = byId(1L).asInstanceOf[java.util.List[_]].asScala
+      .map { e => val s = e.asInstanceOf[java.util.Map[String, Any]]
+        s.get("key").toString -> s.get("value") }.toMap
+    assert(m1 == Map("a" -> 1, "b" -> 2))
+    assert(byId(2L).asInstanceOf[java.util.List[_]].isEmpty)
+    assert(byId(3L) == null)
+  }
+
   test("unsupported types fail fast with the offending column path") {
-    val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    // interval leaves have no Arrow mapping here — fail BEFORE any batch
+    // is written (a mid-stream failure would leave a truncated file),
+    // naming the full column path
+    val df = Seq(Tuple1(1L)).toDF("id")
+      .withColumn("iv", expr("INTERVAL '1' YEAR"))
     val ex = intercept[UnsupportedOperationException] {
       ArrowExport.toArrowStreamBytes(df)
     }
-    assert(ex.getMessage.contains("Map") && ex.getMessage.contains("'m'"))
-    // nested unsupported leaf names the full path, BEFORE any batch is
-    // written (a mid-stream failure would leave a truncated Arrow file)
-    val nested = Seq((1L, Seq(Map("a" -> 1)))).toDF("id", "lm")
+    assert(ex.getMessage.contains("'iv'"))
+    val nested = Seq(Tuple1(1L)).toDF("id")
+      .withColumn("liv", array(expr("INTERVAL '1' YEAR")))
     val ex2 = intercept[UnsupportedOperationException] {
       ArrowExport.toArrowStreamBytes(nested)
     }
-    assert(ex2.getMessage.contains("lm.element") && ex2.getMessage.contains("Map"))
+    assert(ex2.getMessage.contains("liv.element"))
   }
 }
