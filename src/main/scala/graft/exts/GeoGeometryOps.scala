@@ -602,6 +602,28 @@ object GeoGeomOps {
         if (!isConvexRing(b.rings(0)) || b.rings.length > 1) return null
         clipLineToConvex(a.rings(0), b.rings(0))
       case (3, 2) => intersection(bB, aB)
+      case (ka, kb) if (ka != 3 || kb != 3) &&
+          polyParts(a) != null && polyParts(b) != null =>
+        // multi-part sides: pairwise part intersections (parts of one
+        // side have disjoint interiors, so the pieces are disjoint). A
+        // null pair is only acceptable when provably EMPTY (disjoint or
+        // boundary-touch-only) — anything ambiguous aborts the whole op.
+        val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        for (ap <- polyParts(a); bp <- polyParts(b)) {
+          val apB = GeoGeom.write(ap); val bpB = GeoGeom.write(bp)
+          val r = intersection(apB, bpB)
+          if (r == null) {
+            val d = GeoGeom.distance(apB, bpB)
+            val t = touches(apB, bpB)
+            if (!(d != null && d.doubleValue() > 0.0) &&
+                !(t != null && t.booleanValue())) return null
+          } else parse(r) match {
+            case g if g != null && g.kind == 3 => out += r
+            case g if g != null && g.kind == 6 => g.parts.foreach(pt => out += GeoGeom.write(pt))
+            case _ => return null
+          }
+        }
+        assembleParts(out.toSeq)
       case (3, 3) =>
         // convex hole-free clip + hole-free subject: Sutherland-Hodgman;
         // everything else walks boundaries like union/difference
@@ -857,18 +879,71 @@ object GeoGeomOps {
       shells.map { case (s, hs) => GeoGeom.writePolygon((s +: hs).toArray) }.toArray)
   }
 
+  /** Polygon parts of a polygonal operand: a POLYGON is its own single
+    * part; MULTIPOLYGON / all-polygon GEOMETRYCOLLECTION contribute each
+    * member. Null for anything else. */
+  private def polyParts(g: Geom): Array[Geom] = g.kind match {
+    case 3 => Array(g)
+    case 6 => g.parts
+    case 7 if g.parts != null && g.parts.nonEmpty && g.parts.forall(_.kind == 3) => g.parts
+    case _ => null
+  }
+
+  private def assembleParts(pieces: Seq[Array[Byte]]): Array[Byte] =
+    if (pieces.isEmpty) null
+    else if (pieces.length == 1) pieces.head
+    else GeoGeom.writeMulti(GeoGeom.MultiPolygonType, pieces.toArray)
+
+  /** Union over a part worklist: merge any pair whose regions meet until
+    * no pair does (each merge of intersecting simple/holed polygons
+    * yields ONE polygon, possibly holed, so the list only shrinks).
+    * A pairwise union the stitcher refuses aborts the whole op — null,
+    * never a wrong multi. */
+  private def unionParts(parts0: Seq[Array[Byte]]): Array[Byte] = {
+    val work = scala.collection.mutable.ArrayBuffer[Array[Byte]](parts0: _*)
+    var merged = true
+    var guard = parts0.length * parts0.length + 8
+    while (merged && guard > 0) {
+      merged = false; guard -= 1
+      var i = 0
+      while (i < work.length && !merged) {
+        var j = i + 1
+        while (j < work.length && !merged) {
+          val d = GeoGeom.distance(work(i), work(j))
+          if (d != null && d.doubleValue() == 0.0) {
+            val u = union(work(i), work(j))
+            if (u == null) return null
+            val g = parse(u)
+            if (g != null && g.kind == 3) {
+              work(i) = u; work.remove(j); merged = true
+            } // point-touch pairs legitimately stay two members: skip
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    assembleParts(work.toSeq)
+  }
+
   /** GeoUnion (geospatial.py:195). Polygon ∪ polygon — holed operands
     * included since round 7 (the even-odd classifiers and the stitcher
     * were already ring-set-general; orientation normalization makes the
     * keep rules uniform: a B piece plugging A's hole drops the covered
-    * hole edges and the hole shrinks or fills exactly). Plus point ∪
-    * point → MULTIPOINT. Unsupported shapes → null. */
+    * hole edges and the hole shrinks or fills exactly); MULTIPOLYGON /
+    * polygonal-collection operands decompose into a part-merge worklist.
+    * Plus point ∪ point → MULTIPOINT. Unsupported shapes → null. */
   def union(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
     val a = parse(aB); val b = parse(bB)
     if (a == null || b == null) return null
     if (a.kind == 1 && b.kind == 1) {
       return if (java.util.Arrays.equals(asBinary(aB), asBinary(bB))) asBinary(aB)
       else GeoGeom.writeMulti(GeoGeom.MultiPointType, Array(asBinary(aB), asBinary(bB)))
+    }
+    if (a.kind != 3 || b.kind != 3) {
+      val pa = polyParts(a); val pb = polyParts(b)
+      if (pa == null || pb == null) return null
+      return unionParts((pa ++ pb).map(GeoGeom.write).toSeq)
     }
     val ra = orientedRings(a); val rb = orientedRings(b)
     if (ra == null || rb == null) return null
@@ -923,13 +998,44 @@ object GeoGeomOps {
   def difference(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
     val a = parse(aB); val b = parse(bB)
     if (a == null || b == null) return null
-    if (a.kind != 3) { // point/line minuend: identity when disjoint, else GEOS territory
+    if (a.kind != 3 && polyParts(a) == null) {
+      // point/line minuend: identity when disjoint, else GEOS territory
       val d = GeoGeom.distance(aB, bB)
       return if (d != null && d.doubleValue() > 0.0) asBinary(aB)
       else if (a.kind == 1) null // point inside/on b: empty
       else null
     }
     if (b.kind == 1 || b.kind == 2) return asBinary(aB) // zero-area subtrahend
+    if (a.kind != 3 || b.kind != 3) {
+      // multi-part sides: subtract every B part from every surviving A
+      // piece; a null step is only acceptable when provably EMPTY
+      // (contains), otherwise the whole op aborts — null, never wrong
+      val pa = polyParts(a); val pb = polyParts(b)
+      if (pa == null || pb == null) return null
+      var pieces = pa.map(GeoGeom.write).toSeq
+      var bi = 0
+      while (bi < pb.length) {
+        val bpB = GeoGeom.write(pb(bi))
+        val next = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        var pi = 0
+        while (pi < pieces.length) {
+          val p = pieces(pi)
+          val r = difference(p, bpB)
+          if (r == null) {
+            val consumed = GeoGeom.contains(bpB, p)
+            if (consumed == null || !consumed.booleanValue()) return null
+          } else parse(r) match {
+            case g if g != null && g.kind == 3 => next += r
+            case g if g != null && g.kind == 6 => g.parts.foreach(pt => next += GeoGeom.write(pt))
+            case _ => return null
+          }
+          pi += 1
+        }
+        pieces = next.toSeq
+        bi += 1
+      }
+      return assembleParts(pieces)
+    }
     val ra = orientedRings(a); val rb = orientedRings(b)
     if (ra == null || rb == null) return null
     val d = GeoGeom.distance(aB, bB)

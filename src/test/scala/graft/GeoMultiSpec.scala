@@ -218,6 +218,28 @@ class GeoMultiSpec extends SparkSpec {
     assert(r.getString(3) == "MULTIPOLYGON")
   }
 
+  test("multipolygon operands: union bridges parts, difference/intersection decompose") {
+    val mA = geo.collectGeoms(array(rect(0, 0, 4, 4), rect(10, 0, 4, 4))) // MULTIPOLYGON
+    // bridge overlaps both squares → everything merges into ONE polygon:
+    // 16 + 16 + 16 − 2 − 2
+    val u = geo.union(mA, rect(3, 1, 8, 2))
+    // subtract the middle band → the two outer slabs survive
+    val d = geo.difference(mA, rect(2, -1, 10, 6))
+    // one A part fully consumed, the other untouched
+    val d2 = geo.difference(mA, rect(-1, -1, 6, 6))
+    // pairwise areal intersections: [3,4]x[1,3] + [10,11]x[1,3]
+    val i = geo.intersection(mA, rect(3, 1, 8, 2))
+    val r = one.select(
+      geo.area(u).as("ua"), geo.geometryType(u).as("ut"),
+      geo.area(d).as("da"), geo.geometryType(d).as("dt"),
+      geo.area(d2).as("d2a"), geo.geometryType(d2).as("d2t"),
+      geo.area(i).as("ia"), geo.geometryType(i).as("it")).collect().head
+    assert(math.abs(r.getDouble(0) - 44.0) < 1e-9 && r.getString(1) == "POLYGON")
+    assert(math.abs(r.getDouble(2) - 16.0) < 1e-9 && r.getString(3) == "MULTIPOLYGON")
+    assert(math.abs(r.getDouble(4) - 16.0) < 1e-9 && r.getString(5) == "POLYGON")
+    assert(math.abs(r.getDouble(6) - 4.0) < 1e-9 && r.getString(7) == "MULTIPOLYGON")
+  }
+
   test("difference: empty and lower-dim cases") {
     val r = one.select(
       geo.difference(rect(2, 2, 1, 1), rect(0, 0, 6, 6)).as("empty"),
