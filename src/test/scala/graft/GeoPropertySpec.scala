@@ -127,6 +127,74 @@ class GeoPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("boolean ops satisfy inclusion-exclusion over random simple/holed/multi pairs") {
+    // area(A∪B) + area(A∩B) = area(A) + area(B) and
+    // area(A−B) = area(A) − area(A∩B): one identity exercises union,
+    // intersection (incl. the round-7 general walk) and difference
+    // together. Null results are legitimate ONLY as provably-empty
+    // intersections (disjoint/touch) or honest refusals — refusals skip
+    // the case but must stay a small minority on this grid.
+    def holedRect(): Array[Byte] = {
+      val x0 = rnd.nextInt(30) - 15; val y0 = rnd.nextInt(30) - 15
+      val w = 6 + rnd.nextInt(8); val h = 6 + rnd.nextInt(8)
+      val outer = rect(x0, y0, w, h)
+      val inner = rect(x0 + 2, y0 + 2, 1 + rnd.nextInt(w - 4), 1 + rnd.nextInt(h - 4))
+      val d = GeoGeomOps.difference(outer, inner)
+      if (d == null) outer else d
+    }
+    def multiRect(): Array[Byte] = {
+      val a = rect(rnd.nextInt(20) - 25, rnd.nextInt(30) - 15,
+        1 + rnd.nextInt(6), 1 + rnd.nextInt(6))
+      val b = rect(rnd.nextInt(20) + 8, rnd.nextInt(30) - 15,
+        1 + rnd.nextInt(6), 1 + rnd.nextInt(6))
+      GeoGeom.writeMulti(GeoGeom.MultiPolygonType, Array(a, b))
+    }
+    def operand(): Array[Byte] = rnd.nextInt(4) match {
+      case 0 => randRect()
+      case 1 => randConvex()
+      case 2 => holedRect()
+      case _ => multiRect()
+    }
+    var evaluated = 0; var refused = 0
+    for (_ <- 1 to 400) {
+      val a = operand(); val b = operand()
+      val areaA = GeoGeom.area(a).doubleValue()
+      val areaB = GeoGeom.area(b).doubleValue()
+      val i = GeoGeomOps.intersection(a, b)
+      val iArea: Option[Double] =
+        if (i != null) Some(GeoGeom.area(i).doubleValue())
+        else {
+          val d = GeoGeom.distance(a, b)
+          val t = GeoGeomOps.touches(a, b)
+          if ((d != null && d.doubleValue() > 0.0) || (t != null && t.booleanValue()))
+            Some(0.0) // provably empty
+          else None
+        }
+      val u = GeoGeomOps.union(a, b)
+      val df = GeoGeomOps.difference(a, b)
+      (iArea, Option(u)) match {
+        case (Some(ia), Some(uu)) =>
+          evaluated += 1
+          val ua = GeoGeom.area(uu).doubleValue()
+          assert(math.abs(ua + ia - (areaA + areaB)) < 1e-6,
+            s"inclusion-exclusion: u=$ua i=$ia a=$areaA b=$areaB")
+          if (df != null) {
+            val da = GeoGeom.area(df).doubleValue()
+            assert(math.abs(da - (areaA - ia)) < 1e-6,
+              s"difference identity: d=$da a=$areaA i=$ia")
+          } else {
+            // null difference must mean empty: A ⊆ B
+            val c = GeoGeom.contains(b, a)
+            assert(c != null && c.booleanValue(),
+              s"difference null but A not within B (areaA=$areaA i=$ia)")
+          }
+        case _ => refused += 1
+      }
+    }
+    // refusals (tangency stitches the walk won't take) must stay rare
+    assert(evaluated >= 300, s"only $evaluated of 400 pairs evaluated ($refused refused)")
+  }
+
   test("maxDistance >= distance; dFullyWithin consistent with maxDistance") {
     for (_ <- 1 to 300) {
       val a = geoms(); val b = geoms()
