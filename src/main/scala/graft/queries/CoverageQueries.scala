@@ -711,6 +711,50 @@ object CoverageQueries {
         FALSE AS in_bite
       FROM t ORDER BY 1""")),
 
+    // MULTIPOLYGON set-op operands (round 7 second pass): two disjoint
+    // squares collected into a MULTIPOLYGON, then a bridge rectangle of
+    // key-dependent height unions everything into ONE polygon whose area
+    // is closed-form; difference of the same multi against a middle band
+    // leaves the outer slabs; intersection decomposes pairwise. Exercises
+    // the part-merge worklist end-to-end under the oracle.
+    QueryDef("q74g_geo_multi_setops", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val base = (k * 10000).cast("double")
+      def rect(x0: org.apache.spark.sql.Column, y0: Double,
+          w: Double, h: org.apache.spark.sql.Column) =
+        geo.makePolygon(array(
+          geo.point(x0, lit(y0)), geo.point(x0 + w, lit(y0)),
+          geo.point(x0 + w, h + y0), geo.point(x0, h + y0)))
+      val mA = geo.collectGeoms(array(
+        rect(base, 0, 4, lit(4.0)), rect(base + 10.0, 0, 4, lit(4.0))))
+      // bridge [3,11]x[1,1+hb], hb = 1 + k%2: overlaps both squares
+      val hb = (k % 2 + 1).cast("double")
+      val bridge = rect(base + 3.0, 1, 8, hb)
+      val u = geo.union(mA, bridge)
+      val d = geo.difference(mA, rect(base + 2.0, -1, 10, lit(6.0)))
+      val i = geo.intersection(mA, bridge)
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        round(geo.area(u), 6).as("u_area"),
+        geo.geometryType(u).as("u_type"),
+        round(geo.area(d), 6).as("d_area"),
+        geo.geometryType(d).as("d_type"),
+        round(geo.area(i), 6).as("i_area"),
+        geo.geometryType(i).as("i_type"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (SELECT n_nationkey, CAST(n_nationkey % 2 + 1 AS DOUBLE) AS hb FROM nation)
+      SELECT n_nationkey,
+        32.0 + 8.0 * hb - 2.0 * hb AS u_area,
+        'POLYGON' AS u_type,
+        16.0 AS d_area,
+        'MULTIPOLYGON' AS d_type,
+        2.0 * hb AS i_area,
+        'MULTIPOLYGON' AS i_type
+      FROM t ORDER BY 1""")),
+
     // UTM reprojection (round 4; GeoTransform geospatial.py:450 beyond the
     // 4326↔3857 pair): per-nation points inside zone 31, forward to
     // EPSG:32631 and back (plus a 32631→3857→4326 double hop). The Krüger
