@@ -311,10 +311,15 @@ object Bench {
     // LAST; full detail lives in the first print + BENCH_LAST.json. If the
     // sf100 ratio map ever grows it past the window, drop it — the geomeans
     // and BENCH_LAST.json still tell the story.
+    // "value" and "queries" must agree (sum of queries ≈ value): both are
+    // WARM here, with the cold total under "value_cold" — the full line
+    // keeps its original cold-under-"queries" vocabulary, so a parser of
+    // either line sees internally consistent semantics.
     def compactLine(withRatioMap: Boolean): String = {
       val ce = if (withRatioMap) compactExtra.toString
                else compactExtra.toString.replaceAll(""","ratio_sf100":\{[^}]*\}""", "")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(warm)}""" +
+      f"""{"metric":"total","value":$totalWarm%.3f,"unit":"sec","queries":${fmt(warm)}""" +
+        f""","value_cold":$total%.3f""" +
         ce + f""","sf":"$sfDir","detail":"BENCH_LAST.json"}"""
     }
     val compact = { val c = compactLine(true); if (c.length <= 1900) c else compactLine(false) }

@@ -134,6 +134,43 @@ object SqlDecompile {
       } catch { case _: Exception => false }
     }
 
+  /** Is this expression a bare integer literal — i.e. an ordinal
+    * reference under Spark's (default-on) groupByOrdinal/orderByOrdinal
+    * semantics? `GROUP BY 1` parses as `Literal(1)`; the analyzer, not
+    * the parser, substitutes the select-list item, so the decompiler
+    * must do the same or it would group/sort by a constant. */
+  private def ordinalOf(e: Expression): Option[Int] = e match {
+    // Spark 4's parser emits UnresolvedOrdinal for GROUP BY 1 / ORDER BY
+    // 1 directly; its .sql renders "unresolvedordinal(1)" which PARSES
+    // BACK as a function call, sailing past rendersBack and exploding at
+    // rebuild — so it must be intercepted here, not by the guard
+    case o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal => Some(o.ordinal)
+    case Literal(v: Int, _) => Some(v)
+    case Literal(v: Long, _) => Some(v.toInt)
+    case Literal(v: Short, _) => Some(v.toInt)
+    case Literal(v: Byte, _) => Some(v.toInt)
+    case _ => None
+  }
+
+  /** The output column names of a decompiled subtree, for resolving
+    * ORDER BY ordinals — walks through nodes that preserve the select
+    * list (filter/having/limit/distinct/sort) to the defining
+    * Project/Aggregate. None when the output list isn't statically
+    * known (relation, star project, opaque, join...). */
+  private def outputNames(op: SqlOp): Option[Seq[String]] = op match {
+    case SqlProject(_, es) =>
+      if (es.exists(e => e._1 == "*" || e._2.endsWith(".*"))) None else Some(es.map(_._1))
+    case SqlAggregate(_, _, as) => Some(as.map(_._1))
+    case SqlFilter(in, _) => outputNames(in)
+    case SqlHaving(in, _) => outputNames(in)
+    case SqlLimit(in, _, _) => outputNames(in)
+    case SqlDistinct(in) => outputNames(in)
+    case SqlSort(in, _) => outputNames(in)
+    case SqlAlias(in, _) => outputNames(in)
+    case SqlWith(in, _) => outputNames(in)
+    case _ => None
+  }
+
   def fromPlan(plan: LogicalPlan): SqlOp = plan match {
     case UnresolvedRelation(nameParts, _, _) => SqlRelation(nameParts.mkString("."))
     case p @ Project(projectList, child) =>
@@ -144,14 +181,26 @@ object SqlDecompile {
       if (rendersBack(exprSql(cond))) SqlFilter(fromPlan(child), exprSql(cond))
       else SqlOpaque(f)
     case a @ Aggregate(grouping, aggExprs, child, _) =>
-      val ks = grouping.map(exprSql); val as = aggExprs.map(named)
-      if (ks.forall(rendersBack) && as.forall(e => rendersBack(e._2)))
-        SqlAggregate(fromPlan(child), ks, as)
+      val as = aggExprs.map(named)
+      // GROUP BY <int> is an ordinal into the select list (analyzer
+      // semantics, groupByOrdinal default-on): substitute the n-th
+      // select item's expression; out-of-range → opaque, never a
+      // silently-constant grouping
+      val ks0 = grouping.map { g =>
+        ordinalOf(g) match {
+          case Some(n) if n >= 1 && n <= as.size => Some(as(n - 1)._2)
+          case Some(_) => None
+          case None => Some(exprSql(g))
+        }
+      }
+      if (ks0.forall(_.isDefined) &&
+          ks0.flatten.forall(rendersBack) && as.forall(e => rendersBack(e._2)))
+        SqlAggregate(fromPlan(child), ks0.flatten, as)
       else SqlOpaque(a)
     case h @ UnresolvedHaving(cond, child) =>
       if (rendersBack(exprSql(cond))) SqlHaving(fromPlan(child), exprSql(cond))
       else SqlOpaque(h)
-    case Join(l, r, joinType, cond, _) =>
+    case j @ Join(l, r, joinType, cond, _) =>
       val how = joinType match {
         case Inner => "inner"
         case LeftOuter => "left"
@@ -162,12 +211,29 @@ object SqlDecompile {
         case Cross => "cross"
         case other => other.sql.toLowerCase
       }
-      SqlJoin(fromPlan(l), fromPlan(r), how, cond.map(exprSql))
-    case Sort(order, true, child, _) =>
-      SqlSort(fromPlan(child), order.map {
+      val condSql = cond.map(exprSql)
+      if (condSql.forall(rendersBack))
+        SqlJoin(fromPlan(l), fromPlan(r), how, condSql)
+      else SqlOpaque(j)
+    case s @ Sort(order, true, child, _) =>
+      val in = fromPlan(child)
+      // ORDER BY <int> is an ordinal into the select list: resolve it to
+      // the output column NAME (the rebuilt frame's alias); unknown
+      // output list or out-of-range → opaque
+      val names = outputNames(in)
+      val ks = order.map {
         case SortOrder(e, dir, nulls, _) =>
-          (exprSql(e), dir == Ascending, nulls == NullsFirst)
-      })
+          val key = ordinalOf(e) match {
+            case Some(n) => names match {
+              case Some(ns) if n >= 1 && n <= ns.size => Some(s"`${ns(n - 1)}`")
+              case _ => None
+            }
+            case None => Some(exprSql(e))
+          }
+          key.map((_, dir == Ascending, nulls == NullsFirst))
+      }
+      if (ks.forall(_.exists(k => rendersBack(k._1)))) SqlSort(in, ks.flatten)
+      else SqlOpaque(s)
     case GlobalLimit(Literal(n: Int, _), LocalLimit(_, child)) =>
       SqlLimit(fromPlan(child), Some(n.toLong), None)
     case Offset(Literal(n: Int, _), child) =>

@@ -625,9 +625,15 @@ object GeoGeom {
               val br = b.rings(rb2)
               val m = br.length / 2
               var j = 0
+              // scaled epsilon, not == 0.0: a vertex lying on b's
+              // boundary at a floating-point-unrepresentable interior
+              // point of a segment yields dist ~1e-17, and exact-zero
+              // would misread it as strictly inside, rejecting a true
+              // containment for near-tangent pairs
+              val tol = 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
               while (j < m - 1 && !onB) {
                 if (pointSegDist(x, y, br(j * 2), br(j * 2 + 1),
-                    br(j * 2 + 2), br(j * 2 + 3)) == 0.0) onB = true
+                    br(j * 2 + 2), br(j * 2 + 3)) <= tol) onB = true
                 j += 1
               }
               rb2 += 1

@@ -161,7 +161,10 @@ object WavSamples {
     while (i + 8 <= b.length) {
       val at = i.toInt
       val sz = le32(b, at + 4)
-      if (tag(b, at, "fmt ") && i + 24 <= b.length) {
+      // the fmt chunk's OWN declared size must cover the 16 bytes read
+      // below — a truncated/zero-size fmt chunk would otherwise silently
+      // read audioFormat/bits from the NEXT chunk's bytes
+      if (tag(b, at, "fmt ") && sz >= 16 && i + 24 <= b.length) {
         audioFormat = le16(b, at + 8)
         bits = le16(b, at + 22)
       } else if (tag(b, at, "data")) {

@@ -43,6 +43,42 @@ class SqlDecompileSpec extends SparkSpec {
     roundTrip("SELECT upper(name) AS u, id * 2 AS d FROM t1 WHERE grp <> 2 ORDER BY d")
   }
 
+  test("ordinal GROUP BY / ORDER BY resolve against the select list, not a constant") {
+    ensureViews()
+    // GROUP BY 1 must group by the first select item (grp), ORDER BY 2
+    // must sort by the second output column (n) — the parser leaves both
+    // as bare integer Literals, so naive decompile would group/sort by
+    // the CONSTANT 1/2
+    roundTrip("SELECT grp, COUNT(*) AS n FROM t1 GROUP BY 1 ORDER BY 2 DESC, 1")
+    roundTrip("SELECT grp, SUM(id) AS s FROM t1 GROUP BY 1 ORDER BY 1")
+    roundTrip("SELECT id + 1 AS k, name FROM t1 ORDER BY 1 DESC")
+    // the resolved tree is fully walkable and carries the substituted key
+    val op = SqlDecompile.decompile(spark,
+      "SELECT grp, COUNT(*) AS n FROM t1 GROUP BY 1")
+    assert(op.isFullyDecompiled)
+    assert(op.exists { case SqlAggregate(_, Seq("grp"), _) => true; case _ => false })
+    // out-of-range ordinal degrades to opaque rather than rebuilding a
+    // silently-wrong constant grouping (spark.sql itself raises on it)
+    val bad = SqlDecompile.decompile(spark, "SELECT grp FROM t1 GROUP BY 5")
+    assert(!bad.isFullyDecompiled)
+  }
+
+  test("join conditions and sort keys get the renders-back guard") {
+    ensureViews()
+    // a window expression in ORDER BY / a join condition renders an
+    // unparseable frame from catalyst's .sql — the node must degrade to
+    // opaque rather than carrying a key string that throws at rebuild
+    // (structural check: Spark's own analyzer also rejects these
+    // queries, so they can't be executed for a row comparison)
+    val sortPlan = spark.sessionState.sqlParser.parsePlan(
+      "SELECT id FROM t1 ORDER BY row_number() OVER (PARTITION BY grp ORDER BY id)")
+    assert(SqlDecompile.fromPlan(sortPlan).exists(_.isInstanceOf[SqlOpaque]))
+    val joinPlan = spark.sessionState.sqlParser.parsePlan(
+      "SELECT * FROM t1 JOIN t2 ON t1.id = t2.id AND " +
+        "row_number() OVER (ORDER BY t1.id) = 1")
+    assert(SqlDecompile.fromPlan(joinPlan).exists(_.isInstanceOf[SqlOpaque]))
+  }
+
   test("CTEs resolve through the decompiled scope, including chained ones") {
     ensureViews()
     roundTrip("""WITH a AS (SELECT id, grp FROM t1 WHERE id > 0),
