@@ -539,6 +539,17 @@ object Table {
       asOfVersion: Option[Long] = None): Table =
     new Table(graft.sources.DeltaRead.readDelta(spark, path, asOfVersion))
 
+  /** Arrow IPC import — `ibis.memtable(pyarrow.Table)` / the Arrow-first
+    * ingest half of the reference's interop contract
+    * (expr/operations/relations.py:420-424, formats/pyarrow.py): a frame
+    * written by pyarrow / polars / duckdb / [[Table.toArrowFile]] becomes
+    * a queryable (broadcastable) relation with no parquet detour.
+    * Bounded frames only — see [[graft.interop.ArrowImport]]. */
+  def fromArrowFile(spark: SparkSession, path: String): Table =
+    new Table(graft.interop.ArrowImport.fromArrowFile(spark, path))
+  def fromArrowBytes(spark: SparkSession, bytes: Array[Byte]): Table =
+    new Table(graft.interop.ArrowImport.fromArrowBytes(spark, bytes))
+
   /** ibis memtable (ibis/expr/api.py). */
   def memtable(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
       schema: org.apache.spark.sql.types.StructType): Table =

@@ -288,6 +288,37 @@ object MiscQueries {
           (SELECT SUM(n_nationkey) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS key_sum,
         (SELECT COUNT(*) FROM nation WHERE n_regionkey = 1) AS n_r1""")),
 
+    // Arrow IPC ROUND-TRIP (interop/ArrowExport + ArrowImport — the
+    // reference's Arrow-first contract both directions): a frame carrying
+    // decimals, token arrays, structs and maps is exported as an Arrow
+    // IPC stream file, imported back, and aggregated; the oracle
+    // recomputes every number from the parquet source directly, so any
+    // transport corruption (offsets, validity, nesting) breaks the hash.
+    QueryDef("q98d_arrow_roundtrip", (s, dir) => {
+      val path = "/root/repo/target/arrow_roundtrip.arrows"
+      val sup = supplier(s, dir).select(
+        col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal").cast("decimal(15,2)").as("bal"),
+        split(col("s_name"), "#").as("toks"),
+        struct(col("s_name").as("name"), col("s_suppkey").as("key")).as("meta"),
+        map(lit("bal"), col("s_acctbal")).as("m"))
+      Table(sup).toArrowFile(path, maxRecordsPerBatch = 7) // force multi-batch
+      val back = Table.fromArrowFile(s, path).df
+      back.groupBy(col("s_nationkey").as("nk")).agg(
+          count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(38,4)")).cast("double").as("bal_sum"),
+          sum(size(col("toks"))).as("tok_n"),
+          max(col("meta.name")).as("max_name"),
+          sum(element_at(col("m"), "bal").cast("decimal(38,4)")).cast("double").as("map_sum"))
+        .orderBy(col("nk"))
+    }, Some("""
+      SELECT s_nationkey AS nk, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(15,2)) AS DECIMAL(38,4))) AS DOUBLE) AS bal_sum,
+        CAST(SUM(LEN(STR_SPLIT(s_name, '#'))) AS BIGINT) AS tok_n,
+        MAX(s_name) AS max_name,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS map_sum
+      FROM supplier GROUP BY 1 ORDER BY 1""")),
+
     // memtable (InMemoryTable) + DummyTable (1-row literals).
     QueryDef("q99_memtable", (s, dir) => {
       import org.apache.spark.sql.Row
