@@ -30,9 +30,10 @@ object ArrowExport {
   /** Arrow schema for a Spark schema. Covers the engine's result-surface
     * types (primitives, decimal, string/binary, date/timestamp) plus
     * arbitrarily nested arrays, structs and maps (round 7 — token lists,
-    * embeddings metadata, struct results, count maps); unsupported
-    * leaves (intervals) fail fast with the full column path rather than
-    * silently re-encoding. */
+    * embeddings metadata, struct results, count maps) and ANSI interval
+    * leaves (round 8 — Duration/Interval vectors); the remaining
+    * unsupported leaf (legacy CalendarIntervalType) fails fast with the
+    * full column path rather than silently re-encoding. */
   def arrowSchema(schema: StructType, timeZoneId: String): Schema = {
     new Schema(schema.fields.map(f => toArrowField(f.name, f.dataType,
       f.nullable, timeZoneId)).toSeq.asJava)
@@ -52,6 +53,14 @@ object ArrowExport {
     case DateType => new ArrowType.Date(DateUnit.DAY)
     case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, tz)
     case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+    // interval leaves (round 8): Spark's ANSI intervals map exactly —
+    // day-time is a µs count (Arrow Duration), year-month a month count
+    // (Arrow Interval). Only legacy CalendarIntervalType (mixed
+    // months+days+µs in one value) stays unsupported: Arrow has no
+    // lossless single-vector encoding for it pre-MonthDayNano writers.
+    case _: DayTimeIntervalType => new ArrowType.Duration(TimeUnit.MICROSECOND)
+    case _: YearMonthIntervalType =>
+      new ArrowType.Interval(org.apache.arrow.vector.types.IntervalUnit.YEAR_MONTH)
     case other => throw new UnsupportedOperationException(
       s"ArrowExport does not cover $other")
   }
@@ -188,6 +197,11 @@ object ArrowExport {
         val ldt = value.asInstanceOf[java.time.LocalDateTime]
         v.setSafe(idx, ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           ldt.getNano / 1000L)
+      case (v: DurationVector, _: DayTimeIntervalType) =>
+        val d = value.asInstanceOf[java.time.Duration]
+        v.setSafe(idx, d.getSeconds * 1000000L + d.getNano / 1000L)
+      case (v: IntervalYearVector, _: YearMonthIntervalType) =>
+        v.setSafe(idx, value.asInstanceOf[java.time.Period].toTotalMonths.toInt)
       case (v: MapVector, MapType(kt, vt, _)) => // before ListVector: a MapVector IS one
         val m = value.asInstanceOf[scala.collection.Map[Any, Any]]
         val start = v.startNewValue(idx)

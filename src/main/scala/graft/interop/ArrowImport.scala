@@ -31,8 +31,9 @@ import org.apache.spark.sql.types._
   *
   * Type surface mirrors the writer: primitives, decimal, string/binary,
   * date, timestamp (any unit, tz'd → TimestampType, naive →
-  * TimestampNTZType) and arbitrarily nested list/struct/map. Unsupported
-  * vectors fail fast with the full column path. */
+  * TimestampNTZType), ANSI intervals (Duration / year-month Interval
+  * vectors) and arbitrarily nested list/struct/map. Unsupported vectors
+  * fail fast with the full column path. */
 object ArrowImport {
 
   /** Spark schema for an Arrow schema (inverse of
@@ -61,6 +62,10 @@ object ArrowImport {
     case t: ArrowType.Date if t.getUnit == DateUnit.DAY => DateType
     case t: ArrowType.Timestamp =>
       if (t.getTimezone == null) TimestampNTZType else TimestampType
+    case _: ArrowType.Duration => DayTimeIntervalType()
+    case t: ArrowType.Interval
+        if t.getUnit == org.apache.arrow.vector.types.IntervalUnit.YEAR_MONTH =>
+      YearMonthIntervalType()
     // Map BEFORE List: ArrowType.Map does not extend List but MapVector
     // IS-A ListVector, and field-shape-wise a map is list<struct<k,v>>
     case _: ArrowType.Map =>
@@ -144,6 +149,10 @@ object ArrowImport {
         val micros = toMicros(v.get(idx), v.getField.getType.asInstanceOf[ArrowType.Timestamp])
         java.time.LocalDateTime.ofEpochSecond(math.floorDiv(micros, 1000000L),
           (math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      case (v: DurationVector, _: DayTimeIntervalType) =>
+        v.getObject(idx) // already unit-converted to java.time.Duration
+      case (v: IntervalYearVector, _: YearMonthIntervalType) =>
+        java.time.Period.ofMonths(v.get(idx)).normalized()
       case (v: MapVector, MapType(kt, vt, _)) => // before ListVector: a MapVector IS one
         val entries = v.getDataVector.asInstanceOf[StructVector]
         val kv = entries.getChildByOrdinal(0).asInstanceOf[FieldVector]

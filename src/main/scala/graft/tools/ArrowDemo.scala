@@ -24,10 +24,21 @@ object ArrowDemo {
         array(slice(split(col("text"), "\\s+"), 1, 2),
           slice(split(col("text"), "\\s+"), 3, 2)).as("grams"),
         map_from_arrays(array(lit("chars"), lit("id")),
-          array(col("n_chars"), col("doc_id"))).as("counts"))
+          array(col("n_chars"), col("doc_id"))).as("counts"),
+        // round-8 surface: ANSI interval leaves (Duration / year-month)
+        (col("doc_id") % 5).cast("int").as("k")
+          .*(expr("INTERVAL '0 01:00:00' DAY TO SECOND")).as("dur"),
+        expr("INTERVAL '1-2' YEAR TO MONTH").as("ym"))
       .orderBy("doc_id").limit(100)
     val n = graft.interop.ArrowExport.toArrowFile(out, args(1))
     println(s"[arrow] wrote $n rows to ${args(1)}")
+    // round 8: the import half — read the stream back and prove the
+    // round-trip is loss-free on the driver side too
+    val back = graft.interop.ArrowImport.fromArrowFile(spark, args(1))
+    val same = back.collect().toSeq == out.collect().toSeq &&
+      back.schema.map(f => (f.name, f.dataType)) == out.schema.map(f => (f.name, f.dataType))
+    println(s"[arrow] import round-trip loss-free: $same")
+    require(same, "ArrowImport round-trip mismatch")
     spark.stop()
   }
 }

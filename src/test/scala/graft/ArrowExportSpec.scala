@@ -145,18 +145,31 @@ class ArrowExportSpec extends SparkSpec {
     assert(byId(3L) == null)
   }
 
-  test("unsupported types fail fast with the offending column path") {
-    // interval leaves have no Arrow mapping here — fail BEFORE any batch
-    // is written (a mid-stream failure would leave a truncated file),
-    // naming the full column path
+  test("ANSI interval leaves export as Duration / year-month Interval vectors") {
     val df = Seq(Tuple1(1L)).toDF("id")
-      .withColumn("iv", expr("INTERVAL '1' YEAR"))
+      .withColumn("dt", expr("INTERVAL '1 02:03:04.123456' DAY TO SECOND"))
+      .withColumn("ym", expr("INTERVAL '1-2' YEAR TO MONTH"))
+    val (names, rows) = readAll(ArrowExport.toArrowStreamBytes(df))
+    assert(names == Seq("id", "dt", "ym"))
+    // Duration vector getObject returns java.time.Duration (µs unit)
+    assert(rows.head(1) == java.time.Duration.ofSeconds(93784, 123456000))
+    // IntervalYear vector getObject returns a Period of total months
+    assert(rows.head(2).asInstanceOf[java.time.Period].toTotalMonths == 14L)
+  }
+
+  test("unsupported types fail fast with the offending column path") {
+    // legacy CalendarIntervalType (mixed months+days+µs) has no lossless
+    // Arrow mapping here — fail BEFORE any batch is written (a
+    // mid-stream failure would leave a truncated file), naming the full
+    // column path
+    val df = Seq(Tuple1(1L)).toDF("id")
+      .withColumn("iv", expr("make_interval(1, 2, 0, 3, 0, 0, 0)"))
     val ex = intercept[UnsupportedOperationException] {
       ArrowExport.toArrowStreamBytes(df)
     }
     assert(ex.getMessage.contains("'iv'"))
     val nested = Seq(Tuple1(1L)).toDF("id")
-      .withColumn("liv", array(expr("INTERVAL '1' YEAR")))
+      .withColumn("liv", array(expr("make_interval(1, 2, 0, 3, 0, 0, 0)")))
     val ex2 = intercept[UnsupportedOperationException] {
       ArrowExport.toArrowStreamBytes(nested)
     }

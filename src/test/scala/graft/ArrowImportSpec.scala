@@ -46,6 +46,14 @@ class ArrowImportSpec extends SparkSpec {
         lit(java.time.LocalDateTime.parse("2024-03-01T12:30:45.123456")))))
   }
 
+  test("ANSI intervals roundtrip through Duration / year-month Interval vectors") {
+    roundTrip(Seq(1L, 2L).toDF("id")
+      .withColumn("dt", when(col("id") === 1L,
+        expr("INTERVAL '1 02:03:04.123456' DAY TO SECOND")))
+      .withColumn("dtneg", expr("INTERVAL '-0 00:00:01.5' DAY TO SECOND"))
+      .withColumn("ym", when(col("id") === 2L, expr("INTERVAL '1-2' YEAR TO MONTH"))))
+  }
+
   test("nested lists, structs and maps roundtrip incl. null rows and elements") {
     roundTrip(Seq(
       (1L, Seq("alpha", null, "gamma"), ("doc-a", 3, Seq(0.5, 1.5)),
