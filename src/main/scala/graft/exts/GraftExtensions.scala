@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WavSamples].getName, "wav_samples"),
       (children: Seq[Expression]) => WavSamples(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("png_pixels"),
+      new ExpressionInfo(classOf[PngPixels].getName, "png_pixels"),
+      (children: Seq[Expression]) => PngPixels(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("geo_point"),
       new ExpressionInfo(classOf[GeoPointWkb].getName, "geo_point"),
       (children: Seq[Expression]) => GeoPointWkb(
@@ -231,4 +235,5 @@ object exprs {
 
   /** Real WAV PCM sample decode (see [[WavSamples]]). */
   def wavSamples(payload: Column): Column = co(WavSamples(ex(payload)))
+  def pngPixels(payload: Column): Column = co(PngPixels(ex(payload)))
 }

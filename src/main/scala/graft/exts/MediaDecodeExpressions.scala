@@ -5,18 +5,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** REAL pixel/sample decode for the UNCOMPRESSED media formats — pure
-  * byte math, no codec library: BMP's 24/32-bpp device-independent
-  * bitmap rows and WAV's PCM frames are defined entirely by fixed
-  * layouts, so one modality of the multimodal pipeline runs end-to-end
-  * with genuine decoded values (the promised stub-swap point of
-  * `Multimodal.extractFeaturesBatched` made real for BMP/WAV; PNG/JPEG
-  * pixel decode stays stubbed — entropy coders are codec territory,
-  * DIVERGENCES §8 keeps that honest).
+/** REAL pixel/sample decode with no codec library: BMP's 24/32-bpp
+  * device-independent bitmap rows and WAV's PCM frames are pure fixed
+  * byte layouts, and PNG (round 8) needs only DEFLATE — which ships in
+  * the JDK as `java.util.zip.Inflater` — plus the spec'd per-row
+  * unfilter pass, so three modalities of the multimodal pipeline run
+  * end-to-end with genuine decoded values (the promised stub-swap point
+  * of `Multimodal.extractFeaturesBatched` made real; only JPEG's
+  * entropy decode remains codec territory — DIVERGENCES §8 keeps that
+  * honest).
   *
-  * Both return null for anything outside the decodable subset — never a
+  * All return null for anything outside the decodable subset — never a
   * wrong pixel. Codegen'd via static helper calls, SQL-registered as
-  * `bmp_pixels` / `wav_samples`.
+  * `bmp_pixels` / `wav_samples` / `png_pixels`.
   */
 case class BmpPixels(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -106,6 +107,152 @@ object BmpPixels {
         x += 1
       }
       row += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PngPixels(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"png_pixels needs binary input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    PngPixels.decode(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("px")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $r = graft.exts.PngPixels.decode($b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PngPixels =
+    copy(child = newChild)
+}
+
+/** PNG pixel decode via the JDK's own DEFLATE (zlib) — no codec library
+  * (the entropy coder PNG uses IS zlib, which `java.util.zip.Inflater`
+  * implements; the rest of the format is fixed byte layout + the five
+  * spec'd row filters). Decodable subset: non-interlaced 8-bit-depth
+  * grayscale (0), gray+alpha (4), RGB (2) and RGBA (6); palette,
+  * 1/2/4/16-bit depths, Adam7 interlace, malformed chunk lists,
+  * truncated or corrupt DEFLATE streams, and unknown filter types → null,
+  * never a wrong pixel. Output matches [[BmpPixels]]: packed 0xRRGGBB
+  * ints in top-down row-major order (gray replicated to all three
+  * channels, alpha dropped), so every downstream stat/feature operator
+  * is format-agnostic. */
+object PngPixels {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3)
+
+  final val MaxPixels = BmpPixels.MaxPixels
+
+  private val Signature =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def decode(b: Array[Byte]): ArrayData = {
+    // minimum: 8 signature + 25 IHDR + 12 empty IDAT + 12 IEND
+    if (b == null || b.length < 57) return null
+    var s = 0
+    while (s < 8) { if (b(s) != Signature(s)) return null; s += 1 }
+    // IHDR must be the first chunk, 13 bytes
+    if (be32(b, 8) != 13L || !tag(b, 12, "IHDR")) return null
+    val w = be32(b, 16); val h = be32(b, 20)
+    val depth = u8(b, 24); val color = u8(b, 25)
+    val comp = u8(b, 26); val filt = u8(b, 27); val inter = u8(b, 28)
+    if (depth != 8 || comp != 0 || filt != 0 || inter != 0) return null
+    val channels = color match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // RGB
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // RGBA
+      case _ => return null // 3 = palette: PLTE indirection out of scope
+    }
+    if (w <= 0 || h <= 0 || w * h > MaxPixels) return null
+    // walk the chunk list, concatenating every IDAT payload (the zlib
+    // stream may be split across chunks at arbitrary byte boundaries)
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 33L // 8 signature + 4 len + 4 "IHDR" + 13 data + 4 crc
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= b.length) {
+      val at = i.toInt
+      val len = be32(b, at) // 4-byte BE length, then 4-byte type
+      if (len < 0 || i + 12 + len > b.length) return null
+      if (tag(b, at + 4, "IDAT")) idat.write(b, at + 8, len.toInt)
+      else if (tag(b, at + 4, "IEND")) sawEnd = true
+      i += 12L + len
+    }
+    if (!sawEnd || idat.size() == 0) return null
+    // inflate to EXACTLY h * (1 + w*channels) bytes of filtered scanlines
+    val wi = w.toInt; val hi = h.toInt
+    val stride = wi * channels
+    val raw = new Array[Byte](hi * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return null
+        got += n
+      }
+      if (got < raw.length) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // per-row unfilter (None/Sub/Up/Average/Paeth), in place into `px`
+    val px = new Array[Byte](hi * stride)
+    val bpp = channels
+    var r = 0
+    while (r < hi) {
+      val ft = u8(raw, r * (1 + stride))
+      if (ft > 4) return null
+      val rowIn = r * (1 + stride) + 1
+      val rowOut = r * stride
+      var x = 0
+      while (x < stride) {
+        val cur = u8(raw, rowIn + x)
+        val a = if (x >= bpp) u8(px, rowOut + x - bpp) else 0
+        val up = if (r > 0) u8(px, rowOut - stride + x) else 0
+        val c = if (r > 0 && x >= bpp) u8(px, rowOut - stride + x - bpp) else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + up
+          case 3 => cur + ((a + up) >> 1)
+          case 4 => // Paeth predictor
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        px(rowOut + x) = (v & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    // pack to 0xRRGGBB top-down row-major (PNG is already top-down)
+    val out = new Array[Int](wi * hi)
+    var j = 0
+    while (j < out.length) {
+      val base = j * channels
+      out(j) = channels match {
+        case 1 => val g = u8(px, base); (g << 16) | (g << 8) | g
+        case 2 => val g = u8(px, base); (g << 16) | (g << 8) | g // alpha dropped
+        case 3 => (u8(px, base) << 16) | (u8(px, base + 1) << 8) | u8(px, base + 2)
+        case 4 => (u8(px, base) << 16) | (u8(px, base + 1) << 8) | u8(px, base + 2)
+      }
+      j += 1
     }
     new GenericArrayData(out)
   }

@@ -72,6 +72,13 @@ object Multimodal {
     * channel-interleaved; 16-bit and 8-bit PCM only. SQL: `wav_samples`. */
   def wavSamples(payload: Column): Column = graft.exts.exprs.wavSamples(payload)
 
+  /** REAL PNG pixel decode (round 8 — DEFLATE ships in the JDK, no codec
+    * library): packed 0xRRGGBB ints, top-down row-major, for
+    * non-interlaced 8-bit gray/gray+alpha/RGB/RGBA; same output contract
+    * as [[bmpPixels]] so downstream stats are format-agnostic. SQL:
+    * `png_pixels`. */
+  def pngPixels(payload: Column): Column = graft.exts.exprs.pngPixels(payload)
+
   /** Per-channel means over REAL decoded BMP pixels — all codegen HOFs
     * over the decoded int array, no UDF in the hot path. */
   def imageChannelStats(payload: Column): Column = {
@@ -201,6 +208,97 @@ object Multimodal {
       i += 1
     }
     buf.array()
+  }
+
+  /** Real PNG (round 8), same closed-form pixel plan as [[synthBmp]] so
+    * the q72d oracle recomputes decoded stats without parsing a byte:
+    * width 8+2(k%4), height 6+2(k%3); pixel (x,y): r=(7x+13y+k)%256,
+    * g=(3x+5y+2k)%256, b=(11x+17y+3k)%256 (grayscale uses the r formula
+    * replicated; alpha — dropped by the decoder — is (x+y+k)%256). Color
+    * type cycles with k%3 (0→RGB, 1→RGBA, 2→grayscale), every row is
+    * filtered with type row%5 so None/Sub/Up/Average/Paeth are ALL
+    * exercised, and the zlib stream (a real `java.util.zip.Deflater`
+    * stream) is split across two IDAT chunks to exercise concatenation. */
+  def synthPng(k: Long): Array[Byte] = {
+    val w = 8 + (k % 4).toInt * 2
+    val h = 6 + (k % 3).toInt * 2
+    val color = (k % 3) match { case 0 => 2; case 1 => 6; case _ => 0 }
+    val ch = color match { case 2 => 3; case 6 => 4; case _ => 1 }
+    // plain (unfiltered) pixel bytes, top-down
+    val stride = w * ch
+    val plain = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = y * stride + x * ch
+        if (ch == 1) plain(base) = ((7 * x + 13 * y + k) % 256).toByte
+        else {
+          plain(base) = ((7 * x + 13 * y + k) % 256).toByte
+          plain(base + 1) = ((3 * x + 5 * y + 2 * k) % 256).toByte
+          plain(base + 2) = ((11 * x + 17 * y + 3 * k) % 256).toByte
+          if (ch == 4) plain(base + 3) = ((x + y + k) % 256).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // filter each row with type y%5 (the inverse of the decoder's pass)
+    def u(a: Array[Byte], i: Int) = a(i) & 0xff
+    val filtered = new Array[Byte](h * (1 + stride))
+    y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = u(plain, y * stride + x)
+        val a = if (x >= ch) u(plain, y * stride + x - ch) else 0
+        val up = if (y > 0) u(plain, (y - 1) * stride + x) else 0
+        val c = if (y > 0 && x >= ch) u(plain, (y - 1) * stride + x - ch) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) >> 1
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        filtered(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // zlib-compress the filtered scanlines
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = zbuf.toByteArray
+    // assemble: signature, IHDR, two IDATs (split stream), IEND
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val body = typ.getBytes ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(color.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    val cut = z.length / 2
+    chunk("IDAT", z.slice(0, cut))
+    chunk("IDAT", z.slice(cut, z.length))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** STUB image decode → (width, height, channels) header probe. A real

@@ -1283,6 +1283,55 @@ object PipelineQueries {
       FROM img JOIN blk ON img.k = blk.k JOIN wav ON img.k = wav.k
       ORDER BY 1""")),
 
+    // REAL PNG pixel decode, end-to-end (round 8 — DEFLATE is in the
+    // JDK, so PNG needs no codec library): payloads are synthesized
+    // distributedly (Multimodal.synthPng — real Deflater zlib stream
+    // split over two IDAT chunks, color type cycling gray/RGB/RGBA with
+    // k, every row filter type exercised), decoded back by the native
+    // png_pixels expression (inflate + None/Sub/Up/Average/Paeth
+    // unfilter), and reduced to statistics the oracle recomputes from
+    // the same closed-form pixel arithmetic WITHOUT parsing a byte.
+    QueryDef("q72d_png_decode", (s, dir) => {
+      import s.implicits._
+      val keys = Table(nation(s, dir)).selectNames("n_nationkey").df
+        .as[Long].map(k => (k, Multimodal.synthPng(k))).toDF("k", "png")
+      val px = Multimodal.pngPixels(col("png"))
+      val n = size(px)
+      def chanMean(shift: Int) = round(aggregate(px, lit(0L),
+        (acc, p) => acc + shiftright(p, shift).bitwiseAND(lit(255))
+          .cast(org.apache.spark.sql.types.LongType))
+        .cast("double") / n, 6)
+      keys.select(
+          col("k").as("n_nationkey"),
+          n.cast("long").as("n_px"),
+          chanMean(16).as("mean_r"), chanMean(8).as("mean_g"), chanMean(0).as("mean_b"),
+          aggregate(px, lit(0L), (acc, p) =>
+            acc + (shiftright(p, 16).bitwiseAND(lit(255)) * 299 +
+                   shiftright(p, 8).bitwiseAND(lit(255)) * 587 +
+                   p.bitwiseAND(lit(255)) * 114)
+              .cast(org.apache.spark.sql.types.LongType)).as("lum_sum"))
+        .orderBy("n_nationkey")
+    }, Some("""
+      WITH keys AS (
+        SELECT n_nationkey AS k,
+               8 + (n_nationkey % 4) * 2 AS w,
+               6 + (n_nationkey % 3) * 2 AS h
+        FROM nation),
+      ser AS (SELECT UNNEST(RANGE(0, 128)) AS i),
+      pxl AS (
+        SELECT k,
+          (7*sx.i + 13*sy.i + k) % 256 AS r,
+          CASE WHEN k % 3 = 2 THEN (7*sx.i + 13*sy.i + k) % 256
+               ELSE (3*sx.i + 5*sy.i + 2*k) % 256 END AS g,
+          CASE WHEN k % 3 = 2 THEN (7*sx.i + 13*sy.i + k) % 256
+               ELSE (11*sx.i + 17*sy.i + 3*k) % 256 END AS b
+        FROM keys, ser sx, ser sy WHERE sx.i < w AND sy.i < h)
+      SELECT k AS n_nationkey, CAST(COUNT(*) AS BIGINT) AS n_px,
+        ROUND(AVG(r), 6) AS mean_r, ROUND(AVG(g), 6) AS mean_g,
+        ROUND(AVG(b), 6) AS mean_b,
+        CAST(SUM(299*r + 587*g + 114*b) AS BIGINT) AS lum_sum
+      FROM pxl GROUP BY 1 ORDER BY 1""")),
+
     // Hash-based train/val/test assignment (Splits.assignSplit): split
     // membership is a pure function of (doc_id, seed) — retry/engine
     // stable, unlike rand(). Checksum = per-split count + id-sum.

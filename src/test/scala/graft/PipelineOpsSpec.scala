@@ -387,6 +387,75 @@ class PipelineOpsSpec extends SparkSpec {
       WavSamples.decode(Array.fill(len)(rnd.nextInt(256).toByte)) // never throw
   }
 
+  test("png_pixels: inflate + all five row filters, gray/RGB/RGBA, vs ImageIO; never throws") {
+    import graft.exts.PngPixels
+    import graft.operators.Multimodal
+
+    // closed-form check across color types (k%3: RGB, RGBA, gray) — every
+    // synth row is filtered with type row%5, so None/Sub/Up/Average/Paeth
+    // are all on the decode path
+    for (k <- 0L to 8L) {
+      val w = 8 + (k % 4).toInt * 2; val h = 6 + (k % 3).toInt * 2
+      val gray = k % 3 == 2
+      val dec = PngPixels.decode(Multimodal.synthPng(k))
+      assert(dec != null && dec.numElements() == w * h, s"k=$k")
+      for (x <- 0 until w; y <- 0 until h) {
+        val r = (7 * x + 13 * y + k) % 256
+        val g = if (gray) r else (3 * x + 5 * y + 2 * k) % 256
+        val b = if (gray) r else (11 * x + 17 * y + 3 * k) % 256
+        assert(dec.getInt(y * w + x) == ((r << 16) | (g << 8) | b).toInt,
+          s"k=$k pixel ($x,$y)")
+      }
+      // the JDK's own independent PNG decoder agrees pixel-for-pixel
+      // (gray images via raw raster samples — getRGB would run ImageIO's
+      // nonlinear gray→sRGB color-space conversion)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthPng(k)))
+      for (x <- 0 until w; y <- 0 until h) {
+        val expect =
+          if (gray) { val g = img.getRaster.getSample(x, y, 0); (g << 16) | (g << 8) | g }
+          else img.getRGB(x, y) & 0xffffff
+        assert(expect == dec.getInt(y * w + x), s"ImageIO disagrees at k=$k ($x,$y)")
+      }
+    }
+
+    // an INDEPENDENTLY ENCODED png (ImageIO's writer picks its own
+    // filters and deflate strategy) decodes to the same pixels
+    val w2 = 23; val h2 = 9
+    val src = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w2; y <- 0 until h2)
+      src.setRGB(x, y, ((x * 41 + y * 7) % 256 << 16) | ((x + y * 13) % 256 << 8) | (x * y % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val dec2 = PngPixels.decode(bos.toByteArray)
+    assert(dec2 != null && dec2.numElements() == w2 * h2)
+    for (x <- 0 until w2; y <- 0 until h2)
+      assert(dec2.getInt(y * w2 + x) == (src.getRGB(x, y) & 0xffffff), s"($x,$y)")
+
+    // refusals: forged depth/interlace/palette, corrupt deflate, giant
+    // dims, truncation — null, never a wrong pixel, never a throw
+    val good = Multimodal.synthPng(0L)
+    def forged(off: Int, v: Byte): Array[Byte] = { val c = good.clone(); c(off) = v; c }
+    assert(PngPixels.decode(forged(24, 16)) == null)  // bit depth 16
+    assert(PngPixels.decode(forged(25, 3)) == null)   // palette color type
+    assert(PngPixels.decode(forged(28, 1)) == null)   // Adam7 interlace
+    assert(PngPixels.decode(forged(16, 0x7f.toByte)) == null) // 2G width
+    assert(PngPixels.decode(forged(60, (good(60) ^ 0x55).toByte)) == null ||
+      true) // corrupt deflate byte: null or (if in slack) harmless — never throws
+    assert(PngPixels.decode(good.take(40)) == null)   // truncated mid-IHDR-crc
+    assert(PngPixels.decode(good.take(good.length - 15)) == null) // no IEND
+    val rnd = new scala.util.Random(13)
+    for (len <- Seq(0, 8, 33, 57, 120); _ <- 1 to 40) {
+      val b = Array.fill(len)(rnd.nextInt(256).toByte)
+      PngPixels.decode(b) // parse-or-null, never throw
+      if (len >= 8) {
+        System.arraycopy(good, 0, b, 0, 8)
+        PngPixels.decode(b)
+      }
+    }
+  }
+
   test("extractFeaturesBmp embeds real pixels; non-BMP payloads get null features") {
     val df = Seq(
       (1L, graft.operators.Multimodal.synthBmp(1L)),
