@@ -145,10 +145,11 @@ object SqlDecompile {
     // BACK as a function call, sailing past rendersBack and exploding at
     // rebuild — so it must be intercepted here, not by the guard
     case o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal => Some(o.ordinal)
-    case Literal(v: Int, _) => Some(v)
-    case Literal(v: Long, _) => Some(v.toInt)
-    case Literal(v: Short, _) => Some(v.toInt)
-    case Literal(v: Byte, _) => Some(v.toInt)
+    // IntegerType ONLY: Spark's SubstituteUnresolvedOrdinals converts
+    // just integer literals — GROUP BY 2L / ORDER BY 2S mean CONSTANT
+    // grouping/sorting, and a Long-to-Int wrap (GROUP BY 4294967297)
+    // must not silently alias select item 1
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => Some(v)
     case _ => None
   }
 
@@ -225,7 +226,11 @@ object SqlDecompile {
         case SortOrder(e, dir, nulls, _) =>
           val key = ordinalOf(e) match {
             case Some(n) => names match {
-              case Some(ns) if n >= 1 && n <= ns.size => Some(s"`${ns(n - 1)}`")
+              // duplicate output names make the NAME rewrite ambiguous
+              // where the ordinal was exact → opaque; backticks in a
+              // name must be doubled per Spark's quoting rules
+              case Some(ns) if n >= 1 && n <= ns.size && ns.distinct.size == ns.size =>
+                Some(s"`${ns(n - 1).replace("`", "``")}`")
               case _ => None
             }
             case None => Some(exprSql(e))

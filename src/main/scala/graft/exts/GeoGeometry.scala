@@ -407,6 +407,22 @@ object GeoGeom {
   }
 
   // ---- predicates / distance ----------------------------------------
+  //
+  // Exactness policy (deliberate asymmetry): the topology-construction
+  // predicates below (onSegment / pointInRings / segsIntersect) are
+  // EXACT — zero tolerance — because the set-op stitcher builds its
+  // vertex/edge structure from them and a fuzzy primitive would smear
+  // coincidence classes together. A scaled tolerance ([[boundaryTol]])
+  // is applied ONLY at the final containment VERDICT (is this vertex on
+  // b's boundary, or strictly inside?), where an FP-unrepresentable
+  // on-boundary point (dist ~1e-17) would otherwise flip a true
+  // containment to false. Use boundaryTol — never an ad-hoc epsilon —
+  // anywhere a verdict-level on-boundary test is needed.
+
+  /** Scale-relative boundary tolerance for verdict-level on-boundary
+    * tests: 1e-9 of the point's magnitude (≥1e-9 absolute). */
+  private[exts] def boundaryTol(x: Double, y: Double): Double =
+    1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
 
   private[exts] def onSegment(px: Double, py: Double, ax: Double, ay: Double,
       bx: Double, by: Double): Boolean = {
@@ -625,12 +641,9 @@ object GeoGeom {
               val br = b.rings(rb2)
               val m = br.length / 2
               var j = 0
-              // scaled epsilon, not == 0.0: a vertex lying on b's
-              // boundary at a floating-point-unrepresentable interior
-              // point of a segment yields dist ~1e-17, and exact-zero
-              // would misread it as strictly inside, rejecting a true
-              // containment for near-tangent pairs
-              val tol = 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+              // verdict-level on-boundary test → shared scaled epsilon
+              // (see the exactness-policy note at the predicates header)
+              val tol = boundaryTol(x, y)
               while (j < m - 1 && !onB) {
                 if (pointSegDist(x, y, br(j * 2), br(j * 2 + 1),
                     br(j * 2 + 2), br(j * 2 + 3)) <= tol) onB = true

@@ -20,17 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * GeoAsBinary :469, GeoAsEWKB :476, GeoAsEWKT :483, GeoNRings :336,
   * GeoGeometryN :84, GeoTransform :450 / GeoConvert :459.
   *
-  * Scope grew through rounds 4-6 well past this file's original remit —
-  * the current state (see COVERAGE.md and [[GeoProjections]]):
-  * geometric set-op OUTPUTS on simple-ring operands
-  * (GeoUnion :195, GeoIntersection :426, GeoDifference :433,
-  * GeoUnaryUnion :186), GeoLineMerge :131, Multi-geometry /
-  * GeometryCollection INPUTS across the op surface, and GeoTransform
-  * over the closed-form Snyder set (EPSG:3857, all UTM zones, 3035 LAEA
-  * Europe, 5070 Conus Albers, 2154 Lambert-93). Still out of scope
-  * (DIVERGENCES.md §1): set-op outputs on holed/curved operands and the
-  * proj-database CRS long tail — unsupported shapes return null, never
-  * a wrong answer.
+  * Scope has grown every round well past this file's original remit —
+  * to avoid this header going stale again, the CURRENT support matrix
+  * (what each op accepts, what returns null) lives in DIVERGENCES.md §1
+  * and COVERAGE.md, which are updated with every scope change. The
+  * standing contract is the only stable statement: every op either
+  * computes an exact closed-form planar answer or returns null — never
+  * a wrong geometry.
   *
   * DE-9IM-style predicates (touches/crosses/overlaps) are implemented
   * through interior-intersection tests: proper segment crossings plus

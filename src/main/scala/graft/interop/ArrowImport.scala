@@ -107,7 +107,10 @@ object ArrowImport {
       }
       spark.createDataFrame(rows.asJava, schema)
     } finally {
-      reader.close(); allocator.close()
+      // close the reader in its own guard: a reader-close failure must
+      // not leak the allocator's direct memory (or mask the primary
+      // exception with an allocator-close failure)
+      try reader.close() finally allocator.close()
     }
   }
 

@@ -11,14 +11,15 @@ import org.apache.spark.sql.types._
   * parquet/columnar storage, metadata prunes without touching bytes).
   *
   * Decode reality, by format: header probes are REAL for PNG/GIF/BMP/JPEG
-  * and WAV (round 6); pixel/sample decode is REAL for the uncompressed
-  * formats BMP and WAV PCM (round 7 — pure byte layouts, no codec
-  * needed), feeding genuine channel stats, luminance features and the
-  * batched feature path. Only the entropy-coded formats (JPEG/PNG pixel
-  * data, compressed audio/video) remain STUBBED with deterministic
-  * md5 fakes, clearly marked below — those need codec libraries absent
-  * from this container. Everything around the stubs (schema, batching,
-  * partition behavior, pipeline shape) is real and tested.
+  * and WAV (round 6); pixel/sample decode is REAL for BMP and WAV PCM
+  * (round 7 — pure byte layouts) AND for non-interlaced 8-bit PNG
+  * (round 8 — JDK Inflater + per-row unfilter, [[graft.exts.PngPixels]]),
+  * feeding genuine channel stats, luminance features and the batched
+  * feature path. Only JPEG pixel data and compressed audio/video remain
+  * STUBBED with deterministic md5 fakes, clearly marked below — their
+  * entropy/transform decoders need codec libraries absent from this
+  * container (DIVERGENCES.md §8). Everything around the stubs (schema,
+  * batching, partition behavior, pipeline shape) is real and tested.
   */
 object Multimodal {
 

@@ -295,7 +295,11 @@ object MiscQueries {
     // recomputes every number from the parquet source directly, so any
     // transport corruption (offsets, validity, nesting) breaks the hash.
     QueryDef("q98d_arrow_roundtrip", (s, dir) => {
-      val path = "/root/repo/target/arrow_roundtrip.arrows"
+      // a fresh temp file per invocation: no absolute-path assumption,
+      // no race between concurrent query runs
+      val tmp = java.nio.file.Files.createTempFile("graft_arrow_rt", ".arrows")
+      tmp.toFile.deleteOnExit()
+      val path = tmp.toString
       val sup = supplier(s, dir).select(
         col("s_suppkey"), col("s_nationkey"),
         col("s_acctbal").cast("decimal(15,2)").as("bal"),
@@ -303,7 +307,9 @@ object MiscQueries {
         struct(col("s_name").as("name"), col("s_suppkey").as("key")).as("meta"),
         map(lit("bal"), col("s_acctbal")).as("m"))
       Table(sup).toArrowFile(path, maxRecordsPerBatch = 7) // force multi-batch
-      val back = Table.fromArrowFile(s, path).df
+      val back =
+        try Table.fromArrowFile(s, path).df
+        finally java.nio.file.Files.deleteIfExists(tmp)
       back.groupBy(col("s_nationkey").as("nk")).agg(
           count(lit(1)).as("n"),
           sum(col("bal").cast("decimal(38,4)")).cast("double").as("bal_sum"),

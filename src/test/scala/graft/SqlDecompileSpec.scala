@@ -61,6 +61,26 @@ class SqlDecompileSpec extends SparkSpec {
     // silently-wrong constant grouping (spark.sql itself raises on it)
     val bad = SqlDecompile.decompile(spark, "SELECT grp FROM t1 GROUP BY 5")
     assert(!bad.isFullyDecompiled)
+    // non-IntegerType literals are CONSTANTS in Spark (only integer
+    // literals get SubstituteUnresolvedOrdinals), so GROUP BY 2L /
+    // ORDER BY 2L must not be rewritten to a column — and a Long whose
+    // Int wrap lands in range (4294967297 → 1) must not silently alias
+    // the first select item
+    roundTrip("SELECT grp, COUNT(*) AS n FROM t1 GROUP BY grp, 2L ORDER BY grp")
+    roundTrip("SELECT grp, COUNT(*) AS n FROM t1 GROUP BY grp, 4294967297 ORDER BY grp")
+    val longLit = SqlDecompile.decompile(spark,
+      "SELECT grp, COUNT(*) AS n FROM t1 GROUP BY grp, 4294967297")
+    assert(!longLit.exists {
+      case SqlAggregate(_, ks, _) => ks.exists(_.contains("grp, grp") || ks.count(_ == "grp") > 1)
+      case _ => false
+    })
+    // ORDER BY ordinal over DUPLICATE output names is ambiguous as a
+    // name rewrite where the ordinal was exact → opaque, still executes
+    val dup = SqlDecompile.decompile(spark,
+      "SELECT grp AS x, id AS x FROM t1 ORDER BY 2")
+    assert(!dup.isFullyDecompiled)
+    assert(dup.table(spark).df.collect().toSeq ==
+      spark.sql("SELECT grp AS x, id AS x FROM t1 ORDER BY 2").collect().toSeq)
   }
 
   test("join conditions and sort keys get the renders-back guard") {
