@@ -16,7 +16,9 @@ import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftAnti, L
   *
   * Coverage: the relational core SQL users actually introspect —
   * project/filter/aggregate/having/join/sort/limit/offset/distinct,
-  * set ops, CTEs (held as scope, resolved at rebuild), subquery aliases.
+  * set ops, CTEs (held as scope, resolved at rebuild), subquery aliases,
+  * and OVER-clause windows ([[SqlWindow]], round 9 — rendered back via
+  * the DataFrame window API since catalyst `.sql` can't).
   * Anything beyond it degrades to [[SqlOpaque]], which still REBUILDS
   * correctly (the raw plan executes as-is) — capability is never lost,
   * only walkability, and `isFullyDecompiled` tells the user which. */
@@ -43,6 +45,7 @@ sealed trait SqlOp {
     case SqlSetOp(l, r, op, all) => SqlSetOp(f(l), f(r), op, all)
     case SqlAlias(in, n) => SqlAlias(f(in), n)
     case SqlWith(in, ctes) => SqlWith(f(in), ctes.map { case (n, b) => (n, f(b)) })
+    case SqlWindow(in, ds) => SqlWindow(f(in), ds)
     case leaf => leaf
   }
 
@@ -87,6 +90,22 @@ final case class SqlAlias(input: SqlOp, name: String) extends SqlOp {
   def children = Seq(input)
 }
 final case class SqlWith(input: SqlOp, ctes: Seq[(String, SqlOp)]) extends SqlOp {
+  def children = Seq(input)
+}
+/** One OVER-clause column added below a [[SqlProject]]: `func` is the
+  * window function call text (`rank()`, `lag(v, 1)`, `sum(v)`), keys are
+  * expression strings, and `frame` — when the SQL spells one — is
+  * ("rows"|"range", lower, upper) in the DataFrame API's Long sentinels
+  * (`Window.unboundedPreceding`/`currentRow`/`unboundedFollowing`).
+  * None = the SQL default frame, which the DataFrame API also applies. */
+final case class SqlWindowDef(name: String, func: String,
+    partitionBy: Seq[String], orderBy: Seq[(String, Boolean, Boolean)],
+    frame: Option[(String, Long, Long)])
+/** Window-bearing SELECT support: computes each [[SqlWindowDef]] column
+  * over the input via the DataFrame window API (catalyst's `.sql` cannot
+  * render an OVER clause back through the parser — DIVERGENCES §7), with
+  * the enclosing [[SqlProject]] referencing the computed columns. */
+final case class SqlWindow(input: SqlOp, defs: Seq[SqlWindowDef]) extends SqlOp {
   def children = Seq(input)
 }
 /** Fallback for plan shapes outside the walkable core: carries the raw
@@ -175,9 +194,14 @@ object SqlDecompile {
   def fromPlan(plan: LogicalPlan): SqlOp = plan match {
     case UnresolvedRelation(nameParts, _, _) => SqlRelation(nameParts.mkString("."))
     case p @ Project(projectList, child) =>
-      val es = projectList.map(named)
-      if (es.forall(e => rendersBack(e._2))) SqlProject(fromPlan(child), es)
-      else SqlOpaque(p)
+      if (projectList.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.WindowExpression])))
+        fromWindowProject(p, projectList, child)
+      else {
+        val es = projectList.map(named)
+        if (es.forall(e => rendersBack(e._2))) SqlProject(fromPlan(child), es)
+        else SqlOpaque(p)
+      }
     case f @ Filter(cond, child) =>
       if (rendersBack(exprSql(cond))) SqlFilter(fromPlan(child), exprSql(cond))
       else SqlOpaque(f)
@@ -260,6 +284,85 @@ object SqlDecompile {
     case other => SqlOpaque(other)
   }
 
+  /** A SELECT containing OVER clauses: catalyst's `.sql` renders an
+    * unparseable frame for WindowExpression, so instead of the string
+    * round-trip each window becomes a [[SqlWindowDef]] (function text,
+    * keys, explicit frame in Long sentinels) computed by the DataFrame
+    * window API at rebuild, and the project item references the computed
+    * column. Windows nested inside larger expressions (`1 + rank()
+    * OVER ...`) work — the window sub-tree is substituted with the
+    * generated column reference before rendering. Degrades to opaque
+    * when: a window item carries no alias (its auto-name is catalyst's
+    * unfaithful `.sql` text), a frame boundary isn't a literal
+    * (interval frames), or any fragment fails the renders-back guard. */
+  private def fromWindowProject(p: Project,
+      projectList: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      child: LogicalPlan): SqlOp = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val defs = scala.collection.mutable.ArrayBuffer[SqlWindowDef]()
+    var ok = true
+
+    def bound(e: Expression): Option[Long] = e match {
+      case UnboundedPreceding => Some(Long.MinValue)
+      case UnboundedFollowing => Some(Long.MaxValue)
+      case CurrentRow => Some(0L)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case UnaryMinus(Literal(v: Int, _), _) => Some(-v.toLong)
+      case UnaryMinus(Literal(v: Long, _), _) => Some(-v)
+      case _ => None
+    }
+
+    def windowOf(w: WindowExpression): Option[SqlWindowDef] = w.windowSpec match {
+      case WindowSpecDefinition(parts, orders, frameSpec) =>
+        val funcSql = exprSql(w.windowFunction)
+        val partSqls = parts.map(exprSql)
+        val orderKeys = orders.map { case SortOrder(e, dir, nulls, _) =>
+          (exprSql(e), dir == Ascending, nulls == NullsFirst)
+        }
+        val frame: Option[Option[(String, Long, Long)]] = frameSpec match {
+          case UnspecifiedFrame => Some(None)
+          case SpecifiedWindowFrame(ft, lo, hi) =>
+            val t = ft match { case RowFrame => "rows"; case RangeFrame => "range" }
+            (bound(lo), bound(hi)) match {
+              case (Some(l), Some(h)) => Some(Some((t, l, h)))
+              case _ => None // interval / expression boundary
+            }
+          case _ => None
+        }
+        if (frame.isDefined && rendersBack(funcSql) && partSqls.forall(rendersBack) &&
+            orderKeys.forall(k => rendersBack(k._1)))
+          Some(SqlWindowDef(s"__graft_w${defs.size}__", funcSql, partSqls, orderKeys,
+            frame.get))
+        else None
+      case _ => None // WindowSpecReference (WINDOW clause) — opaque
+    }
+
+    val items: Seq[(String, String)] = projectList.map { ne =>
+      val inner = ne match { case UnresolvedAlias(c, _) => c; case e => e }
+      inner match {
+        case a: Alias if a.child.exists(_.isInstanceOf[WindowExpression]) =>
+          val replaced = a.child.transform {
+            case w: WindowExpression => windowOf(w) match {
+              case Some(d) => defs += d; UnresolvedAttribute(Seq(d.name))
+              case None => ok = false; w
+            }
+          }
+          val sql = if (ok) exprSql(replaced) else ""
+          if (!ok || !rendersBack(sql)) { ok = false; (a.name, "") }
+          else (a.name, sql)
+        case e if e.exists(_.isInstanceOf[WindowExpression]) =>
+          ok = false; ("", "") // unaliased window: auto-name not reproducible
+        case e =>
+          val n = named(e)
+          if (!rendersBack(n._2)) ok = false
+          n
+      }
+    }
+    if (ok) SqlProject(SqlWindow(fromPlan(child), defs.toSeq), items)
+    else SqlOpaque(p)
+  }
+
   /** Rebuild a decompiled tree into a DataFrame. `scope` maps CTE names
     * to their decompiled bodies. */
   private[api] def rebuild(spark: SparkSession, op: SqlOp,
@@ -340,6 +443,28 @@ object SqlDecompile {
         case "union" => if (all) lf.union(rf) else lf.union(rf).distinct()
         case "intersect" => if (all) lf.intersectAll(rf) else lf.intersect(rf)
         case "except" => if (all) lf.exceptAll(rf) else lf.except(rf)
+      }
+    case SqlWindow(in, ds) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.expr
+      ds.foldLeft(rebuild(spark, in, scope)) { (df, d) =>
+        val base = Window.partitionBy(d.partitionBy.map(expr): _*)
+        val ordered = if (d.orderBy.isEmpty) base else base.orderBy(d.orderBy.map {
+          case (e, asc, nullsFirst) =>
+            val c = expr(e)
+            (asc, nullsFirst) match {
+              case (true, true) => c.asc_nulls_first
+              case (true, false) => c.asc_nulls_last
+              case (false, true) => c.desc_nulls_first
+              case (false, false) => c.desc_nulls_last
+            }
+        }: _*)
+        val framed = d.frame match {
+          case Some(("rows", lo, hi)) => ordered.rowsBetween(lo, hi)
+          case Some((_, lo, hi)) => ordered.rangeBetween(lo, hi)
+          case None => ordered // SQL default frame = DataFrame API default
+        }
+        df.withColumn(d.name, expr(d.func).over(framed))
       }
     case SqlAlias(in, name) => rebuild(spark, in, scope).alias(name)
     case SqlWith(in, ctes) =>

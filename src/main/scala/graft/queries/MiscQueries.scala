@@ -207,6 +207,43 @@ object MiscQueries {
       FROM nation WHERE n_nationkey > 9
       GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
+    // parse_sql decompile THROUGH a window (round 9): OVER-clause
+    // queries decompile to SqlWindow (DataFrame-API render — catalyst
+    // .sql can't express the frame) instead of falling opaque; the
+    // rewrite reaches through the window node and the oracle states the
+    // rewritten query, so only a genuine decompile-transform-rebuild of
+    // the windowed plan matches.
+    QueryDef("q97c_parse_sql_window", (s, dir) => {
+      import graft.api.{SqlDecompile, SqlFilter, SqlWindow}
+      customer(s, dir).createOrReplaceTempView("customer_v")
+      val op = SqlDecompile.decompile(s,
+        """SELECT c_nationkey, c_custkey,
+             rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+             sum(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS run
+           FROM customer_v WHERE c_custkey <= 100""")
+      require(op.isFullyDecompiled, "window decompile fell back to an opaque plan")
+      require(op.exists { case _: SqlWindow => true; case _ => false },
+        "no SqlWindow node in the decompiled tree")
+      val rewritten = op.rewrite {
+        case SqlFilter(in, p) if p.contains("100") => SqlFilter(in, p.replace("100", "500"))
+      }
+      rewritten.table(s).df
+        .withColumn("rnk", col("rnk").cast("long"))
+        .withColumn("run", col("run").cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
+    }, Some("""
+      SELECT c_nationkey, c_custkey, CAST(rnk AS BIGINT) AS rnk, CAST(run AS BIGINT) AS run
+      FROM (
+        SELECT c_nationkey, c_custkey,
+          rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+          SUM(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS run
+        FROM customer WHERE c_custkey <= 500) t
+      WHERE rnk <= 3
+      ORDER BY c_nationkey, rnk, c_custkey""")),
+
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {
       Table(nation(s, dir)).sql(

@@ -124,12 +124,44 @@ class SqlDecompileSpec extends SparkSpec {
     assert(out == Seq((0L, 2L), (1L, 1L)))
   }
 
+  test("window-bearing SELECTs decompile to SqlWindow and round-trip (round 9)") {
+    ensureViews()
+    // ranking, offset and aggregate functions; default + explicit frames
+    roundTrip("SELECT id, row_number() OVER (ORDER BY id) AS rn FROM t1 ORDER BY id")
+    roundTrip("SELECT id, grp, rank() OVER (PARTITION BY grp ORDER BY id DESC) AS r " +
+      "FROM t1 ORDER BY grp, id")
+    roundTrip("SELECT id, lag(name, 1) OVER (ORDER BY id) AS prev FROM t1 ORDER BY id")
+    roundTrip("SELECT id, sum(id) OVER (PARTITION BY grp ORDER BY id " +
+      "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t1 ORDER BY id")
+    roundTrip("SELECT id, sum(id) OVER (ORDER BY id " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM t1 ORDER BY id")
+    roundTrip("SELECT id, count(*) OVER (PARTITION BY grp) AS c FROM t1 ORDER BY id")
+    // a window NESTED inside a larger expression substitutes cleanly
+    roundTrip("SELECT id, 100 + row_number() OVER (ORDER BY id) AS k FROM t1 ORDER BY id")
+    // two windows with different specs in one SELECT
+    roundTrip("SELECT id, row_number() OVER (ORDER BY id) AS a, " +
+      "sum(id) OVER (PARTITION BY grp) AS b FROM t1 ORDER BY id")
+    // the decompiled tree really carries the window structure
+    val op = SqlDecompile.decompile(spark,
+      "SELECT id, rank() OVER (PARTITION BY grp ORDER BY id) AS r FROM t1")
+    assert(op.isFullyDecompiled)
+    assert(op.exists {
+      case SqlWindow(_, Seq(SqlWindowDef(_, "rank()", Seq("grp"), Seq(("id", true, true)), None))) => true
+      case _ => false
+    })
+    // and rewrites reach through it
+    val rw = op.rewrite { case SqlRelation("t1") => SqlRelation("t1") }
+    assert(rw.isFullyDecompiled)
+    // unaliased windows (irreproducible auto-name) + interval frames
+    // still degrade to opaque and still execute
+    val unaliased = SqlDecompile.decompile(spark,
+      "SELECT id, row_number() OVER (ORDER BY id) FROM t1")
+    assert(!unaliased.isFullyDecompiled)
+    assert(unaliased.table(spark).df.count() == 5)
+  }
+
   test("shapes beyond the core degrade to opaque but still execute") {
     ensureViews()
-    // window expressions render an unparseable frame from catalyst's
-    // .sql — the parse-back guard degrades them to opaque, same rows
-    roundTrip("SELECT id, row_number() OVER (ORDER BY id) AS rn FROM t1 ORDER BY id",
-      expectWalkable = false)
     // LATERAL VIEW is a Generate plan node outside the walkable core →
     // SqlOpaque, but the raw parsed subtree still executes verbatim
     roundTrip("SELECT id, e FROM t1 LATERAL VIEW explode(array(1, 2)) x AS e ORDER BY id, e",
