@@ -648,6 +648,9 @@ object GeoGeomOps {
         if (math.abs(signedArea(ring)) == 0.0) return null
         GeoGeom.writePolygon(Array(ring))
       case (2, 2) => null // 1-dim overlap output: GEOS territory
+      // multi/collection operands beyond the all-polygon branch — incl.
+      // mixed dimensions (round 9) — intersect member-wise
+      case (ka, kb) if ka >= 4 || kb >= 4 => mixedIntersection(a, b)
       case _ => null
     }
   }
@@ -922,6 +925,228 @@ object GeoGeomOps {
     assembleParts(work.toSeq)
   }
 
+  /** Members of a set-op operand grouped by dimension: (polygonal,
+    * line, point). Multi* members expand one level; nested collections
+    * and curves → null. Single geometries are their own one-member
+    * group, so the mixed paths accept any operand pairing. */
+  private def mixedMembers(g: Geom): (Array[Geom], Array[Geom], Array[Geom]) = {
+    val polys = scala.collection.mutable.ArrayBuffer[Geom]()
+    val lines = scala.collection.mutable.ArrayBuffer[Geom]()
+    val pts = scala.collection.mutable.ArrayBuffer[Geom]()
+    def add(m: Geom): Boolean = m != null && (m.kind match {
+      case 1 => pts += m; true
+      case 2 => lines += m; true
+      case 3 => polys += m; true
+      case 4 | 5 | 6 => m.parts != null && m.parts.forall(add)
+      case _ => false
+    })
+    val ok = g.kind match {
+      case 1 | 2 | 3 => add(g)
+      case 4 | 5 | 6 | 7 => g.parts != null && g.parts.nonEmpty && g.parts.forall(add)
+      case _ => false
+    }
+    if (!ok) null else (polys.toArray, lines.toArray, pts.toArray)
+  }
+
+  /** Assemble a set-op result from an areal part plus surviving line and
+    * point members, in the GEOS output convention: a single surviving
+    * dimension class keeps its natural kind (POLYGON/MULTIPOLYGON,
+    * LINESTRING/MULTILINESTRING, POINT/MULTIPOINT); mixed dimensions
+    * become a GEOMETRYCOLLECTION with the areal part's polygons as
+    * individual members. All-empty → null (empty-result convention). */
+  private def assembleMixed(arealB: Array[Byte], lines: Seq[Array[Byte]],
+      pts: Seq[Array[Byte]]): Array[Byte] = {
+    val arealMembers: Seq[Array[Byte]] =
+      if (arealB == null) Nil
+      else parse(arealB) match {
+        case g if g != null && g.kind == 6 => g.parts.map(GeoGeom.write).toSeq
+        case _ => Seq(arealB)
+      }
+    (arealMembers.nonEmpty, lines.nonEmpty, pts.nonEmpty) match {
+      case (true, false, false) => arealB
+      case (false, true, false) =>
+        if (lines.length == 1) lines.head
+        else GeoGeom.writeMulti(GeoGeom.MultiLineType, lines.toArray)
+      case (false, false, true) =>
+        if (pts.length == 1) pts.head
+        else GeoGeom.writeMulti(GeoGeom.MultiPointType, pts.toArray)
+      case (false, false, false) => null
+      case _ => GeoGeom.writeMulti(GeoGeom.CollectionType,
+        (arealMembers ++ lines ++ pts).toArray)
+    }
+  }
+
+  /** Mixed-dimension union (round 9): polygonal members union through
+    * the part-merge worklist; line members are absorbed when the closed
+    * areal region covers them, pass through when disjoint from it and
+    * from each other (overlapping/crossing line pairs need noding →
+    * null); point members are absorbed by any member at distance 0
+    * (exact for points) and deduplicate exactly. OGC dimension rules,
+    * null-never-wrong outside them. */
+  private def mixedUnion(a: Geom, b: Geom): Array[Byte] = {
+    val ma = mixedMembers(a); val mb = mixedMembers(b)
+    if (ma == null || mb == null) return null
+    val polys = ma._1 ++ mb._1
+    val arealB: Array[Byte] =
+      if (polys.isEmpty) null
+      else if (polys.length == 1) GeoGeom.write(polys(0))
+      else {
+        val u = unionParts(polys.map(GeoGeom.write).toSeq)
+        if (u == null) return null
+        u
+      }
+    val keptL = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    for (l0 <- ma._2 ++ mb._2) {
+      val l = GeoGeom.write(l0)
+      var absorbed = false
+      if (arealB != null) {
+        val d = GeoGeom.distance(arealB, l)
+        if (d == null) return null
+        if (d.doubleValue() == 0.0) {
+          val c = GeoGeom.contains(arealB, l)
+          if (c != null && c.booleanValue()) absorbed = true
+          else return null // partial overlap: noding territory
+        }
+      }
+      if (!absorbed) {
+        if (keptL.exists(o => java.util.Arrays.equals(o, l))) ()
+        else {
+          for (o <- keptL) {
+            val d = GeoGeom.distance(o, l)
+            if (d == null || d.doubleValue() == 0.0) return null
+          }
+          keptL += l
+        }
+      }
+    }
+    val keptP = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    for (p0 <- ma._3 ++ mb._3) {
+      val p = GeoGeom.write(p0)
+      var absorbed = false
+      if (arealB != null) {
+        val d = GeoGeom.distance(arealB, p)
+        if (d != null && d.doubleValue() == 0.0) absorbed = true
+      }
+      for (l <- keptL; if !absorbed) {
+        val d = GeoGeom.distance(l, p)
+        if (d != null && d.doubleValue() == 0.0) absorbed = true
+      }
+      if (!absorbed && !keptP.exists(o => java.util.Arrays.equals(o, p))) keptP += p
+    }
+    assembleMixed(arealB, keptL.toSeq, keptP.toSeq)
+  }
+
+  /** Mixed-dimension difference (round 9). The subtrahend's interior is
+    * its polygonal part alone, so that region subtracts from polygonal
+    * minuend pieces through the existing machinery; minuend lines keep
+    * (disjoint) / drop (covered by the closed region — a boundary-lying
+    * line is removed exactly) / null (partial); minuend points drop at
+    * distance 0 to ANY subtrahend member (closed-set semantics, exact)
+    * and keep otherwise. Zero-measure subtrahend members never change
+    * line or areal minuend pieces (closure restores removed interior
+    * points) — except collinear line-on-line overlap, which nulls. */
+  private def mixedDifference(a: Geom, b: Geom): Array[Byte] = {
+    val ma = mixedMembers(a); val mb = mixedMembers(b)
+    if (ma == null || mb == null) return null
+    val bPolyB: Array[Byte] =
+      if (mb._1.isEmpty) null
+      else if (mb._1.length == 1) GeoGeom.write(mb._1(0))
+      else GeoGeom.writeMulti(GeoGeom.MultiPolygonType, mb._1.map(GeoGeom.write))
+    val arealB: Array[Byte] =
+      if (ma._1.isEmpty) null
+      else {
+        val aPolyB =
+          if (ma._1.length == 1) GeoGeom.write(ma._1(0))
+          else GeoGeom.writeMulti(GeoGeom.MultiPolygonType, ma._1.map(GeoGeom.write))
+        if (bPolyB == null) aPolyB
+        else {
+          val r = difference(aPolyB, bPolyB)
+          if (r == null) {
+            // null is only acceptable when provably consumed (empty)
+            val c = GeoGeom.contains(bPolyB, aPolyB)
+            if (c == null || !c.booleanValue()) return null
+          }
+          r
+        }
+      }
+    val keptL = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    for (l0 <- ma._2) {
+      val l = GeoGeom.write(l0)
+      var dropped = false
+      if (bPolyB != null) {
+        val d = GeoGeom.distance(bPolyB, l)
+        if (d == null) return null
+        if (d.doubleValue() == 0.0) {
+          val c = GeoGeom.contains(bPolyB, l)
+          if (c != null && c.booleanValue()) dropped = true
+          else return null // partial cut: noding territory
+        }
+      }
+      for (bl0 <- mb._2; if !dropped) {
+        val bl = GeoGeom.write(bl0)
+        if (java.util.Arrays.equals(bl, l)) dropped = true
+        else {
+          val d = GeoGeom.distance(bl, l)
+          // crossing at isolated points leaves the line intact after
+          // closure, but distinguishing a crossing from a collinear
+          // overlap is noding territory → null on any contact
+          if (d == null || d.doubleValue() == 0.0) return null
+        }
+      }
+      if (!dropped) keptL += l
+    }
+    val bMembersB = (mb._1 ++ mb._2 ++ mb._3).map(GeoGeom.write)
+    val keptP = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    for (p0 <- ma._3) {
+      val p = GeoGeom.write(p0)
+      var dropped = false
+      for (bm <- bMembersB; if !dropped) {
+        val d = GeoGeom.distance(bm, p)
+        if (d != null && d.doubleValue() == 0.0) dropped = true
+      }
+      if (!dropped && !keptP.exists(o => java.util.Arrays.equals(o, p))) keptP += p
+    }
+    assembleMixed(arealB, keptL.toSeq, keptP.toSeq)
+  }
+
+  /** Mixed-dimension intersection (round 9): member-wise over the cross
+    * product (collection members carry the same interior-disjoint
+    * convention the all-polygon branch already assumes); every pair must
+    * intersect exactly computably or be provably empty — poly-poly
+    * touch-only pairs contribute nothing, matching the all-polygon
+    * branch's convention; any other ambiguous contact aborts. Surviving
+    * pieces regroup by dimension through [[assembleMixed]]. */
+  private def mixedIntersection(a: Geom, b: Geom): Array[Byte] = {
+    val ma = mixedMembers(a); val mb = mixedMembers(b)
+    if (ma == null || mb == null) return null
+    val polysOut = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val linesOut = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val ptsOut = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    for (x <- ma._1 ++ ma._2 ++ ma._3; y <- mb._1 ++ mb._2 ++ mb._3) {
+      val xB = GeoGeom.write(x); val yB = GeoGeom.write(y)
+      val r = intersection(xB, yB)
+      if (r == null) {
+        val d = GeoGeom.distance(xB, yB)
+        if (d == null) return null
+        if (d.doubleValue() == 0.0) {
+          val t = if (x.kind == 3 && y.kind == 3) touches(xB, yB) else null
+          if (t == null || !t.booleanValue()) return null
+        }
+      } else parse(r) match {
+        case g if g != null && g.kind == 3 => polysOut += r
+        case g if g != null && g.kind == 6 =>
+          g.parts.foreach(p => polysOut += GeoGeom.write(p))
+        case g if g != null && g.kind == 2 => linesOut += r
+        case g if g != null && g.kind == 1 =>
+          if (!ptsOut.exists(o => java.util.Arrays.equals(o, r))) ptsOut += r
+        case _ => return null
+      }
+    }
+    assembleMixed(
+      if (polysOut.isEmpty) null else assembleParts(polysOut.toSeq),
+      linesOut.toSeq, ptsOut.toSeq)
+  }
+
   /** GeoUnion (geospatial.py:195). Polygon ∪ polygon — holed operands
     * included since round 7 (the even-odd classifiers and the stitcher
     * were already ring-set-general; orientation normalization makes the
@@ -938,7 +1163,9 @@ object GeoGeomOps {
     }
     if (a.kind != 3 || b.kind != 3) {
       val pa = polyParts(a); val pb = polyParts(b)
-      if (pa == null || pb == null) return null
+      // non-polygonal / mixed-dimension members (round 9) take the
+      // dimension-grouped path
+      if (pa == null || pb == null) return mixedUnion(a, b)
       return unionParts((pa ++ pb).map(GeoGeom.write).toSeq)
     }
     val ra = orientedRings(a); val rb = orientedRings(b)
@@ -995,7 +1222,11 @@ object GeoGeomOps {
     val a = parse(aB); val b = parse(bB)
     if (a == null || b == null) return null
     if (a.kind != 3 && polyParts(a) == null) {
-      // point/line minuend: identity when disjoint, else GEOS territory
+      // multi/collection minuends (incl. mixed dimensions, round 9)
+      // subtract member-wise
+      if (a.kind >= 4) return mixedDifference(a, b)
+      // single point/line minuend: identity when disjoint, else GEOS
+      // territory
       val d = GeoGeom.distance(aB, bB)
       return if (d != null && d.doubleValue() > 0.0) asBinary(aB)
       else if (a.kind == 1) null // point inside/on b: empty
@@ -1007,7 +1238,9 @@ object GeoGeomOps {
       // piece; a null step is only acceptable when provably EMPTY
       // (contains), otherwise the whole op aborts — null, never wrong
       val pa = polyParts(a); val pb = polyParts(b)
-      if (pa == null || pb == null) return null
+      // mixed-dimension subtrahend (round 9): only its polygonal part
+      // has interior — the grouped path handles it
+      if (pa == null || pb == null) return mixedDifference(a, b)
       var pieces = pa.map(GeoGeom.write).toSeq
       var bi = 0
       while (bi < pb.length) {

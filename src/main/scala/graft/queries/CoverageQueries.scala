@@ -755,6 +755,57 @@ object CoverageQueries {
         'MULTIPOLYGON' AS i_type
       FROM t ORDER BY 1""")),
 
+    // Mixed-dimension GEOMETRYCOLLECTION set-op operands (round 9): a
+    // collection of polygon + line + points against an overlapping
+    // square. Union merges the areal parts (absorbing the interior
+    // point), passes the disjoint line and far point through; difference
+    // cuts the polygon and drops the in-B point; intersection keeps the
+    // overlap slab plus the shared point. Every number is closed-form
+    // planar math keyed on the nation key.
+    QueryDef("q74h_geo_mixed_setops", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val base = (k * 10000).cast("double")
+      def rect(x0: org.apache.spark.sql.Column, y0: Double,
+          w: Double, h: Double) =
+        geo.makePolygon(array(
+          geo.point(x0, lit(y0)), geo.point(x0 + w, lit(y0)),
+          geo.point(x0 + w, lit(y0 + h)), geo.point(x0, lit(y0 + h))))
+      val len = (k % 3 + 2).cast("double")
+      val mixedA = geo.collectGeoms(array(
+        rect(base, 0, 4, 4),
+        geo.makeLine(array(geo.point(base + 10.0, lit(0.0)),
+          geo.point(base + 10.0 + len, lit(0.0)))),
+        geo.point(base + 20.0, lit(0.0)),
+        geo.point(base + 2.0, lit(2.0))))
+      val bPoly = rect(base + 2.0, 0, 4, 4)
+      val u = geo.union(mixedA, bPoly)
+      val d = geo.difference(mixedA, bPoly)
+      val i = geo.intersection(mixedA, bPoly)
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        geo.geometryType(u).as("u_type"),
+        round(geo.area(u), 6).as("u_area"),
+        round(geo.length(u), 6).as("u_len"),
+        round(geo.area(d), 6).as("d_area"),
+        round(geo.length(d), 6).as("d_len"),
+        round(geo.area(i), 6).as("i_area"),
+        (geo.distance(i, geo.point(base + 2.0, lit(2.0))) === 0.0).as("i_has_pt"),
+        (geo.distance(u, geo.point(base + 20.0, lit(0.0))) === 0.0).as("u_has_far_pt"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      SELECT n_nationkey,
+        'GEOMETRYCOLLECTION' AS u_type,
+        24.0 AS u_area,
+        CAST(n_nationkey % 3 + 2 AS DOUBLE) AS u_len,
+        8.0 AS d_area,
+        CAST(n_nationkey % 3 + 2 AS DOUBLE) AS d_len,
+        8.0 AS i_area,
+        TRUE AS i_has_pt,
+        TRUE AS u_has_far_pt
+      FROM nation ORDER BY 1""")),
+
     // UTM reprojection (round 4; GeoTransform geospatial.py:450 beyond the
     // 4326↔3857 pair): per-nation points inside zone 31, forward to
     // EPSG:32631 and back (plus a 32631→3857→4326 double hop). The Krüger

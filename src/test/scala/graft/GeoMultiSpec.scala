@@ -350,6 +350,74 @@ class GeoMultiSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 5.0) < 1e-9)
   }
 
+  test("mixed-dimension collection set-op operands (round 9)") {
+    // A = GC(4x4 square at origin, line x∈[10,14] on y=0, far point,
+    // point INSIDE the square); B = 4x4 square at (2,0) overlapping A's
+    val mixedA = geo.collectGeoms(array(
+      rect(0, 0, 4, 4),
+      geo.makeLine(pts((10.0, 0.0), (14.0, 0.0))),
+      geo.point(lit(20.0), lit(0.0)),
+      geo.point(lit(2.0), lit(2.0))))
+    val bPoly = rect(2, 0, 4, 4)
+    val u = geo.union(mixedA, bPoly)
+    val d = geo.difference(mixedA, bPoly)
+    val i = geo.intersection(mixedA, bPoly)
+    val r = one.select(
+      geo.geometryType(u).as("ut"), geo.area(u).as("ua"), geo.length(u).as("ul"),
+      geo.geometryType(d).as("dt"), geo.area(d).as("da"), geo.length(d).as("dl"),
+      geo.geometryType(i).as("it"), geo.area(i).as("ia"),
+      geo.asText(i).as("iw")).collect().head
+    // union: polygons merge to area 24; interior point absorbed; line +
+    // far point pass through → GC(polygon, line, point)
+    assert(r.getString(0) == "GEOMETRYCOLLECTION")
+    assert(math.abs(r.getDouble(1) - 24.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 4.0) < 1e-9)
+    // difference: A.poly − B = 2x4 slab (area 8); line/far point keep;
+    // in-B point dropped
+    assert(r.getString(3) == "GEOMETRYCOLLECTION")
+    assert(math.abs(r.getDouble(4) - 8.0) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 4.0) < 1e-9)
+    // intersection: overlap slab (area 8) + the point inside both
+    assert(r.getString(6) == "GEOMETRYCOLLECTION")
+    assert(math.abs(r.getDouble(7) - 8.0) < 1e-9)
+    assert(r.getString(8).contains("POINT (2 2)"))
+
+    // line crossing the areal part is noding territory → null, never a
+    // wrong geometry; fully-covered line is absorbed exactly
+    val crossing = geo.collectGeoms(array(
+      rect(0, 0, 4, 4), geo.makeLine(pts((2.0, 2.0), (9.0, 2.0)))))
+    val covered = geo.collectGeoms(array(
+      rect(0, 0, 4, 4), geo.makeLine(pts((1.0, 1.0), (3.0, 1.0)))))
+    val r2 = one.select(
+      geo.union(crossing, rect(20, 0, 1, 1)).isNull.as("cross_null"),
+      geo.geometryType(geo.union(covered, rect(20, 0, 1, 1))).as("cov_t"),
+      geo.area(geo.union(covered, rect(20, 0, 1, 1))).as("cov_a")).collect().head
+    assert(r2.getBoolean(0))
+    assert(r2.getString(1) == "MULTIPOLYGON")
+    assert(r2.getDouble(2) == 17.0)
+
+    // pure line multis: disjoint pass-through, overlapping pair nulls
+    val l1 = geo.makeLine(pts((0.0, 0.0), (2.0, 0.0)))
+    val l2 = geo.makeLine(pts((0.0, 5.0), (2.0, 5.0)))
+    val l3 = geo.makeLine(pts((1.0, 0.0), (3.0, 0.0)))
+    val r3 = one.select(
+      geo.geometryType(geo.union(l1, l2)).as("t"),
+      geo.length(geo.union(l1, l2)).as("len"),
+      geo.union(l1, l3).isNull.as("overlap_null"),
+      // subtrahend with zero-area members only: minuend unchanged
+      geo.area(geo.difference(rect(0, 0, 2, 2),
+        geo.collectGeoms(array(l2, geo.point(lit(9.0), lit(9.0)))))).as("ident_a"),
+      // point members subtract exactly: equal point dropped, rest keep
+      geo.asText(geo.difference(
+        geo.collectGeoms(array(geo.point(lit(1.0), lit(1.0)), geo.point(lit(5.0), lit(5.0)))),
+        geo.point(lit(1.0), lit(1.0)))).as("pd")).collect().head
+    assert(r3.getString(0) == "MULTILINESTRING")
+    assert(r3.getDouble(1) == 4.0)
+    assert(r3.getBoolean(2))
+    assert(r3.getDouble(3) == 4.0)
+    assert(r3.getString(4) == "POINT (5 5)")
+  }
+
   test("multi WKB round-trips through flip twice") {
     val mp = geo.collectGeoms(array(rect(0, 0, 2, 2), rect(5, 1, 3, 3)))
     val r = one.select(
