@@ -24,7 +24,7 @@ object Bench {
     * groupBy floor measurement for q80 (verdict r2 #8); the q114 pair
     * measures salted vs plain join on a deliberate 90%-hot key (#9). */
   private val controls = Seq(
-    "q80_control", "q101_control", "q103_control",
+    "q80_control", "q101_control", "q103_control", "q103b_tpch13_bucketed",
     "q114_skew_hot_salted", "q114b_skew_hot_plain")
 
   def main(args: Array[String]): Unit = {

@@ -200,6 +200,53 @@ object TpchQueries {
         GROUP BY c_custkey)
       GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
 
+    // BUCKETED layout variant of q103 (round-7 verdict #6): orders stored
+    // CLUSTERED BY o_custkey makes the dominant first aggregation
+    // exchange-free — the bucketed scan's HashPartitioning(o_custkey)
+    // satisfies the groupBy's distribution directly, so the fact table's
+    // rows never shuffle at all (the residual exchanges move |customers|
+    // pre-counts and a handful of distribution rows). This is the
+    // cluster answer for a repeated-analysis layout; the one-time
+    // bucketed write is the ingest cost and is excluded from the timed
+    // body (the table persists in the warehouse across runs, keyed by
+    // the source dir). Same oracle as q103 — identical results, cheaper
+    // plan.
+    QueryDef("q103b_tpch13_bucketed", (s, dir) => {
+      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val buckets = sys.env.getOrElse("GRAFT_CUST_BUCKETS", "64").toInt
+      val tbl = s"orders_bycust_${suffix}_b$buckets"
+      if (!s.catalog.tableExists(tbl)) {
+        val loc = new java.io.File(s"spark-warehouse/$tbl")
+        if (loc.exists()) {
+          // files persist across JVMs; the in-memory catalog doesn't —
+          // re-register the existing layout as an external bucketed table
+          val ddl = s.read.parquet(loc.getAbsolutePath).schema.toDDL
+          s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
+            CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO $buckets BUCKETS
+            LOCATION '${loc.getAbsolutePath}'""")
+        } else Table(orders(s, dir)).toBucketedTable(tbl, buckets, "o_custkey")
+      }
+      val c = customer(s, dir)
+      val o = s.table(tbl)
+      val perCust = Table(o)
+        .filter(o("o_orderpriority") =!= "1-URGENT")
+        .groupBy(o("o_custkey"))
+        .count("n_ord")
+      Table(c)
+        .join(perCust, c("c_custkey") === perCust.df("o_custkey"), how = "left")
+        .mutate("c_count" -> coalesce(col("n_ord"), lit(0L)))
+        .groupBy(col("c_count"))
+        .count("custdist")
+        .sort(SortKey.desc(col("custdist")), SortKey.desc(col("c_count")))
+        .df
+    }, Some("""
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
     // Floor control for q103 (round-4 verdict #9): the same two chained
     // hash aggregations WITHOUT the customer outer join. The delta between
     // this and q103 is the join; the delta between this and DuckDB's
