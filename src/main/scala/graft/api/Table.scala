@@ -409,6 +409,10 @@ final class Table(val df: DataFrame) {
     * directly. Bounded results only — see [[graft.interop.ArrowExport]]. */
   def toArrowFile(path: String, maxRecordsPerBatch: Int = 10000): Long =
     graft.interop.ArrowExport.toArrowFile(df, path, maxRecordsPerBatch)
+  /** Random-access `ARROW1` IPC file layout (pyarrow `new_file` /
+    * Feather v2); [[Table.fromArrowFile]] reads either layout back. */
+  def toArrowIpcFile(path: String, maxRecordsPerBatch: Int = 10000): Long =
+    graft.interop.ArrowExport.toArrowIpcFile(df, path, maxRecordsPerBatch)
   def toArrowBytes(maxRecordsPerBatch: Int = 10000): Array[Byte] =
     graft.interop.ArrowExport.toArrowStreamBytes(df, maxRecordsPerBatch)
 

@@ -99,13 +99,32 @@ object ArrowExport {
 
   /** Stream `df`'s rows as Arrow IPC record batches into `out`. */
   def writeArrowStream(df: DataFrame, out: OutputStream,
-      maxRecordsPerBatch: Int = 10000): Long = {
+      maxRecordsPerBatch: Int = 10000): Long =
+    writeBatches(df, root => new ArrowStreamWriter(root, null, out), maxRecordsPerBatch)
+
+  /** Write the result in the random-access Arrow IPC FILE format (the
+    * `ARROW1`-magic layout of `pyarrow.ipc.new_file`, a.k.a. Feather v2)
+    * — the other interchange layout pyarrow/polars/duckdb produce and
+    * consume. Returns the row count. */
+  def toArrowIpcFile(df: DataFrame, path: String, maxRecordsPerBatch: Int = 10000): Long = {
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try writeBatches(df,
+      root => new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch),
+      maxRecordsPerBatch)
+    finally ch.close()
+  }
+
+  private def writeBatches(df: DataFrame,
+      mkWriter: VectorSchemaRoot => org.apache.arrow.vector.ipc.ArrowWriter,
+      maxRecordsPerBatch: Int): Long = {
     require(maxRecordsPerBatch > 0, "maxRecordsPerBatch must be positive")
     val schema = df.schema
     val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
     val allocator = new RootAllocator(Long.MaxValue)
     val root = VectorSchemaRoot.create(arrowSchema(schema, tz), allocator)
-    val writer = new ArrowStreamWriter(root, null, out)
+    val writer = mkWriter(root)
     var total = 0L
     try {
       writer.start()

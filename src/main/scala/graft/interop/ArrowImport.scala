@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   * of the reference's Arrow-first contract: `ibis.memtable` accepts a
   * pyarrow Table directly (ibis/expr/operations/relations.py:420-424,
   * ibis/formats/pyarrow.py), so a frame produced by pyarrow / polars /
-  * duckdb becomes a queryable relation with no parquet detour. Here an
-  * Arrow IPC *stream* (the format [[ArrowExport]] writes and
-  * `pyarrow.ipc.new_stream` produces) is decoded into a local DataFrame.
+  * duckdb becomes a queryable relation with no parquet detour. Both IPC
+  * layouts decode into a local DataFrame: the *stream* format
+  * ([[ArrowExport.writeArrowStream]] / `pyarrow.ipc.new_stream`) and —
+  * round 9 — the random-access `ARROW1` *file* format
+  * (`pyarrow.ipc.new_file`, a.k.a. Feather v2), sniffed from the
+  * leading magic so callers never specify which.
   *
   * Like export, this is a CLIENT-EDGE operation: Arrow IPC arrives as
   * one driver-side buffer, so it's for bounded frames — lookup/dimension
@@ -89,7 +92,12 @@ object ArrowImport {
   /** Decode an Arrow IPC stream into a local DataFrame. */
   def fromArrowStream(spark: SparkSession, in: InputStream): DataFrame = {
     val allocator = new RootAllocator(Long.MaxValue)
-    val reader = new ArrowStreamReader(in, allocator)
+    fromReader(spark, new ArrowStreamReader(in, allocator), allocator)
+  }
+
+  private def fromReader(spark: SparkSession,
+      reader: org.apache.arrow.vector.ipc.ArrowReader,
+      allocator: RootAllocator): DataFrame = {
     try {
       val root = reader.getVectorSchemaRoot
       val schema = sparkSchema(root.getSchema)
@@ -114,12 +122,44 @@ object ArrowImport {
     }
   }
 
-  def fromArrowBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame =
-    fromArrowStream(spark, new java.io.ByteArrayInputStream(bytes))
+  /** The `ARROW1` magic that opens (and closes) the random-access IPC
+    * FILE format — `pyarrow.ipc.new_file` / Feather v2 — as opposed to
+    * the stream format, which starts with an encapsulated message. */
+  private def isFileFormat(head: Array[Byte]): Boolean =
+    head.length >= 6 && head(0) == 'A' && head(1) == 'R' && head(2) == 'R' &&
+      head(3) == 'O' && head(4) == 'W' && head(5) == '1'
 
+  /** Decode either IPC layout from bytes — the leading magic picks the
+    * reader, so callers don't need to know which layout produced them. */
+  def fromArrowBytes(spark: SparkSession, bytes: Array[Byte]): DataFrame =
+    if (isFileFormat(bytes)) {
+      val allocator = new RootAllocator(Long.MaxValue)
+      fromReader(spark, new org.apache.arrow.vector.ipc.ArrowFileReader(
+        new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes),
+        allocator), allocator)
+    } else fromArrowStream(spark, new java.io.ByteArrayInputStream(bytes))
+
+  /** Decode an Arrow IPC file of either layout (stream or `ARROW1`
+    * random-access) — sniffed from the first bytes, matching what
+    * pyarrow/polars/duckdb emit under both `new_stream` and `new_file`. */
   def fromArrowFile(spark: SparkSession, path: String): DataFrame = {
-    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
-    try fromArrowStream(spark, in) finally in.close()
+    val p = java.nio.file.Paths.get(path)
+    val head = {
+      val in = java.nio.file.Files.newInputStream(p)
+      try { val b = new Array[Byte](6); val n = in.readNBytes(b, 0, 6); b.take(n) }
+      finally in.close()
+    }
+    if (isFileFormat(head)) {
+      val ch = java.nio.channels.FileChannel.open(p, java.nio.file.StandardOpenOption.READ)
+      try {
+        val allocator = new RootAllocator(Long.MaxValue)
+        fromReader(spark, new org.apache.arrow.vector.ipc.ArrowFileReader(ch, allocator),
+          allocator)
+      } finally ch.close()
+    } else {
+      val in = java.nio.file.Files.newInputStream(p)
+      try fromArrowStream(spark, in) finally in.close()
+    }
   }
 
   /** One recursive reader mirroring [[ArrowExport.writeValue]] — emits

@@ -362,6 +362,36 @@ object MiscQueries {
         CAST(SUM(CAST(s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS map_sum
       FROM supplier GROUP BY 1 ORDER BY 1""")),
 
+    // ARROW1 random-access IPC FILE layout round-trip (round 9 — the
+    // OTHER interchange layout pyarrow.ipc.new_file / feather v2
+    // produces): export through ArrowFileWriter, re-import through the
+    // magic-sniffing reader, and aggregate; the oracle recomputes from
+    // the parquet source, so footer/block-index corruption breaks it.
+    QueryDef("q98e_arrow_ipc_file", (s, dir) => {
+      val tmp = java.nio.file.Files.createTempFile("graft_arrow_ipcq", ".arrow")
+      tmp.toFile.deleteOnExit()
+      val cust = customer(s, dir).select(
+        col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(15,2)").as("bal"),
+        struct(col("c_name").as("name"), col("c_custkey").as("key")).as("meta"),
+        split(col("c_name"), "#").as("toks"))
+      Table(cust).toArrowIpcFile(tmp.toString, maxRecordsPerBatch = 11)
+      val back =
+        try Table.fromArrowFile(s, tmp.toString).df
+        finally java.nio.file.Files.deleteIfExists(tmp)
+      back.groupBy((col("c_nationkey") % 5).as("ng")).agg(
+          count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(38,4)")).cast("double").as("bal_sum"),
+          max(col("meta.name")).as("max_name"),
+          sum(size(col("toks"))).as("tok_n"))
+        .orderBy(col("ng"))
+    }, Some("""
+      SELECT c_nationkey % 5 AS ng, COUNT(*) AS n,
+        CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(15,2)) AS DECIMAL(38,4))) AS DOUBLE) AS bal_sum,
+        MAX(c_name) AS max_name,
+        CAST(SUM(LEN(STR_SPLIT(c_name, '#'))) AS BIGINT) AS tok_n
+      FROM customer GROUP BY 1 ORDER BY 1""")),
+
     // memtable (InMemoryTable) + DummyTable (1-row literals).
     QueryDef("q99_memtable", (s, dir) => {
       import org.apache.spark.sql.Row

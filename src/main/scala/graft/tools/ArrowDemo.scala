@@ -39,6 +39,13 @@ object ArrowDemo {
       back.schema.map(f => (f.name, f.dataType)) == out.schema.map(f => (f.name, f.dataType))
     println(s"[arrow] import round-trip loss-free: $same")
     require(same, "ArrowImport round-trip mismatch")
+    // round 9: the ARROW1 random-access file layout, same payload — the
+    // sniffing importer reads it through the identical entry point
+    val n2 = graft.interop.ArrowExport.toArrowIpcFile(out, args(1) + ".file")
+    val back2 = graft.interop.ArrowImport.fromArrowFile(spark, args(1) + ".file")
+    val same2 = n2 == n && back2.collect().toSeq == out.collect().toSeq
+    println(s"[arrow] ARROW1 file round-trip loss-free: $same2")
+    require(same2, "ArrowImport ARROW1 round-trip mismatch")
     spark.stop()
   }
 }

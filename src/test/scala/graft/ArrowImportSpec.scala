@@ -93,6 +93,33 @@ class ArrowImportSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(path))
   }
 
+  test("ARROW1 file format round-trips and is auto-sniffed (round 9)") {
+    // same nested shapes as the stream tests, through the random-access
+    // layout pyarrow.ipc.new_file / feather v2 produces
+    val df = Seq(
+      (1L, Seq("a", "b"), Map("k" -> 1.5), ("x", 10L)),
+      (2L, Seq.empty[String], Map.empty[String, Double], ("y", 20L)),
+      (3L, null.asInstanceOf[Seq[String]], null.asInstanceOf[Map[String, Double]],
+        null.asInstanceOf[(String, Long)]))
+      .toDF("id", "toks", "m", "meta")
+    val path = java.nio.file.Files.createTempFile("graft_arrow_ipc", ".arrow").toString
+    val n = graft.api.Table(df).toArrowIpcFile(path, maxRecordsPerBatch = 2) // multi-batch
+    assert(n == 3)
+    // the file leads (and ends) with the ARROW1 magic
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(new String(head.take(6)) == "ARROW1")
+    assert(new String(head.takeRight(6)) == "ARROW1")
+    // fromArrowFile sniffs the layout — same call as for streams
+    val back = graft.api.Table.fromArrowFile(spark, path).df
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().toSeq == df.collect().toSeq)
+    // bytes entry point sniffs too
+    val back2 = ArrowImport.fromArrowBytes(spark, head)
+    assert(back2.collect().toSeq == df.collect().toSeq)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
   test("unsupported arrow types fail fast with the column path") {
     // an unsigned-int vector has no Spark mapping — build one directly
     import scala.jdk.CollectionConverters._
