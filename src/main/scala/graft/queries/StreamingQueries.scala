@@ -170,6 +170,33 @@ object StreamingQueries {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS clicks_so_far
         FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND p.t >= c.t
-      ORDER BY p.event_id"""))
+      ORDER BY p.event_id""")),
+
+    // Stream-stream INTERVAL join (round 9, Windows.intervalJoin): every
+    // purchase within [0, 30min] after a click by the same user — the
+    // attribution-pairing shape. StreamingSpec drives the same plan over
+    // two watermarked MemoryStreams (incl. outer-emission on watermark
+    // advance); here the driver verifies the batch semantics, where the
+    // band is a plain range predicate.
+    QueryDef("q83b_interval_join", (s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"), col("value").as("pval"))
+      Windows.intervalJoin(clicks, purchases, Seq("cu" -> "pu"),
+          "cts", "pts", before = "0 seconds", after = "30 minutes")
+        .groupBy(col("cu").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("pval")).as("pval_sum"),
+          countDistinct(col("cid")).as("n_clicks_matched"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT c.user_id, COUNT(*) AS n_pairs,
+        CAST(SUM(CAST(p.value AS DECIMAL(38,4))) AS DOUBLE) AS pval_sum,
+        COUNT(DISTINCT c.event_id) AS n_clicks_matched
+      FROM (SELECT user_id, ts::TIMESTAMP AS t, event_id FROM events WHERE event_type = 'click') c
+      JOIN (SELECT user_id, ts::TIMESTAMP AS t, value FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.t >= c.t AND p.t <= c.t + INTERVAL 30 MINUTE
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -124,6 +124,30 @@ object Windows {
     events.join(org.apache.spark.sql.functions.broadcast(dim), on, joinType)
   }
 
+  /** Stream-stream INTERVAL JOIN (round 9 — the enrichment step when
+    * BOTH sides are unbounded: clicks⋈impressions, request⋈response
+    * pairing). The condition is the equi-keys plus an event-time band —
+    * right's time within `[leftTime - before, leftTime + after]` — which
+    * is exactly the constraint Spark's symmetric state manager needs to
+    * bound BOTH buffers and emit/evict as the watermarks advance; apply
+    * [[withWatermark]] to each side first (Spark enforces that for outer
+    * variants; for inner joins it is what keeps state finite). Works
+    * identically on batch frames, where the band is a plain range
+    * predicate — batch/streaming stays a source property. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      on: Seq[(String, String)],
+      leftTime: String, rightTime: String,
+      before: String, after: String,
+      joinType: String = "inner"): DataFrame = {
+    require(on.nonEmpty, "interval join needs at least one equi-key")
+    val keys = on.map { case (l, r) => left(l) === right(r) }.reduce(_ && _)
+    val band =
+      right(rightTime) >= left(leftTime) - expr(s"INTERVAL '$before'") &&
+      right(rightTime) <= left(leftTime) + expr(s"INTERVAL '$after'")
+    left.join(right, keys && band, joinType)
+  }
+
   /** The value codec [[readKafka]] applies to the broker's wire frame
     * (`value: binary` holding JSON): parse against the declared schema,
     * unnest, then register the watermark. Factored out of the source so

@@ -271,4 +271,50 @@ class StreamingSpec extends SparkSpec {
       (r.getTimestamp(0).toString, r.getString(1), r.getDouble(2))).toSeq ==
       Seq(("2024-01-01 10:05:00.0", "click", 1.5)))
   }
+
+  test("stream-stream interval join pairs events inside the band (round 9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val l = Windows.withWatermark(
+      clicks.toDF().toDF("cu", "cts"), Watermark("cts", "1 minute"))
+    val r = Windows.withWatermark(
+      purchases.toDF().toDF("pu", "pts", "pval"), Watermark("pts", "1 minute"))
+    val joined = Windows.intervalJoin(l, r, Seq("cu" -> "pu"),
+      "cts", "pts", before = "0 seconds", after = "10 minutes")
+      .select(col("cu"), col("cts"), col("pts"), col("pval"))
+    val query = joined.writeStream
+      .format("memory").queryName("ivj_out").outputMode(OutputMode.Append())
+      .start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:05:00"), 5.0),  // in band
+        (1L, ts("2024-01-01 10:20:00"), 7.0),  // outside band (>10 min)
+        (2L, ts("2024-01-01 09:55:00"), 9.0),  // before the click
+        (3L, ts("2024-01-01 10:05:00"), 1.0))  // no matching click key
+      query.processAllAvailable()
+      val out = spark.table("ivj_out").collect()
+        .map(x => (x.getLong(0), x.getDouble(3))).toSet
+      assert(out == Set((1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("interval join on batch frames is the identical range-predicate join") {
+    val clicks = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")))
+      .toDF("cu", "cts")
+    val purch = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 5.0),
+      (1L, ts("2024-01-01 10:20:00"), 7.0),
+      (2L, ts("2024-01-01 11:09:59"), 3.0)).toDF("pu", "pts", "pval")
+    val out = Windows.intervalJoin(clicks, purch, Seq("cu" -> "pu"),
+      "cts", "pts", before = "0 seconds", after = "10 minutes")
+      .select("cu", "pval").as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 5.0), (2L, 3.0)))
+    // left_outer keeps unmatched left rows with nulls
+    val lo = Windows.intervalJoin(
+      clicks, purch.filter(col("pu") === 1L), Seq("cu" -> "pu"),
+      "cts", "pts", "0 seconds", "10 minutes", joinType = "left_outer")
+    assert(lo.filter(col("pval").isNull).select("cu").as[Long].collect().toSeq == Seq(2L))
+  }
 }
