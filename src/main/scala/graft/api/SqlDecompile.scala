@@ -55,6 +55,35 @@ sealed trait SqlOp {
 
   def isFullyDecompiled: Boolean = !exists(_.isInstanceOf[SqlOpaque])
 
+  /** Expression-granular rewrite (round 9): parse every expression
+    * string this tree holds into its [[SqlExpr]] tree, apply `f`
+    * bottom-up, re-render. Lets a user rename a column everywhere, swap
+    * a function, or edit a literal across project/filter/agg/join/sort/
+    * window keys in one pass — the per-expression transform the
+    * reference's sqlglot tree offers. */
+  def rewriteExprs(f: PartialFunction[SqlExpr, SqlExpr]): SqlOp = {
+    def rw(s: String): String =
+      if (s == "*" || s.endsWith(".*")) s
+      else SqlDecompile.parseExpr(s).rewrite(f).render
+    def rwOp(op: SqlOp): SqlOp = op match {
+      case SqlProject(in, es) => SqlProject(rwOp(in), es.map { case (n, e) => (n, rw(e)) })
+      case SqlFilter(in, p) => SqlFilter(rwOp(in), rw(p))
+      case SqlHaving(in, p) => SqlHaving(rwOp(in), rw(p))
+      case SqlAggregate(in, ks, as) =>
+        SqlAggregate(rwOp(in), ks.map(rw), as.map { case (n, e) => (n, rw(e)) })
+      case SqlJoin(l, r, how, cond) => SqlJoin(rwOp(l), rwOp(r), how, cond.map(rw))
+      case SqlSort(in, ks) =>
+        SqlSort(rwOp(in), ks.map { case (e, a, n) => (rw(e), a, n) })
+      case SqlWindow(in, ds) => SqlWindow(rwOp(in), ds.map(d => d.copy(
+        func = rw(d.func), partitionBy = d.partitionBy.map(rw),
+        orderBy = d.orderBy.map { case (e, a, n) => (rw(e), a, n) })))
+      case SqlWith(in, ctes) =>
+        SqlWith(rwOp(in), ctes.map { case (n, b) => (n, rwOp(b)) })
+      case other => other.mapChildren(rwOp)
+    }
+    rwOp(this)
+  }
+
   /** Rebuild as a live Table over `spark`'s catalog (CTE names resolve to
     * their decompiled bodies; everything else through the catalog). */
   def table(spark: SparkSession): Table =
@@ -111,6 +140,89 @@ final case class SqlWindow(input: SqlOp, defs: Seq[SqlWindowDef]) extends SqlOp 
 /** Fallback for plan shapes outside the walkable core: carries the raw
   * parsed subtree, which still executes verbatim on rebuild. */
 final case class SqlOpaque(plan: LogicalPlan) extends SqlOp { def children = Nil }
+
+/** Expression-granular decompile (round 9): the reference's sqlglot tree
+  * is walkable per-EXPRESSION (expr/sql.py), not just per relational op
+  * — so every expression string a [[SqlOp]] holds parses into this ADT
+  * via [[SqlDecompile.parseExpr]], and [[SqlOp.rewriteExprs]] maps a
+  * transform over every expression tree in the whole op tree and
+  * re-renders. Node shapes outside the core ride as [[SqlExprRaw]]
+  * leaves rendering verbatim — the same never-lose-capability contract
+  * as SqlOpaque, and `isFullyParsed` reports which. */
+sealed trait SqlExpr {
+  def children: Seq[SqlExpr]
+  def mapChildren(f: SqlExpr => SqlExpr): SqlExpr
+  def rewrite(f: PartialFunction[SqlExpr, SqlExpr]): SqlExpr = {
+    val w = mapChildren(_.rewrite(f))
+    f.applyOrElse(w, identity[SqlExpr])
+  }
+  def exists(p: SqlExpr => Boolean): Boolean =
+    p(this) || children.exists(_.exists(p))
+  def isFullyParsed: Boolean = !exists {
+    case r: SqlExprRaw => r.sql != "*" && !r.sql.endsWith(".*")
+    case _ => false
+  }
+  /** SQL text that parses back through Spark's expression parser. */
+  def render: String
+}
+final case class SqlExprCol(parts: Seq[String]) extends SqlExpr {
+  def children = Nil
+  def mapChildren(f: SqlExpr => SqlExpr) = this
+  def render = parts.map(p =>
+    if (p.matches("[A-Za-z_][A-Za-z0-9_]*")) p
+    else s"`${p.replace("`", "``")}`").mkString(".")
+}
+final case class SqlExprLit(sql: String) extends SqlExpr {
+  def children = Nil
+  def mapChildren(f: SqlExpr => SqlExpr) = this
+  def render = sql
+}
+final case class SqlExprFunc(name: String, args: Seq[SqlExpr],
+    distinct: Boolean = false) extends SqlExpr {
+  def children = args
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(args = args.map(f))
+  def render =
+    s"$name(${if (distinct) "DISTINCT " else ""}${args.map(_.render).mkString(", ")})"
+}
+final case class SqlExprBin(op: String, left: SqlExpr, right: SqlExpr) extends SqlExpr {
+  def children = Seq(left, right)
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(left = f(left), right = f(right))
+  def render = s"(${left.render} $op ${right.render})"
+}
+final case class SqlExprUnary(op: String, child: SqlExpr) extends SqlExpr {
+  def children = Seq(child)
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(child = f(child))
+  def render = s"($op ${child.render})"
+}
+final case class SqlExprIn(value: SqlExpr, list: Seq[SqlExpr],
+    negated: Boolean = false) extends SqlExpr {
+  def children = value +: list
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(value = f(value), list = list.map(f))
+  def render = s"(${value.render} ${if (negated) "NOT IN" else "IN"} " +
+    s"(${list.map(_.render).mkString(", ")}))"
+}
+final case class SqlExprCast(child: SqlExpr, to: String, isTry: Boolean = false)
+    extends SqlExpr {
+  def children = Seq(child)
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(child = f(child))
+  def render = s"${if (isTry) "TRY_CAST" else "CAST"}(${child.render} AS $to)"
+}
+final case class SqlExprCase(branches: Seq[(SqlExpr, SqlExpr)],
+    orElse: Option[SqlExpr]) extends SqlExpr {
+  def children = branches.flatMap(b => Seq(b._1, b._2)) ++ orElse.toSeq
+  def mapChildren(f: SqlExpr => SqlExpr) =
+    SqlExprCase(branches.map { case (c, v) => (f(c), f(v)) }, orElse.map(f))
+  def render = "CASE" +
+    branches.map { case (c, v) => s" WHEN ${c.render} THEN ${v.render}" }.mkString +
+    orElse.fold("")(e => s" ELSE ${e.render}") + " END"
+}
+/** Leaf for shapes outside the walkable expression core — renders its
+  * original (parse-checked) text verbatim. `*` / `t.*` ride here too. */
+final case class SqlExprRaw(sql: String) extends SqlExpr {
+  def children = Nil
+  def mapChildren(f: SqlExpr => SqlExpr) = this
+  def render = sql
+}
 
 object SqlDecompile {
 
@@ -361,6 +473,61 @@ object SqlDecompile {
     }
     if (ok) SqlProject(SqlWindow(fromPlan(child), defs.toSeq), items)
     else SqlOpaque(p)
+  }
+
+  /** Parse one expression's SQL text into a walkable [[SqlExpr]] tree.
+    * Anything the core doesn't model (or whose sub-node can't re-render
+    * through the parser) stays a [[SqlExprRaw]] leaf — or, if even that
+    * is unsafe, the WHOLE input string becomes one raw leaf; either way
+    * `render` always parses back. */
+  def parseExpr(sql: String): SqlExpr =
+    try fromExpression(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql))
+    catch { case _: Exception => SqlExprRaw(sql) }
+
+  private def fromExpression(e: Expression): SqlExpr = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def bin(op: String, l: Expression, r: Expression) =
+      SqlExprBin(op, fromExpression(l), fromExpression(r))
+    e match {
+      case u: UnresolvedAttribute => SqlExprCol(u.nameParts)
+      case l: Literal => SqlExprLit(l.sql)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.filter.isEmpty && !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
+        SqlExprFunc(f.nameParts.mkString("."), f.arguments.map(fromExpression),
+          f.isDistinct)
+      case Add(l, r, _) => bin("+", l, r)
+      case Subtract(l, r, _) => bin("-", l, r)
+      case Multiply(l, r, _) => bin("*", l, r)
+      case Divide(l, r, _) => bin("/", l, r)
+      case Remainder(l, r, _) => bin("%", l, r)
+      case EqualTo(l, r) => bin("=", l, r)
+      case EqualNullSafe(l, r) => bin("<=>", l, r)
+      case LessThan(l, r) => bin("<", l, r)
+      case LessThanOrEqual(l, r) => bin("<=", l, r)
+      case GreaterThan(l, r) => bin(">", l, r)
+      case GreaterThanOrEqual(l, r) => bin(">=", l, r)
+      case And(l, r) => bin("AND", l, r)
+      case Or(l, r) => bin("OR", l, r)
+      case Not(In(v, list)) =>
+        SqlExprIn(fromExpression(v), list.map(fromExpression), negated = true)
+      case Not(c) => SqlExprUnary("NOT", fromExpression(c))
+      case UnaryMinus(c, _) => SqlExprUnary("-", fromExpression(c))
+      case In(v, list) => SqlExprIn(fromExpression(v), list.map(fromExpression))
+      case c: Cast =>
+        SqlExprCast(fromExpression(c.child), c.dataType.sql,
+          isTry = c.evalMode == EvalMode.TRY)
+      case CaseWhen(branches, orElse) =>
+        SqlExprCase(branches.map { case (c, v) => (fromExpression(c), fromExpression(v)) },
+          orElse.map(fromExpression))
+      case other =>
+        // outside the modeled core: keep the subtree as one verbatim
+        // leaf IF its rendering survives the parser; otherwise abort so
+        // parseExpr falls back to the whole original string
+        val s = exprSql(other)
+        if (rendersBack(s)) SqlExprRaw(s)
+        else throw new IllegalArgumentException(s"unrenderable: ${other.getClass}")
+    }
   }
 
   /** Rebuild a decompiled tree into a DataFrame. `scope` maps CTE names

@@ -244,6 +244,35 @@ object MiscQueries {
       WHERE rnk <= 3
       ORDER BY c_nationkey, rnk, c_custkey""")),
 
+    // Expression-granular decompile (round 9 — sqlglot-style
+    // per-expression walkability, DIVERGENCES §7): ONE rewriteExprs pass
+    // renames a column reference everywhere it appears (projection, agg
+    // argument, group key, filter), swaps an aggregate function, and
+    // edits a literal threshold — then rebuilds. The oracle states the
+    // fully-rewritten query, so only a real per-expression transform of
+    // every site produces it.
+    QueryDef("q97d_parse_sql_exprs", (s, dir) => {
+      import graft.api._
+      supplier(s, dir).createOrReplaceTempView("supplier_v")
+      val op = SqlDecompile.decompile(s,
+        """SELECT s_nationkey, SUM(s_acctbal) AS m, COUNT(*) AS n
+           FROM supplier_v WHERE s_suppkey > 10 GROUP BY s_nationkey
+           ORDER BY s_nationkey""")
+      require(op.isFullyDecompiled, "decompile fell back to an opaque plan")
+      val rewritten = op.rewriteExprs {
+        case SqlExprCol(Seq("s_acctbal")) => SqlExprCol(Seq("s_suppkey"))
+        case SqlExprFunc("SUM", args, d) => SqlExprFunc("MAX", args, d)
+        case SqlExprLit("10") => SqlExprLit("3")
+      }
+      rewritten.table(s)
+        .mutate("m" -> col("m").cast("long"))
+        .selectNames("s_nationkey", "m", "n")
+        .df
+    }, Some("""
+      SELECT s_nationkey, CAST(MAX(s_suppkey) AS BIGINT) AS m, COUNT(*) AS n
+      FROM supplier WHERE s_suppkey > 3 GROUP BY s_nationkey
+      ORDER BY s_nationkey""")),
+
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {
       Table(nation(s, dir)).sql(

@@ -160,6 +160,51 @@ class SqlDecompileSpec extends SparkSpec {
     assert(unaliased.table(spark).df.count() == 5)
   }
 
+  test("expression-granular decompile: parseExpr trees, rewriteExprs across the op tree (round 9)") {
+    ensureViews()
+    // the per-expression tree really is structural
+    val e = SqlDecompile.parseExpr("sum(a.x + 1) > CAST(lo AS INT)")
+    assert(e.isFullyParsed, e.toString)
+    assert(e == SqlExprBin(">",
+      SqlExprFunc("sum", Seq(SqlExprBin("+", SqlExprCol(Seq("a", "x")), SqlExprLit("1")))),
+      SqlExprCast(SqlExprCol(Seq("lo")), "INT")))
+    // render parses back and means the same thing
+    assert(SqlDecompile.parseExpr(e.render).render == e.render)
+    assert(SqlDecompile.parseExpr("v IN (1, 2)") ==
+      SqlExprIn(SqlExprCol(Seq("v")), Seq(SqlExprLit("1"), SqlExprLit("2"))))
+    assert(SqlDecompile.parseExpr(
+      "CASE WHEN x = 1 THEN 'a' ELSE 'b' END").isInstanceOf[SqlExprCase])
+    // count(*) normalizes to count(1) in Spark's parser itself
+    assert(SqlDecompile.parseExpr("count(*)") ==
+      SqlExprFunc("count", Seq(SqlExprLit("1"))))
+    assert(SqlDecompile.parseExpr("count(*)").isFullyParsed)
+
+    // one rewriteExprs pass renames a column EVERYWHERE (select, where,
+    // group key, aggregate arg, sort key) and edits a literal
+    val op = SqlDecompile.decompile(spark,
+      "SELECT grp AS g, SUM(id) AS s FROM t1 WHERE id < 99 GROUP BY grp ORDER BY grp")
+    val rewritten = op.rewriteExprs {
+      case SqlExprCol(Seq("grp")) => SqlExprCol(Seq("grp2"))
+      case SqlExprLit("99") => SqlExprLit("3")
+    }.rewrite { // rename the source too, so grp2 resolves
+      case SqlRelation("t1") => SqlRelation("t1b")
+    }
+    Seq((0L, "a", 0L), (1L, "b", 0L), (2L, "c", 1L), (3L, "d", 1L), (4L, "e", 2L))
+      .toDF("id", "name", "grp2").createOrReplaceTempView("t1b")
+    val out = rewritten.table(spark).df.as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L), (1L, 2L)))
+
+    // function swap through a window definition's expression text
+    val wop = SqlDecompile.decompile(spark,
+      "SELECT id, sum(id) OVER (PARTITION BY grp) AS s FROM t1 ORDER BY id")
+    val swapped = wop.rewriteExprs {
+      case SqlExprFunc("sum", args, d) => SqlExprFunc("count", args, d)
+    }
+    val direct = spark.sql(
+      "SELECT id, count(id) OVER (PARTITION BY grp) AS s FROM t1 ORDER BY id")
+    assert(swapped.table(spark).df.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("shapes beyond the core degrade to opaque but still execute") {
     ensureViews()
     // LATERAL VIEW is a Generate plan node outside the walkable core →
