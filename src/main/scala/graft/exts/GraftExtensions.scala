@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PngPixels].getName, "png_pixels"),
       (children: Seq[Expression]) => PngPixels(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("jpeg_pixels"),
+      new ExpressionInfo(classOf[JpegPixels].getName, "jpeg_pixels"),
+      (children: Seq[Expression]) => JpegPixels(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("geo_point"),
       new ExpressionInfo(classOf[GeoPointWkb].getName, "geo_point"),
       (children: Seq[Expression]) => GeoPointWkb(
@@ -236,4 +240,5 @@ object exprs {
   /** Real WAV PCM sample decode (see [[WavSamples]]). */
   def wavSamples(payload: Column): Column = co(WavSamples(ex(payload)))
   def pngPixels(payload: Column): Column = co(PngPixels(ex(payload)))
+  def jpegPixels(payload: Column): Column = co(JpegPixels(ex(payload)))
 }

@@ -12,14 +12,15 @@ import org.apache.spark.sql.types._
   *
   * Decode reality, by format: header probes are REAL for PNG/GIF/BMP/JPEG
   * and WAV (round 6); pixel/sample decode is REAL for BMP and WAV PCM
-  * (round 7 — pure byte layouts) AND for non-interlaced 8-bit PNG
-  * (round 8 — JDK Inflater + per-row unfilter, [[graft.exts.PngPixels]]),
-  * feeding genuine channel stats, luminance features and the batched
-  * feature path. Only JPEG pixel data and compressed audio/video remain
-  * STUBBED with deterministic md5 fakes, clearly marked below — their
-  * entropy/transform decoders need codec libraries absent from this
-  * container (DIVERGENCES.md §8). Everything around the stubs (schema,
-  * batching, partition behavior, pipeline shape) is real and tested.
+  * (round 7 — pure byte layouts), non-interlaced 8-bit PNG (round 8 —
+  * JDK Inflater + per-row unfilter, [[graft.exts.PngPixels]]) AND
+  * baseline JPEG (round 9 — Huffman + dequant + IDCT + YCbCr,
+  * [[graft.exts.JpegPixels]]), feeding genuine channel stats, luminance
+  * features and the batched feature path. Only compressed audio/video
+  * (and progressive/arithmetic JPEG variants) remain STUBBED with
+  * deterministic md5 fakes, clearly marked below (DIVERGENCES.md §8).
+  * Everything around the stubs (schema, batching, partition behavior,
+  * pipeline shape) is real and tested.
   */
 object Multimodal {
 
@@ -79,6 +80,14 @@ object Multimodal {
     * as [[bmpPixels]] so downstream stats are format-agnostic. SQL:
     * `png_pixels`. */
   def pngPixels(payload: Column): Column = graft.exts.exprs.pngPixels(payload)
+
+  /** REAL baseline JPEG pixel decode (round 9 — Huffman + dequant +
+    * IDCT + YCbCr are pure arithmetic, no codec library): packed
+    * 0xRRGGBB ints for sequential-Huffman 8-bit gray / YCbCr frames
+    * (4:4:4 / 4:2:2 / 4:2:0, optional restart markers); progressive /
+    * arithmetic / CMYK → null. Same output contract as [[bmpPixels]].
+    * SQL: `jpeg_pixels`. */
+  def jpegPixels(payload: Column): Column = graft.exts.exprs.jpegPixels(payload)
 
   /** Per-channel means over REAL decoded BMP pixels — all codegen HOFs
     * over the decoded int array, no UDF in the hot path. */
@@ -299,6 +308,140 @@ object Multimodal {
     chunk("IDAT", z.slice(0, cut))
     chunk("IDAT", z.slice(cut, z.length))
     chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic baseline JPEG synthesizer for q72e and the decode
+    * specs. Blocks are DC-only (all AC zero) over a FLAT quantization
+    * table of 8, so dequantized DC = dc·8 and the 8x8 inverse DCT of a
+    * DC-only block is the single closed-form value dc·8/8 + 128 = dc+128
+    * for EVERY pixel of the block — the oracle recomputes each statistic
+    * from that formula without parsing a byte. Even k → grayscale; odd
+    * k → 3-component YCbCr 4:4:4 (flat per-block chroma). `subsample`
+    * switches the color variant to 4:2:0 (2x2 Y blocks per MCU, chroma
+    * at half resolution — decoder replicates samples); `restartEvery`
+    * inserts DRI/RSTn markers. Optional `acPattern` adds one size-1 AC
+    * coefficient per Y block (for the spec's independent-IDCT
+    * cross-check) — oracle queries keep it 0. */
+  def synthJpeg(k: Long, subsample: Boolean = false, restartEvery: Int = 0,
+      acPattern: Boolean = false): Array[Byte] = {
+    val color = (k % 2) == 1
+    val useSub = subsample && color
+    val mcuSide = if (useSub) 16 else 8
+    val mcusX = 2 + (k % 3).toInt // 2..4 MCUs across
+    val mcusY = 2 + (k % 2).toInt // 2..3 MCUs down
+    val w = mcusX * mcuSide; val h = mcusY * mcuSide
+    val nc = if (color) 3 else 1
+
+    // closed-form per-block DC values, shared with the oracle SQL
+    def dcY(bx: Int, by: Int): Int = ((7 * bx + 13 * by + k) % 151).toInt - 75
+    def dcCb(mx: Int, my: Int): Int = ((mx + 2 * my + k) % 41).toInt - 20
+    def dcCr(mx: Int, my: Int): Int = ((3 * mx + my + 2 * k) % 37).toInt - 18
+
+    // canonical Huffman code assignment from (counts, symbols) — the
+    // same construction the decoder's spec algorithm inverts
+    def codes(counts: Array[Int], symbols: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var si = 0
+      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+      var l = 1
+      while (l <= 16) {
+        var c = 0
+        while (c < counts(l - 1)) { m(symbols(si)) = (code, l); code += 1; si += 1; c += 1 }
+        code <<= 1
+        l += 1
+      }
+      m.toMap
+    }
+    val dcCounts = Array(0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val dcSyms = (0 to 11).toArray
+    val acCounts = Array(0, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acSyms = Array(0x00, 0x01, 0x11, 0x21) // EOB + (run 0..2, size 1)
+    val dcCode = codes(dcCounts, dcSyms)
+    val acCode = codes(acCounts, acSyms)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def b2(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      b2(0xff00 | marker); b2(payload.length + 2); payload.foreach(out.write)
+    }
+    b2(0xffd8) // SOI
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(8)) // DQT: flat 8
+    val sofComps = (0 until nc).flatMap { c =>
+      val sampling = if (useSub && c == 0) 0x22 else 0x11
+      Seq(c + 1, sampling, 0)
+    }
+    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, nc)
+      ++ sofComps)
+    seg(0xc4, Array(0x00) ++ dcCounts ++ dcSyms ++ Array(0x10) ++ acCounts ++ acSyms)
+    if (restartEvery > 0) seg(0xdd, Array((restartEvery >> 8) & 0xff, restartEvery & 0xff))
+    seg(0xda, Array(nc) ++ (0 until nc).flatMap(c => Seq(c + 1, 0x00)) ++ Array(0, 63, 0))
+
+    // entropy writer with FF-stuffing
+    var acc = 0; var nbits = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit = if (nbits > 0) {
+      val pad = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(pad & 0xff)
+      if ((pad & 0xff) == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putDc(diff: Int): Unit = {
+      val t = if (diff == 0) 0 else category(diff)
+      val (c, l) = dcCode(t); putBits(c, l)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    }
+    def putAc(sym: Int, value: Int): Unit = {
+      val (c, l) = acCode(sym); putBits(c, l)
+      val s = sym & 15
+      if (s > 0) putBits(if (value < 0) value + (1 << s) - 1 else value, s)
+    }
+    val pred = new Array[Int](nc)
+    var mcu = 0; var rst = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+          flushBits(); b2(0xffd0 + rst); rst = (rst + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
+        var c = 0
+        while (c < nc) {
+          val blocks = if (useSub && c == 0) Seq((0, 0), (1, 0), (0, 1), (1, 1)) else Seq((0, 0))
+          for ((bx, by) <- blocks) {
+            val dc = c match {
+              case 0 =>
+                val gx = if (useSub) mx * 2 + bx else mx
+                val gy = if (useSub) my * 2 + by else my
+                dcY(gx, gy)
+              case 1 => dcCb(mx, my)
+              case 2 => dcCr(mx, my)
+            }
+            putDc(dc - pred(c)); pred(c) = dc
+            if (acPattern && c == 0) putAc(0x11, if ((mx + my) % 2 == 0) 1 else -1)
+            putAc(0x00, 0) // EOB
+          }
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    flushBits()
+    b2(0xffd9) // EOI
     out.toByteArray
   }
 

@@ -456,6 +456,134 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("jpeg_pixels: baseline Huffman+IDCT decode — closed form, ImageIO, 4:2:0, restarts, AC; never throws") {
+    import graft.exts.JpegPixels
+    import graft.operators.Multimodal
+
+    def dcY(bx: Int, by: Int, k: Long) = (((7 * bx + 13 * by + k) % 151) - 75).toInt
+    def dcCb(mx: Int, my: Int, k: Long) = (((mx + 2 * my + k) % 41) - 20).toInt
+    def dcCr(mx: Int, my: Int, k: Long) = (((3 * mx + my + 2 * k) % 37) - 18).toInt
+    def clamp(d: Double) = math.max(0, math.min(255, math.floor(d + 0.5).toInt))
+    def rgbOf(k: Long, mx: Int, my: Int, gx: Int, gy: Int): Int = {
+      val yy = dcY(gx, gy, k) + 128
+      if (k % 2 == 0) (yy << 16) | (yy << 8) | yy
+      else {
+        val cb = dcCb(mx, my, k); val cr = dcCr(mx, my, k)
+        (clamp(yy + 1.402 * cr) << 16) |
+          (clamp(yy - 0.344136 * cb - 0.714136 * cr) << 8) |
+          clamp(yy + 1.772 * cb)
+      }
+    }
+
+    // closed form across gray (even k) and YCbCr 4:4:4 (odd k); the
+    // JDK's own libjpeg-lineage decoder agrees pixel-for-pixel on
+    // DC-only frames (its integer IDCT is exact there)
+    for (k <- 0L to 9L) {
+      val bw = 2 + (k % 3).toInt; val bh = 2 + (k % 2).toInt
+      val w = bw * 8; val h = bh * 8
+      val bytes = Multimodal.synthJpeg(k)
+      val dec = JpegPixels.decode(bytes)
+      assert(dec != null && dec.numElements() == w * h, s"k=$k")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(dec.getInt(y * w + x) == rgbOf(k, x / 8, y / 8, x / 8, y / 8),
+          s"k=$k ($x,$y)")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect =
+          if (k % 2 == 0) { val g = img.getRaster.getSample(x, y, 0); (g << 16) | (g << 8) | g }
+          else img.getRGB(x, y) & 0xffffff
+        assert(expect == dec.getInt(y * w + x), s"ImageIO disagrees k=$k ($x,$y)")
+      }
+    }
+
+    // 4:2:0: 2x2 Y blocks per MCU, chroma at half resolution replicated
+    // up (flat per MCU, so the replication convention is exact)
+    for (k <- Seq(1L, 3L, 5L)) {
+      val mw = 2 + (k % 3).toInt; val mh = 2 + (k % 2).toInt
+      val w = mw * 16; val h = mh * 16
+      val dec = JpegPixels.decode(Multimodal.synthJpeg(k, subsample = true))
+      assert(dec != null && dec.numElements() == w * h, s"sub k=$k")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(dec.getInt(y * w + x) == rgbOf(k, x / 16, y / 16, x / 8, y / 8),
+          s"sub k=$k ($x,$y)")
+    }
+
+    // restart markers: DRI/RSTn resets both DC chains — pixels identical
+    for (k <- Seq(2L, 3L)) {
+      val a = JpegPixels.decode(Multimodal.synthJpeg(k))
+      val r = JpegPixels.decode(Multimodal.synthJpeg(k, restartEvery = 2))
+      assert(r != null && r.numElements() == a.numElements(), s"rst k=$k")
+      for (i <- 0 until a.numElements())
+        assert(a.getInt(i) == r.getInt(i), s"rst k=$k px $i")
+    }
+
+    // AC coefficients: one size-1 coefficient at zigzag index 2 per Y
+    // block — decoded pixels must match an INDEPENDENT direct 2D IDCT
+    // (different summation than the decoder's separable pass)
+    for (k <- Seq(0L, 2L, 4L)) {
+      val bw = 2 + (k % 3).toInt; val bh = 2 + (k % 2).toInt
+      val w = bw * 8; val h = bh * 8
+      val dec = JpegPixels.decode(Multimodal.synthJpeg(k, acPattern = true))
+      assert(dec != null, s"ac k=$k")
+      def direct(coef: Array[Int], x: Int, y: Int): Int = {
+        var acc = 0.0
+        for (v <- 0 until 8; u <- 0 until 8) {
+          val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+          val cv = if (v == 0) 1.0 / math.sqrt(2.0) else 1.0
+          acc += cu * cv / 4.0 * coef(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+            math.cos((2 * y + 1) * v * math.Pi / 16.0)
+        }
+        clamp(acc + 128.0)
+      }
+      for (y <- 0 until h; x <- 0 until w) {
+        val mx = x / 8; val my = y / 8
+        val coef = new Array[Int](64)
+        coef(0) = dcY(mx, my, k) * 8
+        coef(8) = (if ((mx + my) % 2 == 0) 1 else -1) * 8 // zigzag 2 → (u=0,v=1)
+        val e = direct(coef, x % 8, y % 8) // block-local sample coords
+        assert(dec.getInt(y * w + x) == ((e << 16) | (e << 8) | e), s"ac k=$k ($x,$y)")
+      }
+    }
+
+    // an INDEPENDENTLY ENCODED grayscale JPEG (ImageIO's writer: its own
+    // quant/Huffman tables, non-multiple-of-8 dims → partial MCU crop):
+    // both decoders read the same lossy bytes, so agreement is within
+    // the ±1 IDCT-implementation tolerance
+    val w2 = 21; val h2 = 13
+    val src = new java.awt.image.BufferedImage(w2, h2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until w2; y <- 0 until h2)
+      src.getRaster.setSample(x, y, 0, (x * 11 + y * 23) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", bos)
+    val jb = bos.toByteArray
+    val dec2 = JpegPixels.decode(jb)
+    assert(dec2 != null && dec2.numElements() == w2 * h2)
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
+    for (x <- 0 until w2; y <- 0 until h2) {
+      val a = dec2.getInt(y * w2 + x) & 0xff
+      val b = img2.getRaster.getSample(x, y, 0)
+      assert(math.abs(a - b) <= 1, s"indep ($x,$y): $a vs $b")
+    }
+
+    // refusals: progressive frames, truncation, random garbage — null,
+    // never a wrong pixel, never a throw
+    val good = Multimodal.synthJpeg(1L)
+    val sofAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegPixels.decode(prog) == null)
+    assert(JpegPixels.decode(good.take(sofAt + 5)) == null)
+    assert(JpegPixels.decode(good.take(good.length - 6)) == null) // truncated entropy
+    val rnd = new scala.util.Random(29)
+    for (len <- Seq(0, 2, 16, 64, 200); _ <- 1 to 40) {
+      val b = Array.fill(len)(rnd.nextInt(256).toByte)
+      JpegPixels.decode(b)
+      if (len >= 2) { b(0) = 0xff.toByte; b(1) = 0xd8.toByte; JpegPixels.decode(b) }
+    }
+  }
+
   test("extractFeaturesBmp embeds real pixels; non-BMP payloads get null features") {
     val df = Seq(
       (1L, graft.operators.Multimodal.synthBmp(1L)),
