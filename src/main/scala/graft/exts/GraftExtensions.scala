@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JpegPixels].getName, "jpeg_pixels"),
       (children: Seq[Expression]) => JpegPixels(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("image_pixels"),
+      new ExpressionInfo(classOf[ImagePixels].getName, "image_pixels"),
+      (children: Seq[Expression]) => ImagePixels(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("geo_point"),
       new ExpressionInfo(classOf[GeoPointWkb].getName, "geo_point"),
       (children: Seq[Expression]) => GeoPointWkb(
@@ -241,4 +245,5 @@ object exprs {
   def wavSamples(payload: Column): Column = co(WavSamples(ex(payload)))
   def pngPixels(payload: Column): Column = co(PngPixels(ex(payload)))
   def jpegPixels(payload: Column): Column = co(JpegPixels(ex(payload)))
+  def imagePixels(payload: Column): Column = co(ImagePixels(ex(payload)))
 }

@@ -722,3 +722,47 @@ object JpegPixels {
     new GenericArrayData(out)
   }
 }
+
+case class ImagePixels(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"image_pixels needs binary input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    ImagePixels.decode(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("px")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $r = graft.exts.ImagePixels.decode($b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImagePixels =
+    copy(child = newChild)
+}
+
+/** Format-sniffing image decode (round 9): the leading magic bytes pick
+  * [[BmpPixels]], [[PngPixels]] or [[JpegPixels]], so a mixed-format
+  * payload column decodes through ONE expression — the shape a real
+  * crawled corpus has. Same packed-0xRRGGBB contract; unknown magic or
+  * an undecodable member of a known format → null, never a wrong pixel.
+  * SQL: `image_pixels`. */
+object ImagePixels {
+  def decode(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      PngPixels.decode(b)
+    else if (b(0) == 'B' && b(1) == 'M')
+      BmpPixels.decode(b)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      JpegPixels.decode(b)
+    else null
+  }
+}

@@ -89,6 +89,11 @@ object Multimodal {
     * SQL: `jpeg_pixels`. */
   def jpegPixels(payload: Column): Column = graft.exts.exprs.jpegPixels(payload)
 
+  /** Format-sniffing decode over a MIXED payload column — leading magic
+    * bytes pick the BMP/PNG/JPEG decoder, the shape a real crawled
+    * corpus has. SQL: `image_pixels`. */
+  def imagePixels(payload: Column): Column = graft.exts.exprs.imagePixels(payload)
+
   /** Per-channel means over REAL decoded BMP pixels — all codegen HOFs
     * over the decoded int array, no UDF in the hot path. */
   def imageChannelStats(payload: Column): Column = {

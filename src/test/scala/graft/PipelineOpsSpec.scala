@@ -584,6 +584,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("image_pixels sniffs the format and dispatches to the right decoder") {
+    import graft.exts.{BmpPixels, ImagePixels, JpegPixels, PngPixels}
+    import graft.operators.Multimodal
+    def same(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        b: org.apache.spark.sql.catalyst.util.ArrayData): Boolean =
+      a != null && b != null && a.numElements() == b.numElements() &&
+        (0 until a.numElements()).forall(i => a.getInt(i) == b.getInt(i))
+    val bmp = Multimodal.synthBmp(3L)
+    val png = Multimodal.synthPng(4L)
+    val jpg = Multimodal.synthJpeg(5L)
+    assert(same(ImagePixels.decode(bmp), BmpPixels.decode(bmp)))
+    assert(same(ImagePixels.decode(png), PngPixels.decode(png)))
+    assert(same(ImagePixels.decode(jpg), JpegPixels.decode(jpg)))
+    assert(ImagePixels.decode("GIF89a....".getBytes) == null) // unknown magic
+    assert(ImagePixels.decode(Array[Byte](1, 2)) == null)
+    // SQL registration works over a mixed column
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(bmp), org.apache.spark.sql.Row(png),
+        org.apache.spark.sql.Row(jpg), org.apache.spark.sql.Row(Array[Byte](9, 9))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.BinaryType))))
+    df.createOrReplaceTempView("mixed_imgs")
+    val n = spark.sql(
+      "SELECT count(image_pixels(p)) AS n, count(*) AS total FROM mixed_imgs").collect().head
+    assert(n.getLong(0) == 3 && n.getLong(1) == 4)
+  }
+
   test("extractFeaturesBmp embeds real pixels; non-BMP payloads get null features") {
     val df = Seq(
       (1L, graft.operators.Multimodal.synthBmp(1L)),
