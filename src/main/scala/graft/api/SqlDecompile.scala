@@ -450,6 +450,11 @@ object SqlDecompile {
       case _ => None // WindowSpecReference (WINDOW clause) — opaque
     }
 
+    // a star item would re-expand over the __graft_wN__ helper columns
+    // the rebuild adds below the project — the rebuilt frame would carry
+    // extras spark.sql's output doesn't. Opaque, not silently-wider.
+    if (projectList.exists(_.exists(_.isInstanceOf[UnresolvedStar])))
+      return SqlOpaque(p)
     val items: Seq[(String, String)] = projectList.map { ne =>
       val inner = ne match { case UnresolvedAlias(c, _) => c; case e => e }
       inner match {

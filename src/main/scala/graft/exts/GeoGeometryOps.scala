@@ -1048,16 +1048,28 @@ object GeoGeomOps {
   private def mixedDifference(a: Geom, b: Geom): Array[Byte] = {
     val ma = mixedMembers(a); val mb = mixedMembers(b)
     if (ma == null || mb == null) return null
+    // dissolve each side's polygonal members first: COLLECTION members
+    // carry no disjoint-interior guarantee, and the piecewise subtract
+    // below assumes one (a stitcher-refused merge aborts — null, never
+    // a double-counted remainder)
     val bPolyB: Array[Byte] =
       if (mb._1.isEmpty) null
       else if (mb._1.length == 1) GeoGeom.write(mb._1(0))
-      else GeoGeom.writeMulti(GeoGeom.MultiPolygonType, mb._1.map(GeoGeom.write))
+      else {
+        val u = unionParts(mb._1.map(GeoGeom.write).toSeq)
+        if (u == null) return null
+        u
+      }
     val arealB: Array[Byte] =
       if (ma._1.isEmpty) null
       else {
         val aPolyB =
           if (ma._1.length == 1) GeoGeom.write(ma._1(0))
-          else GeoGeom.writeMulti(GeoGeom.MultiPolygonType, ma._1.map(GeoGeom.write))
+          else {
+            val u = unionParts(ma._1.map(GeoGeom.write).toSeq)
+            if (u == null) return null
+            u
+          }
         if (bPolyB == null) aPolyB
         else {
           val r = difference(aPolyB, bPolyB)
@@ -1122,8 +1134,13 @@ object GeoGeomOps {
     val polysOut = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val linesOut = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     val ptsOut = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    for (x <- ma._1 ++ ma._2 ++ ma._3; y <- mb._1 ++ mb._2 ++ mb._3) {
-      val xB = GeoGeom.write(x); val yB = GeoGeom.write(y)
+    val aKinds = ma._1 ++ ma._2 ++ ma._3
+    val aBytes = aKinds.map(GeoGeom.write)
+    val bKinds = mb._1 ++ mb._2 ++ mb._3
+    val bBytes = bKinds.map(GeoGeom.write)
+    for (xi <- aKinds.indices; yi <- bKinds.indices) {
+      val x = aKinds(xi); val y = bKinds(yi)
+      val xB = aBytes(xi); val yB = bBytes(yi)
       val r = intersection(xB, yB)
       if (r == null) {
         val d = GeoGeom.distance(xB, yB)
@@ -1142,8 +1159,13 @@ object GeoGeomOps {
         case _ => return null
       }
     }
+    // dissolve the polygonal pieces through the union worklist: members
+    // of a COLLECTION operand carry no OGC disjoint-interior guarantee
+    // (unlike MULTIPOLYGON), so pieces from overlapping members must
+    // merge — assembling them raw would double-count area
     assembleMixed(
-      if (polysOut.isEmpty) null else assembleParts(polysOut.toSeq),
+      if (polysOut.isEmpty) null
+      else { val u = unionParts(polysOut.toSeq); if (u == null) return null; u },
       linesOut.toSeq, ptsOut.toSeq)
   }
 

@@ -499,6 +499,7 @@ object JpegPixels {
     val huffDc = new Array[Huff](4)
     val huffAc = new Array[Huff](4)
     var restartInterval = 0
+    var adobeTransform = -1 // APP14 color-transform declaration, if any
     // frame state
     var w = 0; var h = 0
     var nComp = 0
@@ -561,6 +562,12 @@ object JpegPixels {
             if (compQ(c) > 3) return null
             c += 1
           }
+          // T.81 A.2: a SINGLE-component scan is non-interleaved — its
+          // MCU is one data unit in raster order regardless of the
+          // declared sampling factors; honoring H/V>1 here would lay
+          // blocks out z-ordered (wrong pixels, and wrong restart-MCU
+          // counting). Force 1x1 for the one-component case.
+          if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
         case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
           return null // progressive / arithmetic / lossless / hierarchical
         case 0xdd => // DRI
@@ -580,9 +587,20 @@ object JpegPixels {
             acSel(ci) = u8(b, at + 2 + c * 2) & 15
             c += 1
           }
+          // 3-component frames in straight-RGB colorspace (Adobe APP14
+          // transform=0, or component IDs spelling 'R','G','B') must not
+          // be pushed through the YCbCr matrix — null, never wrong colors
+          if (nComp == 3 && (adobeTransform == 0 ||
+              (compId(0) == 'R' && compId(1) == 'G' && compId(2) == 'B')))
+            return null
           return decodeScan(b, end, w, h, nComp, compH, compV, compQ,
             quant, huffDc, huffAc, dcSel, acSel, restartInterval)
-        case m if m >= 0xe0 && m <= 0xef => () // APPn
+        case m if m >= 0xe0 && m <= 0xef => // APPn
+          // APP14 "Adobe" declares the color transform: 0 = samples are
+          // straight RGB (no YCbCr step), 1 = YCbCr, 2 = YCCK
+          if (m == 0xee && len >= 14 && b(at) == 'A' && b(at + 1) == 'd' &&
+              b(at + 2) == 'o' && b(at + 3) == 'b' && b(at + 4) == 'e')
+            adobeTransform = u8(b, at + 11)
         case 0xfe => () // COM
         case _ => return null
       }

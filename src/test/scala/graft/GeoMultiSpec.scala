@@ -418,6 +418,25 @@ class GeoMultiSpec extends SparkSpec {
     assert(r3.getString(4) == "POINT (5 5)")
   }
 
+  test("overlapping collection members dissolve in mixed set-ops (round 9)") {
+    // COLLECTION members carry no disjoint-interior guarantee: two
+    // overlapping 4x4 squares (union area 24, not 32) plus a far point
+    val overlapping = geo.collectGeoms(array(
+      rect(0, 0, 4, 4), rect(2, 0, 4, 4), geo.point(lit(50.0), lit(50.0))))
+    val big = rect(-1, -1, 10, 10)
+    val r = one.select(
+      // intersection with a covering rectangle = the dissolved region
+      geo.area(geo.intersection(overlapping, big)).as("ia"),
+      // union with a far square: overlapping members merge first
+      geo.area(geo.union(overlapping, rect(20, 0, 2, 2))).as("ua"),
+      // difference: dissolved minuend minus a middle band
+      geo.area(geo.difference(overlapping, rect(2, -1, 2, 7))).as("da")).collect().head
+    assert(math.abs(r.getDouble(0) - 24.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 28.0) < 1e-9)
+    // dissolved 24 minus the 2x4 covered middle strip = 16
+    assert(math.abs(r.getDouble(2) - 16.0) < 1e-9)
+  }
+
   test("multi WKB round-trips through flip twice") {
     val mp = geo.collectGeoms(array(rect(0, 0, 2, 2), rect(5, 1, 3, 3)))
     val r = one.select(

@@ -567,6 +567,33 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(a - b) <= 1, s"indep ($x,$y): $a vs $b")
     }
 
+    // a single-component frame DECLARING 2x2 sampling still lays blocks
+    // out in raster order (T.81 A.2: one-component scans are
+    // non-interleaved — honoring the factors would z-order the blocks)
+    locally {
+      val g = Multimodal.synthJpeg(2L) // even k → grayscale
+      val sAt = (0 until g.length - 1).find(i =>
+        (g(i) & 0xff) == 0xff && (g(i + 1) & 0xff) == 0xc0).get
+      val forced = g.clone(); forced(sAt + 11) = 0x22.toByte
+      val a = JpegPixels.decode(g); val f = JpegPixels.decode(forced)
+      assert(f != null && f.numElements() == a.numElements())
+      for (i <- 0 until a.numElements()) assert(a.getInt(i) == f.getInt(i), s"1comp2x2 $i")
+    }
+
+    // a 3-component frame whose ids spell R,G,B is straight-RGB — the
+    // YCbCr matrix must NOT run: null, never wrong colors
+    locally {
+      val g = Multimodal.synthJpeg(1L) // odd k → color
+      val sofAt2 = (0 until g.length - 1).find(i =>
+        (g(i) & 0xff) == 0xff && (g(i + 1) & 0xff) == 0xc0).get
+      val sosAt = (0 until g.length - 1).find(i =>
+        (g(i) & 0xff) == 0xff && (g(i + 1) & 0xff) == 0xda).get
+      val rgb = g.clone()
+      rgb(sofAt2 + 10) = 'R'; rgb(sofAt2 + 13) = 'G'; rgb(sofAt2 + 16) = 'B'
+      rgb(sosAt + 5) = 'R'; rgb(sosAt + 7) = 'G'; rgb(sosAt + 9) = 'B'
+      assert(JpegPixels.decode(rgb) == null)
+    }
+
     // refusals: progressive frames, truncation, random garbage — null,
     // never a wrong pixel, never a throw
     val good = Multimodal.synthJpeg(1L)

@@ -158,6 +158,14 @@ class SqlDecompileSpec extends SparkSpec {
       "SELECT id, row_number() OVER (ORDER BY id) FROM t1")
     assert(!unaliased.isFullyDecompiled)
     assert(unaliased.table(spark).df.count() == 5)
+    // a star alongside a window would re-expand over the rebuild's
+    // helper column → opaque, and the rebuilt output must match exactly
+    val starWin = SqlDecompile.decompile(spark,
+      "SELECT *, rank() OVER (ORDER BY id) AS r FROM t1")
+    assert(!starWin.isFullyDecompiled)
+    val direct2 = spark.sql("SELECT *, rank() OVER (ORDER BY id) AS r FROM t1")
+    assert(starWin.table(spark).df.columns.toSeq == direct2.columns.toSeq)
+    assert(starWin.table(spark).df.collect().toSeq == direct2.collect().toSeq)
   }
 
   test("expression-granular decompile: parseExpr trees, rewriteExprs across the op tree (round 9)") {
