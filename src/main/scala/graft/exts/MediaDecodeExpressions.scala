@@ -20,29 +20,45 @@ import org.apache.spark.sql.types._
   *
   * All return null for anything outside the decodable subset — never a
   * wrong pixel. Codegen'd via static helper calls, SQL-registered as
-  * `bmp_pixels` / `wav_samples` / `png_pixels` / `jpeg_pixels`.
+  * `bmp_pixels` / `wav_samples` / `png_pixels` / `jpeg_pixels`, plus
+  * the magic-sniffing `image_pixels` dispatcher for mixed columns.
   */
-case class BmpPixels(child: Expression) extends UnaryExpression {
+/** Shared shape of the binary→int-array decode expressions: nullable
+  * int-array output, binary-input type check, eval and whole-stage
+  * codegen both routed through one static `decode(byte[])` entry point
+  * per format — each concrete decoder is name + dispatch, nothing else. */
+abstract class MediaDecodeExpression extends UnaryExpression {
+  /** SQL-facing function name, for the type-check error message. */
+  protected def fnName: String
+  /** Fully-qualified object whose static `decode` the codegen calls. */
+  protected def decoder: String
+  protected def run(b: Array[Byte]): ArrayData
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def checkInputDataTypes() =
     if (child.dataType == BinaryType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"bmp_pixels needs binary input, got ${child.dataType}")
+      s"$fnName needs binary input, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    BmpPixels.decode(input.asInstanceOf[Array[Byte]])
+    run(input.asInstanceOf[Array[Byte]])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, b => {
       val r = ctx.freshName("px")
       s"""
-        org.apache.spark.sql.catalyst.util.ArrayData $r = graft.exts.BmpPixels.decode($b);
+        org.apache.spark.sql.catalyst.util.ArrayData $r = $decoder.decode($b);
         if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       """
     })
+}
 
+case class BmpPixels(child: Expression) extends MediaDecodeExpression {
+  protected def fnName = "bmp_pixels"
+  protected def decoder = "graft.exts.BmpPixels"
+  protected def run(b: Array[Byte]) = BmpPixels.decode(b)
   override protected def withNewChildInternal(newChild: Expression): BmpPixels =
     copy(child = newChild)
 }
@@ -115,27 +131,10 @@ object BmpPixels {
   }
 }
 
-case class PngPixels(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = true
-  override def checkInputDataTypes() =
-    if (child.dataType == BinaryType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"png_pixels needs binary input, got ${child.dataType}")
-
-  override def nullSafeEval(input: Any): Any =
-    PngPixels.decode(input.asInstanceOf[Array[Byte]])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, b => {
-      val r = ctx.freshName("px")
-      s"""
-        org.apache.spark.sql.catalyst.util.ArrayData $r = graft.exts.PngPixels.decode($b);
-        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
-      """
-    })
-
+case class PngPixels(child: Expression) extends MediaDecodeExpression {
+  protected def fnName = "png_pixels"
+  protected def decoder = "graft.exts.PngPixels"
+  protected def run(b: Array[Byte]) = PngPixels.decode(b)
   override protected def withNewChildInternal(newChild: Expression): PngPixels =
     copy(child = newChild)
 }
@@ -261,27 +260,10 @@ object PngPixels {
   }
 }
 
-case class WavSamples(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = true
-  override def checkInputDataTypes() =
-    if (child.dataType == BinaryType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"wav_samples needs binary input, got ${child.dataType}")
-
-  override def nullSafeEval(input: Any): Any =
-    WavSamples.decode(input.asInstanceOf[Array[Byte]])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, b => {
-      val r = ctx.freshName("sm")
-      s"""
-        org.apache.spark.sql.catalyst.util.ArrayData $r = graft.exts.WavSamples.decode($b);
-        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
-      """
-    })
-
+case class WavSamples(child: Expression) extends MediaDecodeExpression {
+  protected def fnName = "wav_samples"
+  protected def decoder = "graft.exts.WavSamples"
+  protected def run(b: Array[Byte]) = WavSamples.decode(b)
   override protected def withNewChildInternal(newChild: Expression): WavSamples =
     copy(child = newChild)
 }
@@ -342,27 +324,10 @@ object WavSamples {
   }
 }
 
-case class JpegPixels(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = true
-  override def checkInputDataTypes() =
-    if (child.dataType == BinaryType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"jpeg_pixels needs binary input, got ${child.dataType}")
-
-  override def nullSafeEval(input: Any): Any =
-    JpegPixels.decode(input.asInstanceOf[Array[Byte]])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, b => {
-      val r = ctx.freshName("px")
-      s"""
-        org.apache.spark.sql.catalyst.util.ArrayData $r = graft.exts.JpegPixels.decode($b);
-        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
-      """
-    })
-
+case class JpegPixels(child: Expression) extends MediaDecodeExpression {
+  protected def fnName = "jpeg_pixels"
+  protected def decoder = "graft.exts.JpegPixels"
+  protected def run(b: Array[Byte]) = JpegPixels.decode(b)
   override protected def withNewChildInternal(newChild: Expression): JpegPixels =
     copy(child = newChild)
 }
@@ -741,27 +706,10 @@ object JpegPixels {
   }
 }
 
-case class ImagePixels(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = true
-  override def checkInputDataTypes() =
-    if (child.dataType == BinaryType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"image_pixels needs binary input, got ${child.dataType}")
-
-  override def nullSafeEval(input: Any): Any =
-    ImagePixels.decode(input.asInstanceOf[Array[Byte]])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, b => {
-      val r = ctx.freshName("px")
-      s"""
-        org.apache.spark.sql.catalyst.util.ArrayData $r = graft.exts.ImagePixels.decode($b);
-        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
-      """
-    })
-
+case class ImagePixels(child: Expression) extends MediaDecodeExpression {
+  protected def fnName = "image_pixels"
+  protected def decoder = "graft.exts.ImagePixels"
+  protected def run(b: Array[Byte]) = ImagePixels.decode(b)
   override protected def withNewChildInternal(newChild: Expression): ImagePixels =
     copy(child = newChild)
 }
