@@ -129,7 +129,20 @@ object Multimodal {
     * in [0,1] — a genuine (if simple) visual feature. Non-BMP payloads
     * embed to null. */
   def extractFeaturesBmp(df: DataFrame, payloadCol: String,
-      dim: Int = 8, batchSize: Int = 64, outputCol: String = "features"): DataFrame = {
+      dim: Int = 8, batchSize: Int = 64, outputCol: String = "features"): DataFrame =
+    extractFeaturesWith(df, payloadCol, graft.exts.BmpPixels.decode, dim, batchSize, outputCol)
+
+  /** [[extractFeaturesBmp]] over a MIXED-format payload column (round
+    * 9): the magic-sniffing [[graft.exts.ImagePixels]] dispatcher
+    * decodes BMP, PNG and baseline-JPEG members in one pass — the shape
+    * a crawled corpus has; undecodable payloads embed to null. */
+  def extractFeaturesImage(df: DataFrame, payloadCol: String,
+      dim: Int = 8, batchSize: Int = 64, outputCol: String = "features"): DataFrame =
+    extractFeaturesWith(df, payloadCol, graft.exts.ImagePixels.decode, dim, batchSize, outputCol)
+
+  private def extractFeaturesWith(df: DataFrame, payloadCol: String,
+      decode: Array[Byte] => org.apache.spark.sql.catalyst.util.ArrayData,
+      dim: Int, batchSize: Int, outputCol: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     require(!df.columns.contains(outputCol), s"column $outputCol already exists")
     val idx = df.schema.fieldIndex(payloadCol)
@@ -138,7 +151,7 @@ object Multimodal {
 
     def embedBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
       payloads.map { bytes =>
-        val arr = graft.exts.BmpPixels.decode(bytes)
+        val arr = decode(bytes)
         if (arr == null) null
         else {
           val n = arr.numElements()

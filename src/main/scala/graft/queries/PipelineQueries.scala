@@ -1386,6 +1386,77 @@ object PipelineQueries {
         CAST(SUM(64*(299*r + 587*g + 114*b)) AS BIGINT) AS lum_sum
       FROM px GROUP BY 1 ORDER BY 1""")),
 
+    // MIXED-format decode through the magic-sniffing image_pixels
+    // dispatcher (round 9): each key synthesizes a DIFFERENT format
+    // (k%3 → BMP / PNG-RGBA / JPEG), one expression decodes them all,
+    // and the oracle recomputes the statistics from each format's own
+    // closed-form synthesis — BMP/PNG pixel arithmetic, JPEG DC-block +
+    // JFIF-matrix formulas — so a dispatch to the wrong decoder (or any
+    // decoder regression) breaks the hash.
+    QueryDef("q72f_mixed_image_decode", (s, dir) => {
+      import s.implicits._
+      val keys = Table(nation(s, dir)).selectNames("n_nationkey").df
+        .as[Long].map { k =>
+          val payload = (k % 3) match {
+            case 0 => Multimodal.synthBmp(k)
+            case 1 => Multimodal.synthPng(k)
+            case _ => Multimodal.synthJpeg(k)
+          }
+          (k, payload)
+        }.toDF("k", "img")
+      val px = Multimodal.imagePixels(col("img"))
+      val n = size(px)
+      def chanMean(shift: Int) = round(aggregate(px, lit(0L),
+        (acc, p) => acc + shiftright(p, shift).bitwiseAND(lit(255))
+          .cast(org.apache.spark.sql.types.LongType))
+        .cast("double") / n, 6)
+      keys.select(
+          col("k").as("n_nationkey"),
+          n.cast("long").as("n_px"),
+          chanMean(16).as("mean_r"), chanMean(8).as("mean_g"), chanMean(0).as("mean_b"),
+          aggregate(px, lit(0L), (acc, p) =>
+            acc + (shiftright(p, 16).bitwiseAND(lit(255)) * 299 +
+                   shiftright(p, 8).bitwiseAND(lit(255)) * 587 +
+                   p.bitwiseAND(lit(255)) * 114)
+              .cast(org.apache.spark.sql.types.LongType)).as("lum_sum"))
+        .orderBy("n_nationkey")
+    }, Some("""
+      WITH keys AS (SELECT n_nationkey AS k FROM nation),
+      ser AS (SELECT UNNEST(RANGE(0, 64)) AS i),
+      bmp AS (
+        SELECT k, (7*sx.i + 13*sy.i + k) % 256 AS r, (3*sx.i + 5*sy.i + 2*k) % 256 AS g,
+               (11*sx.i + 17*sy.i + 3*k) % 256 AS b
+        FROM keys, ser sx, ser sy
+        WHERE k % 3 = 0 AND sx.i < 8 + (k % 4) * 2 AND sy.i < 6),
+      png AS (
+        SELECT k, (7*sx.i + 13*sy.i + k) % 256 AS r, (3*sx.i + 5*sy.i + 2*k) % 256 AS g,
+               (11*sx.i + 17*sy.i + 3*k) % 256 AS b
+        FROM keys, ser sx, ser sy
+        WHERE k % 3 = 1 AND sx.i < 8 + (k % 4) * 2 AND sy.i < 8),
+      jpgblocks AS (
+        SELECT k, ((7*bx.i + 13*by.i + k) % 151) - 75 + 128 AS yv,
+               ((bx.i + 2*by.i + k) % 41) - 20 AS cbv,
+               ((3*bx.i + by.i + 2*k) % 37) - 18 AS crv
+        FROM keys, ser bx, ser by
+        WHERE k % 3 = 2 AND bx.i < 4 AND by.i < 2 + k % 2),
+      jpg AS (
+        SELECT k,
+          CASE WHEN k % 2 = 0 THEN yv ELSE CAST(FLOOR(yv + 1.402*crv + 0.5) AS INT) END AS r,
+          CASE WHEN k % 2 = 0 THEN yv
+               ELSE CAST(FLOOR(yv - 0.344136*cbv - 0.714136*crv + 0.5) AS INT) END AS g,
+          CASE WHEN k % 2 = 0 THEN yv ELSE CAST(FLOOR(yv + 1.772*cbv + 0.5) AS INT) END AS b
+        FROM jpgblocks),
+      px AS (
+        SELECT k, r, g, b, 1 AS wt FROM bmp
+        UNION ALL SELECT k, r, g, b, 1 FROM png
+        UNION ALL SELECT k, r, g, b, 64 FROM jpg)
+      SELECT k AS n_nationkey, CAST(SUM(wt) AS BIGINT) AS n_px,
+        ROUND(SUM(wt*r)/CAST(SUM(wt) AS DOUBLE), 6) AS mean_r,
+        ROUND(SUM(wt*g)/CAST(SUM(wt) AS DOUBLE), 6) AS mean_g,
+        ROUND(SUM(wt*b)/CAST(SUM(wt) AS DOUBLE), 6) AS mean_b,
+        CAST(SUM(wt*(299*r + 587*g + 114*b)) AS BIGINT) AS lum_sum
+      FROM px GROUP BY 1 ORDER BY 1""")),
+
     // Hash-based train/val/test assignment (Splits.assignSplit): split
     // membership is a pure function of (doc_id, seed) — retry/engine
     // stable, unlike rand(). Checksum = per-split count + id-sum.
