@@ -24,7 +24,8 @@ object Bench {
     * groupBy floor measurement for q80 (verdict r2 #8); the q114 pair
     * measures salted vs plain join on a deliberate 90%-hot key (#9). */
   private val controls = Seq(
-    "q80_control", "q101_control", "q103_control", "q103b_tpch13_bucketed",
+    "q80_control", "q101_control", "q101b_tpch5_bucketed",
+    "q103_control", "q103b_tpch13_bucketed",
     "q114_skew_hot_salted", "q114b_skew_hot_plain")
 
   def main(args: Array[String]): Unit = {
@@ -235,6 +236,16 @@ object Bench {
           dt
         }
         warmPageCache(dir)
+        // the bucketed-layout controls read warehouse copies of the fact
+        // tables — warm those too, or their first timed run measures
+        // cold disk instead of the plan
+        locally {
+          val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+          val wh = new java.io.File("spark-warehouse")
+          Option(wh.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.contains(suffix))
+            .foreach(f => warmPageCache(f.getPath))
+        }
         val names = headline.filter(SparkEntry.queries.contains)
         val w0 = protocol match {
           case "adjacentBest3" =>

@@ -27,8 +27,8 @@ HEADLINE = [
 # bare-groupBy floor measurement for q80; the q114 pair measures salted vs
 # plain join on a 90%-hot key (the DuckDB number is the same query once —
 # it has no salting concept).
-CONTROLS = ["q80_control", "q101_control", "q103_control", "q103b_tpch13_bucketed",
-            "q114_skew_hot_salted"]
+CONTROLS = ["q80_control", "q101_control", "q101b_tpch5_bucketed",
+            "q103_control", "q103b_tpch13_bucketed", "q114_skew_hot_salted"]
 
 if not os.path.exists("/tmp/oracle_all.json"):
     subprocess.run(["sbt", "-batch", "runMain graft.tools.DumpOracle ALL /tmp/oracle_all.json"],
