@@ -332,15 +332,18 @@ case class JpegPixels(child: Expression) extends MediaDecodeExpression {
     copy(child = newChild)
 }
 
-/** Baseline JPEG pixel decode with no codec library (round 9 — the last
-  * image modality unstubbed): Huffman entropy decode + dequantization +
-  * 8x8 inverse DCT + YCbCr→RGB are all pure arithmetic, the same
+/** JPEG pixel decode with no codec library (round 9 — the last image
+  * modality unstubbed): Huffman entropy decode + dequantization + 8x8
+  * inverse DCT + YCbCr→RGB are all pure arithmetic, the same
   * feasibility class as round 8's PNG inflate+unfilter. Decodable
-  * subset: baseline/extended SEQUENTIAL Huffman frames (SOF0/SOF1),
-  * 8-bit precision, 1 (grayscale) or 3 (YCbCr) components with sampling
-  * factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0), interleaved scan, optional
-  * restart markers. Progressive (SOF2), arithmetic coding, 12-bit,
-  * hierarchical, and CMYK frames → null, never a wrong pixel.
+  * subset: SEQUENTIAL Huffman frames (SOF0/SOF1) and PROGRESSIVE
+  * frames (SOF2 — coefficients accumulate across scans with spectral
+  * selection, DC/AC successive-approximation first + refinement
+  * passes and end-of-band runs, IDCT once at EOI), 8-bit precision,
+  * 1 (grayscale) or 3 (YCbCr) components with sampling factors in
+  * {1,2} (4:4:4 / 4:2:2 / 4:2:0), optional restart markers.
+  * Arithmetic coding, 12-bit, hierarchical, and CMYK/RGB-colorspace
+  * frames → null, never a wrong pixel.
   *
   * Chroma upsampling is nearest-neighbor sample replication (the
   * spec-defined samples themselves; no interpolation is mandated by the
@@ -350,6 +353,11 @@ case class JpegPixels(child: Expression) extends MediaDecodeExpression {
   * top-down row-major. */
 object JpegPixels {
   final val MaxPixels = BmpPixels.MaxPixels
+
+  /** Progressive frames hold EVERY raw coefficient (one int per pixel
+    * per component) until EOI — cap them tighter than the streaming
+    * sequential path (16 MPix ≈ 192 MB of coefficients at 4:4:4). */
+  final val MaxPixelsProgressive = 16L * 1024 * 1024
 
   /** Internal decode failure — caught at the boundary, never escapes. */
   private final class Fail extends RuntimeException(null, null, false, false)
@@ -472,16 +480,30 @@ object JpegPixels {
     var compH: Array[Int] = null
     var compV: Array[Int] = null
     var compQ: Array[Int] = null
+    // progressive (SOF2) accumulation state: coefficients build up
+    // across scans and the IDCT runs once at EOI
+    var progressive = false
+    var pCoefs: Array[Array[Int]] = null
+    var pPlaneW: Array[Int] = null
+    var pPlaneH: Array[Int] = null
     var i = 2
-    while (i + 4 <= b.length) {
+    while (i + 2 <= b.length) {
       if (u8(b, i) != 0xff) return null
       var marker = u8(b, i + 1)
       while (marker == 0xff && i + 2 < b.length) { i += 1; marker = u8(b, i + 1) } // fill bytes
-      if (marker == 0xd9) return null // EOI before any scan
+      if (marker == 0xd9) {
+        // EOI: for a progressive frame this is where decode completes
+        return if (progressive && pCoefs != null)
+          finishProgressive(w, h, nComp, compH, compV, compQ, quant,
+            pPlaneW, pPlaneH, pCoefs)
+        else null
+      }
+      if (i + 4 > b.length) return null
       val len = be16(b, i + 2)
       if (len < 2 || i + 2 + len > b.length) return null
       val at = i + 4 // segment payload start
       val end = i + 2 + len
+      var skipTo = -1 // a progressive SOS advances past its entropy data
       marker match {
         case 0xdb => // DQT: one or more (PqTq, 64) tables
           var p = at
@@ -508,11 +530,15 @@ object JpegPixels {
             if (tc == 0) huffDc(th) = t else huffAc(th) = t
             p += 17 + total
           }
-        case 0xc0 | 0xc1 => // SOF0/SOF1: baseline / extended sequential Huffman
+        case 0xc0 | 0xc1 | 0xc2 => // sequential (SOF0/SOF1) or progressive (SOF2) Huffman
+          progressive = marker == 0xc2
           if (u8(b, at) != 8) return null // 8-bit precision only
           h = be16(b, at + 1); w = be16(b, at + 3)
           nComp = u8(b, at + 5)
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+          // progressive holds every coefficient in memory until EOI —
+          // bound it tighter than the streaming sequential path
+          if (progressive && w.toLong * h > MaxPixelsProgressive) return null
           if (nComp != 1 && nComp != 3) return null
           if (at + 6 + nComp * 3 > end) return null
           compId = new Array[Int](nComp); compH = new Array[Int](nComp)
@@ -533,21 +559,24 @@ object JpegPixels {
           // blocks out z-ordered (wrong pixels, and wrong restart-MCU
           // counting). Force 1x1 for the one-component case.
           if (nComp == 1) { compH(0) = 1; compV(0) = 1 }
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return null // progressive / arithmetic / lossless / hierarchical
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return null // arithmetic / lossless / hierarchical
         case 0xdd => // DRI
           if (len != 4) return null
           restartInterval = be16(b, at)
         case 0xda => // SOS: entropy-coded data follows
           if (nComp == 0) return null
           val ns = u8(b, at)
-          if (ns != nComp || at + 1 + ns * 2 + 3 > end) return null
+          if (ns < 1 || ns > nComp || at + 1 + ns * 2 + 3 > end) return null
+          if (!progressive && ns != nComp) return null
           val dcSel = new Array[Int](nComp); val acSel = new Array[Int](nComp)
+          val scanCi = new Array[Int](ns)
           var c = 0
           while (c < ns) {
             val cs = u8(b, at + 1 + c * 2)
             val ci = compId.indexOf(cs)
             if (ci < 0) return null
+            scanCi(c) = ci
             dcSel(ci) = u8(b, at + 2 + c * 2) >> 4
             acSel(ci) = u8(b, at + 2 + c * 2) & 15
             c += 1
@@ -558,8 +587,29 @@ object JpegPixels {
           if (nComp == 3 && (adobeTransform == 0 ||
               (compId(0) == 'R' && compId(1) == 'G' && compId(2) == 'B')))
             return null
-          return decodeScan(b, end, w, h, nComp, compH, compV, compQ,
-            quant, huffDc, huffAc, dcSel, acSel, restartInterval)
+          if (!progressive)
+            return decodeScan(b, end, w, h, nComp, compH, compV, compQ,
+              quant, huffDc, huffAc, dcSel, acSel, restartInterval)
+          // progressive: accumulate this scan's coefficients, continue
+          // the marker walk at the next marker after the entropy data
+          val ssV = u8(b, at + 1 + ns * 2)
+          val seV = u8(b, at + 2 + ns * 2)
+          val ahal = u8(b, at + 3 + ns * 2)
+          if (pCoefs == null) {
+            val maxH = compH.max; val maxV = compV.max
+            val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            pPlaneW = Array.tabulate(nComp)(cc => mcusX * compH(cc) * 8)
+            pPlaneH = Array.tabulate(nComp)(cc => mcusY * compV(cc) * 8)
+            pCoefs = Array.tabulate(nComp)(cc =>
+              new Array[Int]((pPlaneW(cc) / 8) * (pPlaneH(cc) / 8) * 64))
+          }
+          val after = progressiveScan(b, end, scanCi, compH, compV,
+            compH.max, compV.max, w, h, pPlaneW, pPlaneH, pCoefs,
+            huffDc, huffAc, dcSel, acSel,
+            ssV, seV, ahal >> 4, ahal & 15, restartInterval)
+          if (after < 0) return null
+          skipTo = after
         case m if m >= 0xe0 && m <= 0xef => // APPn
           // APP14 "Adobe" declares the color transform: 0 = samples are
           // straight RGB (no YCbCr step), 1 = YCbCr, 2 = YCCK
@@ -569,9 +619,250 @@ object JpegPixels {
         case 0xfe => () // COM
         case _ => return null
       }
-      i = end
+      i = if (skipTo >= 0) skipTo else end
     }
     null // no SOS reached
+  }
+
+  /** Position of the next real marker at/after `from` in the entropy
+    * region: skips stuffed FF00 pairs, fill FFs, and (defensively) any
+    * trailing restart markers. -1 when the stream just ends. */
+  private def nextMarkerPos(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val m = b(p + 1) & 0xff
+        if (m == 0x00) p += 2 // stuffed literal FF
+        else if (m == 0xff) p += 1 // fill byte
+        else if (m >= 0xd0 && m <= 0xd7) p += 2 // stray restart
+        else return p
+      } else p += 1
+    }
+    -1
+  }
+
+  /** One progressive scan: DC first/refine (interleaved or single-
+    * component) or a single-component AC band first/refine with
+    * end-of-band runs — coefficients accumulate in `coefs`, shifted by
+    * the scan's successive-approximation bit position. Returns the
+    * position of the marker after the scan's entropy data. */
+  private def progressiveScan(b: Array[Byte], scanStart: Int,
+      scanCi: Array[Int], compH: Array[Int], compV: Array[Int],
+      maxH: Int, maxV: Int, w: Int, h: Int,
+      planeW: Array[Int], planeH: Array[Int], coefs: Array[Array[Int]],
+      huffDc: Array[Huff], huffAc: Array[Huff],
+      dcSel: Array[Int], acSel: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Int = {
+    val bits = new Bits(b, scanStart)
+    var rst = 0
+    var unitsSinceRestart = 0
+    def maybeRestart(resetState: () => Unit): Unit =
+      if (restartInterval > 0 && unitsSinceRestart == restartInterval) {
+        bits.restart(rst); rst = (rst + 1) & 7
+        unitsSinceRestart = 0
+        resetState()
+      }
+    if (ss == 0) {
+      // DC scan (first or refinement)
+      if (se != 0) fail()
+      val pred = new Array[Int](scanCi.length)
+      val p1 = 1 << al
+      def dcUnit(si: Int, blkIdx: Int): Unit = {
+        val c = scanCi(si)
+        val base = blkIdx * 64
+        if (ah == 0) {
+          val hdc = huffDc(dcSel(c)); if (hdc == null) fail()
+          val t = bits.decode(hdc)
+          if (t > 15) fail()
+          pred(si) += extend(bits.receive(t), t)
+          coefs(c)(base) = pred(si) << al
+        } else {
+          // refinement: one raw bit per block (libjpeg's |= convention)
+          if (bits.bit() == 1) coefs(c)(base) |= p1
+        }
+      }
+      if (scanCi.length > 1) {
+        // interleaved MCU walk over all scan components
+        val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+        val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart(() => java.util.Arrays.fill(pred, 0))
+            var si = 0
+            while (si < scanCi.length) {
+              val c = scanCi(si)
+              val stride = planeW(c) / 8
+              var by = 0
+              while (by < compV(c)) {
+                var bx = 0
+                while (bx < compH(c)) {
+                  dcUnit(si, (my * compV(c) + by) * stride + mx * compH(c) + bx)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            unitsSinceRestart += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component: non-interleaved raster over the comp grid
+        val c = scanCi(0)
+        val stride = planeW(c) / 8
+        val bw = (((w * compH(c) + maxH - 1) / maxH) + 7) / 8
+        val bh = (((h * compV(c) + maxV - 1) / maxV) + 7) / 8
+        var byi = 0
+        while (byi < bh) {
+          var bxi = 0
+          while (bxi < bw) {
+            maybeRestart(() => pred(0) = 0)
+            dcUnit(0, byi * stride + bxi)
+            unitsSinceRestart += 1
+            bxi += 1
+          }
+          byi += 1
+        }
+      }
+    } else {
+      // AC band scan: exactly one component (T.81 G.1)
+      if (scanCi.length != 1 || se < ss || se > 63) fail()
+      val c = scanCi(0)
+      val hac = huffAc(acSel(c)); if (hac == null) fail()
+      val cc = coefs(c)
+      val stride = planeW(c) / 8
+      val bw = (((w * compH(c) + maxH - 1) / maxH) + 7) / 8
+      val bh = (((h * compV(c) + maxV - 1) / maxV) + 7) / 8
+      val p1 = 1 << al
+      var eobrun = 0
+
+      def acFirst(base: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var brk = false
+        while (!brk && k <= se) {
+          val rs = bits.decode(hac)
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += bits.receive(r)
+              brk = true
+            } else k += 16 // ZRL
+          } else {
+            k += r
+            if (k > se) fail()
+            cc(base + ZigzagNat(k)) = extend(bits.receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      def acRefine(base: Int): Unit = {
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (!brk && k <= se) {
+            val rs = bits.decode(hac)
+            var r = rs >> 4; val s = rs & 15
+            var insert = 0
+            if (s != 0) {
+              if (s != 1) fail() // refinement inserts only ±1<<al
+              insert = if (bits.bit() == 1) p1 else -p1
+            } else if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += bits.receive(r)
+              brk = true
+            } // r == 15 (ZRL): skip 16 zero-history positions below
+            if (!brk) {
+              var placed = false
+              while (!placed && k <= se) {
+                val idx = base + ZigzagNat(k)
+                val cv = cc(idx)
+                if (cv != 0) {
+                  // correction bit for an already-nonzero coefficient
+                  if (bits.bit() == 1 && (cv & p1) == 0)
+                    cc(idx) += (if (cv >= 0) p1 else -p1)
+                } else {
+                  if (r == 0) {
+                    if (insert != 0) cc(idx) = insert
+                    placed = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+              if (!placed && insert != 0) fail() // ran off the band
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // inside the EOB run every remaining nonzero coefficient in
+          // the band still receives its correction bit
+          while (k <= se) {
+            val idx = base + ZigzagNat(k)
+            val cv = cc(idx)
+            if (cv != 0) {
+              if (bits.bit() == 1 && (cv & p1) == 0)
+                cc(idx) += (if (cv >= 0) p1 else -p1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      var byi = 0
+      while (byi < bh) {
+        var bxi = 0
+        while (bxi < bw) {
+          maybeRestart(() => eobrun = 0)
+          val base = (byi * stride + bxi) * 64
+          if (ah == 0) acFirst(base) else acRefine(base)
+          unitsSinceRestart += 1
+          bxi += 1
+        }
+        byi += 1
+      }
+    }
+    nextMarkerPos(b, bits.pos)
+  }
+
+  /** Progressive finish (at EOI): dequantize every accumulated block,
+    * IDCT into the component planes, assemble. */
+  private def finishProgressive(w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      quant: Array[Array[Int]],
+      planeW: Array[Int], planeH: Array[Int],
+      coefs: Array[Array[Int]]): ArrayData = {
+    val maxH = compH.max; val maxV = compV.max
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * planeH(c)))
+    val dq = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var c = 0
+    while (c < nComp) {
+      val q = quant(compQ(c))
+      if (q == null) return null
+      val stride = planeW(c) / 8
+      val rows = planeH(c) / 8
+      var byi = 0
+      while (byi < rows) {
+        var bxi = 0
+        while (bxi < stride) {
+          val base = (byi * stride + bxi) * 64
+          var k = 0
+          while (k < 64) { dq(k) = coefs(c)(base + k) * q(k); k += 1 }
+          idctBlock(dq, tmp, planes(c), planeW(c), byi * 8, bxi * 8)
+          bxi += 1
+        }
+        byi += 1
+      }
+      c += 1
+    }
+    assemblePixels(w, h, nComp, compH, compV, maxH, maxV, planes, planeW)
   }
 
   private def decodeScan(b: Array[Byte], scanStart: Int, w: Int, h: Int,
@@ -636,35 +927,8 @@ object JpegPixels {
                   k += 1
                 }
               }
-              // separable IDCT: rows (over u) then columns (over v)
-              var v = 0
-              while (v < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var u = 0
-                  while (u < 8) { acc += CosTab(u)(x) * coef(v * 8 + u); u += 1 }
-                  tmp(v * 8 + x) = acc
-                  x += 1
-                }
-                v += 1
-              }
-              val px0 = (my * compV(c) + by) * 8
-              val px0x = (mx * compH(c) + bx) * 8
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var v2 = 0
-                  while (v2 < 8) { acc += CosTab(v2)(y) * tmp(v2 * 8 + x); v2 += 1 }
-                  val s0 = math.floor(acc + 128.0 + 0.5).toInt
-                  val sv = if (s0 < 0) 0 else if (s0 > 255) 255 else s0
-                  planes(c)((px0 + y) * planeW(c) + px0x + x) = sv.toByte
-                  x += 1
-                }
-                y += 1
-              }
+              idctBlock(coef, tmp, planes(c), planeW(c),
+                (my * compV(c) + by) * 8, (mx * compH(c) + bx) * 8)
               bx += 1
             }
             by += 1
@@ -676,7 +940,47 @@ object JpegPixels {
       }
       my += 1
     }
-    // assemble output: replicate chroma samples up to full resolution
+    assemblePixels(w, h, nComp, compH, compV, maxH, maxV, planes, planeW)
+  }
+
+  /** Dequantized-coefficient block → samples: separable inverse DCT
+    * (rows over u, then columns over v), +128 level shift, clamp, store
+    * into the component plane at (px0, py0). */
+  private def idctBlock(coef: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], planeW: Int, py0: Int, px0: Int): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += CosTab(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v2 = 0
+        while (v2 < 8) { acc += CosTab(v2)(y) * tmp(v2 * 8 + x); v2 += 1 }
+        val s0 = math.floor(acc + 128.0 + 0.5).toInt
+        val sv = if (s0 < 0) 0 else if (s0 > 255) 255 else s0
+        plane((py0 + y) * planeW + px0 + x) = sv.toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Component planes → packed 0xRRGGBB output: chroma replicated up to
+    * full resolution, JFIF YCbCr matrix at round-half-up. */
+  private def assemblePixels(w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], maxH: Int, maxV: Int,
+      planes: Array[Array[Byte]], planeW: Array[Int]): ArrayData = {
     val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {

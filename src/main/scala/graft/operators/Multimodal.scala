@@ -342,7 +342,7 @@ object Multimodal {
     * coefficient per Y block (for the spec's independent-IDCT
     * cross-check) — oracle queries keep it 0. */
   def synthJpeg(k: Long, subsample: Boolean = false, restartEvery: Int = 0,
-      acPattern: Boolean = false): Array[Byte] = {
+      acPattern: Boolean = false, progressiveDc: Boolean = false): Array[Byte] = {
     val color = (k % 2) == 1
     val useSub = subsample && color
     val mcuSide = if (useSub) 16 else 8
@@ -388,11 +388,16 @@ object Multimodal {
       val sampling = if (useSub && c == 0) 0x22 else 0x11
       Seq(c + 1, sampling, 0)
     }
-    seg(0xc0, Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, nc)
-      ++ sofComps)
+    // progressive variant: SOF2 frame + a single interleaved DC-only
+    // scan (Ss=Se=0, Ah=Al=0) — the DC entropy coding is identical to
+    // sequential, the absent AC scans leave those coefficients 0, so
+    // the closed-form pixel values are the same dc+128
+    seg(if (progressiveDc) 0xc2 else 0xc0,
+      Array(8, (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff, nc) ++ sofComps)
     seg(0xc4, Array(0x00) ++ dcCounts ++ dcSyms ++ Array(0x10) ++ acCounts ++ acSyms)
     if (restartEvery > 0) seg(0xdd, Array((restartEvery >> 8) & 0xff, restartEvery & 0xff))
-    seg(0xda, Array(nc) ++ (0 until nc).flatMap(c => Seq(c + 1, 0x00)) ++ Array(0, 63, 0))
+    seg(0xda, Array(nc) ++ (0 until nc).flatMap(c => Seq(c + 1, 0x00)) ++
+      (if (progressiveDc) Array(0, 0, 0) else Array(0, 63, 0)))
 
     // entropy writer with FF-stuffing
     var acc = 0; var nbits = 0
@@ -448,8 +453,10 @@ object Multimodal {
               case 2 => dcCr(mx, my)
             }
             putDc(dc - pred(c)); pred(c) = dc
-            if (acPattern && c == 0) putAc(0x11, if ((mx + my) % 2 == 0) 1 else -1)
-            putAc(0x00, 0) // EOB
+            if (!progressiveDc) {
+              if (acPattern && c == 0) putAc(0x11, if ((mx + my) % 2 == 0) 1 else -1)
+              putAc(0x00, 0) // EOB — a progressive DC scan carries no AC
+            }
           }
           c += 1
         }

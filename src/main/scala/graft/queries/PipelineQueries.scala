@@ -1386,6 +1386,58 @@ object PipelineQueries {
         CAST(SUM(64*(299*r + 587*g + 114*b)) AS BIGINT) AS lum_sum
       FROM px GROUP BY 1 ORDER BY 1""")),
 
+    // PROGRESSIVE JPEG decode (round 9 second pass — SOF2 multi-scan
+    // frames with spectral selection + successive approximation; the
+    // coefficient buffers accumulate across scans and IDCT once at
+    // EOI). Synthesized frames are DC-only progressive scans, so the
+    // same closed-form dc+128 oracle as q72e value-checks the
+    // progressive scan machinery end-to-end; the spec additionally
+    // cross-checks ImageIO-encoded full progressive scripts (AC bands,
+    // refinement passes, EOB runs) against the JDK's own decoder.
+    QueryDef("q72g_jpeg_progressive", (s, dir) => {
+      import s.implicits._
+      val keys = Table(nation(s, dir)).selectNames("n_nationkey").df
+        .as[Long].map(k => (k, Multimodal.synthJpeg(k, progressiveDc = true)))
+        .toDF("k", "jpg")
+      val px = Multimodal.jpegPixels(col("jpg"))
+      val n = size(px)
+      def chanMean(shift: Int) = round(aggregate(px, lit(0L),
+        (acc, p) => acc + shiftright(p, shift).bitwiseAND(lit(255))
+          .cast(org.apache.spark.sql.types.LongType))
+        .cast("double") / n, 6)
+      keys.select(
+          col("k").as("n_nationkey"),
+          n.cast("long").as("n_px"),
+          chanMean(16).as("mean_r"), chanMean(8).as("mean_g"), chanMean(0).as("mean_b"),
+          aggregate(px, lit(0L), (acc, p) =>
+            acc + (shiftright(p, 16).bitwiseAND(lit(255)) * 299 +
+                   shiftright(p, 8).bitwiseAND(lit(255)) * 587 +
+                   p.bitwiseAND(lit(255)) * 114)
+              .cast(org.apache.spark.sql.types.LongType)).as("lum_sum"))
+        .orderBy("n_nationkey")
+    }, Some("""
+      WITH keys AS (
+        SELECT n_nationkey AS k, 2 + n_nationkey % 3 AS bw, 2 + n_nationkey % 2 AS bh
+        FROM nation),
+      ser AS (SELECT UNNEST(RANGE(0, 8)) AS i),
+      blocks AS (
+        SELECT k, ((7*bx.i + 13*by.i + k) % 151) - 75 + 128 AS yv,
+          ((bx.i + 2*by.i + k) % 41) - 20 AS cbv,
+          ((3*bx.i + by.i + 2*k) % 37) - 18 AS crv
+        FROM keys, ser bx, ser by WHERE bx.i < bw AND by.i < bh),
+      px AS (
+        SELECT k,
+          CASE WHEN k % 2 = 0 THEN yv
+               ELSE CAST(FLOOR(yv + 1.402*crv + 0.5) AS INT) END AS r,
+          CASE WHEN k % 2 = 0 THEN yv
+               ELSE CAST(FLOOR(yv - 0.344136*cbv - 0.714136*crv + 0.5) AS INT) END AS g,
+          CASE WHEN k % 2 = 0 THEN yv ELSE CAST(FLOOR(yv + 1.772*cbv + 0.5) AS INT) END AS b
+        FROM blocks)
+      SELECT k AS n_nationkey, CAST(SUM(64) AS BIGINT) AS n_px,
+        ROUND(AVG(r), 6) AS mean_r, ROUND(AVG(g), 6) AS mean_g, ROUND(AVG(b), 6) AS mean_b,
+        CAST(SUM(64*(299*r + 587*g + 114*b)) AS BIGINT) AS lum_sum
+      FROM px GROUP BY 1 ORDER BY 1""")),
+
     // MIXED-format decode through the magic-sniffing image_pixels
     // dispatcher (round 9): each key synthesizes a DIFFERENT format
     // (k%3 → BMP / PNG-RGBA / JPEG), one expression decodes them all,

@@ -594,12 +594,89 @@ class PipelineOpsSpec extends SparkSpec {
       assert(JpegPixels.decode(rgb) == null)
     }
 
-    // refusals: progressive frames, truncation, random garbage — null,
-    // never a wrong pixel, never a throw
+    // PROGRESSIVE (SOF2), round-9 second pass. (a) synthesized DC-only
+    // progressive frames decode to the same closed form — the DC scan's
+    // entropy coding is sequential's, the absent AC scans leave zeros
+    for (k <- 0L to 5L) {
+      val bw = 2 + (k % 3).toInt; val bh = 2 + (k % 2).toInt
+      val w = bw * 8; val h = bh * 8
+      val bytes = Multimodal.synthJpeg(k, progressiveDc = true)
+      val sof2At = (0 until bytes.length - 1).find(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2)
+      assert(sof2At.isDefined, s"prog k=$k is not SOF2")
+      val dec = JpegPixels.decode(bytes)
+      assert(dec != null && dec.numElements() == w * h, s"prog k=$k")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(dec.getInt(y * w + x) == rgbOf(k, x / 8, y / 8, x / 8, y / 8),
+          s"prog k=$k ($x,$y)")
+    }
+    // (b) an ImageIO-ENCODED progressive JPEG (the JDK writer's own
+    // multi-scan script: DC first + AC bands + refinement passes with
+    // EOB runs): both decoders read the same bytes — ±1 IDCT tolerance
+    locally {
+      val wp = 21; val hp = 13
+      val srcp = new java.awt.image.BufferedImage(wp, hp,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (x <- 0 until wp; y <- 0 until hp)
+        srcp.getRaster.setSample(x, y, 0, (x * 17 + y * 29) % 256)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos2 = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos2)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(srcp, null, null), param)
+      ios.close(); writer.dispose()
+      val pb = bos2.toByteArray
+      assert((0 until pb.length - 1).exists(i =>
+        (pb(i) & 0xff) == 0xff && (pb(i + 1) & 0xff) == 0xc2), "writer not progressive")
+      val decp = JpegPixels.decode(pb)
+      assert(decp != null && decp.numElements() == wp * hp)
+      val imgp = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pb))
+      for (x <- 0 until wp; y <- 0 until hp) {
+        val a = decp.getInt(y * wp + x) & 0xff
+        val bref = imgp.getRaster.getSample(x, y, 0)
+        assert(math.abs(a - bref) <= 1, s"prog indep ($x,$y): $a vs $bref")
+      }
+      // truncating mid-scan still nulls, never throws
+      assert(JpegPixels.decode(pb.take(pb.length / 2)) == null)
+    }
+    // (c) a COLOR ImageIO progressive file with constant chroma (R=G=B
+    // source → flat Cb/Cr planes, so replication and fancy upsampling
+    // agree): exercises interleaved DC + per-component AC band scans
+    locally {
+      val wp = 24; val hp = 17
+      val srcp = new java.awt.image.BufferedImage(wp, hp,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until wp; y <- 0 until hp) {
+        val g = (x * 13 + y * 31) % 256
+        srcp.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos2 = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos2)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(srcp, null, null), param)
+      ios.close(); writer.dispose()
+      val pb = bos2.toByteArray
+      val decp = JpegPixels.decode(pb)
+      assert(decp != null && decp.numElements() == wp * hp)
+      val imgp = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pb))
+      for (x <- 0 until wp; y <- 0 until hp; ch <- Seq(16, 8, 0)) {
+        val a = (decp.getInt(y * wp + x) >> ch) & 0xff
+        val bref = (imgp.getRGB(x, y) >> ch) & 0xff
+        assert(math.abs(a - bref) <= 2, s"prog color ($x,$y,$ch): $a vs $bref")
+      }
+    }
+
+    // refusals: arithmetic-coded frames, truncation, random garbage —
+    // null, never a wrong pixel, never a throw
     val good = Multimodal.synthJpeg(1L)
     val sofAt = (0 until good.length - 1).find(i =>
       (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
-    val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
+    val prog = good.clone(); prog(sofAt + 1) = 0xc9.toByte // arithmetic SOF9
     assert(JpegPixels.decode(prog) == null)
     assert(JpegPixels.decode(good.take(sofAt + 5)) == null)
     assert(JpegPixels.decode(good.take(good.length - 6)) == null) // truncated entropy
