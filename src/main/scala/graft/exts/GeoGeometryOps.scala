@@ -976,6 +976,126 @@ object GeoGeomOps {
     }
   }
 
+  /** Union of LINE members with NODING (round 9 second pass — closes
+    * the "overlapping/crossing line pairs → null" class): every segment
+    * splits at its intersections with every other — proper crossings
+    * and T-junctions (the split point is computed ONCE per pair, so
+    * both sides share the identical coordinates), and collinear
+    * overlaps (split at each other's endpoint values, so the duplicated
+    * overlap sub-segments collapse exactly) — then the noded pieces
+    * re-join only through degree-2 vertices, the GEOS union convention
+    * (crossings stay 4 arms; a polyline's own interior vertices merge
+    * back). Output LINESTRING when one chain remains, MULTILINESTRING
+    * otherwise; empty input → null. */
+  private def lineUnion(lines0: Seq[Array[Double]]): Array[Byte] = {
+    val segs = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (l <- lines0) {
+      var i = 0
+      while (i + 3 < l.length) {
+        if (!(l(i) == l(i + 2) && l(i + 1) == l(i + 3)))
+          segs += Array(l(i), l(i + 1), l(i + 2), l(i + 3))
+        i += 2
+      }
+    }
+    if (segs.isEmpty) return null
+    val splits = Array.fill(segs.length)(
+      scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]())
+    var i = 0
+    while (i < segs.length) {
+      var j = i + 1
+      while (j < segs.length) {
+        val a = segs(i); val b = segs(j)
+        val d1x = a(2) - a(0); val d1y = a(3) - a(1)
+        val d2x = b(2) - b(0); val d2y = b(3) - b(1)
+        val den = d1x * d2y - d1y * d2x
+        if (den != 0.0) {
+          val t = ((b(0) - a(0)) * d2y - (b(1) - a(1)) * d2x) / den
+          val u = ((b(0) - a(0)) * d1y - (b(1) - a(1)) * d1x) / den
+          if (t >= 0 && t <= 1 && u >= 0 && u <= 1) {
+            // one canonical point for the pair — both sides node HERE
+            val px = a(0) + t * d1x; val py = a(1) + t * d1y
+            if (t > 0 && t < 1) splits(i) += ((t, px, py))
+            if (u > 0 && u < 1) splits(j) += ((u, px, py))
+          }
+        } else {
+          val cx = (b(0) - a(0)) * d1y - (b(1) - a(1)) * d1x
+          if (cx == 0.0) { // collinear: split each at the other's endpoints
+            val len1 = d1x * d1x + d1y * d1y
+            val len2 = d2x * d2x + d2y * d2y
+            for ((bx, by) <- Seq((b(0), b(1)), (b(2), b(3)))) {
+              val t = ((bx - a(0)) * d1x + (by - a(1)) * d1y) / len1
+              if (t > 0 && t < 1) splits(i) += ((t, bx, by))
+            }
+            for ((ax, ay) <- Seq((a(0), a(1)), (a(2), a(3)))) {
+              val u = ((ax - b(0)) * d2x + (ay - b(1)) * d2y) / len2
+              if (u > 0 && u < 1) splits(j) += ((u, ax, ay))
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // cut each segment at its sorted split points; drop empty slivers
+    val pieces = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    i = 0
+    while (i < segs.length) {
+      val a = segs(i)
+      var cx = a(0); var cy = a(1)
+      for ((_, px, py) <- splits(i).sortBy(_._1)) {
+        if (!(px == cx && py == cy)) { pieces += Array(cx, cy, px, py); cx = px; cy = py }
+      }
+      if (!(a(2) == cx && a(3) == cy)) pieces += Array(cx, cy, a(2), a(3))
+      i += 1
+    }
+    // orientation-normalized dedupe collapses collinear-overlap copies
+    val seen = scala.collection.mutable.HashSet[(Double, Double, Double, Double)]()
+    val uniq = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (p <- pieces) {
+      val fwd = (p(0), p(1)) // lexicographic endpoint order
+      val rev = (p(2), p(3))
+      val k = if (fwd._1 < rev._1 || (fwd._1 == rev._1 && fwd._2 <= rev._2))
+        (p(0), p(1), p(2), p(3)) else (p(2), p(3), p(0), p(1))
+      if (seen.add(k)) uniq += p
+    }
+    // chain pieces back through DEGREE-2 vertices only
+    val adj = scala.collection.mutable.Map[(Double, Double),
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    for (pi <- uniq.indices; e <- Seq((uniq(pi)(0), uniq(pi)(1)), (uniq(pi)(2), uniq(pi)(3))))
+      adj.getOrElseUpdate(e, scala.collection.mutable.ArrayBuffer()) += pi
+    val used = Array.fill(uniq.length)(false)
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (start <- uniq.indices if !used(start)) {
+      used(start) = true
+      val chain = scala.collection.mutable.ArrayBuffer[Double](
+        uniq(start)(0), uniq(start)(1), uniq(start)(2), uniq(start)(3))
+      def grow(fromEnd: Boolean): Unit = {
+        var go = true
+        while (go) {
+          go = false
+          val (ex, ey) = if (fromEnd) (chain(chain.length - 2), chain.last)
+            else (chain(0), chain(1))
+          val here = adj((ex, ey))
+          if (here.length == 2) {
+            val next = here.find(pi => !used(pi))
+            next.foreach { pi =>
+              used(pi) = true
+              val p = uniq(pi)
+              val (nx, ny) = if (p(0) == ex && p(1) == ey) (p(2), p(3)) else (p(0), p(1))
+              if (fromEnd) { chain += nx; chain += ny }
+              else { chain.insert(0, ny); chain.insert(0, nx) }
+              go = true
+            }
+          }
+        }
+      }
+      grow(fromEnd = true); grow(fromEnd = false)
+      out += chain.toArray
+    }
+    if (out.length == 1) GeoGeom.writeLine(out(0))
+    else GeoGeom.writeMulti(GeoGeom.MultiLineType, out.map(GeoGeom.writeLine).toArray)
+  }
+
   /** Mixed-dimension union (round 9): polygonal members union through
     * the part-merge worklist; line members are absorbed when the closed
     * areal region covers them, pass through when disjoint from it and
@@ -995,7 +1115,7 @@ object GeoGeomOps {
         if (u == null) return null
         u
       }
-    val keptL = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val survivors = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     for (l0 <- ma._2 ++ mb._2) {
       val l = GeoGeom.write(l0)
       var absorbed = false
@@ -1005,20 +1125,25 @@ object GeoGeomOps {
         if (d.doubleValue() == 0.0) {
           val c = GeoGeom.contains(arealB, l)
           if (c != null && c.booleanValue()) absorbed = true
-          else return null // partial overlap: noding territory
+          else return null // line/areal partial overlap: still out
         }
       }
-      if (!absorbed) {
-        if (keptL.exists(o => java.util.Arrays.equals(o, l))) ()
-        else {
-          for (o <- keptL) {
-            val d = GeoGeom.distance(o, l)
-            if (d == null || d.doubleValue() == 0.0) return null
-          }
-          keptL += l
-        }
-      }
+      if (!absorbed) survivors += l0.rings(0)
     }
+    // line/line interactions NODE (round 9 second pass): crossings,
+    // T-junctions and collinear overlaps union through [[lineUnion]]
+    val keptL: Seq[Array[Byte]] =
+      if (survivors.isEmpty) Nil
+      else if (survivors.length == 1) Seq(GeoGeom.writeLine(survivors(0)))
+      else {
+        val u = lineUnion(survivors.toSeq)
+        if (u == null) return null
+        parse(u) match {
+          case g if g != null && g.kind == 2 => Seq(u)
+          case g if g != null && g.kind == 5 => g.rings.map(GeoGeom.writeLine).toSeq
+          case _ => return null
+        }
+      }
     val keptP = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     for (p0 <- ma._3 ++ mb._3) {
       val p = GeoGeom.write(p0)

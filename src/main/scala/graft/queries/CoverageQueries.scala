@@ -806,6 +806,53 @@ object CoverageQueries {
         TRUE AS u_has_far_pt
       FROM nation ORDER BY 1""")),
 
+    // Line-union NODING (round 9 second pass): crossing lines split at
+    // the shared intersection point (4 arms, degree-4 node, total
+    // length preserved, 8 vertices), collinear overlaps merge to the
+    // interval union, and a T-junction yields 3 members — all
+    // closed-form in the nation key.
+    QueryDef("q74i_geo_line_noding", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val base = (k * 10000).cast("double")
+      val span = (k % 3 + 2).cast("double") // 2..4
+      // X: diagonals of a span×span square anchored at base
+      val xA = geo.makeLine(array(geo.point(base, lit(0.0)), geo.point(base + span, span)))
+      val xB = geo.makeLine(array(geo.point(base, span), geo.point(base + span, lit(0.0))))
+      val xu = geo.union(xA, xB)
+      // collinear overlap on y=0: [0,4] ∪ [2, 4+span] → length 4+span
+      val cA = geo.makeLine(array(geo.point(base + 100.0, lit(0.0)), geo.point(base + 104.0, lit(0.0))))
+      val cB = geo.makeLine(array(geo.point(base + 102.0, lit(0.0)), geo.point(base + 104.0 + span, lit(0.0))))
+      val cu = geo.union(cA, cB)
+      // T: horizontal [0,4] + vertical rising span from its midpoint
+      val tA = geo.makeLine(array(geo.point(base + 200.0, lit(0.0)), geo.point(base + 204.0, lit(0.0))))
+      val tB = geo.makeLine(array(geo.point(base + 202.0, lit(0.0)), geo.point(base + 202.0, span)))
+      val tu = geo.union(tA, tB)
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        geo.geometryType(xu).as("x_type"),
+        round(geo.length(xu), 6).as("x_len"),
+        geo.nPoints(xu).as("x_np"),
+        geo.geometryType(cu).as("c_type"),
+        round(geo.length(cu), 6).as("c_len"),
+        geo.geometryType(tu).as("t_type"),
+        round(geo.length(tu), 6).as("t_len"),
+        geo.nPoints(tu).as("t_np"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (SELECT n_nationkey, CAST(n_nationkey % 3 + 2 AS DOUBLE) AS span FROM nation)
+      SELECT n_nationkey,
+        'MULTILINESTRING' AS x_type,
+        ROUND(2 * SQRT(2 * span * span), 6) AS x_len,
+        8 AS x_np,
+        'LINESTRING' AS c_type,
+        4.0 + span AS c_len,
+        'MULTILINESTRING' AS t_type,
+        4.0 + span AS t_len,
+        6 AS t_np
+      FROM t ORDER BY 1""")),
+
     // UTM reprojection (round 4; GeoTransform geospatial.py:450 beyond the
     // 4326↔3857 pair): per-nation points inside zone 31, forward to
     // EPSG:32631 and back (plus a 32631→3857→4326 double hop). The Krüger

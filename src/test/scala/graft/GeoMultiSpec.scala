@@ -396,14 +396,16 @@ class GeoMultiSpec extends SparkSpec {
     assert(r2.getString(1) == "MULTIPOLYGON")
     assert(r2.getDouble(2) == 17.0)
 
-    // pure line multis: disjoint pass-through, overlapping pair nulls
+    // pure line multis: disjoint pass-through; collinear overlap MERGES
+    // (round 9 second pass: line union nodes instead of nulling)
     val l1 = geo.makeLine(pts((0.0, 0.0), (2.0, 0.0)))
     val l2 = geo.makeLine(pts((0.0, 5.0), (2.0, 5.0)))
     val l3 = geo.makeLine(pts((1.0, 0.0), (3.0, 0.0)))
     val r3 = one.select(
       geo.geometryType(geo.union(l1, l2)).as("t"),
       geo.length(geo.union(l1, l2)).as("len"),
-      geo.union(l1, l3).isNull.as("overlap_null"),
+      geo.geometryType(geo.union(l1, l3)).as("ot"),
+      geo.length(geo.union(l1, l3)).as("olen"),
       // subtrahend with zero-area members only: minuend unchanged
       geo.area(geo.difference(rect(0, 0, 2, 2),
         geo.collectGeoms(array(l2, geo.point(lit(9.0), lit(9.0)))))).as("ident_a"),
@@ -413,9 +415,40 @@ class GeoMultiSpec extends SparkSpec {
         geo.point(lit(1.0), lit(1.0)))).as("pd")).collect().head
     assert(r3.getString(0) == "MULTILINESTRING")
     assert(r3.getDouble(1) == 4.0)
-    assert(r3.getBoolean(2))
-    assert(r3.getDouble(3) == 4.0)
-    assert(r3.getString(4) == "POINT (5 5)")
+    assert(r3.getString(2) == "LINESTRING") // [0,2]∪[1,3] on y=0 → one chain
+    assert(r3.getDouble(3) == 3.0)
+    assert(r3.getDouble(4) == 4.0)
+    assert(r3.getString(5) == "POINT (5 5)")
+  }
+
+  test("line union NODES: crossings, T-junctions, collinear overlaps (round 9)") {
+    // X crossing: 4 arms after noding (degree-4 node never re-merges),
+    // total length preserved, 8 vertices (4 two-point pieces)
+    val a = geo.makeLine(pts((0.0, 0.0), (4.0, 4.0)))
+    val b = geo.makeLine(pts((0.0, 4.0), (4.0, 0.0)))
+    // T junction: vertical meets horizontal interior → 3 members
+    val hz = geo.makeLine(pts((0.0, 0.0), (4.0, 0.0)))
+    val vt = geo.makeLine(pts((2.0, 0.0), (2.0, 3.0)))
+    // polyline interior vertices survive the round trip (degree-2 merge)
+    val poly = geo.makeLine(pts((10.0, 0.0), (12.0, 0.0), (12.0, 2.0)))
+    val far = geo.makeLine(pts((20.0, 0.0), (21.0, 0.0)))
+    val r = one.select(
+      geo.geometryType(geo.union(a, b)).as("xt"),
+      geo.length(geo.union(a, b)).as("xlen"),
+      geo.nPoints(geo.union(a, b)).as("xnp"),
+      geo.geometryType(geo.union(hz, vt)).as("tt"),
+      geo.length(geo.union(hz, vt)).as("tlen"),
+      geo.nPoints(geo.union(hz, vt)).as("tnp"),
+      geo.geometryType(geo.union(poly, far)).as("pt"),
+      geo.length(geo.union(poly, far)).as("plen")).collect().head
+    assert(r.getString(0) == "MULTILINESTRING")
+    assert(math.abs(r.getDouble(1) - 8.0 * math.sqrt(2.0)) < 1e-9)
+    assert(r.getInt(2) == 8)
+    assert(r.getString(3) == "MULTILINESTRING")
+    assert(math.abs(r.getDouble(4) - 7.0) < 1e-9)
+    assert(r.getInt(5) == 6) // three 2-point pieces
+    assert(r.getString(6) == "MULTILINESTRING")
+    assert(math.abs(r.getDouble(7) - 5.0) < 1e-9)
   }
 
   test("overlapping collection members dissolve in mixed set-ops (round 9)") {
