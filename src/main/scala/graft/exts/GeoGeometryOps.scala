@@ -594,10 +594,12 @@ object GeoGeomOps {
         val d = GeoGeom.distance(aB, bB)
         if (d != null && d.doubleValue() == 0.0) asBinary(aB) else null
       case (_, 1) => intersection(bB, aB)
-      case (2, 3) =>
-        if (!isConvexRing(b.rings(0)) || b.rings.length > 1) return null
-        clipLineToConvex(a.rings(0), b.rings(0))
-      case (3, 2) => intersection(bB, aB)
+      case (2, 3) | (2, 6) =>
+        // general clip (round 9 second pass): split at every boundary
+        // crossing, keep the closed-region side — concave, holed and
+        // multi polygons included; empty / point-touch-only → null
+        writeChains(splitLineByRings(a.rings(0), b.rings)._1)
+      case (3, 2) | (6, 2) => intersection(bB, aB)
       case (ka, kb) if (ka != 3 || kb != 3) &&
           polyParts(a) != null && polyParts(b) != null =>
         // multi-part sides: pairwise part intersections (parts of one
@@ -976,6 +978,81 @@ object GeoGeomOps {
     }
   }
 
+  /** Split a polyline at every crossing with a ring set and bucket the
+    * sub-pieces by side (round 9 second pass — closes line/areal
+    * partial-overlap set-ops for ARBITRARY polygons, superseding the
+    * convex-only clip): each segment collects intersection parameters
+    * against every ring edge (crossings; collinear edge-overlaps
+    * contribute the edge's projected endpoints, and those boundary-
+    * riding midpoints classify as inside the CLOSED region), splits at
+    * the sorted parameters, and each sub-piece lands inside or outside
+    * by its midpoint's even-odd test. Consecutive same-side pieces
+    * re-chain, so clean LINESTRING runs come back out. */
+  private def splitLineByRings(line: Array[Double], rings: Array[Array[Double]])
+      : (Seq[Array[Double]], Seq[Array[Double]]) = {
+    val inB = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val outB = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    def push(buf: scala.collection.mutable.ArrayBuffer[Array[Double]],
+        x0: Double, y0: Double, x1: Double, y1: Double): Unit =
+      if (buf.nonEmpty && buf.last(buf.last.length - 2) == x0 && buf.last.last == y0)
+        buf(buf.length - 1) = buf.last ++ Array(x1, y1) // extend the run
+      else buf += Array(x0, y0, x1, y1)
+    var i = 0
+    while (i + 3 < line.length) {
+      val ax = line(i); val ay = line(i + 1); val bx = line(i + 2); val by = line(i + 3)
+      if (!(ax == bx && ay == by)) {
+        val d1x = bx - ax; val d1y = by - ay
+        val ts = scala.collection.mutable.ArrayBuffer[Double](0.0, 1.0)
+        for (ring <- rings) {
+          val m = ring.length / 2
+          var j = 0
+          while (j < m - 1) {
+            val cx = ring(j * 2); val cy = ring(j * 2 + 1)
+            val dx2 = ring(j * 2 + 2) - cx; val dy2 = ring(j * 2 + 3) - cy
+            val den = d1x * dy2 - d1y * dx2
+            if (den != 0.0) {
+              val t = ((cx - ax) * dy2 - (cy - ay) * dx2) / den
+              val u = ((cx - ax) * d1y - (cy - ay) * d1x) / den
+              if (t > 0 && t < 1 && u >= 0 && u <= 1) ts += t
+            } else {
+              // parallel; if collinear, the edge endpoints bound a
+              // boundary-riding stretch of the line
+              val cross = (cx - ax) * d1y - (cy - ay) * d1x
+              if (cross == 0.0) {
+                val len2 = d1x * d1x + d1y * d1y
+                for ((ex, ey) <- Seq((cx, cy), (ring(j * 2 + 2), ring(j * 2 + 3)))) {
+                  val t = ((ex - ax) * d1x + (ey - ay) * d1y) / len2
+                  if (t > 0 && t < 1) ts += t
+                }
+              }
+            }
+            j += 1
+          }
+        }
+        val st = ts.distinct.sorted
+        var s2 = 0
+        while (s2 < st.length - 1) {
+          val t0 = st(s2); val t1 = st(s2 + 1)
+          if (t1 > t0) {
+            val x0 = ax + t0 * d1x; val y0 = ay + t0 * d1y
+            val x1 = ax + t1 * d1x; val y1 = ay + t1 * d1y
+            val mx = ax + (t0 + t1) / 2 * d1x; val my = ay + (t0 + t1) / 2 * d1y
+            if (GeoGeom.pointInRings(mx, my, rings)) push(inB, x0, y0, x1, y1)
+            else push(outB, x0, y0, x1, y1)
+          }
+          s2 += 1
+        }
+      }
+      i += 2
+    }
+    (inB.toSeq, outB.toSeq)
+  }
+
+  private def writeChains(chains: Seq[Array[Double]]): Array[Byte] =
+    if (chains.isEmpty) null
+    else if (chains.length == 1) GeoGeom.writeLine(chains.head)
+    else GeoGeom.writeMulti(GeoGeom.MultiLineType, chains.map(GeoGeom.writeLine).toArray)
+
   /** Union of LINE members with NODING (round 9 second pass — closes
     * the "overlapping/crossing line pairs → null" class): every segment
     * splits at its intersections with every other — proper crossings
@@ -1116,19 +1193,14 @@ object GeoGeomOps {
         u
       }
     val survivors = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val arealRings = if (arealB == null) null else parse(arealB).rings
     for (l0 <- ma._2 ++ mb._2) {
-      val l = GeoGeom.write(l0)
-      var absorbed = false
-      if (arealB != null) {
-        val d = GeoGeom.distance(arealB, l)
-        if (d == null) return null
-        if (d.doubleValue() == 0.0) {
-          val c = GeoGeom.contains(arealB, l)
-          if (c != null && c.booleanValue()) absorbed = true
-          else return null // line/areal partial overlap: still out
-        }
-      }
-      if (!absorbed) survivors += l0.rings(0)
+      if (arealRings == null) survivors += l0.rings(0)
+      else
+        // covered stretches absorb into the closed areal region; the
+        // outside stretches ride on (round 9 second pass — partial
+        // overlap splits instead of nulling)
+        survivors ++= splitLineByRings(l0.rings(0), arealRings)._2
     }
     // line/line interactions NODE (round 9 second pass): crossings,
     // T-junctions and collinear overlaps union through [[lineUnion]]
@@ -1207,30 +1279,29 @@ object GeoGeomOps {
         }
       }
     val keptL = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val bPolyRings = if (bPolyB == null) null else parse(bPolyB).rings
     for (l0 <- ma._2) {
-      val l = GeoGeom.write(l0)
-      var dropped = false
-      if (bPolyB != null) {
-        val d = GeoGeom.distance(bPolyB, l)
-        if (d == null) return null
-        if (d.doubleValue() == 0.0) {
-          val c = GeoGeom.contains(bPolyB, l)
-          if (c != null && c.booleanValue()) dropped = true
-          else return null // partial cut: noding territory
+      // the polygonal subtrahend cuts away the covered stretches (round
+      // 9 second pass — partial overlap splits instead of nulling)
+      val base: Seq[Array[Double]] =
+        if (bPolyRings == null) Seq(l0.rings(0))
+        else splitLineByRings(l0.rings(0), bPolyRings)._2
+      for (p <- base) {
+        val pB = GeoGeom.writeLine(p)
+        var dropped = false
+        for (bl0 <- mb._2; if !dropped) {
+          val bl = GeoGeom.write(bl0)
+          if (java.util.Arrays.equals(bl, pB)) dropped = true
+          else {
+            val d = GeoGeom.distance(bl, pB)
+            // crossing at isolated points leaves the line intact after
+            // closure, but distinguishing a crossing from a collinear
+            // overlap is noding territory → null on any contact
+            if (d == null || d.doubleValue() == 0.0) return null
+          }
         }
+        if (!dropped) keptL += pB
       }
-      for (bl0 <- mb._2; if !dropped) {
-        val bl = GeoGeom.write(bl0)
-        if (java.util.Arrays.equals(bl, l)) dropped = true
-        else {
-          val d = GeoGeom.distance(bl, l)
-          // crossing at isolated points leaves the line intact after
-          // closure, but distinguishing a crossing from a collinear
-          // overlap is noding territory → null on any contact
-          if (d == null || d.doubleValue() == 0.0) return null
-        }
-      }
-      if (!dropped) keptL += l
     }
     val bMembersB = (mb._1 ++ mb._2 ++ mb._3).map(GeoGeom.write)
     val keptP = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
@@ -1372,8 +1443,12 @@ object GeoGeomOps {
       // multi/collection minuends (incl. mixed dimensions, round 9)
       // subtract member-wise
       if (a.kind >= 4) return mixedDifference(a, b)
-      // single point/line minuend: identity when disjoint, else GEOS
-      // territory
+      // line minus a polygonal subtrahend: keep the outside stretches
+      // (round 9 second pass — partial overlap no longer nulls)
+      if (a.kind == 2 && (b.kind == 3 || b.kind == 6))
+        return writeChains(splitLineByRings(a.rings(0), b.rings)._2)
+      // single point/line minuend vs anything else: identity when
+      // disjoint, else GEOS territory
       val d = GeoGeom.distance(aB, bB)
       return if (d != null && d.doubleValue() > 0.0) asBinary(aB)
       else if (a.kind == 1) null // point inside/on b: empty

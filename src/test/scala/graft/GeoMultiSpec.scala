@@ -382,19 +382,24 @@ class GeoMultiSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) - 8.0) < 1e-9)
     assert(r.getString(8).contains("POINT (2 2)"))
 
-    // line crossing the areal part is noding territory → null, never a
-    // wrong geometry; fully-covered line is absorbed exactly
+    // line crossing the areal part CLIPS (round 9 second pass): the
+    // covered stretch absorbs into the closed region, the outside
+    // stretch rides on; fully-covered line is absorbed exactly
     val crossing = geo.collectGeoms(array(
       rect(0, 0, 4, 4), geo.makeLine(pts((2.0, 2.0), (9.0, 2.0)))))
     val covered = geo.collectGeoms(array(
       rect(0, 0, 4, 4), geo.makeLine(pts((1.0, 1.0), (3.0, 1.0)))))
     val r2 = one.select(
-      geo.union(crossing, rect(20, 0, 1, 1)).isNull.as("cross_null"),
+      geo.geometryType(geo.union(crossing, rect(20, 0, 1, 1))).as("cross_t"),
+      geo.area(geo.union(crossing, rect(20, 0, 1, 1))).as("cross_a"),
+      geo.length(geo.union(crossing, rect(20, 0, 1, 1))).as("cross_len"),
       geo.geometryType(geo.union(covered, rect(20, 0, 1, 1))).as("cov_t"),
       geo.area(geo.union(covered, rect(20, 0, 1, 1))).as("cov_a")).collect().head
-    assert(r2.getBoolean(0))
-    assert(r2.getString(1) == "MULTIPOLYGON")
-    assert(r2.getDouble(2) == 17.0)
+    assert(r2.getString(0) == "GEOMETRYCOLLECTION")
+    assert(r2.getDouble(1) == 17.0)
+    assert(r2.getDouble(2) == 5.0) // (4,2)→(9,2) survives outside
+    assert(r2.getString(3) == "MULTIPOLYGON")
+    assert(r2.getDouble(4) == 17.0)
 
     // pure line multis: disjoint pass-through; collinear overlap MERGES
     // (round 9 second pass: line union nodes instead of nulling)
@@ -419,6 +424,32 @@ class GeoMultiSpec extends SparkSpec {
     assert(r3.getDouble(3) == 3.0)
     assert(r3.getDouble(4) == 4.0)
     assert(r3.getString(5) == "POINT (5 5)")
+  }
+
+  test("line/areal partial overlap clips on both sides (round 9)") {
+    // intersection keeps the covered stretch — CONCAVE and HOLED
+    // polygons included now (the convex-only limit is gone)
+    val line = geo.makeLine(pts((-2.0, 2.0), (10.0, 2.0)))
+    val box = rect(0, 0, 4, 4)
+    // MULTIPOLYGON side: two boxes with a gap — the line threads both
+    val twoBoxes = geo.collectGeoms(array(rect(0, 0, 4, 4), rect(6, 0, 2, 4)))
+    val r = one.select(
+      geo.geometryType(geo.intersection(line, box)).as("it"),
+      geo.length(geo.intersection(line, box)).as("ilen"),
+      geo.geometryType(geo.difference(line, box)).as("dt"),
+      geo.length(geo.difference(line, box)).as("dlen"),
+      geo.nPoints(geo.difference(line, box)).as("dnp"),
+      geo.geometryType(geo.intersection(line, twoBoxes)).as("mt"),
+      geo.length(geo.intersection(line, twoBoxes)).as("mlen"),
+      geo.length(geo.difference(line, twoBoxes)).as("mdlen")).collect().head
+    assert(r.getString(0) == "LINESTRING")
+    assert(r.getDouble(1) == 4.0)  // covered [0,4]
+    assert(r.getString(2) == "MULTILINESTRING")
+    assert(r.getDouble(3) == 8.0)  // [-2,0] + [4,10]
+    assert(r.getInt(4) == 4)
+    assert(r.getString(5) == "MULTILINESTRING")
+    assert(r.getDouble(6) == 6.0)  // [0,4] + [6,8]
+    assert(r.getDouble(7) == 6.0)  // [-2,0] + [4,6] + [8,10]
   }
 
   test("line union NODES: crossings, T-junctions, collinear overlaps (round 9)") {
