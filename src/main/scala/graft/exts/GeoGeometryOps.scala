@@ -649,7 +649,7 @@ object GeoGeomOps {
         val ring = (ded ++ Seq(ded(0), ded(1))).toArray
         if (math.abs(signedArea(ring)) == 0.0) return null
         GeoGeom.writePolygon(Array(ring))
-      case (2, 2) => null // 1-dim overlap output: GEOS territory
+      case (2, 2) => lineLineIntersection(a.rings(0), b.rings(0))
       // multi/collection operands beyond the all-polygon branch — incl.
       // mixed dimensions (round 9) — intersect member-wise
       case (ka, kb) if ka >= 4 || kb >= 4 => mixedIntersection(a, b)
@@ -1048,6 +1048,105 @@ object GeoGeomOps {
     (inB.toSeq, outB.toSeq)
   }
 
+  /** line ∩ line (round 9 second pass): the 1-dimensional shared
+    * portion — collinear overlap intervals between segment pairs,
+    * merged and chained. Isolated point contacts that are NOT subsumed
+    * by an overlap piece make the true result mixed-dimension → null;
+    * no contact → null (empty-result convention). */
+  private def lineLineIntersection(la: Array[Double], lb: Array[Double]): Array[Byte] = {
+    val pieces = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val touches = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var i = 0
+    while (i + 3 < la.length) {
+      val ax = la(i); val ay = la(i + 1); val bx = la(i + 2); val by = la(i + 3)
+      val d1x = bx - ax; val d1y = by - ay
+      if (!(d1x == 0 && d1y == 0)) {
+        var j = 0
+        while (j + 3 < lb.length) {
+          val cx = lb(j); val cy = lb(j + 1); val dx = lb(j + 2); val dy = lb(j + 3)
+          val d2x = dx - cx; val d2y = dy - cy
+          val den = d1x * d2y - d1y * d2x
+          if (den != 0.0) {
+            val t = ((cx - ax) * d2y - (cy - ay) * d2x) / den
+            val u = ((cx - ax) * d1y - (cy - ay) * d1x) / den
+            if (t >= 0 && t <= 1 && u >= 0 && u <= 1)
+              touches += ((ax + t * d1x, ay + t * d1y))
+          } else if ((cx - ax) * d1y - (cy - ay) * d1x == 0.0) {
+            // collinear: overlap interval on a's parameter
+            val len2 = d1x * d1x + d1y * d1y
+            val tc = ((cx - ax) * d1x + (cy - ay) * d1y) / len2
+            val td = ((dx - ax) * d1x + (dy - ay) * d1y) / len2
+            val t0 = math.max(0.0, math.min(tc, td))
+            val t1 = math.min(1.0, math.max(tc, td))
+            if (t1 > t0)
+              pieces += Array(ax + t0 * d1x, ay + t0 * d1y, ax + t1 * d1x, ay + t1 * d1y)
+            else if (t1 == t0) touches += ((ax + t0 * d1x, ay + t0 * d1y))
+          }
+          j += 2
+        }
+      }
+      i += 2
+    }
+    if (pieces.isEmpty) return null // empty or point-only output
+    // a point contact subsumed by an overlap piece is not a separate
+    // component; an isolated one makes the output mixed-dimension
+    for ((px, py) <- touches) {
+      val on = pieces.exists(p => GeoGeom.onSegment(px, py, p(0), p(1), p(2), p(3)))
+      if (!on) return null
+    }
+    val u = lineUnion(pieces.toSeq)
+    u
+  }
+
+  /** line − lines (round 9 second pass): subtract the collinear-overlap
+    * intervals of every subtrahend segment from each minuend segment —
+    * crossings and touches are measure-zero and vanish under closure,
+    * so only 1-dim overlaps cut. Exact interval arithmetic on the
+    * segment parameter; fully-covered → null (empty). */
+  private def lineLineDifference(la: Array[Double],
+      lbs: Seq[Array[Double]]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    def push(x0: Double, y0: Double, x1: Double, y1: Double): Unit =
+      if (out.nonEmpty && out.last(out.last.length - 2) == x0 && out.last.last == y0)
+        out(out.length - 1) = out.last ++ Array(x1, y1)
+      else out += Array(x0, y0, x1, y1)
+    var i = 0
+    while (i + 3 < la.length) {
+      val ax = la(i); val ay = la(i + 1); val bx = la(i + 2); val by = la(i + 3)
+      val d1x = bx - ax; val d1y = by - ay
+      if (!(d1x == 0 && d1y == 0)) {
+        val len2 = d1x * d1x + d1y * d1y
+        val cuts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+        for (lb <- lbs) {
+          var j = 0
+          while (j + 3 < lb.length) {
+            val cx = lb(j); val cy = lb(j + 1); val dx = lb(j + 2); val dy = lb(j + 3)
+            val d2x = dx - cx; val d2y = dy - cy
+            if (d1x * d2y - d1y * d2x == 0.0 &&
+                (cx - ax) * d1y - (cy - ay) * d1x == 0.0) {
+              val tc = ((cx - ax) * d1x + (cy - ay) * d1y) / len2
+              val td = ((dx - ax) * d1x + (dy - ay) * d1y) / len2
+              val t0 = math.max(0.0, math.min(tc, td))
+              val t1 = math.min(1.0, math.max(tc, td))
+              if (t1 > t0) cuts += ((t0, t1))
+            }
+            j += 2
+          }
+        }
+        // merge cut intervals, emit the complement within [0,1]
+        val sorted = cuts.sortBy(_._1)
+        var pos = 0.0
+        for ((c0, c1) <- sorted) {
+          if (c0 > pos) push(ax + pos * d1x, ay + pos * d1y, ax + c0 * d1x, ay + c0 * d1y)
+          pos = math.max(pos, c1)
+        }
+        if (pos < 1.0) push(ax + pos * d1x, ay + pos * d1y, bx, by)
+      }
+      i += 2
+    }
+    writeChains(out.toSeq) // empty (fully covered) → null
+  }
+
   private def writeChains(chains: Seq[Array[Double]]): Array[Byte] =
     if (chains.isEmpty) null
     else if (chains.length == 1) GeoGeom.writeLine(chains.head)
@@ -1287,20 +1386,19 @@ object GeoGeomOps {
         if (bPolyRings == null) Seq(l0.rings(0))
         else splitLineByRings(l0.rings(0), bPolyRings)._2
       for (p <- base) {
-        val pB = GeoGeom.writeLine(p)
-        var dropped = false
-        for (bl0 <- mb._2; if !dropped) {
-          val bl = GeoGeom.write(bl0)
-          if (java.util.Arrays.equals(bl, pB)) dropped = true
-          else {
-            val d = GeoGeom.distance(bl, pB)
-            // crossing at isolated points leaves the line intact after
-            // closure, but distinguishing a crossing from a collinear
-            // overlap is noding territory → null on any contact
-            if (d == null || d.doubleValue() == 0.0) return null
+        if (mb._2.isEmpty) keptL += GeoGeom.writeLine(p)
+        else {
+          // subtrahend line members cut their collinear overlaps
+          // exactly; crossings are measure-zero and vanish under
+          // closure — null here means fully covered (dropped)
+          val r = lineLineDifference(p, mb._2.map(_.rings(0)).toSeq)
+          if (r != null) parse(r) match {
+            case g if g != null && g.kind == 2 => keptL += r
+            case g if g != null && g.kind == 5 =>
+              g.rings.foreach(rr => keptL += GeoGeom.writeLine(rr))
+            case _ => return null
           }
         }
-        if (!dropped) keptL += pB
       }
     }
     val bMembersB = (mb._1 ++ mb._2 ++ mb._3).map(GeoGeom.write)
@@ -1447,6 +1545,12 @@ object GeoGeomOps {
       // (round 9 second pass — partial overlap no longer nulls)
       if (a.kind == 2 && (b.kind == 3 || b.kind == 6))
         return writeChains(splitLineByRings(a.rings(0), b.rings)._2)
+      // line minus line(s): collinear overlaps cut exactly; crossings
+      // are measure-zero and vanish under closure
+      if (a.kind == 2 && b.kind == 2)
+        return lineLineDifference(a.rings(0), Seq(b.rings(0)))
+      if (a.kind == 2 && b.kind == 5)
+        return lineLineDifference(a.rings(0), b.rings.toSeq)
       // single point/line minuend vs anything else: identity when
       // disjoint, else GEOS territory
       val d = GeoGeom.distance(aB, bB)

@@ -452,6 +452,32 @@ class GeoMultiSpec extends SparkSpec {
     assert(r.getDouble(7) == 6.0)  // [-2,0] + [4,6] + [8,10]
   }
 
+  test("line∩line and line−line 1-dim outputs (round 9)") {
+    val a = geo.makeLine(pts((0.0, 0.0), (6.0, 0.0)))
+    val b = geo.makeLine(pts((2.0, 0.0), (9.0, 0.0)))   // collinear overlap [2,6]
+    val c = geo.makeLine(pts((3.0, -1.0), (3.0, 1.0)))  // crosses a at (3,0)
+    val d = geo.makeLine(pts((2.0, 0.0), (4.0, 0.0)))   // inside a
+    val r = one.select(
+      geo.geometryType(geo.intersection(a, b)).as("it"),
+      geo.length(geo.intersection(a, b)).as("ilen"),
+      // crossing-only contact → mixed/0-dim output stays null
+      geo.intersection(a, c).isNull.as("cross_null"),
+      // subtraction: interval cut out of the middle
+      geo.geometryType(geo.difference(a, d)).as("dt"),
+      geo.length(geo.difference(a, d)).as("dlen"),
+      // a crossing subtrahend is measure-zero: line unchanged
+      round(geo.length(geo.difference(a, c)), 6).as("xlen"),
+      // fully covered minuend vanishes
+      geo.difference(d, a).isNull.as("cov_null")).collect().head
+    assert(r.getString(0) == "LINESTRING")
+    assert(r.getDouble(1) == 4.0)
+    assert(r.getBoolean(2))
+    assert(r.getString(3) == "MULTILINESTRING")
+    assert(r.getDouble(4) == 4.0) // [0,2] + [4,6]
+    assert(r.getDouble(5) == 6.0)
+    assert(r.getBoolean(6))
+  }
+
   test("line union NODES: crossings, T-junctions, collinear overlaps (round 9)") {
     // X crossing: 4 arms after noding (degree-4 node never re-merges),
     // total length preserved, 8 vertices (4 two-point pieces)
