@@ -1048,11 +1048,12 @@ object GeoGeomOps {
     (inB.toSeq, outB.toSeq)
   }
 
-  /** line ∩ line (round 9 second pass): the 1-dimensional shared
-    * portion — collinear overlap intervals between segment pairs,
-    * merged and chained. Isolated point contacts that are NOT subsumed
-    * by an overlap piece make the true result mixed-dimension → null;
-    * no contact → null (empty-result convention). */
+  /** line ∩ line (round 9 second pass): collinear overlap intervals
+    * merge and chain into the 1-dim portion; isolated crossing /
+    * touch points not subsumed by an overlap piece come back as the
+    * 0-dim portion (POINT / MULTIPOINT, or a GEOMETRYCOLLECTION when
+    * both dimensions survive — the GEOS convention). No contact →
+    * null (empty-result convention). */
   private def lineLineIntersection(la: Array[Double], lb: Array[Double]): Array[Byte] = {
     val pieces = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     val touches = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
@@ -1087,15 +1088,30 @@ object GeoGeomOps {
       }
       i += 2
     }
-    if (pieces.isEmpty) return null // empty or point-only output
-    // a point contact subsumed by an overlap piece is not a separate
-    // component; an isolated one makes the output mixed-dimension
-    for ((px, py) <- touches) {
-      val on = pieces.exists(p => GeoGeom.onSegment(px, py, p(0), p(1), p(2), p(3)))
-      if (!on) return null
+    // point contacts subsumed by an overlap piece are not separate
+    // components; the isolated ones are the 0-dim portion
+    val isolated = scala.collection.mutable.LinkedHashSet[(Double, Double)]()
+    for ((px, py) <- touches)
+      if (!pieces.exists(p => GeoGeom.onSegment(px, py, p(0), p(1), p(2), p(3))))
+        isolated += ((px, py))
+    val ptBytes = isolated.toSeq.map { case (px, py) => GeoWkb.writePoint(px, py) }
+    if (pieces.isEmpty) {
+      if (ptBytes.isEmpty) null // truly empty
+      else if (ptBytes.length == 1) ptBytes.head
+      else GeoGeom.writeMulti(GeoGeom.MultiPointType, ptBytes.toArray)
+    } else {
+      val u = lineUnion(pieces.toSeq)
+      if (u == null) null
+      else if (ptBytes.isEmpty) u
+      else {
+        val lineMembers = parse(u) match {
+          case g if g != null && g.kind == 2 => Seq(u)
+          case g if g != null && g.kind == 5 => g.rings.map(GeoGeom.writeLine).toSeq
+          case _ => return null
+        }
+        GeoGeom.writeMulti(GeoGeom.CollectionType, (lineMembers ++ ptBytes).toArray)
+      }
     }
-    val u = lineUnion(pieces.toSeq)
-    u
   }
 
   /** line − lines (round 9 second pass): subtract the collinear-overlap
@@ -1450,6 +1466,18 @@ object GeoGeomOps {
         case g if g != null && g.kind == 2 => linesOut += r
         case g if g != null && g.kind == 1 =>
           if (!ptsOut.exists(o => java.util.Arrays.equals(o, r))) ptsOut += r
+        case g if g != null && (g.kind == 4 || g.kind == 5 || g.kind == 7) =>
+          // multi / mixed pair result (line∩line 0/1-dim portions):
+          // decompose into the dimension buckets
+          g.parts.foreach { m =>
+            val mB = GeoGeom.write(m)
+            m.kind match {
+              case 1 => if (!ptsOut.exists(o => java.util.Arrays.equals(o, mB))) ptsOut += mB
+              case 2 => linesOut += mB
+              case 3 => polysOut += mB
+              case _ => return null
+            }
+          }
         case _ => return null
       }
     }

@@ -460,8 +460,8 @@ class GeoMultiSpec extends SparkSpec {
     val r = one.select(
       geo.geometryType(geo.intersection(a, b)).as("it"),
       geo.length(geo.intersection(a, b)).as("ilen"),
-      // crossing-only contact → mixed/0-dim output stays null
-      geo.intersection(a, c).isNull.as("cross_null"),
+      // crossing-only contact → the 0-dim portion comes back as a point
+      (geo.asText(geo.intersection(a, c)) === "POINT (3 0)").as("cross_null"),
       // subtraction: interval cut out of the middle
       geo.geometryType(geo.difference(a, d)).as("dt"),
       geo.length(geo.difference(a, d)).as("dlen"),
