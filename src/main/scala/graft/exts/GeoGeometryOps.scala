@@ -582,10 +582,12 @@ object GeoGeomOps {
     * the tangency-robust Sutherland-Hodgman fast path; concave-concave
     * and holed pairs route through the same boundary-walk machinery as
     * union/difference (keep A sub-edges strictly inside B + symmetric,
-    * collinear overlaps kept from the A side when interiors agree). Also
-    * line ∩ convex polygon when one connected piece survives, and point
-    * ∩ anything. Empty, touch-only (point/line-dimensional output) and
-    * adversarial-tangency stitches → null, never wrong. */
+    * collinear overlaps kept from the A side when interiors agree).
+    * Round 9: line ∩ ARBITRARY polygon/multi via the general boundary
+    * split ([[splitLineByRings]]), line ∩ line via exact collinear
+    * intervals + crossing points ([[lineLineIntersection]]), and point
+    * ∩ anything. Empty, polygon-touch-only outputs and adversarial-
+    * tangency stitches → null, never wrong. */
   def intersection(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
     val a = parse(aB); val b = parse(bB)
     if (a == null || b == null) return null
