@@ -606,24 +606,62 @@ object GeoGeomOps {
           polyParts(a) != null && polyParts(b) != null =>
         // multi-part sides: pairwise part intersections (parts of one
         // side have disjoint interiors, so the pieces are disjoint). A
-        // null pair is only acceptable when provably EMPTY (disjoint or
-        // boundary-touch-only) — anything ambiguous aborts the whole op.
+        // null pair is only acceptable when provably EMPTY (disjoint) —
+        // touch-only pairs contribute their boundary contact set (round
+        // 9); anything ambiguous aborts the whole op.
         val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        val cLines = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        val cPts = scala.collection.mutable.LinkedHashSet[(Double, Double)]()
         for (ap <- polyParts(a); bp <- polyParts(b)) {
           val apB = GeoGeom.write(ap); val bpB = GeoGeom.write(bp)
           val r = intersection(apB, bpB)
           if (r == null) {
             val d = GeoGeom.distance(apB, bpB)
-            val t = touches(apB, bpB)
-            if (!(d != null && d.doubleValue() > 0.0) &&
-                !(t != null && t.booleanValue())) return null
+            if (!(d != null && d.doubleValue() > 0.0)) return null
           } else parse(r) match {
             case g if g != null && g.kind == 3 => out += r
             case g if g != null && g.kind == 6 => g.parts.foreach(pt => out += GeoGeom.write(pt))
+            case g if g != null && g.kind != 7 && mixedMembers(g) != null =>
+              val (ps, ls, qs) = mixedMembers(g)
+              if (ps.nonEmpty) return null // a touch contact is never areal
+              ls.foreach(l => cLines += GeoGeom.write(l))
+              qs.foreach(q => cPts += ((q.rings(0)(0), q.rings(0)(1))))
+            case g if g != null && g.kind == 7 && mixedMembers(g) != null &&
+                mixedMembers(g)._1.isEmpty =>
+              val (_, ls, qs) = mixedMembers(g)
+              ls.foreach(l => cLines += GeoGeom.write(l))
+              qs.foreach(q => cPts += ((q.rings(0)(0), q.rings(0)(1))))
             case _ => return null
           }
         }
-        assembleParts(out.toSeq)
+        if (cLines.isEmpty && cPts.isEmpty) assembleParts(out.toSeq)
+        else {
+          // contact points on another pair's contact line or on an areal
+          // piece's closure are not separate components
+          val lineChains = cLines.flatMap(lb => Option(parse(lb)).map(_.rings(0))).toSeq
+          val keptPts = cPts.toSeq.filterNot { case (px, py) =>
+            lineChains.exists { ch =>
+              var i = 0; var hit = false
+              while (i + 3 < ch.length && !hit) {
+                if (GeoGeom.onSegment(px, py, ch(i), ch(i + 1), ch(i + 2), ch(i + 3))) hit = true
+                i += 2
+              }
+              hit
+            } || out.exists { pb =>
+              val dd = GeoGeom.distance(GeoWkb.writePoint(px, py), pb)
+              dd != null && dd.doubleValue() == 0.0
+            }
+          }
+          val mergedLines: Seq[Array[Byte]] =
+            if (cLines.isEmpty) Nil
+            else parse(lineUnion(lineChains)) match {
+              case g if g != null && g.kind == 2 => Seq(GeoGeom.write(g))
+              case g if g != null && g.kind == 5 => g.rings.map(GeoGeom.writeLine).toSeq
+              case _ => return null
+            }
+          assembleMixed(assembleParts(out.toSeq), mergedLines,
+            keptPts.map { case (px, py) => GeoWkb.writePoint(px, py) })
+        }
       case (3, 3) =>
         // convex hole-free clip + hole-free subject: Sutherland-Hodgman;
         // everything else walks boundaries like union/difference
@@ -647,9 +685,12 @@ object GeoGeomOps {
         if (ded.length >= 4 && ded(0) == ded(ded.length - 2) && ded(1) == ded(ded.length - 1)) {
           ded.remove(ded.length - 1); ded.remove(ded.length - 1)
         }
-        if (ded.length < 6) return null
+        // degenerate clip output = no areal overlap: touch-only pairs
+        // yield their boundary contact set (round 9), disjoint → null
+        if (ded.length < 6) return chainsContact(a.rings.toSeq, b.rings.toSeq)
         val ring = (ded ++ Seq(ded(0), ded(1))).toArray
-        if (math.abs(signedArea(ring)) == 0.0) return null
+        if (math.abs(signedArea(ring)) == 0.0)
+          return chainsContact(a.rings.toSeq, b.rings.toSeq)
         GeoGeom.writePolygon(Array(ring))
       case (2, 2) => lineLineIntersection(a.rings(0), b.rings(0))
       // multi/collection operands beyond the all-polygon branch — incl.
@@ -687,7 +728,8 @@ object GeoGeomOps {
       val mx = (s(0) + s(2)) / 2.0; val my = (s(1) + s(3)) / 2.0
       if (!onAnyBoundary(mx, my, ra) && strictlyInside(mx, my, ra)) keep += s
     })
-    if (keep.isEmpty) return null // touch-only: no areal intersection
+    if (keep.isEmpty) // touch-only: the boundary contact set (round 9)
+      return chainsContact(ra.toSeq, rb.toSeq)
     stitchRings(keep.toSeq).map(assemblePolys).orNull
   }
 
@@ -852,8 +894,41 @@ object GeoGeomOps {
       }
       if (curK != startK) return None
       pts(pts.length - 2) = pts(0); pts(pts.length - 1) = pts(1) // exact closure
-      if (pts.length >= 8 && math.abs(signedArea(pts.toArray)) > 1e-12)
-        rings += pts.toArray
+      // decompose at repeated (pinch) vertices into SIMPLE rings (round
+      // 9): a degree-4 vertex lets the endpoint-follow jump between what
+      // are really two distinct rings (corner-touching squares) or a
+      // shell and an inscribed hole, producing an invalid self-touching
+      // figure-8; splitting the trace at each revisit restores the
+      // simple components with their orientations intact
+      val path = scala.collection.mutable.ArrayBuffer[Double]()
+      val at = scala.collection.mutable.Map[(Long, Long), Int]()
+      var pi = 0
+      while (pi < pts.length - 2) {
+        val x = pts(pi); val y = pts(pi + 1)
+        val k = key(x, y)
+        at.get(k) match {
+          case Some(s) =>
+            val cyc = scala.collection.mutable.ArrayBuffer[Double]()
+            var j = s * 2
+            while (j < path.length) { cyc += path(j); j += 1 }
+            cyc += path(s * 2); cyc += path(s * 2 + 1) // exact closure
+            if (cyc.length >= 8 && math.abs(signedArea(cyc.toArray)) > 1e-12)
+              rings += cyc.toArray
+            var r = s
+            while (r < path.length / 2) { at.remove(key(path(r * 2), path(r * 2 + 1))); r += 1 }
+            path.remove(s * 2, path.length - s * 2)
+            at(k) = path.length / 2
+            path += x; path += y
+          case None =>
+            at(k) = path.length / 2
+            path += x; path += y
+        }
+        pi += 2
+      }
+      if (path.length >= 6) {
+        path += path(0); path += path(1)
+        if (math.abs(signedArea(path.toArray)) > 1e-12) rings += path.toArray
+      }
     }
     Some(rings.toArray)
   }
@@ -1056,9 +1131,18 @@ object GeoGeomOps {
     * 0-dim portion (POINT / MULTIPOINT, or a GEOMETRYCOLLECTION when
     * both dimensions survive — the GEOS convention). No contact →
     * null (empty-result convention). */
-  private def lineLineIntersection(la: Array[Double], lb: Array[Double]): Array[Byte] = {
+  private def lineLineIntersection(la: Array[Double], lb: Array[Double]): Array[Byte] =
+    chainsContact(Seq(la), Seq(lb))
+
+  /** Contact set of two chain families (polylines or polygon ring
+    * boundaries): the same interval/crossing arithmetic as line ∩ line,
+    * run over every chain pair. This is also polygon ∩ polygon for
+    * TOUCH-ONLY pairs (round 9 third pass — shared edges come back as
+    * noded lines, corner contacts as points, instead of null). */
+  private def chainsContact(las: Seq[Array[Double]], lbs: Seq[Array[Double]]): Array[Byte] = {
     val pieces = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     val touches = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (la <- las; lb <- lbs) {
     var i = 0
     while (i + 3 < la.length) {
       val ax = la(i); val ay = la(i + 1); val bx = la(i + 2); val by = la(i + 3)
@@ -1089,6 +1173,7 @@ object GeoGeomOps {
         }
       }
       i += 2
+    }
     }
     // point contacts subsumed by an overlap piece are not separate
     // components; the isolated ones are the 0-dim portion

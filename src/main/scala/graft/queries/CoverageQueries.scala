@@ -501,10 +501,13 @@ object CoverageQueries {
 
     // GeoIntersection (geospatial.py:426) — the planar-exact convex-clip
     // subset (Sutherland-Hodgman): per-nation rectangles at offsets
-    // 0/2/4/6 produce full / partial / sliver / empty overlaps, a
-    // horizontal line clips to the box span, and point∩polygon keeps or
-    // drops the point. Oracle is exact rectangle-overlap arithmetic
-    // (every clip coordinate lands on the integer grid).
+    // 0/2/4/6 produce full / partial / sliver / TOUCH-ONLY overlaps
+    // (offset 6 shares just the edge x=base+6 — since round 9 that
+    // returns the contact LINESTRING, area 0, 2 points, centroid at the
+    // shared edge's midpoint), a horizontal line clips to the box span,
+    // and point∩polygon keeps or drops the point. Oracle is exact
+    // rectangle-overlap arithmetic (every coordinate on the integer
+    // grid).
     QueryDef("q74_geo_clip", (s, dir) => {
       import graft.functions.geo
       val k = col("n_nationkey")
@@ -543,10 +546,11 @@ object CoverageQueries {
       ov AS (
         SELECT *, LEAST(6.0, off + 4.0) - off AS w FROM t)
       SELECT n_nationkey,
-        CASE WHEN w > 0 THEN w * 4.0 END AS ix_area,
-        CASE WHEN w > 0 THEN 5 END AS ix_np,
-        CASE WHEN w > 0 THEN base + (off + LEAST(6.0, off + 4.0)) / 2.0 END AS ix_cx,
-        CASE WHEN w > 0 THEN 4.0 END AS ix_cy,
+        CASE WHEN w > 0 THEN w * 4.0 ELSE 0.0 END AS ix_area,
+        CASE WHEN w > 0 THEN 5 ELSE 2 END AS ix_np,
+        CASE WHEN w > 0 THEN base + (off + LEAST(6.0, off + 4.0)) / 2.0
+             ELSE base + 6.0 END AS ix_cx,
+        4.0 AS ix_cy,
         6.0 AS clip_len,
         base AS clip_sx,
         CASE WHEN m8 <= 6 THEN base + m8 END AS pt_x
@@ -851,6 +855,69 @@ object CoverageQueries {
         'MULTILINESTRING' AS t_type,
         4.0 + span AS t_len,
         6 AS t_np
+      FROM t ORDER BY 1""")),
+
+    // Touch-only polygon contacts (round 9 third pass): pairs whose
+    // interiors are disjoint but whose boundaries meet return the
+    // CONTACT SET instead of null — a full shared edge and a partial
+    // (T-tile) shared edge as LINESTRINGs, a corner as a POINT, and a
+    // MULTIPOLYGON edge-touching a bridge square on both sides as a
+    // MULTILINESTRING; the same pairs' unions merge across the shared
+    // edges. Every length/area is closed-form in the nation key.
+    QueryDef("q74j_geo_touch_contacts", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      val base = (k * 10000).cast("double")
+      val h = (k % 3 + 2).cast("double") // 2..4
+      def rect(x0: org.apache.spark.sql.Column, y0: Double,
+          w: Double, hC: org.apache.spark.sql.Column) =
+        geo.makePolygon(array(
+          geo.point(x0, lit(y0)), geo.point(x0 + w, lit(y0)),
+          geo.point(x0 + w, hC + y0), geo.point(x0, hC + y0)))
+      // full shared edge x = base+4, y in [0,h]
+      val e1 = rect(base, 0, 4, h); val e2 = rect(base + 4.0, 0, 3, h)
+      val eI = geo.intersection(e1, e2); val eU = geo.union(e1, e2)
+      // corner contact at (base+102, 2)
+      val c1 = rect(base + 100.0, 0, 2, lit(2.0))
+      val c2 = geo.makePolygon(array(
+        geo.point(base + 102.0, lit(2.0)), geo.point(base + 104.0, lit(2.0)),
+        geo.point(base + 104.0, lit(4.0)), geo.point(base + 102.0, lit(4.0))))
+      val cI = geo.intersection(c1, c2); val cU = geo.union(c1, c2)
+      // partial shared edge: t2's bottom rides the middle of t1's top
+      val t1 = rect(base + 200.0, 0, 6, lit(2.0))
+      val t2 = geo.makePolygon(array(
+        geo.point(base + 201.0, lit(2.0)), geo.point(base + 201.0 + h, lit(2.0)),
+        geo.point(base + 201.0 + h, lit(3.0)), geo.point(base + 201.0, lit(3.0))))
+      val tI = geo.intersection(t1, t2); val tU = geo.union(t1, t2)
+      // multipolygon bridged by an edge-adjacent square on BOTH sides
+      val m = geo.collectGeoms(array(
+        rect(base + 300.0, 0, 2, lit(2.0)), rect(base + 304.0, 0, 2, lit(2.0))))
+      val bridge = rect(base + 302.0, 0, 2, lit(2.0))
+      val mI = geo.intersection(m, bridge); val mU = geo.union(m, bridge)
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        geo.geometryType(eI).as("e_type"), round(geo.length(eI), 6).as("e_len"),
+        geo.geometryType(eU).as("e_utype"), round(geo.area(eU), 6).as("e_uarea"),
+        geo.geometryType(cI).as("c_type"),
+        (geo.distance(cI, geo.point(base + 102.0, lit(2.0))) === 0.0).as("c_at"),
+        geo.geometryType(cU).as("c_utype"), round(geo.area(cU), 6).as("c_uarea"),
+        geo.geometryType(tI).as("t_type"), round(geo.length(tI), 6).as("t_len"),
+        geo.geometryType(tU).as("t_utype"), round(geo.area(tU), 6).as("t_uarea"),
+        geo.geometryType(mI).as("m_type"), round(geo.length(mI), 6).as("m_len"),
+        geo.geometryType(mU).as("m_utype"), round(geo.area(mU), 6).as("m_uarea"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      WITH t AS (SELECT n_nationkey, CAST(n_nationkey % 3 + 2 AS DOUBLE) AS h FROM nation)
+      SELECT n_nationkey,
+        'LINESTRING' AS e_type, h AS e_len,
+        'POLYGON' AS e_utype, 7.0 * h AS e_uarea,
+        'POINT' AS c_type, TRUE AS c_at,
+        'MULTIPOLYGON' AS c_utype, 8.0 AS c_uarea,
+        'LINESTRING' AS t_type, h AS t_len,
+        'POLYGON' AS t_utype, 12.0 + h AS t_uarea,
+        'MULTILINESTRING' AS m_type, 4.0 AS m_len,
+        'POLYGON' AS m_utype, 12.0 AS m_uarea
       FROM t ORDER BY 1""")),
 
     // UTM reprojection (round 4; GeoTransform geospatial.py:450 beyond the

@@ -527,6 +527,50 @@ class GeoMultiSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 16.0) < 1e-9)
   }
 
+  test("touch-only polygon intersections return the boundary contact set (round 9)") {
+    def wkt(c: org.apache.spark.sql.Column) = geo.asText(c)
+    val r = one.select(
+      // full shared edge → LINESTRING
+      wkt(geo.intersection(rect(0, 0, 1, 1), rect(1, 0, 1, 1))).as("edge"),
+      // corner-only contact → POINT
+      wkt(geo.intersection(rect(0, 0, 1, 1), rect(1, 1, 1, 1))).as("corner"),
+      // partial shared edge (T-tile) → the overlapped stretch only
+      wkt(geo.intersection(rect(0, 1, 2, 1),
+        geo.makePolygon(pts((0.5, 0), (1.5, 0), (1.5, 1), (0.5, 1))))).as("partial"),
+      // L-shape sharing an edge AND a collinear continuation corner:
+      // contact pieces merge across the shared vertex
+      wkt(geo.intersection(
+        geo.makePolygon(pts((0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3))),
+        rect(1, 1, 2, 2))).as("lshape"),
+      // multipolygon side: edge contact with one part, corner with the
+      // other → GEOMETRYCOLLECTION(line, point)
+      wkt(geo.intersection(
+        geo.collectGeoms(array(rect(0, 0, 1, 1), rect(2, 2, 1, 1))),
+        rect(1, 0, 1, 2))).as("multi"),
+      // square exactly filling a hole → the closed hole ring (assert by
+      // type + length: the chain's start vertex is stitch-order defined)
+      geo.geometryType(geo.intersection(
+        geo.difference(rect(0, 0, 4, 4), rect(1, 1, 2, 2)),
+        rect(1, 1, 2, 2))).as("hole_t"),
+      geo.length(geo.intersection(
+        geo.difference(rect(0, 0, 4, 4), rect(1, 1, 2, 2)),
+        rect(1, 1, 2, 2))).as("hole_len"),
+      // overlapping interiors still produce the areal intersection
+      wkt(geo.intersection(rect(0, 0, 2, 2), rect(1, 1, 2, 2))).as("areal"),
+      // disjoint pairs stay null (empty-result convention)
+      geo.intersection(rect(0, 0, 1, 1), rect(5, 5, 1, 1)).isNull.as("disjoint"))
+      .collect().head
+    assert(r.getString(0) == "LINESTRING (1 0, 1 1)")
+    assert(r.getString(1) == "POINT (1 1)")
+    assert(r.getString(2) == "LINESTRING (0.5 1, 1.5 1)")
+    assert(r.getString(3) == "LINESTRING (3 1, 1 1, 1 3)")
+    assert(r.getString(4) == "GEOMETRYCOLLECTION (LINESTRING (1 0, 1 1), POINT (2 2))")
+    assert(r.getString(5) == "LINESTRING")
+    assert(r.getDouble(6) == 8.0)
+    assert(r.getString(7).startsWith("POLYGON"))
+    assert(r.getBoolean(8))
+  }
+
   test("multi WKB round-trips through flip twice") {
     val mp = geo.collectGeoms(array(rect(0, 0, 2, 2), rect(5, 1, 3, 3)))
     val r = one.select(

@@ -300,7 +300,8 @@ class GeoOpsSpec extends SparkSpec {
       geo.asText(geo.intersection(geo.point(lit(1.0), lit(1.0)), a)).as("pt"),
       geo.intersection(geo.point(lit(9.0), lit(9.0)), a).isNull.as("ptOut"),
       geo.intersection(a, square(10, 10, 2)).isNull.as("empty"),
-      geo.intersection(a, square(6, 0, 4)).isNull.as("edgeTouch"))
+      // touch-only pairs return the boundary contact set since round 9
+      geo.asText(geo.intersection(a, square(6, 0, 4))).as("edgeTouch"))
       .collect().head
     assert(r.getDouble(0) == 4.0)
     assert(r.getString(1) == "POLYGON ((6 4, 4 4, 4 6, 6 6, 6 4))" ||
@@ -309,7 +310,8 @@ class GeoOpsSpec extends SparkSpec {
     assert(r.getDouble(2) == 7.0)
     assert(r.getDouble(3) == 6.0)
     assert(r.getString(4) == "POINT (1 1)")
-    assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7))
+    assert(r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getString(7) == "LINESTRING (6 0, 6 4)")
   }
 
   test("SQL registration: new geo_* functions callable from SQL text") {

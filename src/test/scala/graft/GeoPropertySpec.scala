@@ -110,7 +110,15 @@ class GeoPropertySpec extends AnyFunSuite {
         assert(GeoGeom.area(ix).doubleValue() == w.toDouble * h)
         assert(GeoGeomOps.covers(a, ix).booleanValue())
         assert(GeoGeomOps.covers(b, ix).booleanValue())
-      } else assert(ix == null, "degenerate/empty overlap must be null")
+      } else if ((w == 0 && h > 0) || (h == 0 && w > 0)) {
+        // touch-only shared edge → the contact LINESTRING (round 9)
+        assert(ix != null, s"expected edge contact ($w x $h)")
+        assert(GeoGeom.parse(ix).kind == 2)
+        assert(GeoGeom.length(ix).doubleValue() == math.max(w, h).toDouble)
+      } else if (w == 0 && h == 0) {
+        // corner contact → the touch POINT
+        assert(ix != null && GeoGeom.parse(ix).kind == 1)
+      } else assert(ix == null, "disjoint pair must be null")
     }
   }
 
@@ -122,7 +130,13 @@ class GeoPropertySpec extends AnyFunSuite {
         val ia = GeoGeom.area(ix).doubleValue()
         assert(ia <= GeoGeom.area(a).doubleValue() + 1e-9)
         assert(ia <= GeoGeom.area(b).doubleValue() + 1e-9)
-        assert(ia > 0.0)
+        val kind = GeoGeom.parse(ix).kind
+        if (kind == 3 || kind == 6) assert(ia > 0.0)
+        else {
+          // touch-only contact set (round 9): zero area, operands touch
+          assert(ia == 0.0)
+          assert(GeoGeomOps.touches(a, b).booleanValue())
+        }
       }
     }
   }
