@@ -354,6 +354,44 @@ object MiscQueries {
           (SELECT SUM(n_nationkey) FROM nation WHERE n_regionkey = 0) AS BIGINT) AS key_sum,
         (SELECT COUNT(*) FROM nation WHERE n_regionkey = 1) AS n_r1""")),
 
+    // Native Delta DELETION VECTORS (round 9, protocol v3): a DV-writing
+    // DELETE (DeltaWrite.deleteWhere) marks rows dead in roaring-bitmap
+    // sidecars without rewriting any data file; a second DELETE merges
+    // into the existing DVs; the read side drops marked rows via
+    // _metadata.row_index. Latest state, both pre-delete time-travel
+    // versions and the value sums are all recomputed by the oracle from
+    // the same supplier input — a mis-decoded bitmap or off-by-one row
+    // index breaks the hash.
+    QueryDef("q98f_delta_delete", (s, dir) => {
+      val base = "/root/repo/target/delta_dv"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val sup = Table(supplier(s, dir))
+        .selectNames("s_suppkey", "s_nationkey", "s_acctbal")
+      sup.toDelta(base)                                              // v0
+      graft.sources.DeltaWrite.deleteWhere(s, base,
+        col("s_suppkey") % 3 === 0)                                  // v1: DV delete
+      graft.sources.DeltaWrite.deleteWhere(s, base,
+        col("s_nationkey") < 5)                                      // v2: merges DVs
+      val latest = Table.readDelta(s, base).df
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("s_suppkey")).cast("long").as("key_sum"),
+          sum(col("s_acctbal").cast("decimal(38,4)")).cast("double").as("bal_sum"))
+      val v1 = Table.readDelta(s, base, asOfVersion = Some(1L)).df
+        .agg(count(lit(1)).as("n_v1"))
+      val v0 = Table.readDelta(s, base, asOfVersion = Some(0L)).df
+        .agg(count(lit(1)).as("n_v0"))
+      latest.crossJoin(v1).crossJoin(v0)
+    }, Some("""
+      SELECT
+        (SELECT COUNT(*) FROM supplier
+          WHERE s_suppkey % 3 <> 0 AND s_nationkey >= 5) AS n_latest,
+        (SELECT CAST(SUM(s_suppkey) AS BIGINT) FROM supplier
+          WHERE s_suppkey % 3 <> 0 AND s_nationkey >= 5) AS key_sum,
+        (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(38,4))) AS DOUBLE) FROM supplier
+          WHERE s_suppkey % 3 <> 0 AND s_nationkey >= 5) AS bal_sum,
+        (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 3 <> 0) AS n_v1,
+        (SELECT COUNT(*) FROM supplier) AS n_v0""")),
+
     // Arrow IPC ROUND-TRIP (interop/ArrowExport + ArrowImport — the
     // reference's Arrow-first contract both directions): a frame carrying
     // decimals, token arrays, structs and maps is exported as an Arrow

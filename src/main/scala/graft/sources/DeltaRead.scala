@@ -2,9 +2,9 @@ package graft.sources
 
 import java.io.File
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Native Delta Lake READ — no delta-spark jar required.
   *
@@ -14,13 +14,31 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `%020d.checkpoint.parquet` or multi-part
   * `%020d.checkpoint.%010d.%010d.parquet`). Replaying add/remove actions
   * yields the active file set; the latest `metaData` action carries the
-  * schema (Spark StructType JSON) and partition columns. This implements
-  * exactly that for protocol-v1 tables, and FAILS CLEARLY (rather than
-  * returning wrong data) when: `protocol.minReaderVersion` demands
-  * reader features this replay lacks (deletion vectors, column mapping);
-  * the surviving log is NOT contiguous from a checkpoint or version 0
-  * (mid-log replay would silently return a partial table); or a
-  * requested time-travel version does not exist.
+  * schema (Spark StructType JSON), partition columns and table
+  * configuration. Within a commit, removes reconcile before adds (the
+  * protocol's set semantics — a DV-update commit re-adds the same path).
+  *
+  * Protocol support (round 9 extends v1 → v2/v3):
+  *   - **Column mapping** (reader v2, or the `columnMapping` feature):
+  *     modes `name` and `id` — files are read under the RECURSIVE
+  *     physical schema (`delta.columnMapping.physicalName` at every
+  *     nesting level) and renamed back to logical names by a
+  *     struct-positional cast, which handles nested structs, arrays and
+  *     maps in one expression. `partitionValues` keys are physical.
+  *   - **Deletion vectors** (reader v3 + `deletionVectors` feature):
+  *     each add's descriptor resolves through [[DeletionVectors]]
+  *     (u/p/inline storage, portable RoaringBitmapArray) to the file's
+  *     deleted row positions; the scan attaches
+  *     `_metadata.file_path/row_index` and drops marked rows with a
+  *     broadcast binary-search filter before any downstream operator.
+  *   - Reader-v3 tables gate on the feature list: only
+  *     {deletionVectors, columnMapping, timestampNtz,
+  *     vacuumProtocolCheck} are accepted; anything else (v2Checkpoint,
+  *     type widening, ...) FAILS CLEARLY rather than reading wrongly.
+  *
+  * Also fails clearly on: non-contiguous logs (aged-out prefix without a
+  * covering checkpoint — mid-log replay would silently return a partial
+  * table) and time travel to nonexistent versions.
   *
   * Partition columns come from each add action's `partitionValues` —
   * the protocol's authoritative source (directory layout is only a
@@ -29,20 +47,29 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Scale: the log is bounded by table history (thousands of commits ≈
   * MBs of JSON; checkpoints collapse it), so replay is driver-side
-  * metadata work; the DATA read is a plain pruned parquet scan over the
-  * active files. (Reference surface: `read_delta`,
-  * backends/pyspark/__init__.py:801.)
+  * metadata work; DV bitmaps are per-file and ride one broadcast; the
+  * DATA read is a plain pruned parquet scan over the active files.
+  * (Reference surface: `read_delta`, backends/pyspark/__init__.py:801.)
   */
 object DeltaRead {
 
+  /** One active file: its partitionValues map (authoritative; keys are
+    * PHYSICAL names under column mapping) and the deletionVector
+    * descriptor JSON (null when none). */
+  private[sources] case class AddEntry(pv: Map[String, String], dvJson: String)
+
   private[sources] case class LogState(
     var minReader: Int = 1,
+    var readerFeatures: Set[String] = Set.empty,
     var schemaJson: String = null,
     var partitionCols: Seq[String] = Seq.empty,
+    var configuration: Map[String, String] = Map.empty,
     var version: Long = -1L,
-    // path → partitionValues (the add action's map, authoritative)
-    active: scala.collection.mutable.LinkedHashMap[String, Map[String, String]] =
+    active: scala.collection.mutable.LinkedHashMap[String, AddEntry] =
       scala.collection.mutable.LinkedHashMap.empty)
+
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck")
 
   /** Relative paths of the currently active files — the remove set an
     * overwrite commit must publish ([[DeltaWrite]]). */
@@ -61,16 +88,62 @@ object DeltaRead {
     if (!any) None else Some(replay(spark, path, None))
   }
 
+  private[sources] def checkProtocol(st: LogState, path: String): Unit = {
+    require(st.minReader <= 3,
+      s"Delta table at $path requires minReaderVersion=${st.minReader}; " +
+        "this native reader implements protocol v1-v3 (column mapping, " +
+        "deletion vectors) — read it with delta-spark instead")
+    if (st.minReader == 3) {
+      val unsupported = st.readerFeatures -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"Delta table at $path requires reader features " +
+          s"${unsupported.toSeq.sorted.mkString("[", ",", "]")} this native " +
+          "reader does not implement — read it with delta-spark instead")
+    }
+  }
+
+  private[sources] def columnMapped(st: LogState): Boolean = {
+    val mode = st.configuration.getOrElse("delta.columnMapping.mode", "none")
+    mode == "name" || mode == "id"
+  }
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The schema as stored in the files: every field renamed to its
+    * physical name, recursively through structs, arrays and maps. */
+  private def physType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(name = physName(f), dataType = physType(f.dataType))))
+    case a: ArrayType => a.copy(elementType = physType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = physType(m.keyType), valueType = physType(m.valueType))
+    case o => o
+  }
+
+  private def colq(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** Read a Delta table at its latest version (or `asOfVersion`). */
   def readDelta(spark: SparkSession, path: String,
-      asOfVersion: Option[Long] = None): DataFrame = {
+      asOfVersion: Option[Long] = None): DataFrame =
+    read0(spark, path, asOfVersion, lineage = false)
+
+  /** The live rows plus their physical lineage — `_graft_file` (the
+    * scan's file-path URI) and `_graft_pos` (row index within the file):
+    * what a DV-writing DELETE needs ([[DeltaWrite.deleteWhere]]). */
+  private[sources] def readWithLineage(spark: SparkSession, path: String): DataFrame =
+    read0(spark, path, None, lineage = true)
+
+  private def read0(spark: SparkSession, path: String,
+      asOfVersion: Option[Long], lineage: Boolean): DataFrame = {
     val st = replay(spark, path, asOfVersion)
-    require(st.minReader <= 1,
-      s"Delta table at $path requires minReaderVersion=${st.minReader}; " +
-        "this native reader implements protocol v1 only (no deletion " +
-        "vectors / column mapping) — read it with delta-spark instead")
+    checkProtocol(st, path)
     require(st.schemaJson != null, s"Delta log at $path has no metaData action")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val mapped = columnMapped(st)
 
     def resolve(p: String): String = {
       // percent-decode only: URLDecoder's '+'→space rule would corrupt a
@@ -80,33 +153,85 @@ object DeltaRead {
       else new File(path, decoded).getAbsolutePath
     }
 
-    if (st.active.isEmpty) {
-      spark.createDataFrame(
+    if (st.active.isEmpty)
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else if (st.partitionCols.isEmpty) {
-      spark.read.schema(schema)
-        .parquet(st.active.keys.toSeq.map(resolve): _*)
-        .select(schema.fieldNames.map(col).toSeq: _*)
+
+    // deletion vectors: absolute file path → sorted deleted row indices
+    val dvIdx: Map[String, Array[Long]] = st.active.toSeq.flatMap { case (p, e) =>
+      Option(e.dvJson).map { j =>
+        new File(resolve(p)).getAbsolutePath ->
+          DeletionVectors.readDescriptor(parseDvDescriptor(j), new File(path))
+      }
+    }.toMap
+    val dvFilter: Option[Column] = if (dvIdx.isEmpty) None else {
+      val bc = spark.sparkContext.broadcast(dvIdx)
+      val deleted = udf { (fp: String, ri: java.lang.Long) =>
+        val arr = bc.value.getOrElse(new java.net.URI(fp).getPath, null)
+        arr != null && ri != null &&
+          java.util.Arrays.binarySearch(arr, ri.longValue()) >= 0
+      }
+      Some(!deleted(col("_metadata.file_path"), col("_metadata.row_index")))
+    }
+
+    val dataFields = schema.fields.filterNot(f => st.partitionCols.contains(f.name)).toSeq
+    val readSchema =
+      if (mapped) physType(StructType(dataFields)).asInstanceOf[StructType]
+      else StructType(dataFields)
+    // logical partition column → the physicalValues key for its values
+    val pvKey: Map[String, String] = schema.fields
+      .filter(f => st.partitionCols.contains(f.name))
+      .map(f => f.name -> (if (mapped) physName(f) else f.name)).toMap
+
+    def scan(allFiles: Seq[String], pv: Map[String, String]): DataFrame = {
+      // files WITHOUT a DV scan clean — no metadata columns, no per-row
+      // filter; only DV-carrying files pay for the row-index check.
+      // Metadata columns resolve per relation, so the data select (and
+      // lineage columns) happen per scan, before the union.
+      val (dvFiles, cleanFiles) = allFiles.partition(f =>
+        dvIdx.contains(new File(f).getAbsolutePath))
+      def scanPart(files: Seq[String], withDv: Boolean): DataFrame = {
+        var df = spark.read.schema(readSchema).parquet(files: _*)
+        if (withDv) dvFilter.foreach(f => df = df.filter(f))
+        // physical → logical rename: a struct-positional cast renames
+        // every nesting level in one expression (types are identical, so
+        // values pass through unchanged, nulls included)
+        val lineageCols =
+          if (lineage) Seq(col("_metadata.file_path").as("_graft_file"),
+            col("_metadata.row_index").as("_graft_pos"))
+          else Seq.empty
+        df.select(dataFields.zipWithIndex.map { case (f, i) =>
+          val c = colq(readSchema.fields(i).name)
+          (if (mapped) c.cast(f.dataType) else c).as(f.name)
+        } ++ lineageCols: _*)
+      }
+      var out =
+        if (dvFiles.isEmpty) scanPart(cleanFiles, withDv = false)
+        else if (cleanFiles.isEmpty) scanPart(dvFiles, withDv = true)
+        else scanPart(cleanFiles, withDv = false)
+          .unionByName(scanPart(dvFiles, withDv = true))
+      st.partitionCols.foreach { c =>
+        val field = schema(c)
+        val raw = pv.get(pvKey(c)).orNull
+        val v = if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
+                else lit(raw)
+        out = out.withColumn(c, v.cast(field.dataType))
+      }
+      val tail = if (lineage) Seq(col("_graft_file"), col("_graft_pos")) else Seq.empty
+      out.select(schema.fieldNames.map(colq).toSeq ++ tail: _*)
+    }
+
+    if (st.partitionCols.isEmpty) {
+      scan(st.active.keys.toSeq.map(resolve), Map.empty)
     } else {
       // partition values come from the ADD ACTIONS (protocol-authoritative;
       // hive-style dirs are only a convention some writers follow): one
       // scan per distinct partition tuple with literal columns, unioned —
       // bounded by the table's partition count
-      val dataSchema = StructType(schema.filterNot(f => st.partitionCols.contains(f.name)))
-      val byPartition = st.active.toSeq.groupBy(_._2)
-      val parts = byPartition.toSeq.map { case (pv, files) =>
-        var df = spark.read.schema(dataSchema)
-          .parquet(files.map(f => resolve(f._1)): _*)
-        st.partitionCols.foreach { c =>
-          val field = schema(c)
-          val raw = pv.get(c).orNull
-          val v = if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
-                  else lit(raw)
-          df = df.withColumn(c, v.cast(field.dataType))
-        }
-        df.select(schema.fieldNames.map(col).toSeq: _*)
-      }
-      parts.reduce(_ unionByName _)
+      val byPartition = st.active.toSeq.groupBy(_._2.pv)
+      byPartition.toSeq.map { case (pv, files) =>
+        scan(files.map(f => resolve(f._1)), pv)
+      }.reduce(_ unionByName _)
     }
   }
 
@@ -171,9 +296,23 @@ object DeltaRead {
 
     def applyActions(df: DataFrame): Unit = {
       val cols = df.columns.toSet
+      def addSub(name: String): Boolean =
+        cols("add") && df.select(col("add.*")).columns.contains(name)
       val pvCol =
-        if (cols("add") && df.select(col("add.*")).columns.contains("partitionValues"))
-          to_json(col("add.partitionValues")).cast("string")
+        if (addSub("partitionValues")) to_json(col("add.partitionValues")).cast("string")
+        else lit(null).cast("string")
+      val dvCol =
+        if (addSub("deletionVector")) to_json(col("add.deletionVector")).cast("string")
+        else lit(null).cast("string")
+      val featCol =
+        if (cols("protocol") &&
+            df.select(col("protocol.*")).columns.contains("readerFeatures"))
+          col("protocol.readerFeatures").cast("array<string>")
+        else lit(null).cast("array<string>")
+      val confCol =
+        if (cols("metaData") &&
+            df.select(col("metaData.*")).columns.contains("configuration"))
+          to_json(col("metaData.configuration")).cast("string")
         else lit(null).cast("string")
       val rows = df.select(
         (if (cols("protocol")) col("protocol.minReaderVersion") else lit(null)).cast("int"),
@@ -183,17 +322,27 @@ object DeltaRead {
         (if (cols("add")) col("add.path") else lit(null)).cast("string"),
         (if (cols("remove")) col("remove.path") else lit(null)).cast("string"),
         // struct (json inference) or map (real checkpoints) → uniform JSON
-        pvCol
+        pvCol,
+        dvCol,
+        featCol,
+        confCol
       ).collect()
+      // the protocol reconciles a commit as a SET: removes apply before
+      // adds, so a DV-update commit (remove path + re-add with the new
+      // descriptor) keeps the file regardless of line order
       rows.foreach { r =>
         if (!r.isNullAt(0)) st.minReader = r.getInt(0)
+        if (!r.isNullAt(7)) st.readerFeatures = r.getSeq[String](7).toSet
         if (!r.isNullAt(1)) st.schemaJson = r.getString(1)
         if (!r.isNullAt(2)) st.partitionCols = r.getSeq[String](2)
+        if (!r.isNullAt(8)) st.configuration = parseStringMap(r.getString(8))
         if (!r.isNullAt(4)) st.active.remove(r.getString(4))
+      }
+      rows.foreach { r =>
         if (!r.isNullAt(3)) {
           val pv: Map[String, String] =
-            if (r.isNullAt(5)) Map.empty else parsePartitionValues(r.getString(5))
-          st.active.put(r.getString(3), pv)
+            if (r.isNullAt(5)) Map.empty else parseStringMap(r.getString(5))
+          st.active.put(r.getString(3), AddEntry(pv, if (r.isNullAt(6)) null else r.getString(6)))
         }
       }
     }
@@ -208,8 +357,9 @@ object DeltaRead {
     st
   }
 
-  /** Flat string→string JSON object → Map (partitionValues shape). */
-  private def parsePartitionValues(json: String): Map[String, String] = {
+  /** Flat string→string JSON object → Map (partitionValues /
+    * configuration shape). */
+  private def parseStringMap(json: String): Map[String, String] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     JsonMethods.parseOpt(json) match {
@@ -218,6 +368,32 @@ object DeltaRead {
         case (k, JNull) => k -> null
       }.toMap
       case _ => Map.empty
+    }
+  }
+
+  /** `add.deletionVector` JSON → descriptor. */
+  private[sources] def parseDvDescriptor(json: String): DeletionVectors.Descriptor = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parseOpt(json) match {
+      case Some(JObject(fields)) =>
+        val m = fields.toMap
+        def str(k: String): String = m.get(k) match {
+          case Some(JString(v)) => v
+          case _ => throw new IllegalArgumentException(
+            s"deletionVector descriptor missing '$k': $json")
+        }
+        def num(k: String): Option[Long] = m.get(k) match {
+          case Some(JInt(v)) => Some(v.toLong)
+          case Some(JLong(v)) => Some(v)
+          case _ => None
+        }
+        DeletionVectors.Descriptor(str("storageType"), str("pathOrInlineDv"),
+          num("offset").map(_.toInt),
+          num("sizeInBytes").getOrElse(throw new IllegalArgumentException(
+            s"deletionVector descriptor missing 'sizeInBytes': $json")).toInt,
+          num("cardinality").getOrElse(-1L))
+      case _ => throw new IllegalArgumentException(s"bad deletionVector JSON: $json")
     }
   }
 }

@@ -59,6 +59,13 @@ object DeltaWrite {
     val prior = DeltaRead.currentState(df.sparkSession, path)
     val version = prior.map(_.version + 1).getOrElse(0L)
     prior.foreach { st =>
+      // files this writer emits carry LOGICAL column names; committing
+      // them into a column-mapped table would read back as all-null
+      require(!Seq("name", "id").contains(
+        st.configuration.getOrElse("delta.columnMapping.mode", "none")),
+        s"table at $path uses column mapping " +
+          s"(${st.configuration("delta.columnMapping.mode")} mode); " +
+          "write it with delta-spark instead")
       if (mode == SaveMode.Append)
         require(st.partitionCols == partitionBy,
           s"append partitioning ${partitionBy.mkString("[", ",", "]")} does not match " +
@@ -147,6 +154,88 @@ object DeltaWrite {
     version
   }
 
+  /** DELETE rows matching `condition` by writing DELETION VECTORS — the
+    * protocol's no-rewrite delete (PROTOCOL.md "Deletion Vectors"): the
+    * data files stay untouched; each touched file gets a bitmap of its
+    * deleted row positions in a `deletion_vector_<uuid>.bin` sidecar
+    * ([[DeletionVectors]]), and one commit re-adds the file with the
+    * descriptor (remove + add, the protocol's DV-update shape). Prior
+    * DVs merge (a second delete unions row sets). The first DV commit
+    * upgrades the table to reader v3 / writer v7 with the
+    * `deletionVectors` feature — exactly what delta-spark's DELETE does.
+    * Matching row positions come to the driver grouped per file
+    * (bounded by the deleted cardinality, the same driver-side model
+    * delta-spark uses for DV serialization). Returns the committed
+    * version; a DELETE matching nothing commits nothing. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, collect_list}
+    val st = DeltaRead.currentState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no Delta table at $path"))
+    DeltaRead.checkProtocol(st, path)
+    val table = new File(path)
+    val logDir = new File(table, "_delta_log")
+    // live rows matching the predicate, grouped by physical file
+    val matches = DeltaRead.readWithLineage(spark, path)
+      .filter(condition)
+      .groupBy(col("_graft_file"))
+      .agg(collect_list(col("_graft_pos")).as("pos"))
+      .collect()
+    if (matches.isEmpty) return st.version
+    def resolveAbs(p: String): String = {
+      val decoded = java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+      val f = if (decoded.startsWith("/")) new File(decoded) else new File(table, decoded)
+      f.getAbsolutePath
+    }
+    val absToRel: Map[String, String] =
+      st.active.keys.map(p => resolveAbs(p) -> p).toMap
+    val perPath: Seq[(String, Array[Long])] = matches.toSeq.map { r =>
+      val abs = new File(new java.net.URI(r.getString(0)).getPath).getAbsolutePath
+      val rel = absToRel.getOrElse(abs,
+        throw new IllegalStateException(s"scanned file $abs not in the active set"))
+      val fresh = r.getSeq[Long](1).toArray
+      val entry = st.active(rel)
+      val merged =
+        if (entry.dvJson == null) { java.util.Arrays.sort(fresh); fresh }
+        else (DeletionVectors.readDescriptor(
+          DeltaRead.parseDvDescriptor(entry.dvJson), table) ++ fresh).distinct.sorted
+      rel -> merged
+    }
+    val descriptors = DeletionVectors.writeDvFile(table, perPath)
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    if (st.minReader < 3 || !st.readerFeatures.contains("deletionVectors")) {
+      val readerFeats = (st.readerFeatures + "deletionVectors" ++
+        (if (DeltaRead.columnMapped(st)) Set("columnMapping") else Set.empty[String]))
+        .toSeq.sorted
+      // legacy minWriterVersion 2 implies appendOnly+invariants; v7 must
+      // list every feature explicitly
+      val writerFeats = (readerFeats ++ Seq("appendOnly", "invariants")).distinct.sorted
+      lines += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":${readerFeats.map(jstr).mkString("[", ",", "]")},""" +
+        s""""writerFeatures":${writerFeats.map(jstr).mkString("[", ",", "]")}}}"""
+    }
+    perPath.foreach { case (rel, _) =>
+      lines += s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    perPath.foreach { case (rel, _) =>
+      val e = st.active(rel)
+      val pvJson = e.pv.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }.mkString("{", ",", "}")
+      val d = descriptors(rel)
+      val dvJson = s"""{"storageType":${jstr(d.storageType)},""" +
+        s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)},"offset":${d.offset.get},""" +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+      lines += s"""{"add":{"path":${jstr(rel)},"partitionValues":$pvJson,""" +
+        s""""size":${new File(resolveAbs(rel)).length()},"modificationTime":$now,""" +
+        s""""dataChange":true,"deletionVector":$dvJson}}"""
+    }
+    publishCommit(logDir, st.version + 1, lines.result(), path)
+    st.version + 1
+  }
+
   /** Collapse the table's current state into a parquet checkpoint at the
     * latest version (+ `_last_checkpoint` pointer), so replay cost stays
     * bounded as history grows — the standard log-maintenance step.
@@ -159,18 +248,27 @@ object DeltaWrite {
     val logDir = new File(new File(path), "_delta_log")
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val protoLine =
+      if (st.minReader >= 3)
+        s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,""" +
+          s""""readerFeatures":${st.readerFeatures.toSeq.sorted.map(jstr).mkString("[", ",", "]")},""" +
+          s""""writerFeatures":${st.readerFeatures.toSeq.sorted.map(jstr).mkString("[", ",", "]")}}}"""
+      else s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":2}}"""
+    val confJson = st.configuration.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }.mkString("{", ",", "}")
     val lines =
-      Seq(s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":2}}""",
+      Seq(protoLine,
         s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
           s""""format":{"provider":"parquet","options":{}},""" +
           s""""schemaString":${jstr(st.schemaJson)},""" +
           s""""partitionColumns":${st.partitionCols.map(jstr).mkString("[", ",", "]")},""" +
-          """"configuration":{}}}""") ++
-      st.active.toSeq.map { case (p, pv) =>
-        val pvJson = pv.toSeq.map { case (k, v) =>
+          s""""configuration":$confJson}}""") ++
+      st.active.toSeq.map { case (p, e) =>
+        val pvJson = e.pv.toSeq.map { case (k, v) =>
           s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }.mkString("{", ",", "}")
+        val dv = if (e.dvJson == null) "" else s""","deletionVector":${e.dvJson}"""
         s"""{"add":{"path":${jstr(p)},"partitionValues":$pvJson,"size":0,""" +
-          s""""modificationTime":0,"dataChange":false}}"""
+          s""""modificationTime":0,"dataChange":false$dv}}"""
       }
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_delta_cp").toFile

@@ -296,21 +296,222 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.readDelta(spark, path).count() == 2)
   }
 
-  test("reader features beyond v1 fail clearly, not wrongly") {
+  test("unsupported reader versions/features fail clearly, not wrongly") {
     val table = Files.createTempDirectory("graft_delta_v3").toFile
     val schemaJson = Seq((1L, "a")).toDF("id", "s").schema.json.replace("\"", "\\\"")
     writeCommit(table, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint","deletionVectors"]}}""",
       s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
     val ex = intercept[IllegalArgumentException] {
       DeltaRead.readDelta(spark, table.getAbsolutePath)
     }
-    assert(ex.getMessage.contains("minReaderVersion=3"))
+    assert(ex.getMessage.contains("v2Checkpoint"))
+    assert(!ex.getMessage.contains("deletionVectors")) // the supported one isn't blamed
+    val table4 = Files.createTempDirectory("graft_delta_v4").toFile
+    writeCommit(table4, 0L, Seq(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}"""))
+    val ex4 = intercept[IllegalArgumentException] {
+      DeltaRead.readDelta(spark, table4.getAbsolutePath)
+    }
+    assert(ex4.getMessage.contains("minReaderVersion=4"))
     // not a delta table at all
     val plain = Files.createTempDirectory("graft_plain").toFile
     val ex2 = intercept[IllegalArgumentException] {
       DeltaRead.readDelta(spark, plain.getAbsolutePath)
     }
     assert(ex2.getMessage.contains("_delta_log"))
+  }
+
+  test("DV codec goldens: z85 reference vector, hand-built portable roaring bytes") {
+    import graft.sources.DeletionVectors
+    // the ZeroMQ Z85 reference test vector
+    assert(DeletionVectors.z85Decode("HelloWorld").toSeq ==
+      Seq(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte))
+    assert(DeletionVectors.z85Encode(
+      Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte)) == "HelloWorld")
+    // portable RoaringBitmapArray for {1,3}: LE magic, 1 bitmap, no-run
+    // cookie, 1 array container (key 0, card 2), offset word, values
+    val golden = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64,             // magic 1681511377 LE
+      1, 0, 0, 0, 0, 0, 0, 0,             // int64 bitmap count = 1
+      0x3a, 0x30, 0, 0,                   // cookie 12346 LE
+      1, 0, 0, 0,                         // container count 1
+      0, 0, 1, 0,                         // key=0, cardinality-1=1
+      16, 0, 0, 0,                        // offset of container data
+      1, 0, 3, 0                          // values 1, 3
+    ).map(_.toByte)
+    assert(DeletionVectors.deserialize(golden).toSeq == Seq(1L, 3L))
+    // our serializer emits byte-identical output for the same set
+    assert(DeletionVectors.serialize(Array(1L, 3L)).toSeq == golden.toSeq)
+    // run-container decode (cookie 12347): runs [5..8] and [100..101]
+    val runGolden = Array[Int](
+      0xd1, 0xd3, 0x39, 0x64, 1, 0, 0, 0, 0, 0, 0, 0,
+      0x3b, 0x30, 0, 0,                   // cookie 12347, (size-1)=0 in high 16
+      1,                                   // run-flag bitset: container 0 is runs
+      0, 0, 5, 0,                         // key=0, cardinality-1=5 (6 values)
+      2, 0,                               // 2 runs (no offsets: size < 4)
+      5, 0, 3, 0,                         // start 5, len-1 3 → 5..8
+      100, 0, 1, 0                        // start 100, len-1 1 → 100..101
+    ).map(_.toByte)
+    assert(DeletionVectors.deserialize(runGolden).toSeq ==
+      Seq(5L, 6L, 7L, 8L, 100L, 101L))
+    // big sets round-trip through the bitmap-container path, and the
+    // 64-bit split works (values above 2^32)
+    val big = (0L until 5000L).map(_ * 2).toArray ++ Array((1L << 32) + 7L)
+    assert(DeletionVectors.deserialize(DeletionVectors.serialize(big)).toSeq == big.toSeq)
+  }
+
+  test("deletion vectors: crafted u-type and inline DVs drop the marked rows") {
+    import graft.sources.DeletionVectors
+    val table = Files.createTempDirectory("graft_delta_dv").toFile
+    val schemaJson = Seq((1L, "a")).toDF("id", "s").schema.json.replace("\"", "\\\"")
+    writePart(table, "part-1.parquet",
+      Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e")).toDF("id", "s"))
+    writePart(table, "part-2.parquet", Seq((10L, "x"), (11L, "y")).toDF("id", "s"))
+    // u-type DV dropping rows 1 and 3 of part-1, written at offset 1
+    val dvs = DeletionVectors.writeDvFile(table, Seq("part-1.parquet" -> Array(1L, 3L)))
+    val d = dvs("part-1.parquet")
+    val dvJson = s"""{"storageType":"u","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    writeCommit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":$dvJson}}""",
+      """{"add":{"path":"part-2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaRead.readDelta(spark, table.getAbsolutePath)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((0L, "a"), (2L, "c"), (4L, "e"), (10L, "x"), (11L, "y")))
+    // inline DV on part-2 dropping row 0
+    val inlineBytes = DeletionVectors.serialize(Array(0L))
+    val inline = DeletionVectors.z85Encode(inlineBytes)
+    writeCommit(table, 1L, Seq(
+      """{"remove":{"path":"part-2.parquet","deletionTimestamp":2,"dataChange":true}}""",
+      s"""{"add":{"path":"part-2.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${inlineBytes.length},"cardinality":1}}}"""))
+    val got2 = DeltaRead.readDelta(spark, table.getAbsolutePath)
+      .as[(Long, String)].collect().toSet
+    assert(got2 == Set((0L, "a"), (2L, "c"), (4L, "e"), (11L, "y")))
+    // time travel to v0 still sees part-2 complete
+    assert(DeltaRead.readDelta(spark, table.getAbsolutePath, Some(0L)).count() == 5)
+  }
+
+  test("deleteWhere writes DVs: no rewrite, merge on second delete, checkpoint keeps them") {
+    import graft.sources.{DeltaWrite, DeltaRead}
+    import org.apache.spark.sql.SaveMode
+    val table = Files.createTempDirectory("graft_delta_del").toFile
+    val path = table.getAbsolutePath
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "s")
+    DeltaWrite.toDelta(df.repartition(3), path)
+    val dataFiles = table.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val v1 = DeltaWrite.deleteWhere(spark, path, col("id") % 10 === 3)
+    assert(v1 == 1L)
+    // the data files were NOT rewritten
+    assert(table.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet == dataFiles)
+    assert(table.listFiles().exists(_.getName.startsWith("deletion_vector_")))
+    val after = DeltaRead.readDelta(spark, path).as[(Long, String)].collect()
+    assert(after.length == 90 && after.forall(_._1 % 10 != 3))
+    // second delete merges with the existing DVs
+    val v2 = DeltaWrite.deleteWhere(spark, path, col("id") < 20)
+    assert(v2 == 2L)
+    val after2 = DeltaRead.readDelta(spark, path).as[(Long, String)].collect()
+    assert(after2.length == 72 &&
+      after2.forall(r => r._1 >= 20 && r._1 % 10 != 3))
+    // no-op delete commits nothing
+    assert(DeltaWrite.deleteWhere(spark, path, col("id") < 0) == 2L)
+    // time travel reads the pre-delete versions
+    assert(DeltaRead.readDelta(spark, path, Some(0L)).count() == 100)
+    assert(DeltaRead.readDelta(spark, path, Some(1L)).count() == 90)
+    // checkpoint carries the DV descriptors; aged-out prefix still reads
+    DeltaWrite.checkpoint(spark, path)
+    new File(new File(table, "_delta_log"), f"${0L}%020d.json").delete()
+    new File(new File(table, "_delta_log"), f"${1L}%020d.json").delete()
+    new File(new File(table, "_delta_log"), f"${2L}%020d.json").delete()
+    assert(DeltaRead.readDelta(spark, path).count() == 72)
+    // vacuum never touches the DV sidecars
+    DeltaWrite.vacuum(spark, path, retentionMs = 0)
+    assert(DeltaRead.readDelta(spark, path).count() == 72)
+    // appends still work after the protocol upgrade
+    DeltaWrite.toDelta(Seq((1000L, "z")).toDF("id", "s"), path, SaveMode.Append)
+    assert(DeltaRead.readDelta(spark, path).count() == 73)
+  }
+
+  test("deleteWhere on a partitioned table: predicate over partition columns") {
+    import graft.sources.{DeltaWrite, DeltaRead}
+    val table = Files.createTempDirectory("graft_delta_delp").toFile
+    val path = table.getAbsolutePath
+    val df = (0L until 40L).map(i => (i, (i % 4).toString, s"v$i")).toDF("id", "p", "s")
+    DeltaWrite.toDelta(df, path, partitionBy = Seq("p"))
+    DeltaWrite.deleteWhere(spark, path, col("p") === "2" && col("id") < 20)
+    val got = DeltaRead.readDelta(spark, path).as[(Long, String, String)].collect()
+    assert(got.length == 35)
+    assert(got.forall(r => !(r._2 == "2" && r._1 < 20)))
+  }
+
+  test("column mapping (name mode): physical names at every level rename back to logical") {
+    import org.apache.spark.sql.types._
+    val table = Files.createTempDirectory("graft_delta_cm").toFile
+    // files carry PHYSICAL names, incl. inside the struct and the array
+    val physDf = Seq(
+      (1L, "a", (10L, "x"), Seq(1, 2)),
+      (2L, "b", (20L, "y"), Seq(3))
+    ).toDF("col-aaa", "col-bbb", "col-ccc", "col-ddd")
+      .withColumn("col-ccc", struct(col("col-ccc._1").as("col-n1"), col("col-ccc._2").as("col-n2")))
+    writePart(table, "part-1.parquet", physDf)
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "col-aaa")),
+      StructField("name", StringType, nullable = true, fm(2, "col-bbb")),
+      StructField("meta", StructType(Seq(
+        StructField("n1", LongType, nullable = true, fm(4, "col-n1")),
+        StructField("n2", StringType, nullable = true, fm(5, "col-n2")))),
+        nullable = true, fm(3, "col-ccc")),
+      StructField("xs", ArrayType(IntegerType), nullable = true, fm(6, "col-ddd"))))
+    val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeCommit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"6"}}}""",
+      """{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaRead.readDelta(spark, table.getAbsolutePath)
+    assert(got.columns.toSeq == Seq("id", "name", "meta", "xs"))
+    assert(got.schema("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("n1", "n2"))
+    val rows = got.selectExpr("id", "name", "meta.n1", "meta.n2", "xs")
+      .as[(Long, String, Long, String, Seq[Int])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "a", 10L, "x", Seq(1, 2)), (2L, "b", 20L, "y", Seq(3))))
+    // a DELETE works on a column-mapped table too (predicate in logical terms)
+    graft.sources.DeltaWrite.deleteWhere(spark, table.getAbsolutePath, col("id") === 1L)
+    val after = DeltaRead.readDelta(spark, table.getAbsolutePath)
+    assert(after.select("name").as[String].collect().toSeq == Seq("b"))
+    // but plain toDelta refuses to write into it (logical-named files
+    // would read back as null)
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.DeltaWrite.toDelta(Seq((3L, "c")).toDF("id", "name"),
+        table.getAbsolutePath, org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(ex.getMessage.contains("column mapping"))
+  }
+
+  test("column mapping with partition columns: physical partitionValues keys") {
+    import org.apache.spark.sql.types._
+    val table = Files.createTempDirectory("graft_delta_cmp").toFile
+    writePart(table, "f1.parquet", Seq(Tuple1(1L), Tuple1(2L)).toDF("col-xx"))
+    writePart(table, "f2.parquet", Seq(Tuple1(3L)).toDF("col-xx"))
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "col-xx")),
+      StructField("region", StringType, nullable = true, fm(2, "col-yy"))))
+    val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeCommit(table, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["region"],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{"col-yy":"east"},"size":1,"modificationTime":1,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"col-yy":"west"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val got = DeltaRead.readDelta(spark, table.getAbsolutePath)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "east"), (2L, "east"), (3L, "west")))
   }
 }
