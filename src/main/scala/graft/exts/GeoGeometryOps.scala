@@ -585,9 +585,11 @@ object GeoGeomOps {
     * collinear overlaps kept from the A side when interiors agree).
     * Round 9: line ∩ ARBITRARY polygon/multi via the general boundary
     * split ([[splitLineByRings]]), line ∩ line via exact collinear
-    * intervals + crossing points ([[lineLineIntersection]]), and point
-    * ∩ anything. Empty, polygon-touch-only outputs and adversarial-
-    * tangency stitches → null, never wrong. */
+    * intervals + crossing points ([[lineLineIntersection]]), point
+    * ∩ anything, and polygon-touch-only pairs returning their boundary
+    * CONTACT SET (edge stretches and isolated points,
+    * [[chainsContact]]). Empty results and the DIVERGENCES §1 remainder
+    * → null, never wrong. */
   def intersection(aB: Array[Byte], bB: Array[Byte]): Array[Byte] = {
     val a = parse(aB); val b = parse(bB)
     if (a == null || b == null) return null
@@ -776,20 +778,19 @@ object GeoGeomOps {
 
   // ---- polygon boolean ops: union / difference --------------------------
   //
-  // GeoUnion (geospatial.py:195) / GeoDifference (:433) geometry OUTPUTS for
-  // the planar-tractable subset: SIMPLE single-ring polygons with
-  // non-degenerate boundary intersections (no collinear partial edge
-  // overlaps beyond the touching-faces case, which classifies correctly via
-  // midpoint-on-boundary). Shortcut paths are exact for ALL polygon pairs:
-  // disjoint → MULTIPOLYGON / identity, containment → identity / shell+hole.
-  // The general path splits every edge at boundary crossings, classifies
-  // each sub-edge by its midpoint (strictly inside / outside / on the other
-  // boundary), keeps the op's side set, and stitches directed sub-edges
-  // back into rings — the same machinery handles concave pairs, which the
-  // Sutherland-Hodgman `intersection` above cannot. Inputs are normalized
-  // CCW so kept edges stitch orientation-consistently; a failed stitch
-  // (adversarial tangency) returns null, never a wrong geometry. GEOS
-  // remains the answer for curves/collections — documented divergence.
+  // GeoUnion (geospatial.py:195) / GeoDifference (:433) geometry OUTPUTS.
+  // Shortcut paths are exact for ALL polygon pairs: disjoint →
+  // MULTIPOLYGON / identity, containment → identity / shell+hole. The
+  // general path splits every edge at boundary crossings, classifies each
+  // sub-edge by its midpoint (strictly inside / outside / on the other
+  // boundary — collinear shared stretches classify by which side each
+  // interior sits on, [[interiorSide]]), keeps the op's side set, and
+  // stitches directed sub-edges back into rings — concave, holed and
+  // exact collinear-overlap tangent pairs included (GeoTangencySpec is
+  // the battery). Inputs are normalized CCW so kept edges stitch
+  // orientation-consistently; a failed stitch returns null, never a
+  // wrong geometry. Current scope and the remaining null classes live in
+  // DIVERGENCES.md §1 — not here, where they'd go stale.
 
   private def reverseRing(r: Array[Double]): Array[Double] = {
     val n = r.length / 2
