@@ -2062,11 +2062,15 @@ object GeoGeomOps {
 
   private final val EarthR = 6378137.0
 
-  /** Is this SRID one geo_transform can reproject? 4326, 3857 (web
-    * mercator), the UTM zones 326zz (north) / 327zz (south), plus the
-    * published-parameter conic/azimuthal set in [[GeoProjections]]
-    * (3035 LAEA Europe, 5070 Conus Albers, 2154 Lambert-93). */
+  /** Is this SRID one geo_transform can reproject? The closed-form
+    * legacy set (4326, 3857 web mercator, UTM 326zz/327zz, and the
+    * [[GeoProjections]] trio 3035/5070/2154) plus everything in
+    * [[ProjEngine]]'s curated EPSG table (state planes, OSGB, polar
+    * stereographic, ED50/ETRS89/NAD83 UTM, ...). */
   def supportedSrid(srid: Int): Boolean =
+    legacySrid(srid) || ProjEngine.knownEpsg(srid)
+
+  private def legacySrid(srid: Int): Boolean =
     srid == 4326 || srid == 3857 ||
       (srid >= 32601 && srid <= 32660) || (srid >= 32701 && srid <= 32760) ||
       GeoProjections.Srids.contains(srid)
@@ -2102,7 +2106,12 @@ object GeoGeomOps {
     if (g == null) return null
     if (fromSrid == toSrid) return setSrid(GeoGeom.write(g), toSrid)
     require(supportedSrid(fromSrid) && supportedSrid(toSrid),
-      s"geo_transform supports EPSG 4326/3857/UTM(326zz,327zz)/3035/5070/2154, got ($fromSrid, $toSrid)")
+      s"geo_transform supports EPSG 4326/3857/UTM(326zz,327zz)/3035/5070/2154 " +
+        s"and the ProjEngine EPSG table, got ($fromSrid, $toSrid)")
+    // SRIDs outside the closed-form legacy set route through the
+    // parameter-driven engine (identical math family, datum shifts incl.)
+    if (!legacySrid(fromSrid) || !legacySrid(toSrid))
+      return convertCrs(bytes, s"EPSG:$fromSrid", s"EPSG:$toSrid")
     val to4326 = toGeo(fromSrid)
     val from4326 = fromGeo(toSrid)
     val fn: (Double, Double) => (Double, Double) =
@@ -2110,6 +2119,20 @@ object GeoGeomOps {
       else if (toSrid == 4326) to4326
       else (x, y) => { val (lon, lat) = to4326(x, y); from4326(lon, lat) }
     setSrid(GeoGeom.write(mapCoords(g, fn)), toSrid)
+  }
+
+  /** GeoConvert (geospatial.py:459): reproject between ANY two CRSs
+    * [[ProjEngine]] can parse — "EPSG:n" from the curated table or a
+    * "+proj=..." published-parameter string — including Helmert datum
+    * shifts (+towgs84) and non-meter units. Output carries the target
+    * EPSG code as EWKB SRID when the target was given as a code. */
+  def convertCrs(bytes: Array[Byte], source: String, target: String): Array[Byte] = {
+    val g = parse(bytes)
+    if (g == null) return null
+    val fn = ProjEngine.transformerFor(source, target)
+    val out = GeoGeom.write(mapCoords(g, fn))
+    val dstSrid = ProjEngine.crs(target).srid
+    if (dstSrid > 0) setSrid(out, dstSrid) else out
   }
 
   /** Apply a coordinate map to every vertex, recursing into Multi* parts
@@ -2134,7 +2157,7 @@ object GeoGeomOps {
   * arXiv:1002.1417 / OGP guidance note 7-2 — public formulas), 4th order in
   * n: error well under a millimeter anywhere inside a UTM zone (the spec
   * cross-checks against an independent Snyder-formula computation). */
-private[exts] object TransverseMercator {
+private[graft] object TransverseMercator {
   private final val A0 = 6378137.0
   private final val F = 1.0 / 298.257223563
   private final val N = F / (2.0 - F)
@@ -2495,6 +2518,44 @@ case class GeoProject(child: Expression, fromSrid: Int, toSrid: Int)
         if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       """
     })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `geo_convert(g, source, target)` — GeoConvert (geospatial.py:459)
+  * between ANY two CRS specs [[ProjEngine]] parses: "EPSG:n" (curated
+  * table) or a "+proj=..." published-parameter string (tmerc/utm/lcc/
+  * aea/laea/merc/polar-stere on any registry ellipsoid, +towgs84 Helmert
+  * datum shifts, +units). Bad specs fail at PLAN time via the type
+  * check, never per-row. */
+case class GeoConvertCrs(child: Expression, source: String, target: String)
+    extends UnaryExpression {
+  override def prettyName: String = "geo_convert"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary WKB input")
+    else try {
+      ProjEngine.crs(source); ProjEngine.crs(target)
+      TypeCheckResult.TypeCheckSuccess
+    } catch {
+      case e: IllegalArgumentException =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName: ${e.getMessage}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    GeoGeomOps.convertCrs(v.asInstanceOf[Array[Byte]], source, target)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val srcRef = ctx.addReferenceObj("src", source, "java.lang.String")
+    val dstRef = ctx.addReferenceObj("dst", target, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("r")
+      s"""
+        byte[] $r = graft.exts.GeoGeomOps.convertCrs($b, $srcRef, $dstRef);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

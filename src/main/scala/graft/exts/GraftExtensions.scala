@@ -206,6 +206,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // SRIDs are constants by nature — literal args only (eval at build)
       (children: Seq[Expression]) => GeoProject(children(0),
         children(1).eval().toString.toInt, children(2).eval().toString.toInt)))
+    ext.injectFunction((
+      FunctionIdentifier("geo_convert"),
+      new ExpressionInfo(classOf[GeoConvertCrs].getName, "geo_convert"),
+      // CRS specs are constants by nature — literal string args only
+      (children: Seq[Expression]) => GeoConvertCrs(children(0),
+        children(1).eval().toString, children(2).eval().toString)))
     ext.injectOptimizerRule(_ => AnchoredRegexSimplification)
   }
 }

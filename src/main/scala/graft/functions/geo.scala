@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.exts.{GeoCoord, GeoIntersectionExpr, GeoLineSubstring, GeoMake, GeoSetOpExpr,
-  GeoMeasure, GeoNPointsExpr, GeoParam, GeoPointN, GeoPointWkb, GeoProject,
+import graft.exts.{GeoConvertCrs, GeoCoord, GeoIntersectionExpr, GeoLineSubstring, GeoMake,
+  GeoSetOpExpr, GeoMeasure, GeoNPointsExpr, GeoParam, GeoPointN, GeoPointWkb, GeoProject,
   GeoRelate, GeoRelate2, GeoText, GeoTransform, GeoUnaryMeta}
 
 /** Geospatial subset over WKB binary columns (SURVEY.md §2.4; reference
@@ -19,15 +19,14 @@ import graft.exts.{GeoCoord, GeoIntersectionExpr, GeoLineSubstring, GeoMake, Geo
   * plus the planar-feasible remainder in [[graft.exts.GeoGeomOps]]:
   * DE-9IM-style predicates (touches/crosses/overlaps/covers/equals),
   * linear referencing (line_locate_point/line_substring), simplify,
-  * azimuth/max_distance, point buffer, SRID/EWKB plumbing, and the
-  * closed-form 4326↔3857 reprojection. Round 4 added Multi* /
-  * GeometryCollection INPUTS to the measure/predicate core (collect
-  * constructor, flattened-ring even-odd semantics), polygon set-op
-  * outputs union/difference/unary_union over simple rings, line_merge,
-  * and intersection for convex clips. Still out of scope (documented
-  * divergence in COVERAGE.md): GEOS-general set ops (curved/collection
-  * operands, collinear-overlap tangencies — null, never wrong),
-  * arbitrary-CRS transform.
+  * azimuth/max_distance, buffer, SRID/EWKB plumbing, set-op geometry
+  * outputs (union/difference/intersection/unary_union/line_merge over
+  * polygons, lines, points, Multi* and collections — exact collinear
+  * tangencies included), and CRS reprojection: integer-SRID
+  * [[transform]] plus string-spec [[convert]] through the
+  * parameter-driven [[graft.exts.ProjEngine]]. The remaining null
+  * classes (inexact near-collinear tangency, non-polar stere / oblique
+  * mercator projections) live in DIVERGENCES.md §1.
   */
 object geo {
   private def ex(c: Column) = org.apache.spark.sql.GraftSqlBridge.expression(c)
@@ -191,10 +190,20 @@ object geo {
   def asEWKB(g: Column): Column = co(GeoUnaryMeta(ex(g), "as_ewkb"))
   def asEWKT(g: Column): Column = co(GeoText(ex(g), "as_ewkt"))
 
-  /** GeoTransform / GeoConvert (geospatial.py:450,459): the closed-form
-    * EPSG:4326 ↔ EPSG:3857 pair (output tagged with the target SRID). */
+  /** GeoTransform (geospatial.py:450): integer-SRID reprojection —
+    * 4326 ↔ 3857 ↔ UTM ↔ the published-parameter set, output tagged
+    * with the target SRID as EWKB. */
   def transform(g: Column, fromSrid: Int, toSrid: Int): Column =
     co(GeoProject(ex(g), fromSrid, toSrid))
+
+  /** GeoConvert (geospatial.py:459): string-CRS reprojection between any
+    * two specs the parameter engine parses — "EPSG:n" from the curated
+    * table, or a "+proj=..." published-parameter string (tmerc/utm/lcc/
+    * aea/laea/merc/polar-stere on any registry ellipsoid, +towgs84
+    * Helmert datum shifts, +units=us-ft etc.). This is the reference's
+    * own contract: its docs convert "EPSG:2263" state-plane feet. */
+  def convert(g: Column, source: String, target: String): Column =
+    co(GeoConvertCrs(ex(g), source, target))
 
   /** GeoIntersection (geospatial.py:426), planar-exact cases: polygon ∩
     * CONVEX polygon (Sutherland-Hodgman, operands swapped if only one is

@@ -1031,6 +1031,71 @@ object CoverageQueries {
         ROUND(30.0 + (n_nationkey % 7)*2.5, 6) AS lat5070_rt
       FROM proj ORDER BY 1""")),
 
+    // Round-9 string-CRS GeoConvert (geospatial.py:459 — the reference's
+    // own docs convert "EPSG:2263" state-plane US-feet) through the
+    // parameter-driven ProjEngine: NY points through EPSG:2263 (LCC 2SP
+    // in ftUS), the ftUS/meter twin invariant vs EPSG:32118, UK points
+    // through EPSG:27700 (tmerc on Airy WITH the 7-param Helmert datum
+    // shift), Antarctic points through EPSG:3031 (polar stereographic),
+    // and a raw "+proj=..." parameter string. The oracle recomputes every
+    // round-trip identity and unit ratio from the same generators —
+    // only real forward+inverse+datum math reproduces the inputs at
+    // 1e-6 degrees.
+    QueryDef("q74k_geo_convert_crs", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      // NY Long Island service area
+      val lonNy = lit(-74.2) + (k % 5).cast("double") * 0.35
+      val latNy = lit(40.5) + (k % 7).cast("double") * 0.1
+      val pNy = geo.point(lonNy, latNy)
+      val ny = geo.convert(pNy, "EPSG:4326", "EPSG:2263")
+      val nyBack = geo.convert(ny, "EPSG:2263", "EPSG:4326")
+      val nyM = geo.convert(pNy, "EPSG:4326", "EPSG:32118")
+      // UK: crosses a real datum boundary (WGS84 -> OSGB36 Helmert)
+      val lonUk = lit(-4.0) + (k % 5).cast("double") * 1.2
+      val latUk = lit(50.5) + (k % 7).cast("double") * 0.9
+      val ukBack = geo.convert(
+        geo.convert(geo.point(lonUk, latUk), "EPSG:4326", "EPSG:27700"),
+        "EPSG:27700", "EPSG:4326")
+      // Antarctic: polar stereographic aspect
+      val lonAn = (k % 12).cast("double") * 30.0 - 165.0
+      val latAn = lit(-65.0) - (k % 5).cast("double") * 5.0
+      val anBack = geo.convert(
+        geo.convert(geo.point(lonAn, latAn), "EPSG:4326", "EPSG:3031"),
+        "EPSG:3031", "EPSG:4326")
+      // raw parameter string (no EPSG table entry needed)
+      val projStr = "+proj=lcc +lat_1=41.03333333333333 +lat_2=40.66666666666666 " +
+        "+lat_0=40.16666666666666 +lon_0=-74 +x_0=300000 +ellps=GRS80"
+      val rawBack = geo.convert(geo.convert(pNy, "EPSG:4326", projStr),
+        projStr, "EPSG:4326")
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        round(geo.x(nyBack), 6).as("lon_ny_rt"),
+        round(geo.y(nyBack), 6).as("lat_ny_rt"),
+        geo.srid(ny).as("srid_ny"),
+        // ftUS easting * 1200/3937 == meter-twin easting (0.1mm slack:
+        // 2263's published FE is 300000.0000000001 m vs 32118's 300000)
+        (abs(geo.x(ny) * 1200.0 / 3937.0 - geo.x(nyM)) < 1e-4).as("ft_m_consistent"),
+        round(geo.x(ukBack), 6).as("lon_uk_rt"),
+        round(geo.y(ukBack), 6).as("lat_uk_rt"),
+        round(geo.x(anBack), 6).as("lon_an_rt"),
+        round(geo.y(anBack), 6).as("lat_an_rt"),
+        round(geo.x(rawBack), 6).as("lon_raw_rt"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      SELECT n_nationkey,
+        ROUND(-74.2 + (n_nationkey % 5) * 0.35, 6) AS lon_ny_rt,
+        ROUND(40.5 + (n_nationkey % 7) * 0.1, 6) AS lat_ny_rt,
+        CAST(2263 AS INT) AS srid_ny,
+        TRUE AS ft_m_consistent,
+        ROUND(-4.0 + (n_nationkey % 5) * 1.2, 6) AS lon_uk_rt,
+        ROUND(50.5 + (n_nationkey % 7) * 0.9, 6) AS lat_uk_rt,
+        ROUND((n_nationkey % 12) * 30.0 - 165.0, 6) AS lon_an_rt,
+        ROUND(-65.0 - (n_nationkey % 5) * 5.0, 6) AS lat_an_rt,
+        ROUND(-74.2 + (n_nationkey % 5) * 0.35, 6) AS lon_raw_rt
+      FROM nation ORDER BY 1""")),
+
     // DE-9IM-style predicate battery (exts/GeoGeometryOps.scala;
     // geospatial.py:179 touches, :172 overlaps, :49 covers, :77 equals,
     // :161 ordering_equals, :63 crosses, :42 contains_properly, :405

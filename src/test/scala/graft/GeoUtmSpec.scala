@@ -78,8 +78,17 @@ class GeoUtmSpec extends SparkSpec {
     val len = one.select(geo.length(geo.transform(line, 4326, 32631)).as("l")).head()
     // ~0.5° diagonal ≈ 66 km in meters — sanity: meters, not degrees
     assert(len.getDouble(0) > 60000.0 && len.getDouble(0) < 80000.0)
+    // 27700 routes through the round-9 ProjEngine table (tmerc on Airy
+    // with the OSGB datum shift) — Greenwich Observatory lands on the
+    // National Grid near (538890, 177320)
+    val os = one.select(
+      geo.x(geo.transform(geo.point(lit(0.0), lit(51.4769)), 4326, 27700)).as("e"),
+      geo.y(geo.transform(geo.point(lit(0.0), lit(51.4769)), 4326, 27700)).as("n")).head()
+    assert(math.abs(os.getDouble(0) - 538890.0) < 2000.0)
+    assert(math.abs(os.getDouble(1) - 177320.0) < 2000.0)
+    // Dutch RD (28992, oblique stereographic) stays out of scope: plan-time error
     val err = intercept[Exception] {
-      one.select(geo.transform(geo.point(lit(0.0), lit(0.0)), 4326, 27700)).head()
+      one.select(geo.transform(geo.point(lit(0.0), lit(0.0)), 4326, 28992)).head()
     }
     assert(err.getMessage.contains("geo_transform"))
   }
