@@ -389,7 +389,12 @@ object Bench {
         val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
         while (q.recentProgress.count(_.numInputRows > 0) < 3 &&
                System.nanoTime() < deadline) Thread.sleep(250)
-        val ps = q.recentProgress.filter(_.numInputRows > 0).drop(1)
+        // co-tenant noise can leave only 1-2 completed batches at the
+        // deadline: measure whatever data-carrying batches exist rather
+        // than reporting a false 0 (drop the startup batch only when a
+        // later one is available)
+        val all = q.recentProgress.filter(_.numInputRows > 0)
+        val ps = if (all.length > 1) all.drop(1) else all
         val rows = ps.map(_.numInputRows).sum
         val secs = ps.map(p =>
           Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))

@@ -392,6 +392,58 @@ object MiscQueries {
         (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 3 <> 0) AS n_v1,
         (SELECT COUNT(*) FROM supplier) AS n_v0""")),
 
+    // Native Delta UPDATE + OPTIMIZE (round 9): copy-on-write updateWhere
+    // rewrites only touched files (reading THROUGH the DVs a prior DELETE
+    // left, so dead rows neither resurrect nor update), then compact
+    // bin-packs the survivors with dataChange=false and physically drops
+    // DV'd rows. The oracle recomputes the post-delete-post-update state
+    // and both time-travel points from the same supplier input with CASE
+    // arithmetic — a wrong rewrite, a resurrected row, or a compaction
+    // that loses/duplicates anything breaks the hash.
+    QueryDef("q98g_delta_update_compact", (s, dir) => {
+      // a fresh per-run temp dir (no fixed path, no cross-run races); it
+      // must OUTLIVE this builder — the returned DataFrame reads the Delta
+      // files lazily when the caller materializes it
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_upd").toFile
+      locally {
+        val p = base.getAbsolutePath
+        Table(supplier(s, dir))
+          .selectNames("s_suppkey", "s_nationkey", "s_acctbal").toDelta(p) // v0
+        graft.sources.DeltaWrite.deleteWhere(s, p,
+          col("s_suppkey") % 4 === 0)                                      // v1: DV
+        graft.sources.DeltaWrite.updateWhere(s, p,
+          col("s_nationkey") < 10,
+          Map("s_acctbal" -> (col("s_acctbal") + lit(1000)),
+              "s_nationkey" -> (col("s_nationkey") + lit(100))))           // v2: CoW
+        graft.sources.DeltaWrite.compact(s, p)                             // v3
+        val latest = Table.readDelta(s, p).df
+          .agg(count(lit(1)).as("n_latest"),
+            sum(col("s_nationkey")).cast("long").as("nat_sum"),
+            sum(col("s_acctbal").cast("decimal(38,4)")).cast("double").as("bal_sum"))
+        val v2 = Table.readDelta(s, p, asOfVersion = Some(2L)).df
+          .agg(sum(col("s_nationkey")).cast("long").as("nat_v2"))
+        val v1 = Table.readDelta(s, p, asOfVersion = Some(1L)).df
+          .agg(sum(col("s_nationkey")).cast("long").as("nat_v1"),
+            count(lit(1)).as("n_v1"))
+        latest.crossJoin(v2).crossJoin(v1)
+      }
+    }, Some("""
+      WITH live AS (SELECT * FROM supplier WHERE s_suppkey % 4 <> 0),
+      upd AS (
+        SELECT s_suppkey,
+          CASE WHEN s_nationkey < 10 THEN s_nationkey + 100 ELSE s_nationkey END AS nat,
+          CASE WHEN s_nationkey < 10
+            THEN CAST(s_acctbal AS DECIMAL(38,4)) + 1000
+            ELSE CAST(s_acctbal AS DECIMAL(38,4)) END AS bal
+        FROM live)
+      SELECT
+        (SELECT COUNT(*) FROM upd) AS n_latest,
+        (SELECT CAST(SUM(nat) AS BIGINT) FROM upd) AS nat_sum,
+        (SELECT CAST(SUM(bal) AS DOUBLE) FROM upd) AS bal_sum,
+        (SELECT CAST(SUM(nat) AS BIGINT) FROM upd) AS nat_v2,
+        (SELECT CAST(SUM(s_nationkey) AS BIGINT) FROM live) AS nat_v1,
+        (SELECT COUNT(*) FROM live) AS n_v1""")),
+
     // Arrow IPC ROUND-TRIP (interop/ArrowExport + ArrowImport — the
     // reference's Arrow-first contract both directions): a frame carrying
     // decimals, token arrays, structs and maps is exported as an Arrow

@@ -56,9 +56,9 @@ object DeltaRead {
   /** One active file: its partitionValues map (authoritative; keys are
     * PHYSICAL names under column mapping) and the deletionVector
     * descriptor JSON (null when none). */
-  private[sources] case class AddEntry(pv: Map[String, String], dvJson: String)
+  private[graft] case class AddEntry(pv: Map[String, String], dvJson: String)
 
-  private[sources] case class LogState(
+  private[graft] case class LogState(
     var minReader: Int = 1,
     var readerFeatures: Set[String] = Set.empty,
     var schemaJson: String = null,
@@ -79,7 +79,7 @@ object DeltaRead {
   /** Current table state (version, schema, partition columns) — what a
     * writer must validate against before committing ([[DeltaWrite]]).
     * None when the directory holds no Delta log yet. */
-  private[sources] def currentState(spark: SparkSession, path: String): Option[LogState] = {
+  private[graft] def currentState(spark: SparkSession, path: String): Option[LogState] = {
     val logDir = new File(path, "_delta_log")
     if (!logDir.isDirectory) return None
     val any = Option(logDir.listFiles()).getOrElse(Array.empty)
@@ -137,10 +137,24 @@ object DeltaRead {
   private[sources] def readWithLineage(spark: SparkSession, path: String): DataFrame =
     read0(spark, path, None, lineage = true)
 
+  /** The live (DV-applied) logical rows of just `relPaths` — the rewrite
+    * input for copy-on-write UPDATE and OPTIMIZE-style compaction
+    * ([[DeltaWrite.updateWhere]] / [[DeltaWrite.compact]]). */
+  private[sources] def readSubset(spark: SparkSession, path: String,
+      relPaths: Set[String]): DataFrame =
+    read0(spark, path, None, lineage = false, onlyFiles = Some(relPaths))
+
   private def read0(spark: SparkSession, path: String,
-      asOfVersion: Option[Long], lineage: Boolean): DataFrame = {
+      asOfVersion: Option[Long], lineage: Boolean,
+      onlyFiles: Option[Set[String]] = None): DataFrame = {
     val st = replay(spark, path, asOfVersion)
     checkProtocol(st, path)
+    onlyFiles.foreach { keep =>
+      val missing = keep -- st.active.keySet
+      require(missing.isEmpty,
+        s"readSubset: ${missing.size} requested files not in the active set at $path")
+      st.active.filterInPlace((p, _) => keep.contains(p))
+    }
     require(st.schemaJson != null, s"Delta log at $path has no metaData action")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val mapped = columnMapped(st)

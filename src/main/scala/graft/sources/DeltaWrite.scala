@@ -93,43 +93,8 @@ object DeltaWrite {
     val needMeta = prior.isEmpty ||
       (mode == SaveMode.Overwrite && (schemaChanged || partitioningChanged))
 
-    // data: write parts into a temp dir, move them in under unique names;
-    // the staging dir is removed afterwards. With partitionBy Spark emits
-    // hive-style col=value dirs and EXCLUDES the partition columns from
-    // the files — exactly the Delta layout; the dir segments (hive-escaped)
-    // are parsed back into each file's partitionValues map.
-    val tmp = Files.createTempDirectory("graft_delta_write").toFile
-    val added: Seq[(String, Map[String, String], Long)] = try {
-      val w = df.write.mode(SaveMode.Overwrite)
-      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-        .parquet(tmp.getAbsolutePath)
-      val commitUuid = java.util.UUID.randomUUID().toString
-      def walk(dir: File, rel: Seq[String]): Seq[(File, Seq[String])] =
-        Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-          if (f.isDirectory) walk(f, rel :+ f.getName)
-          else if (f.getName.endsWith(".parquet")) Seq(f -> rel)
-          else Seq.empty
-        }
-      walk(tmp, Seq.empty).sortBy { case (f, rel) => (rel.mkString("/"), f.getName) }
-        .zipWithIndex.map { case ((p, rel), i) =>
-          val name = f"part-$i%05d-$commitUuid.snappy.parquet"
-          val destDir = rel.foldLeft(table)(new File(_, _))
-          destDir.mkdirs()
-          val dest = new File(destDir, name)
-          Files.move(p.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
-          val pv: Map[String, String] = rel.map { seg =>
-            val eq = seg.indexOf('=')
-            require(eq > 0, s"unexpected partition dir segment $seg")
-            val raw = unescapeHive(seg.substring(eq + 1))
-            seg.substring(0, eq) ->
-              (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
-          }.toMap
-          ((rel :+ name).mkString("/"), pv, dest.length())
-        }
-    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    val added = writeParts(df, table, partitionBy)
 
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
     if (prior.isEmpty)
@@ -160,53 +125,57 @@ object DeltaWrite {
     * deleted row positions in a `deletion_vector_<uuid>.bin` sidecar
     * ([[DeletionVectors]]), and one commit re-adds the file with the
     * descriptor (remove + add, the protocol's DV-update shape). Prior
-    * DVs merge (a second delete unions row sets). The first DV commit
-    * upgrades the table to reader v3 / writer v7 with the
-    * `deletionVectors` feature — exactly what delta-spark's DELETE does.
+    * DVs merge (a second delete unions row sets), and a file whose live
+    * rows ALL match is removed outright — no fully-dead DV lingers. The
+    * first DV-writing commit upgrades the table to reader v3 / writer v7
+    * with the `deletionVectors` feature — exactly what delta-spark does.
     * Matching row positions come to the driver grouped per file
     * (bounded by the deleted cardinality, the same driver-side model
     * delta-spark uses for DV serialization). Returns the committed
     * version; a DELETE matching nothing commits nothing. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
       condition: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{col, collect_list}
+    import org.apache.spark.sql.functions.{col, collect_list, count, lit, when, size => asize}
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
     DeltaRead.checkProtocol(st, path)
     val table = new File(path)
     val logDir = new File(table, "_delta_log")
-    // live rows matching the predicate, grouped by physical file
+    // matching live positions AND the live-row total, per physical file —
+    // a file whose live rows ALL match is REMOVED outright (delta-spark's
+    // DELETE does the same) instead of carrying a fully-dead DV forever
     val matches = DeltaRead.readWithLineage(spark, path)
-      .filter(condition)
       .groupBy(col("_graft_file"))
-      .agg(collect_list(col("_graft_pos")).as("pos"))
+      .agg(collect_list(when(condition, col("_graft_pos"))).as("pos"),
+        count(lit(1)).as("live"))
+      .filter(asize(col("pos")) > 0)
       .collect()
     if (matches.isEmpty) return st.version
-    def resolveAbs(p: String): String = {
-      val decoded = java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
-      val f = if (decoded.startsWith("/")) new File(decoded) else new File(table, decoded)
-      f.getAbsolutePath
-    }
     val absToRel: Map[String, String] =
-      st.active.keys.map(p => resolveAbs(p) -> p).toMap
-    val perPath: Seq[(String, Array[Long])] = matches.toSeq.map { r =>
+      st.active.keys.map(p => resolveAbs(table, p) -> p).toMap
+    val touched: Seq[(String, Array[Long], Boolean)] = matches.toSeq.map { r =>
       val abs = new File(new java.net.URI(r.getString(0)).getPath).getAbsolutePath
       val rel = absToRel.getOrElse(abs,
         throw new IllegalStateException(s"scanned file $abs not in the active set"))
       val fresh = r.getSeq[Long](1).toArray
+      val fullyDead = fresh.length == r.getLong(2)
       val entry = st.active(rel)
       val merged =
         if (entry.dvJson == null) { java.util.Arrays.sort(fresh); fresh }
         else (DeletionVectors.readDescriptor(
           DeltaRead.parseDvDescriptor(entry.dvJson), table) ++ fresh).distinct.sorted
-      rel -> merged
+      (rel, merged, fullyDead)
     }
-    val descriptors = DeletionVectors.writeDvFile(table, perPath)
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val dead = touched.filter(_._3).map(_._1)
+    val perPath: Seq[(String, Array[Long])] =
+      touched.filterNot(_._3).map(t => (t._1, t._2))
+    val descriptors =
+      if (perPath.isEmpty) Map.empty[String, DeletionVectors.Descriptor]
+      else DeletionVectors.writeDvFile(table, perPath)
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
-    if (st.minReader < 3 || !st.readerFeatures.contains("deletionVectors")) {
+    if (perPath.nonEmpty &&
+        (st.minReader < 3 || !st.readerFeatures.contains("deletionVectors"))) {
       val readerFeats = (st.readerFeatures + "deletionVectors" ++
         (if (DeltaRead.columnMapped(st)) Set("columnMapping") else Set.empty[String]))
         .toSeq.sorted
@@ -217,22 +186,143 @@ object DeltaWrite {
         s""""readerFeatures":${readerFeats.map(jstr).mkString("[", ",", "]")},""" +
         s""""writerFeatures":${writerFeats.map(jstr).mkString("[", ",", "]")}}}"""
     }
-    perPath.foreach { case (rel, _) =>
+    (dead ++ perPath.map(_._1)).foreach { rel =>
       lines += s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
     perPath.foreach { case (rel, _) =>
       val e = st.active(rel)
-      val pvJson = e.pv.toSeq.sortBy(_._1).map { case (k, v) =>
-        s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }.mkString("{", ",", "}")
       val d = descriptors(rel)
       val dvJson = s"""{"storageType":${jstr(d.storageType)},""" +
         s""""pathOrInlineDv":${jstr(d.pathOrInlineDv)},"offset":${d.offset.get},""" +
         s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
-      lines += s"""{"add":{"path":${jstr(rel)},"partitionValues":$pvJson,""" +
-        s""""size":${new File(resolveAbs(rel)).length()},"modificationTime":$now,""" +
+      lines += s"""{"add":{"path":${jstr(rel)},"partitionValues":${pvJson(e.pv)},""" +
+        s""""size":${new File(resolveAbs(table, rel)).length()},"modificationTime":$now,""" +
         s""""dataChange":true,"deletionVector":$dvJson}}"""
     }
     publishCommit(logDir, st.version + 1, lines.result(), path)
+    st.version + 1
+  }
+
+  /** UPDATE rows matching `condition` — copy-on-write, the protocol's
+    * standard UPDATE shape (and delta-spark's default without DVs): only
+    * files containing at least one matching LIVE row are rewritten; each
+    * rewrite applies `SET col = expr` to matching rows, carries
+    * non-matching rows through unchanged, and DROPS deleted rows (the
+    * rewrite reads through the deletion vectors, so the fresh files need
+    * no DV and the commit purges them for the touched files). Assignments
+    * to PARTITION columns work: rewritten rows re-partition into their
+    * new `col=value` directories. Assigned expressions are cast to the
+    * column's existing type — the table schema never changes. Returns
+    * the committed version; an UPDATE matching nothing commits nothing.
+    *
+    * Scale: file discovery is one distributed scan; only touched files
+    * are re-read and rewritten (a second distributed job); the driver
+    * holds file PATHS, never rows. */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, path: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(set.nonEmpty, "updateWhere needs at least one SET assignment")
+    val st = DeltaRead.currentState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no Delta table at $path"))
+    DeltaRead.checkProtocol(st, path)
+    require(!DeltaRead.columnMapped(st),
+      s"table at $path uses column mapping; update it with delta-spark instead")
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val unknown = set.keySet -- schema.fieldNames
+    require(unknown.isEmpty,
+      s"updateWhere SET targets ${unknown.mkString(", ")} not in the table " +
+        s"schema ${schema.fieldNames.mkString(", ")}")
+    val table = new File(path)
+
+    // touched files: those with >= 1 live matching row
+    val touchedAbs = DeltaRead.readWithLineage(spark, path)
+      .filter(condition).select(col("_graft_file")).distinct()
+      .collect().map(r => new File(new java.net.URI(r.getString(0)).getPath).getAbsolutePath)
+    if (touchedAbs.isEmpty) return st.version
+    val absToRel: Map[String, String] =
+      st.active.keys.map(p => resolveAbs(table, p) -> p).toMap
+    val touchedRel = touchedAbs.map(a => absToRel.getOrElse(a,
+      throw new IllegalStateException(s"scanned file $a not in the active set"))).toSet
+
+    // rewrite: matching rows take the assignment, everything else passes
+    val rows = DeltaRead.readSubset(spark, path, touchedRel)
+    val updated = rows.select(schema.fields.map { f =>
+      set.get(f.name) match {
+        case Some(e) => when(condition, e.cast(f.dataType))
+          .otherwise(col("`" + f.name.replace("`", "``") + "`"))
+          .cast(f.dataType).as(f.name)
+        case None => col("`" + f.name.replace("`", "``") + "`")
+      }
+    }.toSeq: _*)
+    val added = writeParts(updated, table, st.partitionCols)
+
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    touchedRel.toSeq.sorted.foreach { rel =>
+      lines += s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    added.foreach { case (relPath, pv, size) =>
+      lines += s"""{"add":{"path":${jstr(encodePath(relPath))},"partitionValues":${pvJson(pv)},""" +
+        s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
+    }
+    publishCommit(new File(table, "_delta_log"), st.version + 1, lines.result(), path)
+    st.version + 1
+  }
+
+  /** OPTIMIZE-style compaction: bin-pack each partition's small files
+    * (and every DV-carrying file, whose dead rows are physically dropped
+    * by the rewrite) into ~`targetFileBytes` parts. Rewrites commit with
+    * `dataChange=false` — the protocol's marker that the logical table is
+    * unchanged, so streaming readers skip the commit. A partition is
+    * selected when it has 2+ sub-target files or any DV; a lone
+    * already-compacted file is never churned. Pre-compaction versions
+    * stay time-travelable until [[vacuum]]. Returns the committed
+    * version, or the current one when nothing qualifies.
+    *
+    * Scale: one distributed rewrite job per selected partition (driver
+    * loops over partition GROUPS, bounded by partition count — the same
+    * model as the partitioned scan); rows never touch the driver. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val st = DeltaRead.currentState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no Delta table at $path"))
+    DeltaRead.checkProtocol(st, path)
+    require(!DeltaRead.columnMapped(st),
+      s"table at $path uses column mapping; compact it with delta-spark instead")
+    val table = new File(path)
+
+    val groups = st.active.toSeq.groupBy(_._2.pv)
+    val selected: Seq[Seq[(String, Long)]] = groups.toSeq.flatMap { case (_, files) =>
+      val sized = files.map { case (rel, e) =>
+        (rel, new File(resolveAbs(table, rel)).length(), e.dvJson != null)
+      }
+      val picks = sized.filter { case (_, sz, dv) => dv || sz < targetFileBytes }
+      if (picks.size > 1 || picks.exists(_._3))
+        Some(picks.map(p => (p._1, p._2)))
+      else None
+    }
+    if (selected.isEmpty) return st.version
+
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    selected.foreach { picks =>
+      val rels = picks.map(_._1).toSet
+      val nOut = math.max(1,
+        math.ceil(picks.map(_._2).sum.toDouble / targetFileBytes).toInt)
+      val added = writeParts(
+        DeltaRead.readSubset(spark, path, rels).coalesce(nOut),
+        table, st.partitionCols)
+      rels.toSeq.sorted.foreach { rel =>
+        lines += s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
+      }
+      added.foreach { case (relPath, pv, size) =>
+        lines += s"""{"add":{"path":${jstr(encodePath(relPath))},"partitionValues":${pvJson(pv)},""" +
+          s""""size":$size,"modificationTime":$now,"dataChange":false}}"""
+      }
+    }
+    publishCommit(new File(table, "_delta_log"), st.version + 1, lines.result(), path)
     st.version + 1
   }
 
@@ -246,8 +336,6 @@ object DeltaWrite {
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
     val logDir = new File(new File(path), "_delta_log")
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val protoLine =
       if (st.minReader >= 3)
         s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,""" +
@@ -320,6 +408,60 @@ object DeltaWrite {
     }
     deleted.foreach(_.delete())
     deleted.map(_.getAbsolutePath)
+  }
+
+  /** Stage `df` as parquet parts and move them into the table directory
+    * under commit-unique names — hive-style `col=value` dirs when
+    * partitioned (partition columns EXCLUDED from the files, the Delta
+    * layout), each part returned as (relative path, partitionValues,
+    * size). The staging dir is removed afterwards. */
+  private def writeParts(df: DataFrame, table: File,
+      partitionBy: Seq[String]): Seq[(String, Map[String, String], Long)] = {
+    val tmp = Files.createTempDirectory("graft_delta_write").toFile
+    try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.getAbsolutePath)
+      val commitUuid = java.util.UUID.randomUUID().toString
+      def walk(dir: File, rel: Seq[String]): Seq[(File, Seq[String])] =
+        Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+          if (f.isDirectory) walk(f, rel :+ f.getName)
+          else if (f.getName.endsWith(".parquet")) Seq(f -> rel)
+          else Seq.empty
+        }
+      walk(tmp, Seq.empty).sortBy { case (f, rel) => (rel.mkString("/"), f.getName) }
+        .zipWithIndex.map { case ((p, rel), i) =>
+          val name = f"part-$i%05d-$commitUuid.snappy.parquet"
+          val destDir = rel.foldLeft(table)(new File(_, _))
+          destDir.mkdirs()
+          val dest = new File(destDir, name)
+          Files.move(p.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+          val pv: Map[String, String] = rel.map { seg =>
+            val eq = seg.indexOf('=')
+            require(eq > 0, s"unexpected partition dir segment $seg")
+            val raw = unescapeHive(seg.substring(eq + 1))
+            seg.substring(0, eq) ->
+              (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+          }.toMap
+          ((rel :+ name).mkString("/"), pv, dest.length())
+        }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def pvJson(pv: Map[String, String]): String =
+    pv.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }.mkString("{", ",", "}")
+
+  /** Absolute data-file path of an add action's (percent-encoded)
+    * relative path. URLDecoder's '+'→space rule would corrupt a literal
+    * '+' (percent-encoding never emits '+'), hence the pre-escape. */
+  private def resolveAbs(table: File, p: String): String = {
+    val decoded = java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+    val f = if (decoded.startsWith("/")) new File(decoded) else new File(table, decoded)
+    f.getAbsolutePath
   }
 
   /** Reverse of Spark/Hive's partition-dir escaping (escapePathName) for

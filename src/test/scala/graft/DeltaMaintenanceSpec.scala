@@ -1,0 +1,162 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DeltaRead, DeltaWrite}
+
+/** Round-9 table-maintenance verbs over the native Delta writer:
+  * copy-on-write UPDATE ([[DeltaWrite.updateWhere]]) and OPTIMIZE-style
+  * compaction ([[DeltaWrite.compact]]) — end-to-end over real logs,
+  * including the DV interactions (updates must not resurrect deleted
+  * rows; compaction physically drops DV'd rows and purges descriptors),
+  * partition moves, dataChange=false markers, and time travel. */
+class DeltaMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def dataFiles(path: String): Seq[File] = {
+    def walk(d: File): Seq[File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) { if (f.getName == "_delta_log") Seq.empty else walk(f) }
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      }
+    walk(new File(path))
+  }
+
+  test("updateWhere rewrites only touched files; non-matching rows pass through") {
+    val path = tmpTable("graft_upd")
+    // two files: ids 0-4 and 5-9
+    DeltaWrite.toDelta(spark.range(0, 5).select(col("id"),
+      (col("id") * 10).as("v")), path)
+    DeltaWrite.toDelta(spark.range(5, 10).select(col("id"),
+      (col("id") * 10).as("v")), path, org.apache.spark.sql.SaveMode.Append)
+    val before = dataFiles(path).map(_.getName).toSet
+
+    val v = DeltaWrite.updateWhere(spark, path,
+      col("id") === 7, Map("v" -> lit(-1)))
+    assert(v == 2L)
+    val got = DeltaRead.readDelta(spark, path)
+      .as[(Long, Long)].collect().toMap
+    assert(got(7L) == -1L)
+    assert(got(6L) == 60L && got(2L) == 20L && got.size == 10)
+    // only the 5-9 file was rewritten: the 0-4 file survives untouched
+    val after = dataFiles(path).map(_.getName).toSet
+    assert((before & after).nonEmpty, "untouched file should remain")
+    assert(after != before, "touched file should be replaced")
+    // pre-update state is still time-travelable
+    val v1 = DeltaRead.readDelta(spark, path, asOfVersion = Some(1L))
+      .as[(Long, Long)].collect().toMap
+    assert(v1(7L) == 70L)
+  }
+
+  test("updateWhere after a DV delete neither resurrects nor updates dead rows") {
+    val path = tmpTable("graft_upd_dv")
+    DeltaWrite.toDelta(spark.range(0, 10).select(col("id"),
+      (col("id") * 10).as("v")), path)
+    DeltaWrite.deleteWhere(spark, path, col("id") < 3) // DVs on the file
+    DeltaWrite.updateWhere(spark, path, col("id") < 6, Map("v" -> lit(0)))
+    val got = DeltaRead.readDelta(spark, path).as[(Long, Long)].collect().toMap
+    assert(got.size == 7, s"deleted rows resurrected: $got")
+    assert(!got.contains(0L) && !got.contains(2L))
+    assert(got(3L) == 0L && got(5L) == 0L && got(6L) == 60L)
+    // the rewrite purged the DV: the touched file's add carries none
+    val st = DeltaRead.currentState(spark, path).get
+    assert(st.active.values.forall(_.dvJson == null), "DV should be purged by rewrite")
+  }
+
+  test("updateWhere can move rows between partitions") {
+    val path = tmpTable("graft_upd_part")
+    DeltaWrite.toDelta(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp"),
+      path, partitionBy = Seq("grp"))
+    DeltaWrite.updateWhere(spark, path, col("id") === 2L, Map("grp" -> lit("b")))
+    val got = DeltaRead.readDelta(spark, path).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "b")))
+    // the row physically lives in grp=b's directory now
+    val bFiles = dataFiles(path).filter(_.getAbsolutePath.contains("grp=b"))
+    val inB = spark.read.parquet(bFiles.map(_.getAbsolutePath): _*)
+      .select(col("id")).as[Long].collect().toSet
+    assert(inB.contains(2L))
+  }
+
+  test("updateWhere: no match commits nothing; unknown column and empty set refused") {
+    val path = tmpTable("graft_upd_nop")
+    DeltaWrite.toDelta(spark.range(0, 5).toDF("id"), path)
+    assert(DeltaWrite.updateWhere(spark, path, col("id") > 100,
+      Map("id" -> lit(0))) == 0L) // still at version 0
+    intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhere(spark, path, col("id") > 0, Map("nope" -> lit(0)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhere(spark, path, col("id") > 0, Map.empty)
+    }
+  }
+
+  test("compact bin-packs small files, drops DV'd rows physically, dataChange=false") {
+    val path = tmpTable("graft_compact")
+    DeltaWrite.toDelta(spark.range(0, 4).toDF("id"), path)
+    for (i <- 1 to 4)
+      DeltaWrite.toDelta(spark.range(i * 4, i * 4 + 4).toDF("id"), path,
+        org.apache.spark.sql.SaveMode.Append)
+    DeltaWrite.deleteWhere(spark, path, col("id") % 5 === 0) // 0,5,10,15 dead
+    val filesBefore = dataFiles(path).length
+    assert(filesBefore >= 5)
+
+    val v = DeltaWrite.compact(spark, path)
+    val st = DeltaRead.currentState(spark, path).get
+    assert(st.version == v)
+    assert(st.active.size == 1, s"expected one packed file, got ${st.active.size}")
+    assert(st.active.values.forall(_.dvJson == null), "compaction must purge DVs")
+    val got = DeltaRead.readDelta(spark, path).as[Long].collect().toSet
+    assert(got == (0L until 20L).filter(_ % 5 != 0).toSet)
+    // physically dropped: the packed file itself contains no dead rows
+    val packed = spark.read.parquet(
+      dataFiles(path).filter(f =>
+        st.active.keys.exists(f.getAbsolutePath.endsWith)).map(_.getAbsolutePath): _*)
+    assert(packed.count() == 16)
+    // the commit is marked dataChange=false throughout
+    val log = new File(path, "_delta_log")
+    val commit = Files.readString(new File(log, f"$v%020d.json").toPath)
+    assert(!commit.contains(""""dataChange":true"""))
+    // pre-compaction data still time-travels (files not vacuumed yet)
+    val v5 = DeltaRead.readDelta(spark, path, asOfVersion = Some(5L))
+    assert(v5.count() == 16)
+    // idempotent: a second compact finds nothing under-target to merge
+    assert(DeltaWrite.compact(spark, path) == v)
+  }
+
+  test("compact respects partitions and the target size bins per partition") {
+    val path = tmpTable("graft_compact_p")
+    DeltaWrite.toDelta(
+      spark.range(0, 6).select(col("id"), (col("id") % 2).cast("string").as("p")),
+      path, partitionBy = Seq("p"))
+    DeltaWrite.toDelta(
+      spark.range(6, 12).select(col("id"), (col("id") % 2).cast("string").as("p")),
+      path, org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("p"))
+    DeltaWrite.compact(spark, path)
+    val st = DeltaRead.currentState(spark, path).get
+    // one packed file per partition, partitionValues intact
+    assert(st.active.size == 2)
+    assert(st.active.values.map(_.pv("p")).toSet == Set("0", "1"))
+    val got = DeltaRead.readDelta(spark, path)
+      .agg(sum(col("id")), count(lit(1))).as[(Long, Long)].head()
+    assert(got == ((0L until 12L).sum, 12L))
+  }
+
+  test("vacuum removes pre-compaction originals after retention but keeps the packed file") {
+    val path = tmpTable("graft_compact_vac")
+    DeltaWrite.toDelta(spark.range(0, 4).toDF("id"), path)
+    DeltaWrite.toDelta(spark.range(4, 8).toDF("id"), path,
+      org.apache.spark.sql.SaveMode.Append)
+    val originals = dataFiles(path).size // spark.range writes several parts
+    DeltaWrite.compact(spark, path)
+    val removed = DeltaWrite.vacuum(spark, path, retentionMs = 0L)
+    assert(removed.size == originals, s"expected $originals originals gone, got $removed")
+    assert(DeltaRead.readDelta(spark, path).count() == 8)
+  }
+}
