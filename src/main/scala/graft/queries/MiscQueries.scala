@@ -444,6 +444,61 @@ object MiscQueries {
         (SELECT CAST(SUM(s_nationkey) AS BIGINT) FROM live) AS nat_v1,
         (SELECT COUNT(*) FROM live) AS n_v1""")),
 
+    // Native Delta MERGE (round 9): one upsert commit updates matched
+    // suppliers from a derived source, deletes matched rows failing the
+    // update gate, and inserts source rows with no target match — then
+    // the result AND the pre-merge version are aggregated. The oracle
+    // rebuilds the merged state in SQL (CASE + anti-join UNION) from the
+    // same supplier input, so a wrong clause gate, a lost insert, or a
+    // resurrected delete breaks the hash.
+    QueryDef("q98h_delta_merge", (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_mrg").toFile
+      val p = base.getAbsolutePath
+      Table(supplier(s, dir))
+        .selectNames("s_suppkey", "s_nationkey", "s_acctbal").toDelta(p) // v0
+      // source: every 2nd supplier with doubled balance, plus NEW keys
+      // offset past the existing range
+      val sup = supplier(s, dir)
+      val src = sup.filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey").as("k"),
+          (col("s_acctbal") * 2).as("newbal"), col("s_nationkey").as("nk"))
+        .unionByName(sup.filter(col("s_suppkey") % 7 === 0)
+          .select((col("s_suppkey") + 1000000).as("k"),
+            col("s_acctbal").as("newbal"), col("s_nationkey").as("nk")))
+      graft.sources.DeltaWrite.merge(s, p, src,
+        on = col("t.s_suppkey") === col("s.k"),
+        whenMatchedUpdate = Some(Map("s_acctbal" -> col("s.newbal"))),
+        matchedCondition = Some(col("s.nk") >= 5),   // update gate
+        whenMatchedDelete = Some(col("s.nk") < 5),   // gated-out matches die
+        whenNotMatchedInsert = Some(Map(
+          "s_suppkey" -> col("s.k"), "s_nationkey" -> col("s.nk"),
+          "s_acctbal" -> col("s.newbal"))))                              // v1
+      val latest = Table.readDelta(s, p).df
+        .agg(count(lit(1)).as("n_latest"),
+          sum(col("s_suppkey")).cast("long").as("key_sum"),
+          sum(col("s_acctbal").cast("decimal(38,4)")).cast("double").as("bal_sum"))
+      val v0 = Table.readDelta(s, p, asOfVersion = Some(0L)).df
+        .agg(count(lit(1)).as("n_v0"))
+      latest.crossJoin(v0)
+    }, Some("""
+      WITH merged AS (
+        SELECT s_suppkey,
+          CASE WHEN s_suppkey % 2 = 0 AND s_nationkey >= 5
+            THEN CAST(s_acctbal AS DECIMAL(38,4)) * 2
+            ELSE CAST(s_acctbal AS DECIMAL(38,4)) END AS bal
+        FROM supplier
+        WHERE NOT (s_suppkey % 2 = 0 AND s_nationkey < 5)   -- gated deletes
+        UNION ALL
+        SELECT s_suppkey + 1000000 AS s_suppkey,
+          CAST(s_acctbal AS DECIMAL(38,4)) AS bal
+        FROM supplier WHERE s_suppkey % 7 = 0                -- inserts
+      )
+      SELECT
+        (SELECT COUNT(*) FROM merged) AS n_latest,
+        (SELECT CAST(SUM(s_suppkey) AS BIGINT) FROM merged) AS key_sum,
+        (SELECT CAST(SUM(bal) AS DOUBLE) FROM merged) AS bal_sum,
+        (SELECT COUNT(*) FROM supplier) AS n_v0""")),
+
     // Arrow IPC ROUND-TRIP (interop/ArrowExport + ArrowImport — the
     // reference's Arrow-first contract both directions): a frame carrying
     // decimals, token arrays, structs and maps is exported as an Arrow

@@ -270,6 +270,138 @@ object DeltaWrite {
     st.version + 1
   }
 
+  /** MERGE INTO — the upsert verb (copy-on-write, delta-spark semantics).
+    * The target table is aliased `t` and `source` is aliased `s`; the
+    * `on` condition and every assignment expression reference columns
+    * through those aliases (`col("t.id") === col("s.id")`, `Map("v" ->
+    * col("s.v"))`). Clauses, each optional:
+    *
+    *   - `whenMatchedUpdate`: SET assignments for matched target rows
+    *     (applied when `matchedCondition` holds, if given);
+    *   - `whenMatchedDelete`: matched target rows satisfying this
+    *     condition are dropped (evaluated after the update gate — a row
+    *     taken by update is not deleted, mirroring clause order);
+    *   - `whenNotMatchedInsert`: assignments (by target column name) for
+    *     source rows matching NO target row; unassigned columns go null.
+    *
+    * A target row matched by MORE THAN ONE source row aborts (the
+    * protocol's ambiguous-merge error — applying two updates to one row
+    * is nondeterministic). Only files containing a matched live row are
+    * rewritten (reading through DVs, which the rewrite purges for those
+    * files); inserts append. Returns the committed version — or the
+    * current one when nothing matched and nothing inserts.
+    *
+    * Scale: discovery is one distributed join; the cardinality check is
+    * an aggregation on (file, position); rewrites re-read only touched
+    * files; rows never touch the driver. */
+  def merge(spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, on: org.apache.spark.sql.Column,
+      whenMatchedUpdate: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      matchedCondition: Option[org.apache.spark.sql.Column] = None,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedInsert: Option[Map[String, org.apache.spark.sql.Column]] = None): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    require(whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined ||
+      whenNotMatchedInsert.isDefined, "merge needs at least one WHEN clause")
+    val st = DeltaRead.currentState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no Delta table at $path"))
+    DeltaRead.checkProtocol(st, path)
+    require(!DeltaRead.columnMapped(st),
+      s"table at $path uses column mapping; merge with delta-spark instead")
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    whenMatchedUpdate.foreach { m =>
+      val unknown = m.keySet -- schema.fieldNames
+      require(unknown.isEmpty, s"merge UPDATE targets unknown columns: $unknown")
+    }
+    whenNotMatchedInsert.foreach { m =>
+      val unknown = m.keySet -- schema.fieldNames
+      require(unknown.isEmpty, s"merge INSERT targets unknown columns: $unknown")
+    }
+    val table = new File(path)
+    val src = source.alias("s")
+
+    // discovery join: touched files + per-row match-cardinality check
+    val lin = DeltaRead.readWithLineage(spark, path).alias("t")
+    val matchedRows = lin.join(src, on, "inner")
+      .groupBy(col("t._graft_file"), col("t._graft_pos"))
+      .agg(count(lit(1)).as("m"))
+    val multi = matchedRows.filter(col("m") > 1).limit(1).collect()
+    if (multi.nonEmpty)
+      throw new IllegalStateException(
+        "merge: a target row is matched by more than one source row — " +
+          "the update/delete to apply is ambiguous (same error delta-spark raises)")
+    val touchedAbs = matchedRows.select(col("_graft_file")).distinct()
+      .collect().map(r => new File(new java.net.URI(r.getString(0)).getPath).getAbsolutePath)
+    val absToRel: Map[String, String] =
+      st.active.keys.map(p => resolveAbs(table, p) -> p).toMap
+    val touchedRel = touchedAbs.map(a => absToRel.getOrElse(a,
+      throw new IllegalStateException(s"scanned file $a not in the active set"))).toSet
+
+    val hasMatchedClause = whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined
+    val rewriting = touchedRel.nonEmpty && hasMatchedClause
+
+    // rewrite touched files: left-join against the source, apply clauses
+    val rewritten: Option[DataFrame] =
+      if (!rewriting) None
+      else {
+        val rows = DeltaRead.readSubset(spark, path, touchedRel).alias("t")
+        val marked = rows.join(
+          src.withColumn("__s_matched", lit(true)).alias("s"), on, "left")
+        val isMatched = col("__s_matched").isNotNull
+        val updGate = matchedCondition.map(isMatched && _).getOrElse(isMatched)
+        val delGate = whenMatchedDelete.map { c =>
+          // delete applies to matched rows NOT taken by the update clause
+          if (whenMatchedUpdate.isDefined) isMatched && !updGate && c
+          else isMatched && c
+        }.getOrElse(lit(false))
+        val projected = marked.filter(!delGate).select(schema.fields.map { f =>
+          val base = col("t.`" + f.name.replace("`", "``") + "`")
+          whenMatchedUpdate.flatMap(_.get(f.name)) match {
+            case Some(e) => when(updGate, e.cast(f.dataType))
+              .otherwise(base).cast(f.dataType).as(f.name)
+            case None => base.as(f.name)
+          }
+        }.toSeq: _*)
+        Some(projected)
+      }
+
+    // inserts: source rows matching NO target row, shaped to the schema
+    val inserted: Option[DataFrame] = whenNotMatchedInsert.map { assign =>
+      val unmatched = src.join(
+        DeltaRead.readDelta(spark, path).alias("t"), on, "left_anti")
+      unmatched.select(schema.fields.map { f =>
+        assign.get(f.name) match {
+          case Some(e) => e.cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq: _*)
+    }
+
+    val outRows: Option[DataFrame] = (rewritten, inserted) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    val nothingToInsert = inserted.isEmpty ||
+      inserted.exists(_.limit(1).collect().isEmpty)
+    if (!rewriting && nothingToInsert) return st.version
+
+    val added = outRows.map(writeParts(_, table, st.partitionCols))
+      .getOrElse(Seq.empty)
+    val removes = if (rewriting) touchedRel.toSeq.sorted else Seq.empty
+    if (removes.isEmpty && added.isEmpty) return st.version
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    removes.foreach { rel =>
+      lines += s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    added.foreach { case (relPath, pv, size) =>
+      lines += s"""{"add":{"path":${jstr(encodePath(relPath))},"partitionValues":${pvJson(pv)},""" +
+        s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
+    }
+    publishCommit(new File(table, "_delta_log"), st.version + 1, lines.result(), path)
+    st.version + 1
+  }
+
   /** OPTIMIZE-style compaction: bin-pack each partition's small files
     * (and every DV-carrying file, whose dead rows are physically dropped
     * by the rewrite) into ~`targetFileBytes` parts. Rewrites commit with

@@ -148,6 +148,75 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(got == ((0L until 12L).sum, 12L))
   }
 
+  test("merge: upsert (update matched, insert unmatched) with t/s aliases") {
+    val path = tmpTable("graft_merge")
+    DeltaWrite.toDelta(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), path)
+    val source = Seq((2L, 99L), (4L, 40L)).toDF("id", "v")
+    val ver = DeltaWrite.merge(spark, path, source,
+      on = col("t.id") === col("s.id"),
+      whenMatchedUpdate = Some(Map("v" -> col("s.v"))),
+      whenNotMatchedInsert = Some(Map("id" -> col("s.id"), "v" -> col("s.v"))))
+    assert(ver == 1L)
+    val got = DeltaRead.readDelta(spark, path).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 99L, 3L -> 30L, 4L -> 40L))
+    // pre-merge state time-travels
+    assert(DeltaRead.readDelta(spark, path, asOfVersion = Some(0L)).count() == 3)
+  }
+
+  test("merge: matched-delete clause, update gate precedence, insert default null") {
+    val path = tmpTable("graft_merge_del")
+    DeltaWrite.toDelta(
+      Seq((1L, 10L, "x"), (2L, 20L, "x"), (3L, 30L, "x")).toDF("id", "v", "tag"), path)
+    val source = Seq((1L, 100L), (2L, -1L), (5L, 50L)).toDF("id", "sv")
+    DeltaWrite.merge(spark, path, source,
+      on = col("t.id") === col("s.id"),
+      whenMatchedUpdate = Some(Map("v" -> col("s.sv"))),
+      matchedCondition = Some(col("s.sv") > 0), // only positive updates
+      whenMatchedDelete = Some(lit(true)),      // other matches are deleted
+      whenNotMatchedInsert = Some(Map("id" -> col("s.id"), "v" -> col("s.sv"))))
+    val got = DeltaRead.readDelta(spark, path)
+      .as[(Long, Long, Option[String])].collect().toSet
+    // 1 updated (kept tag), 2 deleted, 3 untouched, 5 inserted with null tag
+    assert(got == Set((1L, 100L, Some("x")), (3L, 30L, Some("x")), (5L, 50L, None)))
+  }
+
+  test("merge: a target row matched by two source rows aborts") {
+    val path = tmpTable("graft_merge_multi")
+    DeltaWrite.toDelta(Seq((1L, 10L)).toDF("id", "v"), path)
+    val source = Seq((1L, 11L), (1L, 12L)).toDF("id", "v")
+    val e = intercept[IllegalStateException] {
+      DeltaWrite.merge(spark, path, source, col("t.id") === col("s.id"),
+        whenMatchedUpdate = Some(Map("v" -> col("s.v"))))
+    }
+    assert(e.getMessage.contains("more than one source row"))
+  }
+
+  test("merge after a DV delete: dead rows neither match nor resurrect") {
+    val path = tmpTable("graft_merge_dv")
+    DeltaWrite.toDelta(spark.range(0, 6).select(col("id"), (col("id") * 10).as("v")), path)
+    DeltaWrite.deleteWhere(spark, path, col("id") === 2L)
+    // source targets the dead row (no match -> INSERT) and a live one
+    val source = Seq((2L, 222L), (3L, 333L)).toDF("id", "v")
+    DeltaWrite.merge(spark, path, source,
+      on = col("t.id") === col("s.id"),
+      whenMatchedUpdate = Some(Map("v" -> col("s.v"))),
+      whenNotMatchedInsert = Some(Map("id" -> col("s.id"), "v" -> col("s.v"))))
+    val got = DeltaRead.readDelta(spark, path).as[(Long, Long)].collect().toMap
+    assert(got.size == 6)
+    assert(got(2L) == 222L, "dead row is unmatched -> source INSERTS it fresh")
+    assert(got(3L) == 333L)
+    assert(got(0L) == 0L && got(5L) == 50L)
+  }
+
+  test("merge: no matches and no inserts commits nothing") {
+    val path = tmpTable("graft_merge_nop")
+    DeltaWrite.toDelta(Seq((1L, 10L)).toDF("id", "v"), path)
+    val source = Seq((9L, 90L)).toDF("id", "v")
+    val v = DeltaWrite.merge(spark, path, source, col("t.id") === col("s.id"),
+      whenMatchedUpdate = Some(Map("v" -> col("s.v")))) // no insert clause
+    assert(v == 0L)
+  }
+
   test("vacuum removes pre-compaction originals after retention but keeps the packed file") {
     val path = tmpTable("graft_compact_vac")
     DeltaWrite.toDelta(spark.range(0, 4).toDF("id"), path)
