@@ -391,10 +391,69 @@ private[graft] object ProjEngine {
             (math.toDegrees(lon0 + math.atan2(x, -y)), math.toDegrees(phiA))
         })
 
+      case "sterea" =>
+        // Oblique ("double") Stereographic, EPSG method 9809 (Guidance
+        // Note 7-2 §1.3.7.1): ellipsoid → conformal sphere → stereographic
+        // plane. The Dutch RD grid (EPSG 28992) is the canonical user.
+        val e = ell.e; val e2v = ell.e2
+        val s0 = math.sin(lat0)
+        val rho0c = a * (1.0 - e2v) / math.pow(1.0 - e2v * s0 * s0, 1.5)
+        val nu0 = a / math.sqrt(1.0 - e2v * s0 * s0)
+        val bigR = math.sqrt(rho0c * nu0)
+        val n = math.sqrt(1.0 + e2v * math.pow(math.cos(lat0), 4) / (1.0 - e2v))
+        val w1 = math.pow(((1.0 + s0) / (1.0 - s0)) *
+          math.pow((1.0 - e * s0) / (1.0 + e * s0), e), n)
+        val sinChi00 = (w1 - 1.0) / (w1 + 1.0)
+        val cc = (n + s0) * (1.0 - sinChi00) / ((n - s0) * (1.0 + sinChi00))
+        val w2 = cc * w1
+        val chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+        val lam0c = lon0 // conformal-sphere origin longitude
+        def conformal(phi: Double, lam: Double): (Double, Double) = {
+          val s = math.sin(phi)
+          val w = cc * math.pow(((1.0 + s) / (1.0 - s)) *
+            math.pow((1.0 - e * s) / (1.0 + e * s), e), n)
+          (math.asin((w - 1.0) / (w + 1.0)), n * (lam - lon0) + lam0c)
+        }
+        ((lon, lat) => {
+          val (chi, lam) = conformal(math.toRadians(lat), math.toRadians(lon))
+          val dl = lam - lam0c
+          val b = 1.0 + math.sin(chi) * math.sin(chi0) +
+            math.cos(chi) * math.cos(chi0) * math.cos(dl)
+          (2.0 * bigR * k0u * math.cos(chi) * math.sin(dl) / b,
+           2.0 * bigR * k0u * (math.sin(chi) * math.cos(chi0) -
+             math.cos(chi) * math.sin(chi0) * math.cos(dl)) / b)
+        }, (x, y) => {
+          // sphere inverse (GN7-2 reverse formulas), then conformal →
+          // geodetic latitude by isometric-latitude iteration
+          val g = 2.0 * bigR * k0u * math.tan(math.Pi / 4.0 - chi0 / 2.0)
+          val h = 4.0 * bigR * k0u * math.tan(chi0) + g
+          val ii = math.atan2(x, h + y)
+          val jj = math.atan2(x, g - y) - ii
+          val chi = chi0 + 2.0 * math.atan((y - x * math.tan(jj / 2.0)) /
+            (2.0 * bigR * k0u))
+          val lam = jj + 2.0 * ii + lam0c
+          val lonOut = (lam - lam0c) / n + lon0
+          val psi = 0.5 * math.log((1.0 + math.sin(chi)) /
+            (cc * (1.0 - math.sin(chi)))) / n
+          var phi = 2.0 * math.atan(math.exp(psi)) - math.Pi / 2.0
+          var it = 0
+          while (it < 20) {
+            val s = math.sin(phi)
+            val psiI = math.log(math.tan(phi / 2.0 + math.Pi / 4.0) *
+              math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+            val next = phi - (psiI - psi) * math.cos(phi) *
+              (1.0 - e2v * s * s) / (1.0 - e2v)
+            val d = next - phi
+            phi = next
+            if (math.abs(d) < 1e-14) it = 20 else it += 1
+          }
+          (math.toDegrees(lonOut), math.toDegrees(phi))
+        })
+
       case other =>
         throw new IllegalArgumentException(
           s"+proj=$other not implemented (supported: longlat, merc, tmerc, " +
-            s"utm, lcc, aea, laea, polar stere): $spec")
+            s"utm, lcc, aea, laea, polar stere, oblique sterea): $spec")
     }
 
     // false origin (meters, proj convention) + unit conversion, last
@@ -442,6 +501,10 @@ private[graft] object ProjEngine {
       "+lat_2=49.8333339 +lat_0=90 +lon_0=4.367486666666666 " +
       "+x_0=150000.013 +y_0=5400088.438 +ellps=intl " +
       "+towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747")
+    case 28992 => Some("+proj=sterea +lat_0=52.15616055555555 " + // Dutch RD New
+      "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 " +
+      "+ellps=bessel " +
+      "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725")
     case 3031 => Some("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 " + // Antarctic PS
       "+ellps=WGS84")
     case 3413 => Some("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 " + // NSIDC Arctic

@@ -92,6 +92,19 @@ class ProjEngineSpec extends SparkSpec {
     assert(math.abs(n2 - 313177.270) < 0.01, s"N=$n2")
   }
 
+  test("oblique (double) stereographic: Dutch RD worked example, EPSG GN7-2") {
+    // projection step only (Bessel ellipsoid, Amersfoort datum geodetic in):
+    // GN7-2 §1.3.7.1 example — 53°N 6°E → E 196105.283, N 557057.739
+    val rd = fwd("+proj=sterea +lat_0=52.15616055555555 " +
+      "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+    val (e1, n1) = rd(6.0, 53.0)
+    assert(math.abs(e1 - 196105.283) < 0.01, s"E=$e1")
+    assert(math.abs(n1 - 557057.739) < 0.01, s"N=$n1")
+    // origin anchor: the natural origin lands exactly on (FE, FN)
+    val (e0, n0) = rd(5.38763888888889, 52.15616055555555)
+    assert(math.abs(e0 - 155000.0) < 1e-6 && math.abs(n0 - 463000.0) < 1e-6)
+  }
+
   test("web mercator closed form") {
     val f = fwd("EPSG:3857")
     val (x, _) = f(180.0, 0.0)
@@ -138,6 +151,7 @@ class ProjEngineSpec extends SparkSpec {
       ("EPSG:3031", 45.0, -75.0, 1.0),
       ("EPSG:3413", -30.0, 75.0, 1.0),
       ("EPSG:31370", 4.5, 50.8, 1.0),
+      ("EPSG:28992", 5.2, 52.3, 1.0),
       ("EPSG:3857", 10.0, 40.0, 1.0))
     for ((spec, lon, lat, unit) <- cases) {
       val crs = ProjEngine.crs(spec)
@@ -197,6 +211,7 @@ class ProjEngineSpec extends SparkSpec {
       ("EPSG:3413", -180.0, 180.0, 60.0, 89.0),
       ("EPSG:5041", -180.0, 180.0, 60.0, 89.9),
       ("EPSG:5042", -180.0, 180.0, -89.9, -60.0),
+      ("EPSG:28992", 3.3, 7.2, 50.7, 53.6),
       ("EPSG:23031", -1.0, 4.0, 36.0, 48.0),
       ("EPSG:25832", 6.0, 12.0, 38.0, 70.0),
       ("EPSG:26910", -126.0, -120.0, 31.0, 55.0),
