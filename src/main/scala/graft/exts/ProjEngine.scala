@@ -450,10 +450,61 @@ private[graft] object ProjEngine {
           (math.toDegrees(lonOut), math.toDegrees(phi))
         })
 
+      case "somerc" =>
+        // Swiss Oblique Mercator (the CH1903/LV03 + CH1903+/LV95 cylinder;
+        // Swisstopo's published "Formulas and constants for the Swiss
+        // projection" — ellipsoid → conformal sphere → equator rotation →
+        // spherical Mercator). Degenerates to plain Mercator at lat_0=0
+        // on a sphere, which the spec uses as an exact cross-check.
+        val e = ell.e; val e2v = ell.e2
+        val s0 = math.sin(lat0)
+        val bigR = a * math.sqrt(1.0 - e2v) / (1.0 - e2v * s0 * s0)
+        val alpha = math.sqrt(1.0 + e2v / (1.0 - e2v) * math.pow(math.cos(lat0), 4))
+        val b0 = math.asin(s0 / alpha)
+        val bigK = math.log(math.tan(math.Pi / 4.0 + b0 / 2.0)) -
+          alpha * math.log(math.tan(math.Pi / 4.0 + lat0 / 2.0)) +
+          alpha * e / 2.0 * math.log((1.0 + e * s0) / (1.0 - e * s0))
+        ((lon, lat) => {
+          val phi = math.toRadians(lat)
+          val sS = alpha * math.log(math.tan(math.Pi / 4.0 + phi / 2.0)) -
+            alpha * e / 2.0 * math.log(
+              (1.0 + e * math.sin(phi)) / (1.0 - e * math.sin(phi))) + bigK
+          val b = 2.0 * (math.atan(math.exp(sS)) - math.Pi / 4.0)
+          val l = alpha * (math.toRadians(lon) - lon0)
+          val lBar = math.atan2(math.sin(l),
+            math.sin(b0) * math.tan(b) + math.cos(b0) * math.cos(l))
+          val bBar = math.asin(math.cos(b0) * math.sin(b) -
+            math.sin(b0) * math.cos(b) * math.cos(l))
+          (k0u * bigR * lBar,
+           k0u * bigR / 2.0 * math.log((1.0 + math.sin(bBar)) / (1.0 - math.sin(bBar))))
+        }, (x, y) => {
+          val lBar = x / (k0u * bigR)
+          val bBar = 2.0 * (math.atan(math.exp(y / (k0u * bigR))) - math.Pi / 4.0)
+          val b = math.asin(math.cos(b0) * math.sin(bBar) +
+            math.sin(b0) * math.cos(bBar) * math.cos(lBar))
+          val l = math.atan2(math.sin(lBar),
+            math.cos(b0) * math.cos(lBar) - math.sin(b0) * math.tan(bBar))
+          val lonOut = lon0 + l / alpha
+          // conformal-sphere latitude → geodetic: fixpoint on the inverse
+          // of the S(φ) relation (same contraction the Swisstopo doc uses)
+          var phi = b
+          var it = 0
+          while (it < 20) {
+            val sS = (math.log(math.tan(math.Pi / 4.0 + b / 2.0)) - bigK) / alpha +
+              e * math.log(math.tan(math.Pi / 4.0 +
+                math.asin(e * math.sin(phi)) / 2.0))
+            val next = 2.0 * math.atan(math.exp(sS)) - math.Pi / 2.0
+            val d = next - phi
+            phi = next
+            if (math.abs(d) < 1e-14) it = 20 else it += 1
+          }
+          (math.toDegrees(lonOut), math.toDegrees(phi))
+        })
+
       case other =>
         throw new IllegalArgumentException(
           s"+proj=$other not implemented (supported: longlat, merc, tmerc, " +
-            s"utm, lcc, aea, laea, polar stere, oblique sterea): $spec")
+            s"utm, lcc, aea, laea, polar stere, oblique sterea, somerc): $spec")
     }
 
     // false origin (meters, proj convention) + unit conversion, last
@@ -501,6 +552,12 @@ private[graft] object ProjEngine {
       "+lat_2=49.8333339 +lat_0=90 +lon_0=4.367486666666666 " +
       "+x_0=150000.013 +y_0=5400088.438 +ellps=intl " +
       "+towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747")
+    case 21781 => Some("+proj=somerc +lat_0=46.95240555555556 " + // CH1903 / LV03
+      "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 " +
+      "+ellps=bessel +towgs84=674.374,15.056,405.346")
+    case 2056 => Some("+proj=somerc +lat_0=46.95240555555556 " + // CH1903+ / LV95
+      "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 " +
+      "+ellps=bessel +towgs84=674.374,15.056,405.346")
     case 28992 => Some("+proj=sterea +lat_0=52.15616055555555 " + // Dutch RD New
       "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 " +
       "+ellps=bessel " +

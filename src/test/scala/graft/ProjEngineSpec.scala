@@ -105,6 +105,27 @@ class ProjEngineSpec extends SparkSpec {
     assert(math.abs(e0 - 155000.0) < 1e-6 && math.abs(n0 - 463000.0) < 1e-6)
   }
 
+  test("somerc: Swiss cylinder — exact center anchor, sphere degenerates to Mercator") {
+    // the projection center is the fundamental point: maps exactly to (FE, FN)
+    val lv95 = fwd("EPSG:2056")
+    val (e0, n0) = lv95(7.439583333333333, 46.95240555555556)
+    assert(math.abs(e0 - 2600000.0) < 1e-6 && math.abs(n0 - 1200000.0) < 1e-6)
+    // on a sphere with lat_0=0 the Swiss cylinder IS plain Mercator
+    val degen = fwd("+proj=somerc +lat_0=0 +lon_0=0 +a=6378137 +b=6378137")
+    val merc = fwd("+proj=merc +a=6378137 +b=6378137")
+    for (lon <- grid(-120.0, 120.0, 47.0); lat <- grid(-60.0, 60.0, 23.0)) {
+      val (x1, y1) = degen(lon, lat); val (x2, y2) = merc(lon, lat)
+      assert(math.abs(x1 - x2) < 1e-6 && math.abs(y1 - y2) < 1e-6,
+        s"degenerate somerc != merc at ($lon,$lat)")
+    }
+    // city sanity through the full WGS84 -> CH1903+ datum path:
+    // Zurich main station sits near 2683000 / 1248000 on the LV95 grid
+    val t = ProjEngine.transformerFor("EPSG:4326", "EPSG:2056")
+    val (ez, nz) = t(8.540192, 47.377453)
+    assert(math.abs(ez - 2683000.0) < 2000.0, s"Zurich E=$ez")
+    assert(math.abs(nz - 1248000.0) < 2000.0, s"Zurich N=$nz")
+  }
+
   test("web mercator closed form") {
     val f = fwd("EPSG:3857")
     val (x, _) = f(180.0, 0.0)
@@ -152,6 +173,7 @@ class ProjEngineSpec extends SparkSpec {
       ("EPSG:3413", -30.0, 75.0, 1.0),
       ("EPSG:31370", 4.5, 50.8, 1.0),
       ("EPSG:28992", 5.2, 52.3, 1.0),
+      ("EPSG:2056", 8.1, 46.6, 1.0),
       ("EPSG:3857", 10.0, 40.0, 1.0))
     for ((spec, lon, lat, unit) <- cases) {
       val crs = ProjEngine.crs(spec)
@@ -188,6 +210,21 @@ class ProjEngineSpec extends SparkSpec {
     }
   }
 
+  test("oblique projections: local scale at the natural origin is exactly k0") {
+    // pins the ABSOLUTE scale (conformal-sphere radius + rotation), which
+    // conformality (isotropy) alone cannot
+    val cases = Seq(
+      ("EPSG:2056", 7.439583333333333, 46.95240555555556, 1.0),       // Swiss k0=1
+      ("EPSG:28992", 5.38763888888889, 52.15616055555555, 0.9999079)) // RD k0
+    for ((spec, lon, lat, k0) <- cases) {
+      val crs = ProjEngine.crs(spec)
+      val (dxdl, dydl, dxdp, dydp, gl, gp) =
+        jacobian(crs.fwd, lon, lat, crs.ell.a, crs.ell.e2)
+      assert(math.abs(math.hypot(dxdl, dydl) / gl - k0) < 1e-7, s"$spec parallel scale")
+      assert(math.abs(math.hypot(dxdp, dydp) / gp - k0) < 1e-7, s"$spec meridian scale")
+    }
+  }
+
   test("unit handling: NY Long Island ftUS (2263) = meters twin (32118) * 3937/1200") {
     val ft = fwd("EPSG:2263"); val m = fwd("EPSG:32118")
     for (lon <- grid(-74.2, -72.0, 0.7); lat <- grid(40.5, 41.1, 0.25)) {
@@ -212,6 +249,8 @@ class ProjEngineSpec extends SparkSpec {
       ("EPSG:5041", -180.0, 180.0, 60.0, 89.9),
       ("EPSG:5042", -180.0, 180.0, -89.9, -60.0),
       ("EPSG:28992", 3.3, 7.2, 50.7, 53.6),
+      ("EPSG:2056", 6.0, 10.5, 45.8, 47.8),
+      ("EPSG:21781", 6.0, 10.5, 45.8, 47.8),
       ("EPSG:23031", -1.0, 4.0, 36.0, 48.0),
       ("EPSG:25832", 6.0, 12.0, 38.0, 70.0),
       ("EPSG:26910", -126.0, -120.0, 31.0, 55.0),
