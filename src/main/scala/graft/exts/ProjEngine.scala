@@ -65,6 +65,7 @@ private[graft] object ProjEngine {
     "krass" -> Ellipsoid(6378245.0, 1.0 / 298.3),
     "clrk66" -> Ellipsoid(6378206.4, 1.0 - 6356583.8 / 6378206.4),
     "clrk80ign" -> Ellipsoid(6378249.2, 1.0 / 293.4660212936269),
+    "evrstSS" -> Ellipsoid(6377298.556, 1.0 / 300.8017), // Everest 1830 (1967 def)
     "sphere" -> Ellipsoid(6370997.0, 0.0))
 
   // ---- ellipsoidal helper functions (Snyder's m, t, q) --------------------
@@ -501,10 +502,81 @@ private[graft] object ProjEngine {
           (math.toDegrees(lonOut), math.toDegrees(phi))
         })
 
+      case "omerc" =>
+        // Hotine Oblique Mercator, EPSG 9812 (variant A) / 9815 (variant
+        // B, +no_uoff absent — proj convention: omerc defaults to the
+        // CENTER-anchored variant B unless +no_uoff is given). Formulas:
+        // EPSG Guidance Note 7-2 §1.3.6 (Timbalai/Borneo RSO is the
+        // worked example the spec pins).
+        val e = ell.e; val e2v = ell.e2
+        val phiC = lat0 // +lat_0 is the projection-center latitude here
+        val lamC = math.toRadians(num("lonc").getOrElse(
+          throw new IllegalArgumentException(s"+proj=omerc needs +lonc: $spec")))
+        val alphaC = math.toRadians(num("alpha").getOrElse(
+          throw new IllegalArgumentException(s"+proj=omerc needs +alpha: $spec")))
+        val gammaC = num("gamma").map(math.toRadians).getOrElse(alphaC)
+        val variantA = p.contains("no_uoff")
+        val sC = math.sin(phiC)
+        val bB = math.sqrt(1.0 + e2v * math.pow(math.cos(phiC), 4) / (1.0 - e2v))
+        val bA = a * bB * k0u * math.sqrt(1.0 - e2v) / (1.0 - e2v * sC * sC)
+        val t0 = tFn(ell, phiC)
+        val dD = bB * math.sqrt(1.0 - e2v) /
+          (math.cos(phiC) * math.sqrt(1.0 - e2v * sC * sC))
+        val d2 = math.max(dD * dD, 1.0)
+        val fF = dD + math.sqrt(d2 - 1.0) * math.signum(phiC)
+        val hH = fF * math.pow(t0, bB)
+        val gG = (fF - 1.0 / fF) / 2.0
+        val gamma0 = math.asin(math.sin(alphaC) / dD)
+        val lam0 = lamC - math.asin(gG * math.tan(gamma0)) / bB
+        // variant B's center offset along u
+        val uC =
+          if (variantA) 0.0
+          else if (math.abs(alphaC - math.Pi / 2.0) < 1e-12) bA * (lamC - lam0)
+          else (bA / bB) * math.atan2(math.sqrt(d2 - 1.0), math.cos(alphaC)) *
+            math.signum(phiC)
+        val cosGc = math.cos(gammaC); val sinGc = math.sin(gammaC)
+        ((lon, lat) => {
+          val phi = math.toRadians(lat)
+          val dl = bB * (math.toRadians(lon) - lam0)
+          val (u, v) =
+            if (math.abs(math.abs(phi) - math.Pi / 2.0) < 1e-12) {
+              // poles: closed form (GN7-2 special case)
+              (bA * phi / bB,
+               (bA / bB) * math.log(math.tan(math.Pi / 4.0 -
+                 gamma0 * math.signum(phi) / 2.0)))
+            } else {
+              val q = hH / math.pow(tFn(ell, phi), bB)
+              val s = (q - 1.0 / q) / 2.0
+              val t = (q + 1.0 / q) / 2.0
+              val vv = math.sin(dl)
+              val uU = (-vv * math.cos(gamma0) + s * math.sin(gamma0)) / t
+              val v1 = bA * math.log((1.0 - uU) / (1.0 + uU)) / (2.0 * bB)
+              val u1 = bA * math.atan2(
+                s * math.cos(gamma0) + vv * math.sin(gamma0), math.cos(dl)) / bB
+              (u1, v1)
+            }
+          val uAdj = u - uC
+          (v * cosGc + uAdj * sinGc, uAdj * cosGc - v * sinGc)
+        }, (x, y) => {
+          val v = x * cosGc - y * sinGc
+          val u = y * cosGc + x * sinGc + uC
+          val q = math.exp(-bB * v / bA)
+          val s = (q - 1.0 / q) / 2.0
+          val t = (q + 1.0 / q) / 2.0
+          val vv = math.sin(bB * u / bA)
+          val uU = (vv * math.cos(gamma0) + s * math.sin(gamma0)) / t
+          val tv = math.pow(hH / math.sqrt((1.0 + uU) / (1.0 - uU)), 1.0 / bB)
+          val phi = phiFromT(ell, tv)
+          val lam = lam0 - math.atan2(
+            s * math.cos(gamma0) - vv * math.sin(gamma0), math.cos(bB * u / bA)) / bB
+          (math.toDegrees(lam), math.toDegrees(phi))
+        })
+
       case other =>
         throw new IllegalArgumentException(
           s"+proj=$other not implemented (supported: longlat, merc, tmerc, " +
-            s"utm, lcc, aea, laea, polar stere, oblique sterea, somerc): $spec")
+            s"utm, lcc, aea, laea, polar stere, oblique sterea, somerc, " +
+            s"omerc): $spec")
     }
 
     // false origin (meters, proj convention) + unit conversion, last
@@ -552,6 +624,13 @@ private[graft] object ProjEngine {
       "+lat_2=49.8333339 +lat_0=90 +lon_0=4.367486666666666 " +
       "+x_0=150000.013 +y_0=5400088.438 +ellps=intl " +
       "+towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747")
+    case 3375 => Some("+proj=omerc +lat_0=4 +lonc=102.25 " + // GDM2000 Peninsular RSO
+      "+alpha=323.0257964666666 +gamma=323.1301023611111 +k_0=0.99984 " +
+      "+x_0=804671 +y_0=0 +no_uoff +ellps=GRS80") // method 9812 (variant A)
+    case 29873 => Some("+proj=omerc +lat_0=4 +lonc=115 " + // Timbalai RSO Borneo (m)
+      "+alpha=53.31582047222222 +gamma=53.13010236111111 +k_0=0.99984 " +
+      "+x_0=590476.87 +y_0=442857.65 +ellps=evrstSS " + // method 9815 (variant B)
+      "+towgs84=-679,669,-48")
     case 21781 => Some("+proj=somerc +lat_0=46.95240555555556 " + // CH1903 / LV03
       "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 " +
       "+ellps=bessel +towgs84=674.374,15.056,405.346")

@@ -86,10 +86,10 @@ class GeoUtmSpec extends SparkSpec {
       geo.y(geo.transform(geo.point(lit(0.0), lit(51.4769)), 4326, 27700)).as("n")).head()
     assert(math.abs(os.getDouble(0) - 538890.0) < 2000.0)
     assert(math.abs(os.getDouble(1) - 177320.0) < 2000.0)
-    // Malaysian RSO (3375, GENERAL Hotine oblique mercator — the one
-    // projection METHOD still unimplemented) stays out: plan-time error
+    // Czech Krovak (5514, oblique CONIC — the one projection METHOD
+    // still unimplemented) stays out of scope: plan-time error
     val err = intercept[Exception] {
-      one.select(geo.transform(geo.point(lit(0.0), lit(0.0)), 4326, 3375)).head()
+      one.select(geo.transform(geo.point(lit(0.0), lit(0.0)), 4326, 5514)).head()
     }
     assert(err.getMessage.contains("geo_transform"))
   }

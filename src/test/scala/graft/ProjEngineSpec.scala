@@ -126,6 +126,32 @@ class ProjEngineSpec extends SparkSpec {
     assert(math.abs(nz - 1248000.0) < 2000.0, s"Zurich N=$nz")
   }
 
+  test("omerc: Hotine oblique Mercator — GN7-2 Timbalai/Borneo worked example") {
+    // EPSG 29873 (Timbalai 1948 / RSO Borneo (m), method 9815 variant B):
+    // Everest 1830 (1967), center 4N 115E, alpha 53 18 56.9537,
+    // gamma 53 07 48.3685, k0 0.99984, Ec 590476.87, Nc 442857.65.
+    // Worked point: 5 23 14.1129 N, 115 48 19.8196 E ->
+    //               E 679245.73, N 596562.78
+    val rso = fwd("+proj=omerc +lat_0=4 +lonc=115 " +
+      "+alpha=53.31582047222222 +gamma=53.13010236111111 +k_0=0.99984 " +
+      "+x_0=590476.87 +y_0=442857.65 +ellps=evrstSS")
+    val lat = 5.0 + 23.0 / 60.0 + 14.1129 / 3600.0
+    val lon = 115.0 + 48.0 / 60.0 + 19.8196 / 3600.0
+    val (e1, n1) = rso(lon, lat)
+    assert(math.abs(e1 - 679245.73) < 0.02, s"E=$e1")
+    assert(math.abs(n1 - 596562.78) < 0.02, s"N=$n1")
+    // round-trip across the Borneo domain
+    val g = inv("+proj=omerc +lat_0=4 +lonc=115 " +
+      "+alpha=53.31582047222222 +gamma=53.13010236111111 +k_0=0.99984 " +
+      "+x_0=590476.87 +y_0=442857.65 +ellps=evrstSS")
+    for (lo <- grid(109.5, 119.0, 2.3); la <- grid(0.8, 7.3, 1.7)) {
+      val (xx, yy) = rso(lo, la)
+      val (lo2, la2) = g(xx, yy)
+      assert(math.abs(lo2 - lo) < 1e-9 && math.abs(la2 - la) < 1e-9,
+        s"omerc roundtrip at ($lo,$la)")
+    }
+  }
+
   test("web mercator closed form") {
     val f = fwd("EPSG:3857")
     val (x, _) = f(180.0, 0.0)
@@ -174,6 +200,8 @@ class ProjEngineSpec extends SparkSpec {
       ("EPSG:31370", 4.5, 50.8, 1.0),
       ("EPSG:28992", 5.2, 52.3, 1.0),
       ("EPSG:2056", 8.1, 46.6, 1.0),
+      ("EPSG:3375", 101.5, 3.2, 1.0),
+      ("EPSG:29873", 114.0, 4.5, 1.0),
       ("EPSG:3857", 10.0, 40.0, 1.0))
     for ((spec, lon, lat, unit) <- cases) {
       val crs = ProjEngine.crs(spec)
@@ -251,6 +279,8 @@ class ProjEngineSpec extends SparkSpec {
       ("EPSG:28992", 3.3, 7.2, 50.7, 53.6),
       ("EPSG:2056", 6.0, 10.5, 45.8, 47.8),
       ("EPSG:21781", 6.0, 10.5, 45.8, 47.8),
+      ("EPSG:3375", 99.6, 104.6, 1.2, 6.7),
+      ("EPSG:29873", 109.5, 119.2, 0.9, 7.4),
       ("EPSG:23031", -1.0, 4.0, 36.0, 48.0),
       ("EPSG:25832", 6.0, 12.0, 38.0, 70.0),
       ("EPSG:26910", -126.0, -120.0, 31.0, 55.0),
