@@ -260,6 +260,21 @@ object DeletionVectors {
 
   /** Resolve a descriptor to its sorted deleted row indices. `tableDir`
     * anchors relative ("u"-type) DV files. */
+  /** The on-disk sidecar a descriptor references (None for inline).
+    * u-type: pathOrInlineDv = <optional prefix><20-char z85 uuid>, the DV
+    * living at <tableDir>/<prefix>/deletion_vector_<uuid>.bin. */
+  def sidecarFile(d: Descriptor, tableDir: File): Option[File] = d.storageType match {
+    case "p" => Some(new File(d.pathOrInlineDv))
+    case "u" =>
+      val s = d.pathOrInlineDv
+      require(s.length >= 20, s"u-type DV id too short: $s")
+      val prefix = s.dropRight(20)
+      val uuid = decodeUuid(s.takeRight(20))
+      val dir = if (prefix.isEmpty) tableDir else new File(tableDir, prefix)
+      Some(new File(dir, s"deletion_vector_$uuid.bin"))
+    case _ => None
+  }
+
   def readDescriptor(d: Descriptor, tableDir: File): Array[Long] = d.storageType match {
     case "i" =>
       val raw = z85Decode(d.pathOrInlineDv)
@@ -267,18 +282,7 @@ object DeletionVectors {
         s"inline DV decodes to ${raw.length} bytes < sizeInBytes ${d.sizeInBytes}")
       deserialize(java.util.Arrays.copyOf(raw, d.sizeInBytes))
     case "u" | "p" =>
-      val file = d.storageType match {
-        case "p" => new File(d.pathOrInlineDv)
-        case _ =>
-          // pathOrInlineDv = <optional prefix><20-char z85 uuid>; the DV
-          // lives at <tableDir>/<prefix>/deletion_vector_<uuid>.bin
-          val s = d.pathOrInlineDv
-          require(s.length >= 20, s"u-type DV id too short: $s")
-          val prefix = s.dropRight(20)
-          val uuid = decodeUuid(s.takeRight(20))
-          val dir = if (prefix.isEmpty) tableDir else new File(tableDir, prefix)
-          new File(dir, s"deletion_vector_$uuid.bin")
-      }
+      val file = sidecarFile(d, tableDir).get
       require(file.isFile, s"deletion vector file missing: $file")
       val all = Files.readAllBytes(file.toPath)
       val off = d.offset.getOrElse(1) // past the 1-byte format version

@@ -533,10 +533,23 @@ object DeltaWrite {
           { if (f.getCanonicalPath == logCanon) Seq.empty else walk(f) }
         else Seq(f)
       }
+    // DV sidecars still referenced by an active add's descriptor — an
+    // update/compact that purged descriptors leaves orphaned .bin files
+    // for vacuum to reap, same as data files
+    val activeDvAbs: Set[String] = st.active.values.flatMap { e =>
+      Option(e.dvJson).flatMap { j =>
+        DeletionVectors.sidecarFile(DeltaRead.parseDvDescriptor(j), table)
+          .map(_.getCanonicalPath)
+      }
+    }.toSet
     val deleted = walk(table).filter { f =>
-      f.getName.endsWith(".parquet") &&
-        !activeAbs.contains(f.getCanonicalPath) &&
-        f.lastModified() < cutoff
+      val n = f.getName
+      val stale =
+        if (n.endsWith(".parquet")) !activeAbs.contains(f.getCanonicalPath)
+        else if (n.startsWith("deletion_vector_") && n.endsWith(".bin"))
+          !activeDvAbs.contains(f.getCanonicalPath)
+        else false
+      stale && f.lastModified() < cutoff
     }
     deleted.foreach(_.delete())
     deleted.map(_.getAbsolutePath)

@@ -217,6 +217,26 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(v == 0L)
   }
 
+  test("vacuum reaps orphaned DV sidecars but keeps referenced ones") {
+    val path = tmpTable("graft_vac_dv")
+    DeltaWrite.toDelta(spark.range(0, 5).coalesce(1).select(col("id"),
+      (col("id") * 10).as("v")), path)
+    DeltaWrite.toDelta(spark.range(5, 10).coalesce(1).select(col("id"),
+      (col("id") * 10).as("v")), path, org.apache.spark.sql.SaveMode.Append)
+    DeltaWrite.deleteWhere(spark, path, col("id") === 1L) // bin1: file A only
+    DeltaWrite.deleteWhere(spark, path, col("id") === 7L) // bin2: file B only
+    DeltaWrite.updateWhere(spark, path, col("id") === 2L,
+      Map("v" -> lit(-1L))) // rewrites A, purging its DV -> bin1 orphaned
+    def bins = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("deletion_vector_")).map(_.getName).toSet
+    assert(bins.size == 2)
+    val removed = DeltaWrite.vacuum(spark, path, retentionMs = 0L)
+    assert(removed.exists(_.contains("deletion_vector_")), s"no sidecar reaped: $removed")
+    assert(bins.size == 1, "the still-referenced sidecar must survive")
+    val got = DeltaRead.readDelta(spark, path).as[(Long, Long)].collect().toMap
+    assert(got.size == 8 && got(2L) == -1L && !got.contains(1L) && !got.contains(7L))
+  }
+
   test("vacuum removes pre-compaction originals after retention but keeps the packed file") {
     val path = tmpTable("graft_compact_vac")
     DeltaWrite.toDelta(spark.range(0, 4).toDF("id"), path)
