@@ -149,6 +149,25 @@ private[graft] object ProjEngine {
     def num(k: String): Option[Double] = p.get(k).map(_.toDouble)
     def numOr(k: String, d: Double): Double = num(k).getOrElse(d)
 
+    // keys that would SILENTLY change coordinates if ignored must fail
+    // clearly instead: a Ferro prime meridian shifts longitudes 17°40',
+    // +axis reorders/negates outputs, grid files shift the datum
+    p.get("pm").filterNot(v => v == "greenwich" || v == "0").foreach { v =>
+      throw new IllegalArgumentException(
+        s"+pm=$v (non-Greenwich prime meridian) is not implemented — " +
+          s"restate the CRS with Greenwich longitudes: $spec")
+    }
+    p.get("axis").filterNot(_ == "enu").foreach { v =>
+      throw new IllegalArgumentException(
+        s"+axis=$v (non east-north axis order) is not implemented — " +
+          s"swap/negate the coordinates explicitly: $spec")
+    }
+    Seq("nadgrids", "geoidgrids").foreach { k =>
+      if (p.contains(k)) throw new IllegalArgumentException(
+        s"+$k= (grid-file datum shift) is not implemented — use +towgs84 " +
+          s"parameters: $spec")
+    }
+
     val ell: Ellipsoid = (p.get("ellps"), p.get("datum")) match {
       case (Some(name), _) => Ellipsoids.getOrElse(name,
         throw new IllegalArgumentException(s"unknown ellipsoid '$name' in: $spec"))

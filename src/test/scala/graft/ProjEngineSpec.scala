@@ -369,6 +369,18 @@ class ProjEngineSpec extends SparkSpec {
     assert(viaSql.length == 2 && viaSql(0).getDouble(0) < viaSql(1).getDouble(0))
   }
 
+  test("silently-coordinate-changing keys fail clearly instead of being ignored") {
+    for (bad <- Seq(
+      "+proj=tmerc +lat_0=0 +lon_0=0 +ellps=bessel +pm=ferro",
+      "+proj=krovak +lat_0=49.5 +ellps=bessel +axis=swu",
+      "+proj=tmerc +lon_0=0 +ellps=GRS80 +nadgrids=conus")) {
+      val e = intercept[IllegalArgumentException] { ProjEngine.crs(bad) }
+      assert(e.getMessage.contains("not implemented"), s"$bad -> ${e.getMessage}")
+    }
+    // greenwich/enu spellings stay accepted
+    ProjEngine.crs("+proj=tmerc +lon_0=0 +ellps=GRS80 +pm=greenwich +axis=enu")
+  }
+
   test("bad CRS specs fail at plan time, not per row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
