@@ -591,11 +591,79 @@ private[graft] object ProjEngine {
           (math.toDegrees(lam), math.toDegrees(phi))
         })
 
+      case "krovak" =>
+        // Krovak oblique conformal conic, EPSG method 9819 (S-JTSK):
+        // Bessel → Gaussian conformal sphere → rotation to the
+        // cartographic pole → spherical LCC at the 78.5° pseudo-standard
+        // parallel. Constants per the published method: the cartographic
+        // pole's conformal latitude uq = 1.04216856380474 rad
+        // (59°42'42.6969"), s0 = 78.5°. +lon_0 is the GREENWICH longitude
+        // of the projection origin (42°30' east of Ferro = 24°50' E
+        // Greenwich for S-JTSK). Output is the modern east-north
+        // convention (EPSG 5514: E = −westing, N = −southing, both
+        // negative in Czechia); +czech emits positive southing/westing
+        // (EPSG 2065 style).
+        val e = ell.e; val e2v = ell.e2
+        val s0lat = math.toRadians(78.5)
+        val uq = 1.04216856380474
+        val ad = math.Pi / 2.0 - uq
+        val sC = math.sin(lat0)
+        val alfa = math.sqrt(1.0 + e2v * math.pow(math.cos(lat0), 4) / (1.0 - e2v))
+        val u0 = math.asin(sC / alfa)
+        val g0 = math.pow((1.0 + e * sC) / (1.0 - e * sC), alfa * e / 2.0)
+        val kconst = math.tan(u0 / 2.0 + math.Pi / 4.0) /
+          math.pow(math.tan(lat0 / 2.0 + math.Pi / 4.0), alfa) * g0
+        val n = math.sin(s0lat)
+        val rG = a * math.sqrt(1.0 - e2v) / (1.0 - e2v * sC * sC) // Gaussian radius
+        val ro0 = k0u * rG / math.tan(s0lat)
+        val sgn = if (p.contains("czech")) 1.0 else -1.0
+        ((lon, lat) => {
+          val phi = math.toRadians(lat)
+          val sp = math.sin(phi)
+          val gfi = math.pow((1.0 + e * sp) / (1.0 - e * sp), alfa * e / 2.0)
+          val u = 2.0 * (math.atan(kconst *
+            math.pow(math.tan(phi / 2.0 + math.Pi / 4.0), alfa) / gfi) - math.Pi / 4.0)
+          val deltav = -(math.toRadians(lon) - lon0) * alfa
+          val s = math.asin(math.cos(ad) * math.sin(u) +
+            math.sin(ad) * math.cos(u) * math.cos(deltav))
+          val d = math.asin(math.cos(u) * math.sin(deltav) / math.cos(s))
+          val eps = n * d
+          val ro = ro0 * math.pow(math.tan(s0lat / 2.0 + math.Pi / 4.0) /
+            math.tan(s / 2.0 + math.Pi / 4.0), n)
+          // southing = ro cos eps, westing = ro sin eps
+          (sgn * ro * math.sin(eps), sgn * ro * math.cos(eps))
+        }, (x, y) => {
+          val westing = sgn * x; val southing = sgn * y
+          val ro = math.hypot(southing, westing)
+          val eps = math.atan2(westing, southing)
+          val d = eps / n
+          val s = 2.0 * (math.atan(math.pow(ro0 / ro, 1.0 / n) *
+            math.tan(s0lat / 2.0 + math.Pi / 4.0)) - math.Pi / 4.0)
+          val u = math.asin(math.cos(ad) * math.sin(s) -
+            math.sin(ad) * math.cos(s) * math.cos(d))
+          val deltav = math.asin(math.cos(s) * math.sin(d) / math.cos(u))
+          val lam = lon0 - deltav / alfa
+          // conformal-sphere u → geodetic latitude (fixpoint)
+          var phi = u
+          var it = 0
+          while (it < 20) {
+            val sp = math.sin(phi)
+            val next = 2.0 * (math.atan(
+              math.pow(kconst, -1.0 / alfa) *
+                math.pow(math.tan(u / 2.0 + math.Pi / 4.0), 1.0 / alfa) *
+                math.pow((1.0 + e * sp) / (1.0 - e * sp), e / 2.0)) - math.Pi / 4.0)
+            val dd = next - phi
+            phi = next
+            if (math.abs(dd) < 1e-14) it = 20 else it += 1
+          }
+          (math.toDegrees(lam), math.toDegrees(phi))
+        })
+
       case other =>
         throw new IllegalArgumentException(
           s"+proj=$other not implemented (supported: longlat, merc, tmerc, " +
             s"utm, lcc, aea, laea, polar stere, oblique sterea, somerc, " +
-            s"omerc): $spec")
+            s"omerc, krovak): $spec")
     }
 
     // false origin (meters, proj convention) + unit conversion, last
@@ -643,6 +711,9 @@ private[graft] object ProjEngine {
       "+lat_2=49.8333339 +lat_0=90 +lon_0=4.367486666666666 " +
       "+x_0=150000.013 +y_0=5400088.438 +ellps=intl " +
       "+towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747")
+    case 5514 => Some("+proj=krovak +lat_0=49.5 " + // S-JTSK / Krovak East North
+      "+lon_0=24.833333333333332 +k_0=0.9999 +ellps=bessel " +
+      "+towgs84=589,76,480")
     case 3375 => Some("+proj=omerc +lat_0=4 +lonc=102.25 " + // GDM2000 Peninsular RSO
       "+alpha=323.0257964666666 +gamma=323.1301023611111 +k_0=0.99984 " +
       "+x_0=804671 +y_0=0 +no_uoff +ellps=GRS80") // method 9812 (variant A)

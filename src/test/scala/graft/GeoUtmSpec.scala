@@ -86,10 +86,10 @@ class GeoUtmSpec extends SparkSpec {
       geo.y(geo.transform(geo.point(lit(0.0), lit(51.4769)), 4326, 27700)).as("n")).head()
     assert(math.abs(os.getDouble(0) - 538890.0) < 2000.0)
     assert(math.abs(os.getDouble(1) - 177320.0) < 2000.0)
-    // Czech Krovak (5514, oblique CONIC — the one projection METHOD
-    // still unimplemented) stays out of scope: plan-time error
+    // a code outside the curated EPSG table (Irish Grid here) errors at
+    // plan time with guidance to pass the published +proj parameters
     val err = intercept[Exception] {
-      one.select(geo.transform(geo.point(lit(0.0), lit(0.0)), 4326, 5514)).head()
+      one.select(geo.transform(geo.point(lit(0.0), lit(0.0)), 4326, 29902)).head()
     }
     assert(err.getMessage.contains("geo_transform"))
   }

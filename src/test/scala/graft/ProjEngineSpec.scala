@@ -152,6 +152,32 @@ class ProjEngineSpec extends SparkSpec {
     }
   }
 
+  test("krovak: conformal oblique conic — Prague anchor, scale envelope, czech flip") {
+    // WGS84 -> S-JTSK East-North through the published 3-param shift:
+    // central Prague sits near E -743000, N -1044000 on the 5514 grid
+    val t = ProjEngine.transformerFor("EPSG:4326", "EPSG:5514")
+    val (ep, np) = t(14.4206, 50.0875)
+    assert(math.abs(ep + 743000.0) < 3000.0, s"Prague E=$ep")
+    assert(math.abs(np + 1044000.0) < 3000.0, s"Prague N=$np")
+    // Krovak keeps scale within 1 +/- 1.5e-4 across Czechia by design
+    val crs = ProjEngine.crs("EPSG:5514")
+    for ((lo, la) <- Seq((12.8, 50.3), (14.4, 50.1), (16.6, 49.2), (18.2, 49.7))) {
+      val (dxdl, dydl, dxdp, dydp, gl, gp) =
+        jacobian(crs.fwd, lo, la, crs.ell.a, crs.ell.e2)
+      val kPar = math.hypot(dxdl, dydl) / gl
+      val kMer = math.hypot(dxdp, dydp) / gp
+      assert(math.abs(kPar / kMer - 1.0) < 1e-5, s"krovak anisotropy at ($lo,$la)")
+      assert(math.abs(kPar - 1.0) < 1.5e-4, s"krovak scale $kPar at ($lo,$la)")
+    }
+    // +czech flips to positive southing/westing (EPSG 2065 convention)
+    val pos = fwd("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 " +
+      "+k_0=0.9999 +ellps=bessel +czech")
+    val neg = fwd("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 " +
+      "+k_0=0.9999 +ellps=bessel")
+    val (xp, yp) = pos(14.4206, 50.0875); val (xn, yn) = neg(14.4206, 50.0875)
+    assert(xp > 0 && yp > 0 && xp == -xn && yp == -yn)
+  }
+
   test("web mercator closed form") {
     val f = fwd("EPSG:3857")
     val (x, _) = f(180.0, 0.0)
@@ -280,6 +306,7 @@ class ProjEngineSpec extends SparkSpec {
       ("EPSG:2056", 6.0, 10.5, 45.8, 47.8),
       ("EPSG:21781", 6.0, 10.5, 45.8, 47.8),
       ("EPSG:3375", 99.6, 104.6, 1.2, 6.7),
+      ("EPSG:5514", 12.2, 18.8, 48.6, 51.0),
       ("EPSG:29873", 109.5, 119.2, 0.9, 7.4),
       ("EPSG:23031", -1.0, 4.0, 36.0, 48.0),
       ("EPSG:25832", 6.0, 12.0, 38.0, 70.0),
