@@ -66,6 +66,7 @@ private[graft] object ProjEngine {
     "clrk66" -> Ellipsoid(6378206.4, 1.0 - 6356583.8 / 6378206.4),
     "clrk80ign" -> Ellipsoid(6378249.2, 1.0 / 293.4660212936269),
     "evrstSS" -> Ellipsoid(6377298.556, 1.0 / 300.8017), // Everest 1830 (1967 def)
+    "mod_airy" -> Ellipsoid(6377340.189, 1.0 - 6356034.446 / 6377340.189),
     "sphere" -> Ellipsoid(6370997.0, 0.0))
 
   // ---- ellipsoidal helper functions (Snyder's m, t, q) --------------------
@@ -230,6 +231,18 @@ private[graft] object ProjEngine {
         }, (x, y) => {
           val tv = math.exp(-y / (a * k0))
           (math.toDegrees(lon0 + x / (a * k0)), math.toDegrees(phiFromT(ell, tv)))
+        })
+
+      case "cea" =>
+        // Equal-area cylindrical (EPSG 9835, Lambert): E = a k0 λΔ,
+        // N = a q(φ)/(2 k0); k0 from +lat_ts. EASE-Grid 2.0's method.
+        val k0 = num("lat_ts").map(ts => mFn(ell, math.toRadians(ts))).getOrElse(k0u)
+        ((lon, lat) => {
+          (a * k0 * (math.toRadians(lon) - lon0),
+           a * qFn(ell, math.toRadians(lat)) / (2.0 * k0))
+        }, (x, y) => {
+          (math.toDegrees(lon0 + x / (a * k0)),
+           math.toDegrees(phiFromQ(ell, 2.0 * y * k0 / a)))
         })
 
       case "tmerc" =>
@@ -711,6 +724,16 @@ private[graft] object ProjEngine {
       "+lat_2=49.8333339 +lat_0=90 +lon_0=4.367486666666666 " +
       "+x_0=150000.013 +y_0=5400088.438 +ellps=intl " +
       "+towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747")
+    case 2193 => Some("+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 " + // NZTM 2000
+      "+x_0=1600000 +y_0=10000000 +ellps=GRS80")
+    case 2157 => Some("+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 " + // Irish TM
+      "+x_0=600000 +y_0=750000 +ellps=GRS80")
+    case 29902 => Some("+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=1.000035 " + // Irish Grid
+      "+x_0=200000 +y_0=250000 +ellps=mod_airy " +
+      "+towgs84=482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15")
+    case 3577 => Some("+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 " + // Australian Albers
+      "+lon_0=132 +ellps=GRS80")
+    case 6933 => Some("+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84") // EASE-Grid 2.0
     case 5514 => Some("+proj=krovak +lat_0=49.5 " + // S-JTSK / Krovak East North
       "+lon_0=24.833333333333332 +k_0=0.9999 +ellps=bessel " +
       "+towgs84=589,76,480")

@@ -178,6 +178,18 @@ class ProjEngineSpec extends SparkSpec {
     assert(xp > 0 && yp > 0 && xp == -xn && yp == -yn)
   }
 
+  test("cea: EASE-Grid 2.0 anchors — k0 at lat_ts, authalic row spacing") {
+    val crs = ProjEngine.crs("EPSG:6933")
+    // scale along the standard parallel is exactly 1
+    val (dxdl, dydl, _, _, gl, _) =
+      jacobian(crs.fwd, 40.0, 30.0, crs.ell.a, crs.ell.e2)
+    assert(math.abs(math.hypot(dxdl, dydl) / gl - 1.0) < 1e-8)
+    // equator-to-pole northing equals a*q(90)/2k0; the published EASE 2.0
+    // full-grid half-height is ~7,342,230 m
+    val (_, yPole) = crs.fwd(0.0, 90.0)
+    assert(math.abs(yPole - 7342230.0) < 200.0, s"pole northing $yPole")
+  }
+
   test("web mercator closed form") {
     val f = fwd("EPSG:3857")
     val (x, _) = f(180.0, 0.0)
@@ -244,6 +256,7 @@ class ProjEngineSpec extends SparkSpec {
 
   test("equal-area: aea/laea areal distortion is exactly 1") {
     val cases = Seq(("EPSG:5070", -100.0, 40.0), ("EPSG:3035", 15.0, 55.0),
+      ("EPSG:3577", 134.0, -25.0), ("EPSG:6933", 80.0, -40.0),
       ("+proj=aea +lat_1=20 +lat_2=-10 +lat_0=5 +lon_0=120 +ellps=WGS84", 115.0, 2.0))
     for ((spec, lon, lat) <- cases) {
       val crs = ProjEngine.crs(spec)
@@ -307,6 +320,11 @@ class ProjEngineSpec extends SparkSpec {
       ("EPSG:21781", 6.0, 10.5, 45.8, 47.8),
       ("EPSG:3375", 99.6, 104.6, 1.2, 6.7),
       ("EPSG:5514", 12.2, 18.8, 48.6, 51.0),
+      ("EPSG:2193", 166.5, 178.5, -47.3, -34.1),
+      ("EPSG:2157", -10.5, -5.4, 51.4, 55.4),
+      ("EPSG:29902", -10.5, -5.4, 51.4, 55.4),
+      ("EPSG:3577", 112.9, 154.0, -43.7, -9.1),
+      ("EPSG:6933", -170.0, 170.0, -80.0, 80.0),
       ("EPSG:29873", 109.5, 119.2, 0.9, 7.4),
       ("EPSG:23031", -1.0, 4.0, 36.0, 48.0),
       ("EPSG:25832", 6.0, 12.0, 38.0, 70.0),
