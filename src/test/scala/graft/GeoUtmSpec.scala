@@ -86,10 +86,12 @@ class GeoUtmSpec extends SparkSpec {
       geo.y(geo.transform(geo.point(lit(0.0), lit(51.4769)), 4326, 27700)).as("n")).head()
     assert(math.abs(os.getDouble(0) - 538890.0) < 2000.0)
     assert(math.abs(os.getDouble(1) - 177320.0) < 2000.0)
-    // a code outside the curated EPSG table (Irish Grid here) errors at
-    // plan time with guidance to pass the published +proj parameters
+    // a code outside the curated EPSG table errors at plan time with
+    // guidance to pass the published +proj parameters. 27572 (NTF Paris /
+    // Lambert II) is defined on the PARIS prime meridian, which the
+    // engine refuses by design — a permanently out-of-table example.
     val err = intercept[Exception] {
-      one.select(geo.transform(geo.point(lit(0.0), lit(0.0)), 4326, 29902)).head()
+      one.select(geo.transform(geo.point(lit(0.0), lit(0.0)), 4326, 27572)).head()
     }
     assert(err.getMessage.contains("geo_transform"))
   }
