@@ -1096,6 +1096,54 @@ object CoverageQueries {
         ROUND(-74.2 + (n_nationkey % 5) * 0.35, 6) AS lon_raw_rt
       FROM nation ORDER BY 1""")),
 
+    // Round-9 second CRS batch: the oblique projection methods — Swiss
+    // somerc (EPSG 2056), Krovak oblique conic (5514), Hotine oblique
+    // Mercator variant B (29873 Borneo RSO) and the cea equal-area
+    // cylinder (6933 EASE-Grid 2.0) — each as a WGS84 round trip whose
+    // oracle recomputes the generated inputs; only a real forward AND
+    // inverse (datum shifts included for 2056/5514/29873) reproduces
+    // them at 1e-6 degrees.
+    QueryDef("q74m_geo_oblique_crs", (s, dir) => {
+      import graft.functions.geo
+      val k = col("n_nationkey")
+      import org.apache.spark.sql.Column
+      def rt(px: Column, py: Column, crs: String): (Column, Column) = {
+        val b = geo.convert(geo.convert(geo.point(px, py), "EPSG:4326", crs),
+          crs, "EPSG:4326")
+        (round(geo.x(b), 6), round(geo.y(b), 6))
+      }
+      val chLon = lit(6.5) + (k % 5).cast("double") * 0.8
+      val chLat = lit(46.0) + (k % 7).cast("double") * 0.25
+      val (chX, chY) = rt(chLon, chLat, "EPSG:2056")
+      val czLon = lit(12.5) + (k % 5).cast("double") * 1.2
+      val czLat = lit(48.8) + (k % 7).cast("double") * 0.3
+      val (czX, czY) = rt(czLon, czLat, "EPSG:5514")
+      val myLon = lit(110.0) + (k % 5).cast("double") * 1.8
+      val myLat = lit(1.0) + (k % 7).cast("double") * 0.9
+      val (myX, myY) = rt(myLon, myLat, "EPSG:29873")
+      val eaLon = (k % 12).cast("double") * 30.0 - 165.0
+      val eaLat = lit(-75.0) + (k % 7).cast("double") * 25.0
+      val (eaX, eaY) = rt(eaLon, eaLat, "EPSG:6933")
+      Table(nation(s, dir)).select(
+        k.as("n_nationkey"),
+        chX.as("lon_ch"), chY.as("lat_ch"),
+        czX.as("lon_cz"), czY.as("lat_cz"),
+        myX.as("lon_my"), myY.as("lat_my"),
+        eaX.as("lon_ea"), eaY.as("lat_ea"))
+        .sort(SortKey.asc(col("n_nationkey")))
+        .df
+    }, Some("""
+      SELECT n_nationkey,
+        ROUND(6.5 + (n_nationkey % 5) * 0.8, 6) AS lon_ch,
+        ROUND(46.0 + (n_nationkey % 7) * 0.25, 6) AS lat_ch,
+        ROUND(12.5 + (n_nationkey % 5) * 1.2, 6) AS lon_cz,
+        ROUND(48.8 + (n_nationkey % 7) * 0.3, 6) AS lat_cz,
+        ROUND(110.0 + (n_nationkey % 5) * 1.8, 6) AS lon_my,
+        ROUND(1.0 + (n_nationkey % 7) * 0.9, 6) AS lat_my,
+        ROUND((n_nationkey % 12) * 30.0 - 165.0, 6) AS lon_ea,
+        ROUND(-75.0 + (n_nationkey % 7) * 25.0, 6) AS lat_ea
+      FROM nation ORDER BY 1""")),
+
     // DE-9IM-style predicate battery (exts/GeoGeometryOps.scala;
     // geospatial.py:179 touches, :172 overlaps, :49 covers, :77 equals,
     // :161 ordering_equals, :63 crosses, :42 contains_properly, :405
