@@ -363,8 +363,10 @@ object MiscQueries {
     // the same supplier input — a mis-decoded bitmap or off-by-one row
     // index breaks the hash.
     QueryDef("q98f_delta_delete", (s, dir) => {
-      val base = "/root/repo/target/delta_dv"
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      // fresh per-run temp dir (no fixed path, no cross-run races); must
+      // outlive this builder — the DataFrame reads it lazily
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_dv")
+        .toFile.getAbsolutePath
       val sup = Table(supplier(s, dir))
         .selectNames("s_suppkey", "s_nationkey", "s_acctbal")
       sup.toDelta(base)                                              // v0
