@@ -372,35 +372,51 @@ object Bench {
     import graft.streaming.{Watermark, Windows, Stateful}
 
     def measure(build: DataFrame => DataFrame, mode: String, name: String): Double = {
-      val rate = spark.readStream.format("rate")
-        .option("rowsPerSecond", "10000000")
-        .option("numPartitions", "8")
-        .load()
-      val q = build(rate).writeStream.format("noop")
-        .outputMode(mode)
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory(s"bench_$name").toString)
-        .start()
-      try {
-        // wait for ≥3 data-carrying batches (first one absorbs startup —
-        // in a fresh session the stateful queries' first triggers also pay
-        // codegen + state-store init, so batches tick slowly at first;
-        // 90s accommodates that and the loop exits early once satisfied)
-        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
-        while (q.recentProgress.count(_.numInputRows > 0) < 3 &&
-               System.nanoTime() < deadline) Thread.sleep(250)
-        // co-tenant noise can leave only 1-2 completed batches at the
-        // deadline: measure whatever data-carrying batches exist rather
-        // than reporting a false 0 (drop the startup batch only when a
-        // later one is available)
-        val all = q.recentProgress.filter(_.numInputRows > 0)
-        val ps = if (all.length > 1) all.drop(1) else all
-        val rows = ps.map(_.numInputRows).sum
-        val secs = ps.map(p =>
-          Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
-          .sum / 1000.0
-        if (secs > 0) rows / secs else 0.0
-      } finally q.stop()
+      // one full stream run → (rows/sec over post-startup batches, how
+      // many post-startup batches that rate rests on)
+      def once(): (Double, Int) = {
+        val rate = spark.readStream.format("rate")
+          .option("rowsPerSecond", "10000000")
+          .option("numPartitions", "8")
+          .load()
+        val q = build(rate).writeStream.format("noop")
+          .outputMode(mode)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"bench_$name").toString)
+          .start()
+        try {
+          // wait for ≥3 data-carrying batches (first one absorbs startup —
+          // in a fresh session the stateful queries' first triggers also pay
+          // codegen + state-store init, so batches tick slowly at first;
+          // 90s accommodates that and the loop exits early once satisfied)
+          val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+          while (q.recentProgress.count(_.numInputRows > 0) < 3 &&
+                 System.nanoTime() < deadline) Thread.sleep(250)
+          // the startup batch (codegen + state-store init) is NEVER part
+          // of the measurement — a lone-batch "throughput" is a startup
+          // cost reading, not a rate (round-9 record had the funnel at
+          // 1.76M rows/s from exactly this bias; steady state is ~8M)
+          val ps = q.recentProgress.filter(_.numInputRows > 0).drop(1)
+          val rows = ps.map(_.numInputRows).sum
+          val secs = ps.map(p =>
+            Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+            .sum / 1000.0
+          (if (secs > 0) rows / secs else 0.0, ps.length)
+        } finally q.stop()
+      }
+      // prefer RE-RUNNING the stream to recording a known-biased number:
+      // a run that produced <2 post-startup batches (co-tenant stall)
+      // retries; if the host never yields a clean run, report the best
+      // attempt rather than a false 0
+      var best = 0.0
+      var attempt = 0
+      while (attempt < 3) {
+        val (v, n) = once()
+        best = math.max(best, v)
+        if (n >= 2) return v
+        attempt += 1
+      }
+      best
     }
 
     val tumble = measure(rate => {

@@ -616,6 +616,16 @@ private[graft] object ProjEngine {
         // convention (EPSG 5514: E = −westing, N = −southing, both
         // negative in Czechia); +czech emits positive southing/westing
         // (EPSG 2065 style).
+        // +alpha (azimuth of the oblique cone axis, 30°17'17.303" for
+        // S-JTSK) is baked into the pseudo-pole constant uq below; a
+        // NONSTANDARD azimuth would silently shift every coordinate if
+        // ignored — fail clearly instead (same policy as +pm/+axis)
+        num("alpha").filter(v => math.abs(v - 30.2881397527) > 1e-4).foreach { v =>
+          throw new IllegalArgumentException(
+            s"+proj=krovak implements only the S-JTSK cone azimuth " +
+              s"(+alpha=30.28813975, the published method constant); " +
+              s"got +alpha=$v in: $spec")
+        }
         val e = ell.e; val e2v = ell.e2
         val s0lat = math.toRadians(78.5)
         val uq = 1.04216856380474

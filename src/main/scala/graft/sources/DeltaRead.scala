@@ -60,7 +60,9 @@ object DeltaRead {
 
   private[graft] case class LogState(
     var minReader: Int = 1,
+    var minWriter: Int = 1,
     var readerFeatures: Set[String] = Set.empty,
+    var writerFeatures: Set[String] = Set.empty,
     var schemaJson: String = null,
     var partitionCols: Seq[String] = Seq.empty,
     var configuration: Map[String, String] = Map.empty,
@@ -101,6 +103,13 @@ object DeltaRead {
           "reader does not implement — read it with delta-spark instead")
     }
   }
+
+  /** Local filesystem path of a scan's `_metadata.file_path` string.
+    * `new java.net.URI(fp)` throws on URI-illegal characters (spaces,
+    * unescaped partition-value dirs from foreign writers); Hadoop's Path
+    * parser is the tolerant decode Spark itself applies to these. */
+  private[sources] def filePathToLocal(fp: String): String =
+    new org.apache.hadoop.fs.Path(fp).toUri.getPath
 
   private[sources] def columnMapped(st: LogState): Boolean = {
     val mode = st.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -181,7 +190,7 @@ object DeltaRead {
     val dvFilter: Option[Column] = if (dvIdx.isEmpty) None else {
       val bc = spark.sparkContext.broadcast(dvIdx)
       val deleted = udf { (fp: String, ri: java.lang.Long) =>
-        val arr = bc.value.getOrElse(new java.net.URI(fp).getPath, null)
+        val arr = bc.value.getOrElse(filePathToLocal(fp), null)
         arr != null && ri != null &&
           java.util.Arrays.binarySearch(arr, ri.longValue()) >= 0
       }
@@ -318,10 +327,13 @@ object DeltaRead {
       val dvCol =
         if (addSub("deletionVector")) to_json(col("add.deletionVector")).cast("string")
         else lit(null).cast("string")
+      def protoSub(name: String): Boolean =
+        cols("protocol") && df.select(col("protocol.*")).columns.contains(name)
       val featCol =
-        if (cols("protocol") &&
-            df.select(col("protocol.*")).columns.contains("readerFeatures"))
-          col("protocol.readerFeatures").cast("array<string>")
+        if (protoSub("readerFeatures")) col("protocol.readerFeatures").cast("array<string>")
+        else lit(null).cast("array<string>")
+      val wFeatCol =
+        if (protoSub("writerFeatures")) col("protocol.writerFeatures").cast("array<string>")
         else lit(null).cast("array<string>")
       val confCol =
         if (cols("metaData") &&
@@ -339,14 +351,18 @@ object DeltaRead {
         pvCol,
         dvCol,
         featCol,
-        confCol
+        confCol,
+        (if (cols("protocol")) col("protocol.minWriterVersion") else lit(null)).cast("int"),
+        wFeatCol
       ).collect()
       // the protocol reconciles a commit as a SET: removes apply before
       // adds, so a DV-update commit (remove path + re-add with the new
       // descriptor) keeps the file regardless of line order
       rows.foreach { r =>
         if (!r.isNullAt(0)) st.minReader = r.getInt(0)
+        if (!r.isNullAt(9)) st.minWriter = r.getInt(9)
         if (!r.isNullAt(7)) st.readerFeatures = r.getSeq[String](7).toSet
+        if (!r.isNullAt(10)) st.writerFeatures = r.getSeq[String](10).toSet
         if (!r.isNullAt(1)) st.schemaJson = r.getString(1)
         if (!r.isNullAt(2)) st.partitionCols = r.getSeq[String](2)
         if (!r.isNullAt(8)) st.configuration = parseStringMap(r.getString(8))

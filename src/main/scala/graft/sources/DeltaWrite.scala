@@ -80,6 +80,8 @@ object DeltaWrite {
             "as null columns")
       }
     }
+    prior.foreach(st =>
+      checkWriteProtocol(st, path, appendOnlyOp = mode == SaveMode.Append))
     val priorActive: Seq[String] =
       if (mode == SaveMode.Overwrite) prior.map(_.active.keys.toSeq).getOrElse(Seq.empty)
       else Seq.empty
@@ -129,67 +131,112 @@ object DeltaWrite {
     * rows ALL match is removed outright — no fully-dead DV lingers. The
     * first DV-writing commit upgrades the table to reader v3 / writer v7
     * with the `deletionVectors` feature — exactly what delta-spark does.
-    * Matching row positions come to the driver grouped per file
-    * (bounded by the deleted cardinality, the same driver-side model
-    * delta-spark uses for DV serialization). Returns the committed
-    * version; a DELETE matching nothing commits nothing. */
+    *
+    * Scale: discovery is one map-side-combining aggregation (the driver
+    * holds only per-touched-file counts); the matched row positions
+    * group per file ON EXECUTORS, where each task merges the file's
+    * prior DV, serializes the bitmap and writes its own sidecar — only
+    * (file, descriptor) rows return to the driver, so a DELETE matching
+    * billions of rows never materializes positions driver-side (the
+    * delta-spark model; requires executor-visible table storage, same
+    * as every write path here). Returns the committed version; a DELETE
+    * matching nothing commits nothing. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, path: String,
       condition: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{col, collect_list, count, lit, when, size => asize}
+    import org.apache.spark.sql.functions.{col, count, lit, when}
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
     DeltaRead.checkProtocol(st, path)
+    checkWriteProtocol(st, path, appendOnlyOp = false)
     val table = new File(path)
     val logDir = new File(table, "_delta_log")
-    // matching live positions AND the live-row total, per physical file —
-    // a file whose live rows ALL match is REMOVED outright (delta-spark's
-    // DELETE does the same) instead of carrying a fully-dead DV forever
-    val matches = DeltaRead.readWithLineage(spark, path)
+    // per-file matched/live totals — a file whose live rows ALL match is
+    // REMOVED outright (delta-spark's DELETE does the same) instead of
+    // carrying a fully-dead DV forever. Partial aggregation: the driver
+    // sees |touched files| count rows, never positions.
+    val counts = DeltaRead.readWithLineage(spark, path)
       .groupBy(col("_graft_file"))
-      .agg(collect_list(when(condition, col("_graft_pos"))).as("pos"),
-        count(lit(1)).as("live"))
-      .filter(asize(col("pos")) > 0)
+      .agg(count(when(condition, lit(1))).as("matched"), count(lit(1)).as("live"))
+      .filter(col("matched") > 0)
       .collect()
-    if (matches.isEmpty) return st.version
+    if (counts.isEmpty) return st.version
     val absToRel: Map[String, String] =
       st.active.keys.map(p => resolveAbs(table, p) -> p).toMap
-    val touched: Seq[(String, Array[Long], Boolean)] = matches.toSeq.map { r =>
-      val abs = new File(new java.net.URI(r.getString(0)).getPath).getAbsolutePath
-      val rel = absToRel.getOrElse(abs,
+    def relOf(fp: String): String = {
+      val abs = new File(DeltaRead.filePathToLocal(fp)).getAbsolutePath
+      absToRel.getOrElse(abs,
         throw new IllegalStateException(s"scanned file $abs not in the active set"))
-      val fresh = r.getSeq[Long](1).toArray
-      val fullyDead = fresh.length == r.getLong(2)
-      val entry = st.active(rel)
-      val merged =
-        if (entry.dvJson == null) { java.util.Arrays.sort(fresh); fresh }
-        else (DeletionVectors.readDescriptor(
-          DeltaRead.parseDvDescriptor(entry.dvJson), table) ++ fresh).distinct.sorted
-      (rel, merged, fullyDead)
     }
-    val dead = touched.filter(_._3).map(_._1)
-    val perPath: Seq[(String, Array[Long])] =
-      touched.filterNot(_._3).map(t => (t._1, t._2))
-    val descriptors =
-      if (perPath.isEmpty) Map.empty[String, DeletionVectors.Descriptor]
-      else DeletionVectors.writeDvFile(table, perPath)
+    val touched: Seq[(String, Boolean)] =
+      counts.toSeq.map(r => (relOf(r.getString(0)), r.getLong(1) == r.getLong(2)))
+    val dead = touched.filter(_._2).map(_._1)
+    val needDv: Seq[String] = touched.filterNot(_._2).map(_._1)
+    // distributed DV build: shuffle only the matched (file, pos) pairs of
+    // files that keep live rows, group per file, write each sidecar inside
+    // the task. One sidecar per touched file (the protocol allows any
+    // file↔sidecar arrangement; delta-spark also writes several).
+    val descriptors: Map[String, DeletionVectors.Descriptor] =
+      if (needDv.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        val priorDv: Map[String, String] =
+          needDv.flatMap(rel => Option(st.active(rel).dvJson).map(rel -> _)).toMap
+        val absToRelB = spark.sparkContext.broadcast(absToRel)
+        val priorDvB = spark.sparkContext.broadcast(priorDv)
+        val needDvB = spark.sparkContext.broadcast(needDv.toSet)
+        val tablePath = table.getAbsolutePath
+        DeltaRead.readWithLineage(spark, path)
+          .filter(condition)
+          .select(col("_graft_file").cast("string").as("_1"),
+            col("_graft_pos").cast("long").as("_2"))
+          .as[(String, Long)]
+          .filter { r =>
+            val abs = new File(DeltaRead.filePathToLocal(r._1)).getAbsolutePath
+            absToRelB.value.get(abs).exists(needDvB.value.contains)
+          }
+          .groupByKey(_._1)
+          .mapGroups { (fp, rows) =>
+            val tableDir = new File(tablePath)
+            val abs = new File(DeltaRead.filePathToLocal(fp)).getAbsolutePath
+            val rel = absToRelB.value(abs)
+            val fresh = rows.map(_._2).toArray
+            val merged = priorDvB.value.get(rel) match {
+              case Some(j) => (DeletionVectors.readDescriptor(
+                DeltaRead.parseDvDescriptor(j), tableDir) ++ fresh).distinct.sorted
+              case None => java.util.Arrays.sort(fresh); fresh
+            }
+            val d = DeletionVectors.writeDvFile(tableDir, Seq(rel -> merged))(rel)
+            (rel, d.storageType, d.pathOrInlineDv, d.offset.get, d.sizeInBytes, d.cardinality)
+          }
+          .collect()
+          .map { case (rel, sType, pid, off, size, card) =>
+            rel -> DeletionVectors.Descriptor(sType, pid, Some(off), size, card)
+          }.toMap
+      }
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
-    if (perPath.nonEmpty &&
-        (st.minReader < 3 || !st.readerFeatures.contains("deletionVectors"))) {
+    if (needDv.nonEmpty) {
       val readerFeats = (st.readerFeatures + "deletionVectors" ++
         (if (DeltaRead.columnMapped(st)) Set("columnMapping") else Set.empty[String]))
         .toSeq.sorted
-      // legacy minWriterVersion 2 implies appendOnly+invariants; v7 must
-      // list every feature explicitly
-      val writerFeats = (readerFeats ++ Seq("appendOnly", "invariants")).distinct.sorted
-      lines += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        s""""readerFeatures":${readerFeats.map(jstr).mkString("[", ",", "]")},""" +
-        s""""writerFeatures":${writerFeats.map(jstr).mkString("[", ",", "]")}}}"""
+      // preserve the table's WRITER requirements verbatim: a legacy
+      // minWriterVersion maps to its implied feature set (v7 must list
+      // every feature explicitly), an explicit v7 list carries through —
+      // a DV upgrade must never downgrade writer-side enforcement
+      val priorWriter =
+        if (st.minWriter >= 7) st.writerFeatures else legacyWriterFeatures(st.minWriter)
+      val writerFeats = (priorWriter ++ readerFeats).toSeq.distinct.sorted
+      val upToDate = st.minReader >= 3 && st.minWriter >= 7 &&
+        readerFeats.toSet == st.readerFeatures && writerFeats.toSet == st.writerFeatures
+      if (!upToDate)
+        lines += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":${readerFeats.map(jstr).mkString("[", ",", "]")},""" +
+          s""""writerFeatures":${writerFeats.map(jstr).mkString("[", ",", "]")}}}"""
     }
-    (dead ++ perPath.map(_._1)).foreach { rel =>
+    (dead ++ needDv).foreach { rel =>
       lines += s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    perPath.foreach { case (rel, _) =>
+    needDv.foreach { rel =>
       val e = st.active(rel)
       val d = descriptors(rel)
       val dvJson = s"""{"storageType":${jstr(d.storageType)},""" +
@@ -226,6 +273,7 @@ object DeltaWrite {
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
     DeltaRead.checkProtocol(st, path)
+    checkWriteProtocol(st, path, appendOnlyOp = false)
     require(!DeltaRead.columnMapped(st),
       s"table at $path uses column mapping; update it with delta-spark instead")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
@@ -238,7 +286,7 @@ object DeltaWrite {
     // touched files: those with >= 1 live matching row
     val touchedAbs = DeltaRead.readWithLineage(spark, path)
       .filter(condition).select(col("_graft_file")).distinct()
-      .collect().map(r => new File(new java.net.URI(r.getString(0)).getPath).getAbsolutePath)
+      .collect().map(r => new File(DeltaRead.filePathToLocal(r.getString(0))).getAbsolutePath)
     if (touchedAbs.isEmpty) return st.version
     val absToRel: Map[String, String] =
       st.active.keys.map(p => resolveAbs(table, p) -> p).toMap
@@ -319,25 +367,32 @@ object DeltaWrite {
     }
     val table = new File(path)
     val src = source.alias("s")
-
-    // discovery join: touched files + per-row match-cardinality check
-    val lin = DeltaRead.readWithLineage(spark, path).alias("t")
-    val matchedRows = lin.join(src, on, "inner")
-      .groupBy(col("t._graft_file"), col("t._graft_pos"))
-      .agg(count(lit(1)).as("m"))
-    val multi = matchedRows.filter(col("m") > 1).limit(1).collect()
-    if (multi.nonEmpty)
-      throw new IllegalStateException(
-        "merge: a target row is matched by more than one source row — " +
-          "the update/delete to apply is ambiguous (same error delta-spark raises)")
-    val touchedAbs = matchedRows.select(col("_graft_file")).distinct()
-      .collect().map(r => new File(new java.net.URI(r.getString(0)).getPath).getAbsolutePath)
-    val absToRel: Map[String, String] =
-      st.active.keys.map(p => resolveAbs(table, p) -> p).toMap
-    val touchedRel = touchedAbs.map(a => absToRel.getOrElse(a,
-      throw new IllegalStateException(s"scanned file $a not in the active set"))).toSet
-
     val hasMatchedClause = whenMatchedUpdate.isDefined || whenMatchedDelete.isDefined
+    checkWriteProtocol(st, path, appendOnlyOp = !hasMatchedClause)
+
+    // discovery join: touched files + per-row match-cardinality check.
+    // Insert-only merges skip both — no file is rewritten, and delta-spark
+    // only raises the multi-match cardinality error when a matched clause
+    // exists (applying NO update/delete to a twice-matched row is not
+    // ambiguous).
+    val touchedRel: Set[String] = if (!hasMatchedClause) Set.empty else {
+      val lin = DeltaRead.readWithLineage(spark, path).alias("t")
+      val matchedRows = lin.join(src, on, "inner")
+        .groupBy(col("t._graft_file"), col("t._graft_pos"))
+        .agg(count(lit(1)).as("m"))
+      val multi = matchedRows.filter(col("m") > 1).limit(1).collect()
+      if (multi.nonEmpty)
+        throw new IllegalStateException(
+          "merge: a target row is matched by more than one source row — " +
+            "the update/delete to apply is ambiguous (same error delta-spark raises)")
+      val touchedAbs = matchedRows.select(col("_graft_file")).distinct()
+        .collect().map(r => new File(DeltaRead.filePathToLocal(r.getString(0))).getAbsolutePath)
+      val absToRel: Map[String, String] =
+        st.active.keys.map(p => resolveAbs(table, p) -> p).toMap
+      touchedAbs.map(a => absToRel.getOrElse(a,
+        throw new IllegalStateException(s"scanned file $a not in the active set"))).toSet
+    }
+
     val rewriting = touchedRel.nonEmpty && hasMatchedClause
 
     // rewrite touched files: left-join against the source, apply clauses
@@ -348,12 +403,18 @@ object DeltaWrite {
         val marked = rows.join(
           src.withColumn("__s_matched", lit(true)).alias("s"), on, "left")
         val isMatched = col("__s_matched").isNotNull
-        val updGate = matchedCondition.map(isMatched && _).getOrElse(isMatched)
-        val delGate = whenMatchedDelete.map { c =>
-          // delete applies to matched rows NOT taken by the update clause
-          if (whenMatchedUpdate.isDefined) isMatched && !updGate && c
-          else isMatched && c
-        }.getOrElse(lit(false))
+        // SQL MERGE treats a clause condition evaluating to NULL as NOT
+        // satisfied — coalesce both gates to false so a null update
+        // condition doesn't poison the delete gate and a null delete
+        // condition keeps (not drops) the row
+        val updGate = org.apache.spark.sql.functions.coalesce(
+          matchedCondition.map(isMatched && _).getOrElse(isMatched), lit(false))
+        val delGate = org.apache.spark.sql.functions.coalesce(
+          whenMatchedDelete.map { c =>
+            // delete applies to matched rows NOT taken by the update clause
+            if (whenMatchedUpdate.isDefined) isMatched && !updGate && c
+            else isMatched && c
+          }.getOrElse(lit(false)), lit(false))
         val projected = marked.filter(!delGate).select(schema.fields.map { f =>
           val base = col("t.`" + f.name.replace("`", "``") + "`")
           whenMatchedUpdate.flatMap(_.get(f.name)) match {
@@ -421,6 +482,9 @@ object DeltaWrite {
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
     DeltaRead.checkProtocol(st, path)
+    // compaction never changes the logical table (dataChange=false), so an
+    // append-only table may be compacted — delta-spark's OPTIMIZE agrees
+    checkWriteProtocol(st, path, appendOnlyOp = true)
     require(!DeltaRead.columnMapped(st),
       s"table at $path uses column mapping; compact it with delta-spark instead")
     val table = new File(path)
@@ -468,12 +532,19 @@ object DeltaWrite {
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
     val logDir = new File(new File(path), "_delta_log")
-    val protoLine =
-      if (st.minReader >= 3)
-        s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,""" +
-          s""""readerFeatures":${st.readerFeatures.toSeq.sorted.map(jstr).mkString("[", ",", "]")},""" +
-          s""""writerFeatures":${st.readerFeatures.toSeq.sorted.map(jstr).mkString("[", ",", "]")}}}"""
-      else s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":2}}"""
+    // the protocol action re-emits the REPLAYED writer requirements
+    // verbatim — synthesizing them (the first cut set writerFeatures :=
+    // readerFeatures and hardcoded legacy v2) silently downgraded tables
+    // with writer-only requirements once the JSON prefix aged out
+    val protoLine = {
+      val rf = if (st.minReader >= 3)
+        s""","readerFeatures":${st.readerFeatures.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
+      else ""
+      val wf = if (st.minWriter >= 7)
+        s""","writerFeatures":${st.writerFeatures.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
+      else ""
+      s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":${st.minWriter}$rf$wf}}"""
+    }
     val confJson = st.configuration.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }.mkString("{", ",", "}")
     val lines =
@@ -591,6 +662,72 @@ object DeltaWrite {
           ((rel :+ name).mkString("/"), pv, dest.length())
         }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
+  /** Writer features a legacy minWriterVersion implies (PROTOCOL.md
+    * "Writer Version Requirements" — v7 lists features explicitly). */
+  private[sources] def legacyWriterFeatures(v: Int): Set[String] = Seq(
+    2 -> Set("appendOnly", "invariants"),
+    3 -> Set("checkConstraints"),
+    4 -> Set("changeDataFeed", "generatedColumns"),
+    5 -> Set("columnMapping"),
+    6 -> Set("identityColumns")
+  ).collect { case (mv, fs) if v >= mv => fs }.flatten.toSet
+
+  /** Writer features whose DECLARATION this writer understands; each has
+    * a content-level check below that refuses exactly the tables where
+    * the feature demands work this writer would silently skip. */
+  private val KnownWriterFeatures = Set(
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "changeDataFeed", "columnMapping", "identityColumns", "deletionVectors",
+    "timestampNtz", "vacuumProtocolCheck")
+
+  /** Refuse writes that would skip an enforcement the table's WRITER
+    * protocol declares (PROTOCOL.md: writers must respect
+    * minWriterVersion/writerFeatures, not just the reader side) — an
+    * unknown feature, an appendOnly table facing a destructive op, CHECK
+    * constraints / column invariants / generated or identity columns /
+    * change-data-feed this writer does not evaluate. Tables merely
+    * CARRYING the feature flags with no such content pass: the flags
+    * alone demand nothing of a writer that adds plain data. */
+  private[sources] def checkWriteProtocol(st: DeltaRead.LogState, path: String,
+      appendOnlyOp: Boolean): Unit = {
+    val feats =
+      if (st.minWriter >= 7) st.writerFeatures else legacyWriterFeatures(st.minWriter)
+    val unknown = feats -- KnownWriterFeatures
+    require(st.minWriter <= 7 && unknown.isEmpty,
+      s"Delta table at $path requires writer " +
+        (if (unknown.nonEmpty) s"features ${unknown.toSeq.sorted.mkString("[", ",", "]")}"
+         else s"version ${st.minWriter}") +
+        " this native writer does not enforce — write it with delta-spark instead")
+    require(appendOnlyOp ||
+      st.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      s"Delta table at $path is append-only (delta.appendOnly=true); " +
+        "delete/update/merge/overwrite are refused")
+    val constraints = st.configuration.keys.filter(_.startsWith("delta.constraints."))
+    require(constraints.isEmpty,
+      s"Delta table at $path declares CHECK constraints " +
+        s"${constraints.toSeq.sorted.mkString(", ")} this writer does not " +
+        "evaluate — write it with delta-spark instead")
+    require(st.configuration.getOrElse("delta.enableChangeDataFeed", "false") != "true",
+      s"Delta table at $path has change data feed enabled; this writer " +
+        "does not emit cdc actions — write it with delta-spark instead")
+    if (st.schemaJson != null) {
+      val bad = Seq("delta.invariants", "delta.generationExpression", "delta.identity.start")
+      def walk(dt: DataType): Seq[String] = dt match {
+        case s: StructType => s.fields.toSeq.flatMap { f =>
+          bad.filter(f.metadata.contains).map(k => s"${f.name}: $k") ++ walk(f.dataType)
+        }
+        case a: org.apache.spark.sql.types.ArrayType => walk(a.elementType)
+        case m: org.apache.spark.sql.types.MapType => walk(m.keyType) ++ walk(m.valueType)
+        case _ => Seq.empty
+      }
+      val found = walk(DataType.fromJson(st.schemaJson))
+      require(found.isEmpty,
+        s"Delta table at $path declares column invariants / generated or " +
+          s"identity columns (${found.mkString("; ")}) this writer does not " +
+          "enforce — write it with delta-spark instead")
+    }
   }
 
   private def jstr(s: String): String =

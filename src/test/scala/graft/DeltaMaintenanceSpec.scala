@@ -248,4 +248,136 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(removed.size == originals, s"expected $originals originals gone, got $removed")
     assert(DeltaRead.readDelta(spark, path).count() == 8)
   }
+
+  test("deleteWhere at scale: large fraction of a multi-file table, DVs built per file on executors") {
+    val path = tmpTable("graft_del_big")
+    // 8 files × 5000 rows; the DELETE matches 40% of every file plus ALL
+    // of one file's rows — exercises the distributed grouping (positions
+    // never collect to the driver), per-file sidecars, and the fully-dead
+    // removal in one commit
+    DeltaWrite.toDelta(spark.range(0, 40000, 1, 8).select(col("id"),
+      (col("id") % 10).as("m")), path)
+    val nFiles = dataFiles(path).size
+    assert(nFiles == 8)
+    val v = DeltaWrite.deleteWhere(spark, path,
+      col("m") < 4 || (col("id") >= 5000 && col("id") < 10000))
+    assert(v == 1L)
+    val got = DeltaRead.readDelta(spark, path)
+    assert(got.count() == 40000L * 6 / 10 - 3000) // 60% survive, minus file 2's ms 4-9
+    assert(got.filter(col("m") < 4).count() == 0)
+    assert(got.filter(col("id") >= 5000 && col("id") < 10000).count() == 0)
+    // one sidecar PER touched surviving file (executor-local writes), and
+    // the fully-dead file dropped from the active set without a DV
+    val bins = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith("deletion_vector_"))
+    assert(bins == 7, s"expected 7 per-file sidecars, got $bins")
+    assert(DeltaRead.activeFiles(spark, path).size == 7)
+    // second delete merges into fresh per-file sidecars
+    val v2 = DeltaWrite.deleteWhere(spark, path, col("m") === 4)
+    assert(v2 == 2L)
+    assert(DeltaRead.readDelta(spark, path).filter(col("m") === 4).count() == 0)
+  }
+
+  test("checkpoint preserves the replayed writer protocol verbatim") {
+    // legacy writer-only requirement: protocol (1,4) must survive a
+    // checkpoint, not degrade to the writer's own (1,2)
+    val path = tmpTable("graft_cp_proto")
+    DeltaWrite.toDelta(Seq((1L, 10L)).toDF("id", "v"), path)
+    val log = new File(path, "_delta_log")
+    Files.write(new File(log, f"${1L}%020d.json").toPath,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""".getBytes("UTF-8"))
+    DeltaWrite.checkpoint(spark, path)
+    new File(log, f"${0L}%020d.json").delete()
+    new File(log, f"${1L}%020d.json").delete()
+    val st = DeltaRead.currentState(spark, path).get
+    assert(st.minWriter == 4, s"checkpoint degraded minWriterVersion to ${st.minWriter}")
+    assert(DeltaRead.readDelta(spark, path).count() == 1)
+
+    // v7 with writer-only features: the explicit writerFeatures list must
+    // round-trip, not be synthesized from readerFeatures
+    val path2 = tmpTable("graft_cp_proto7")
+    DeltaWrite.toDelta(Seq((1L, 10L)).toDF("id", "v"), path2)
+    val log2 = new File(path2, "_delta_log")
+    Files.write(new File(log2, f"${1L}%020d.json").toPath,
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["appendOnly","invariants","generatedColumns"]}}""").getBytes("UTF-8"))
+    DeltaWrite.checkpoint(spark, path2)
+    new File(log2, f"${0L}%020d.json").delete()
+    new File(log2, f"${1L}%020d.json").delete()
+    val st2 = DeltaRead.currentState(spark, path2).get
+    assert(st2.minWriter == 7 && st2.minReader == 1)
+    assert(st2.writerFeatures == Set("appendOnly", "invariants", "generatedColumns"),
+      s"writerFeatures degraded to ${st2.writerFeatures}")
+  }
+
+  test("merge: a NULL matched-delete condition keeps the row (SQL clause semantics)") {
+    val path = tmpTable("graft_merge_nullgate")
+    DeltaWrite.toDelta(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    // s.flag is NULL for id=1, true for id=2: SQL MERGE treats a NULL
+    // clause condition as NOT satisfied, so only id=2 is deleted
+    val source = Seq((1L, Option.empty[Boolean]), (2L, Some(true)))
+      .toDF("id", "flag")
+    DeltaWrite.merge(spark, path, source, col("t.id") === col("s.id"),
+      whenMatchedDelete = Some(col("s.flag")))
+    val got = DeltaRead.readDelta(spark, path).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L), s"null delete condition dropped a row: $got")
+  }
+
+  test("merge: insert-only with duplicate source matches does not abort") {
+    val path = tmpTable("graft_merge_insonly")
+    DeltaWrite.toDelta(Seq((1L, 10L)).toDF("id", "v"), path)
+    // two source rows match target id=1 — a matched clause would abort on
+    // ambiguity, but an insert-only merge applies nothing to matched rows
+    val source = Seq((1L, 11L), (1L, 12L), (9L, 90L)).toDF("id", "v")
+    val v = DeltaWrite.merge(spark, path, source, col("t.id") === col("s.id"),
+      whenNotMatchedInsert = Some(Map("id" -> col("s.id"), "v" -> col("s.v"))))
+    assert(v == 1L)
+    val got = DeltaRead.readDelta(spark, path).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 9L -> 90L), s"$got")
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  test("writer protocol gate: append-only tables refuse destructive ops; declared invariants refuse writes") {
+    val path = tmpTable("graft_wp_appendonly")
+    DeltaWrite.toDelta(Seq((1L, 10L)).toDF("id", "v"), path)
+    val st0 = DeltaRead.currentState(spark, path).get
+    Files.write(new File(new File(path, "_delta_log"), f"${1L}%020d.json").toPath,
+      (s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(st0.schemaJson)},""" +
+        s""""partitionColumns":[],""" +
+        s""""configuration":{"delta.appendOnly":"true"}}}""").getBytes("UTF-8"))
+    // appends still fine
+    DeltaWrite.toDelta(Seq((2L, 20L)).toDF("id", "v"), path,
+      org.apache.spark.sql.SaveMode.Append)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhere(spark, path, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("append-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhere(spark, path, col("id") === 1L, Map("v" -> lit(0L)))
+    }
+    assert(e2.getMessage.contains("append-only"))
+
+    // a schema carrying a column invariant this writer cannot enforce
+    val path2 = tmpTable("graft_wp_invariant")
+    DeltaWrite.toDelta(Seq((1L, 10L)).toDF("id", "v"), path2)
+    val meta = org.apache.spark.sql.types.Metadata.fromJson(
+      """{"delta.invariants":"{\"expression\":{\"expression\":\"v > 0\"}}"}""")
+    val invSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.LongType, nullable = true, meta)
+    Files.write(new File(new File(path2, "_delta_log"), f"${1L}%020d.json").toPath,
+      (s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(invSchema.json)},""" +
+        s""""partitionColumns":[],"configuration":{}}}""").getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaWrite.toDelta(Seq((3L, 30L)).toDF("id", "v"), path2,
+        org.apache.spark.sql.SaveMode.Append)
+    }
+    assert(e3.getMessage.contains("invariants"), e3.getMessage)
+  }
 }

@@ -424,6 +424,16 @@ class ProjEngineSpec extends SparkSpec {
     }
     // greenwich/enu spellings stay accepted
     ProjEngine.crs("+proj=tmerc +lon_0=0 +ellps=GRS80 +pm=greenwich +axis=enu")
+    // krovak: a NONSTANDARD +alpha would silently shift coordinates if the
+    // baked-in S-JTSK azimuth were substituted — reject; the published
+    // value (and its absence) stays accepted
+    val ek = intercept[IllegalArgumentException] {
+      ProjEngine.crs("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 " +
+        "+alpha=35 +k=0.9999 +ellps=bessel")
+    }
+    assert(ek.getMessage.contains("alpha"), ek.getMessage)
+    ProjEngine.crs("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 " +
+      "+alpha=30.28813972222222 +k=0.9999 +ellps=bessel")
   }
 
   test("bad CRS specs fail at plan time, not per row") {
