@@ -1,0 +1,119 @@
+package graft.api
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Catalog-management verbs over the Spark session catalog — the
+  * reference backend's `create_table` / `create_view` / `list_tables` /
+  * `drop_table` / `rename_table` / database surface
+  * (`ibis/backends/pyspark/__init__.py:380,512,552,621,701,740` and the
+  * base-backend drop verbs). Spark-first: persistent tables go through
+  * `DataFrameWriter.saveAsTable` (so format/partitioning/bucketing ride
+  * the normal write path and the table is immediately queryable by name
+  * from SQL and [[Table.parseSql]]); views are session temp views, the
+  * reference's `create_view` semantics (`kind="TEMPORARY VIEW"`).
+  *
+  * Scale: every verb here is metadata-only except `createTable(obj)`,
+  * which is one distributed write of the source plan — identical cost to
+  * writing the same data as parquet. Nothing collects rows. */
+object Catalog {
+
+  private def q(name: String): String = "`" + name.replace("`", "``") + "`"
+  private def qualified(name: String, database: Option[String]): String =
+    database.fold(q(name))(db => s"${q(db)}.${q(name)}")
+
+  /** Reference `_filter_with_like`: a regex searched against each name,
+    * results sorted. */
+  private def filterLike(names: Seq[String], like: Option[String]): Seq[String] =
+    like.fold(names.sorted) { pat =>
+      val r = pat.r
+      names.filter(n => r.findFirstIn(n).isDefined).sorted
+    }
+
+  /** create_table from a table expression (reference :621): one
+    * distributed write via saveAsTable. `overwrite=false` errors when the
+    * table exists (reference mode="error"). Returns the created table
+    * read back by name. */
+  def createTable(name: String, obj: Table,
+      database: Option[String] = None,
+      overwrite: Boolean = false,
+      format: String = "parquet",
+      partitionBy: Seq[String] = Seq.empty): Table = {
+    val w = obj.df.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(qualified(name, database))
+    table(obj.spark, name, database)
+  }
+
+  /** create_table from a schema only (reference :693,
+    * `catalog.createTable`): an empty managed table. */
+  def createEmptyTable(spark: SparkSession, name: String, schema: StructType,
+      database: Option[String] = None,
+      format: String = "parquet"): Table = {
+    spark.catalog.createTable(qualified(name, database), format, schema,
+      Map.empty[String, String])
+    table(spark, name, database)
+  }
+
+  /** create_view (reference :701): a session TEMPORARY view over the
+    * expression — `overwrite` maps to CREATE OR REPLACE. */
+  def createView(name: String, obj: Table, overwrite: Boolean = false): Table = {
+    if (overwrite) obj.df.createOrReplaceTempView(name)
+    else obj.df.createTempView(name) // throws if it exists, reference parity
+    table(obj.spark, name, None)
+  }
+
+  /** list_tables (reference :387): table + temp-view names in the
+    * database (current when None), `like` a regex filter. */
+  def listTables(spark: SparkSession, database: Option[String] = None,
+      like: Option[String] = None): Seq[String] = {
+    val names = database.fold(spark.catalog.listTables())(spark.catalog.listTables(_))
+      .collect().toSeq.map(_.name)
+    filterLike(names, like)
+  }
+
+  /** list_databases (reference :380). */
+  def listDatabases(spark: SparkSession, like: Option[String] = None): Seq[String] =
+    filterLike(spark.catalog.listDatabases().collect().toSeq.map(_.name), like)
+
+  /** create_database (reference :512); `path` sets LOCATION, `force` →
+    * IF NOT EXISTS. */
+  def createDatabase(spark: SparkSession, name: String,
+      path: Option[String] = None, force: Boolean = false): Unit = {
+    val ifNot = if (force) "IF NOT EXISTS " else ""
+    val loc = path.fold("")(p => s" LOCATION '${p.replace("'", "''")}'")
+    spark.sql(s"CREATE DATABASE $ifNot${q(name)}$loc")
+  }
+
+  /** drop_database (reference :552); `force` → IF EXISTS + CASCADE. */
+  def dropDatabase(spark: SparkSession, name: String, force: Boolean = false): Unit = {
+    val ifEx = if (force) "IF EXISTS " else ""
+    val cascade = if (force) " CASCADE" else ""
+    spark.sql(s"DROP DATABASE $ifEx${q(name)}$cascade")
+  }
+
+  /** drop_table (base-backend verb): `force` → IF EXISTS. */
+  def dropTable(spark: SparkSession, name: String,
+      database: Option[String] = None, force: Boolean = false): Unit =
+    spark.sql(s"DROP TABLE ${if (force) "IF EXISTS " else ""}${qualified(name, database)}")
+
+  /** drop_view for temp views created by [[createView]]. */
+  def dropView(spark: SparkSession, name: String): Unit =
+    spark.catalog.dropTempView(name)
+
+  /** rename_table (reference :740): ALTER TABLE … RENAME TO. */
+  def renameTable(spark: SparkSession, oldName: String, newName: String): Unit =
+    spark.sql(s"ALTER TABLE ${q(oldName)} RENAME TO ${q(newName)}")
+
+  /** table-by-name → a composable [[Table]] (reference `con.table`). */
+  def table(spark: SparkSession, name: String,
+      database: Option[String] = None): Table =
+    new Table(spark.table(qualified(name, database)))
+
+  /** get_schema (reference :578). */
+  def getSchema(spark: SparkSession, name: String,
+      database: Option[String] = None): StructType =
+    spark.table(qualified(name, database)).schema
+}

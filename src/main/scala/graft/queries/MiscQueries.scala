@@ -582,6 +582,49 @@ object MiscQueries {
     }, Some("""
       SELECT CAST(id AS BIGINT) AS id, name, 42 AS answer, 'x' AS tag
       FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)
-      ORDER BY id"""))
+      ORDER BY id""")),
+
+    // Catalog verbs (round 10; reference create_table/create_view/
+    // list_tables/rename_table, backends/pyspark/__init__.py:387,621,
+    // 701,740): persist nation as a MANAGED catalog table via
+    // saveAsTable, rename it, list it back through a like-regex, stack a
+    // temp view on it, and read everything by NAME — the oracle predicts
+    // every number from the nation parquet the table was created from.
+    QueryDef("q100_catalog", (s, dir) => {
+      import graft.api.Catalog
+      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tname = s"graft_cat_nation_$suffix"
+      val t2 = s"${tname}_renamed"
+      val vname = s"graft_cat_view_$suffix"
+      Catalog.dropTable(s, tname, force = true)
+      Catalog.dropTable(s, t2, force = true)
+      // a PREVIOUS session's managed-table dirs survive in the warehouse
+      // while the in-memory catalog forgets them — rename would collide
+      // with the stale location, so clear both physically too
+      locally {
+        val whUri = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+        val wh = new java.io.File(
+          if (whUri.getPath != null && whUri.getScheme != null) whUri.getPath
+          else s.conf.get("spark.sql.warehouse.dir"))
+        Seq(tname, t2).foreach(n =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, n)))
+      }
+      Catalog.createTable(tname, Table(nation(s, dir)), overwrite = true)
+      Catalog.renameTable(s, tname, t2)
+      val listed = Catalog.listTables(s, like = Some(s"graft_cat_nation_$suffix.*")).size
+      Catalog.createView(vname,
+        Catalog.table(s, t2).filter(col("n_regionkey") === 0), overwrite = true)
+      val viaSql = s.sql(s"SELECT COUNT(*) AS n_view FROM $vname")
+      Catalog.table(s, t2).df
+        .agg(count(lit(1)).as("n_table"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"))
+        .crossJoin(viaSql)
+        .withColumn("n_listed", lit(listed))
+    }, Some("""
+      SELECT
+        (SELECT COUNT(*) FROM nation) AS n_table,
+        (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation) AS key_sum,
+        (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0) AS n_view,
+        1 AS n_listed"""))
   )
 }

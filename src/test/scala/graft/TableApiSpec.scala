@@ -291,4 +291,67 @@ class TableApiSpec extends SparkSpec {
     // still lazy: parse alone plans, doesn't execute
     assert(Table.parseSql(spark, "SELECT 1 AS one").df.schema.fieldNames.sameElements(Array("one")))
   }
+
+  test("catalog verbs: create/list/rename/read/drop round trip") {
+    import graft.api.Catalog
+    val src = Table(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "tag"))
+    Catalog.dropTable(spark, "graft_spec_cat", force = true)
+    Catalog.dropTable(spark, "graft_spec_cat2", force = true)
+
+    val created = Catalog.createTable("graft_spec_cat", src)
+    assert(created.df.count() == 3)
+    // create without overwrite on an existing table errors (reference mode="error")
+    intercept[Exception] { Catalog.createTable("graft_spec_cat", src) }
+    // overwrite replaces
+    Catalog.createTable("graft_spec_cat", Table(src.df.filter(col("id") < 3L)),
+      overwrite = true)
+    assert(Catalog.table(spark, "graft_spec_cat").df.count() == 2)
+
+    assert(Catalog.listTables(spark, like = Some("graft_spec_cat"))
+      .contains("graft_spec_cat"))
+    assert(Catalog.listTables(spark, like = Some("^no_such_table$")).isEmpty)
+
+    Catalog.renameTable(spark, "graft_spec_cat", "graft_spec_cat2")
+    assert(!Catalog.listTables(spark).contains("graft_spec_cat"))
+    assert(Catalog.getSchema(spark, "graft_spec_cat2").fieldNames.toSeq ==
+      Seq("id", "tag"))
+
+    // temp view over the renamed table; SQL sees both by name
+    Catalog.createView("graft_spec_view",
+      Catalog.table(spark, "graft_spec_cat2").filter(col("id") === 1L),
+      overwrite = true)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft_spec_view")
+      .collect().head.getLong(0) == 1L)
+    intercept[Exception] { // create without overwrite on an existing view errors
+      Catalog.createView("graft_spec_view", src)
+    }
+    Catalog.dropView(spark, "graft_spec_view")
+
+    // empty table from a schema
+    Catalog.dropTable(spark, "graft_spec_empty", force = true)
+    val sch = new org.apache.spark.sql.types.StructType()
+      .add("a", org.apache.spark.sql.types.LongType)
+      .add("b", org.apache.spark.sql.types.StringType)
+    val empty = Catalog.createEmptyTable(spark, "graft_spec_empty", sch)
+    assert(empty.df.count() == 0 && empty.schema.fieldNames.toSeq == Seq("a", "b"))
+    Catalog.dropTable(spark, "graft_spec_empty")
+
+    Catalog.dropTable(spark, "graft_spec_cat2")
+    assert(!Catalog.listTables(spark).contains("graft_spec_cat2"))
+    // dropping a missing table: force passes, strict errors
+    Catalog.dropTable(spark, "graft_spec_cat2", force = true)
+    intercept[Exception] { Catalog.dropTable(spark, "graft_spec_cat2") }
+
+    // databases
+    Catalog.createDatabase(spark, "graft_spec_db", force = true)
+    assert(Catalog.listDatabases(spark, like = Some("graft_spec_db"))
+      .contains("graft_spec_db"))
+    Catalog.createTable("graft_spec_cat", src, database = Some("graft_spec_db"))
+    assert(Catalog.listTables(spark, database = Some("graft_spec_db"))
+      .contains("graft_spec_cat"))
+    assert(Catalog.table(spark, "graft_spec_cat",
+      database = Some("graft_spec_db")).df.count() == 3)
+    Catalog.dropDatabase(spark, "graft_spec_db", force = true)
+    assert(!Catalog.listDatabases(spark).contains("graft_spec_db"))
+  }
 }
