@@ -88,6 +88,17 @@ sealed trait SqlOp {
     * their decompiled bodies; everything else through the catalog). */
   def table(spark: SparkSession): Table =
     new Table(SqlDecompile.rebuild(spark, this, Map.empty))
+
+  /** Render this tree back to SQL text — the `ibis.to_sql` role
+    * (reference `ibis/expr/sql.py` / `ibis.to_sql`): hand a composed
+    * query to another engine or debug it as text. `dialect` is "spark"
+    * (default — output re-parses through `spark.sql`) or "duckdb"
+    * (portable ANSI: double-quoted identifiers, infix BETWEEN,
+    * `SEMI/ANTI JOIN` spellings, literal suffixes stripped). Throws on
+    * trees that are not fully decompiled ([[SqlOpaque]]) — check
+    * [[isFullyDecompiled]] first. */
+  def renderSql(dialect: String = "spark"): String =
+    SqlDecompile.renderSql(this, dialect)
 }
 
 final case class SqlRelation(name: String) extends SqlOp { def children = Nil }
@@ -216,6 +227,59 @@ final case class SqlExprCase(branches: Seq[(SqlExpr, SqlExpr)],
     branches.map { case (c, v) => s" WHEN ${c.render} THEN ${v.render}" }.mkString +
     orElse.fold("")(e => s" ELSE ${e.render}") + " END"
 }
+/** LIKE / ILIKE / RLIKE (round 10 — previously raw leaves). */
+final case class SqlExprLike(kind: String, value: SqlExpr, pattern: SqlExpr)
+    extends SqlExpr {
+  def children = Seq(value, pattern)
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(value = f(value), pattern = f(pattern))
+  def render = s"(${value.render} $kind ${pattern.render})"
+}
+/** IS [NOT] NULL (round 10 — previously a raw leaf). */
+final case class SqlExprIsNull(child: SqlExpr, negated: Boolean = false) extends SqlExpr {
+  def children = Seq(child)
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(child = f(child))
+  def render = s"(${child.render} IS ${if (negated) "NOT " else ""}NULL)"
+}
+/** [NOT] BETWEEN (round 10): Spark's parser rewrites the infix form to a
+  * `between(v, lo, hi)` call — modeled explicitly so the bounds are
+  * walkable and dialect renderers can restore the portable infix. */
+final case class SqlExprBetween(value: SqlExpr, lower: SqlExpr, upper: SqlExpr,
+    negated: Boolean = false) extends SqlExpr {
+  def children = Seq(value, lower, upper)
+  def mapChildren(f: SqlExpr => SqlExpr) =
+    copy(value = f(value), lower = f(lower), upper = f(upper))
+  def render = s"(${value.render} ${if (negated) "NOT " else ""}BETWEEN " +
+    s"${lower.render} AND ${upper.render})"
+}
+/** [NOT] EXISTS (subquery) (round 10): catalyst renders the node as the
+  * pseudo-call `exists()` which PARSES but never resolves — the subquery
+  * plan decompiles into a walkable [[SqlOp]] instead and renders through
+  * [[SqlDecompile.renderSql]]. Construction fails (→ whole-expression raw
+  * fallback) when the subquery isn't fully renderable. */
+final case class SqlExprExists(sub: SqlOp, negated: Boolean = false) extends SqlExpr {
+  def children = Nil // the subquery is an op tree, not an expression child
+  def mapChildren(f: SqlExpr => SqlExpr) = this
+  def render = {
+    val e = s"EXISTS (${SqlDecompile.renderSql(sub)})"
+    if (negated) s"(NOT $e)" else e
+  }
+}
+/** value [NOT] IN (subquery) (round 10) — same contract as
+  * [[SqlExprExists]]. */
+final case class SqlExprInSubquery(value: SqlExpr, sub: SqlOp,
+    negated: Boolean = false) extends SqlExpr {
+  def children = Seq(value)
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(value = f(value))
+  def render = s"(${value.render} ${if (negated) "NOT IN" else "IN"} " +
+    s"(${SqlDecompile.renderSql(sub)}))"
+}
+/** Scalar subquery as an expression (round 10) — same contract as
+  * [[SqlExprExists]]. */
+final case class SqlExprScalarSubquery(sub: SqlOp) extends SqlExpr {
+  def children = Nil
+  def mapChildren(f: SqlExpr => SqlExpr) = this
+  def render = s"(${SqlDecompile.renderSql(sub)})"
+}
 /** Leaf for shapes outside the walkable expression core — renders its
   * original (parse-checked) text verbatim. `*` / `t.*` ride here too. */
 final case class SqlExprRaw(sql: String) extends SqlExpr {
@@ -265,6 +329,18 @@ object SqlDecompile {
       } catch { case _: Exception => false }
     }
 
+  /** Plan-level renderability: subquery expressions must degrade the
+    * containing node to opaque — their .sql is a pseudo-call
+    * ("exists()", "listquery()", "scalarsubquery()") that PARSES back
+    * (sailing past [[rendersBack]]) but never resolves at rebuild. They
+    * stay walkable at the EXPRESSION level ([[parseExpr]], where names
+    * resolve against the session catalog), not inside op-tree strings
+    * (where a CTE-scoped subquery would lose its scope). */
+  private def renderableSql(e: Expression): Option[String] =
+    if (e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression])) None
+    else Some(exprSql(e)).filter(rendersBack)
+
   /** Is this expression a bare integer literal — i.e. an ordinal
     * reference under Spark's (default-on) groupByOrdinal/orderByOrdinal
     * semantics? `GROUP BY 1` parses as `Literal(1)`; the analyzer, not
@@ -311,12 +387,17 @@ object SqlDecompile {
         fromWindowProject(p, projectList, child)
       else {
         val es = projectList.map(named)
-        if (es.forall(e => rendersBack(e._2))) SqlProject(fromPlan(child), es)
+        val noSubquery = projectList.forall(pe => !pe.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+        if (noSubquery && es.forall(e => rendersBack(e._2)))
+          SqlProject(fromPlan(child), es)
         else SqlOpaque(p)
       }
     case f @ Filter(cond, child) =>
-      if (rendersBack(exprSql(cond))) SqlFilter(fromPlan(child), exprSql(cond))
-      else SqlOpaque(f)
+      renderableSql(cond) match {
+        case Some(s) => SqlFilter(fromPlan(child), s)
+        case None => SqlOpaque(f)
+      }
     case a @ Aggregate(grouping, aggExprs, child, _) =>
       val as = aggExprs.map(named)
       // GROUP BY <int> is an ordinal into the select list (analyzer
@@ -330,13 +411,17 @@ object SqlDecompile {
           case None => Some(exprSql(g))
         }
       }
-      if (ks0.forall(_.isDefined) &&
+      val aggNoSubquery = (grouping ++ aggExprs).forall(e => !e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      if (aggNoSubquery && ks0.forall(_.isDefined) &&
           ks0.flatten.forall(rendersBack) && as.forall(e => rendersBack(e._2)))
         SqlAggregate(fromPlan(child), ks0.flatten, as)
       else SqlOpaque(a)
     case h @ UnresolvedHaving(cond, child) =>
-      if (rendersBack(exprSql(cond))) SqlHaving(fromPlan(child), exprSql(cond))
-      else SqlOpaque(h)
+      renderableSql(cond) match {
+        case Some(s) => SqlHaving(fromPlan(child), s)
+        case None => SqlOpaque(h)
+      }
     case j @ Join(l, r, joinType, cond, _) =>
       val how = joinType match {
         case Inner => "inner"
@@ -348,9 +433,9 @@ object SqlDecompile {
         case Cross => "cross"
         case other => other.sql.toLowerCase
       }
-      val condSql = cond.map(exprSql)
-      if (condSql.forall(rendersBack))
-        SqlJoin(fromPlan(l), fromPlan(r), how, condSql)
+      val condSql = cond.map(renderableSql)
+      if (condSql.forall(_.isDefined))
+        SqlJoin(fromPlan(l), fromPlan(r), how, condSql.flatten)
       else SqlOpaque(j)
     case s @ Sort(order, true, child, _) =>
       val in = fromPlan(child)
@@ -369,7 +454,7 @@ object SqlDecompile {
                 Some(s"`${ns(n - 1).replace("`", "``")}`")
               case _ => None
             }
-            case None => Some(exprSql(e))
+            case None => renderableSql(e)
           }
           key.map((_, dir == Ascending, nulls == NullsFirst))
       }
@@ -497,6 +582,10 @@ object SqlDecompile {
     e match {
       case u: UnresolvedAttribute => SqlExprCol(u.nameParts)
       case l: Literal => SqlExprLit(l.sql)
+      // BETWEEN before the generic function case: the parser rewrites the
+      // infix form to a `between(v, lo, hi)` call
+      case betweenCall(v, lo, hi) =>
+        SqlExprBetween(fromExpression(v), fromExpression(lo), fromExpression(hi))
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.filter.isEmpty && !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
         SqlExprFunc(f.nameParts.mkString("."), f.arguments.map(fromExpression),
@@ -514,8 +603,23 @@ object SqlDecompile {
       case GreaterThanOrEqual(l, r) => bin(">=", l, r)
       case And(l, r) => bin("AND", l, r)
       case Or(l, r) => bin("OR", l, r)
+      case Like(l, r, '\\') => SqlExprLike("LIKE", fromExpression(l), fromExpression(r))
+      case ILike(l, r, '\\') => SqlExprLike("ILIKE", fromExpression(l), fromExpression(r))
+      case RLike(l, r) => SqlExprLike("RLIKE", fromExpression(l), fromExpression(r))
+      case IsNull(c) => SqlExprIsNull(fromExpression(c))
+      case IsNotNull(c) => SqlExprIsNull(fromExpression(c), negated = true)
+      case ex: Exists => subChecked(SqlExprExists(fromPlan(ex.plan)))
+      case Not(ex: Exists) => subChecked(SqlExprExists(fromPlan(ex.plan), negated = true))
+      case InSubquery(Seq(v), lq: ListQuery) =>
+        subChecked(SqlExprInSubquery(fromExpression(v), fromPlan(lq.plan)))
+      case Not(InSubquery(Seq(v), lq: ListQuery)) =>
+        subChecked(SqlExprInSubquery(fromExpression(v), fromPlan(lq.plan), negated = true))
+      case sq: ScalarSubquery => subChecked(SqlExprScalarSubquery(fromPlan(sq.plan)))
       case Not(In(v, list)) =>
         SqlExprIn(fromExpression(v), list.map(fromExpression), negated = true)
+      case Not(betweenCall(v, lo, hi)) =>
+        SqlExprBetween(fromExpression(v), fromExpression(lo), fromExpression(hi),
+          negated = true)
       case Not(c) => SqlExprUnary("NOT", fromExpression(c))
       case UnaryMinus(c, _) => SqlExprUnary("-", fromExpression(c))
       case In(v, list) => SqlExprIn(fromExpression(v), list.map(fromExpression))
@@ -528,12 +632,36 @@ object SqlDecompile {
       case other =>
         // outside the modeled core: keep the subtree as one verbatim
         // leaf IF its rendering survives the parser; otherwise abort so
-        // parseExpr falls back to the whole original string
+        // parseExpr falls back to the whole original string. Subquery
+        // expressions must never reach here: their .sql is a pseudo-call
+        // ("exists()", "listquery()") that PARSES but never resolves —
+        // verbatim text would be silently corrupt, not merely opaque.
+        if (other.exists(_.isInstanceOf[SubqueryExpression]))
+          throw new IllegalArgumentException(
+            s"unmodeled subquery shape: ${other.getClass}")
         val s = exprSql(other)
         if (rendersBack(s)) SqlExprRaw(s)
         else throw new IllegalArgumentException(s"unrenderable: ${other.getClass}")
     }
   }
+
+  /** Matcher for the `between(v, lo, hi)` call Spark's parser emits for
+    * infix BETWEEN. */
+  private object betweenCall {
+    def unapply(e: Expression): Option[(Expression, Expression, Expression)] = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+            f.arguments.size == 3 && !f.isDistinct && f.filter.isEmpty =>
+        Some((f.arguments(0), f.arguments(1), f.arguments(2)))
+      case _ => None
+    }
+  }
+
+  /** Validate a subquery-bearing expression node at construction: its
+    * render must already succeed (walkable subquery all the way down), or
+    * the whole expression falls back to one raw leaf via the parseExpr
+    * catch — never a half-renderable node. */
+  private def subChecked[A <: SqlExpr](node: A): A = { node.render; node }
 
   /** Rebuild a decompiled tree into a DataFrame. `scope` maps CTE names
     * to their decompiled bodies. */
@@ -656,4 +784,224 @@ object SqlDecompile {
   /** Internal scope entry: an already-rebuilt CTE body. */
   private[api] final case class SqlResolved(
       df: org.apache.spark.sql.DataFrame) extends SqlOp { def children = Nil }
+
+  // ------------------------------------------------------- SQL rendering
+
+  /** [[SqlOp.renderSql]]'s engine. */
+  def renderSql(op: SqlOp, dialect: String = "spark"): String = {
+    require(dialect == "spark" || dialect == "duckdb",
+      s"unknown dialect '$dialect' (spark | duckdb)")
+    new SqlRenderer(dialect).top(op)
+  }
+
+  /** Compositional SQL text builder: folds compatible plan nodes into one
+    * SELECT block (FROM → WHERE → GROUP BY → HAVING → SELECT → ORDER BY →
+    * LIMIT/OFFSET) and wraps into a derived table only when a clause slot
+    * is already taken — so `decompile(sql).renderSql` usually reads like
+    * the original query, not a tower of subselects. */
+  private final class SqlRenderer(dialect: String) {
+    private val duck = dialect == "duckdb"
+    private var n = 0
+    private def freshAlias(): String = { n += 1; s"__g$n" }
+
+    private def qid(name: String): String =
+      if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+      else if (duck) "\"" + name.replace("\"", "\"\"") + "\""
+      else "`" + name.replace("`", "``") + "`"
+
+    /** Expression text in the output dialect. Spark keeps the stored
+      * string verbatim (it parses with Spark's parser by construction);
+      * DuckDB re-renders through the walkable expression tree. */
+    private def ex(s: String): String =
+      if (s == "*" || s.endsWith(".*") || !duck) s
+      else duckExpr(parseExpr(s))
+
+    private def duckExpr(e: SqlExpr): String = e match {
+      case SqlExprCol(parts) => parts.map(p =>
+        if (p.matches("[A-Za-z_][A-Za-z0-9_]*")) p
+        else "\"" + p.replace("\"", "\"\"") + "\"").mkString(".")
+      case SqlExprLit(sql) =>
+        // strip Spark's typed-literal suffixes (3L, 2S, 1.5D, 9.99BD)
+        val m = "^(-?\\d+)[LS]$".r.findFirstMatchIn(sql)
+          .orElse("^(-?\\d*\\.\\d+(?:[eE][+-]?\\d+)?)[DF]$".r.findFirstMatchIn(sql))
+          .orElse("^(-?\\d*\\.?\\d+)BD$".r.findFirstMatchIn(sql))
+        m.map(_.group(1)).getOrElse(sql)
+      case SqlExprFunc(name, args, d) =>
+        s"$name(${if (d) "DISTINCT " else ""}${args.map(duckExpr).mkString(", ")})"
+      case SqlExprBin(op, l, r) => s"(${duckExpr(l)} $op ${duckExpr(r)})"
+      case SqlExprUnary(op, c) => s"($op ${duckExpr(c)})"
+      case SqlExprIn(v, list, neg) =>
+        s"(${duckExpr(v)} ${if (neg) "NOT IN" else "IN"} " +
+          s"(${list.map(duckExpr).mkString(", ")}))"
+      case SqlExprCast(c, to, isTry) =>
+        s"${if (isTry) "TRY_CAST" else "CAST"}(${duckExpr(c)} AS $to)"
+      case SqlExprCase(branches, orElse) => "CASE" +
+        branches.map { case (c, v) =>
+          s" WHEN ${duckExpr(c)} THEN ${duckExpr(v)}" }.mkString +
+        orElse.fold("")(o => s" ELSE ${duckExpr(o)}") + " END"
+      case SqlExprLike(kind, v, p) => s"(${duckExpr(v)} $kind ${duckExpr(p)})"
+      case SqlExprIsNull(c, neg) =>
+        s"(${duckExpr(c)} IS ${if (neg) "NOT " else ""}NULL)"
+      case SqlExprBetween(v, lo, hi, neg) =>
+        s"(${duckExpr(v)} ${if (neg) "NOT " else ""}BETWEEN " +
+          s"${duckExpr(lo)} AND ${duckExpr(hi)})"
+      case SqlExprExists(sub, neg) =>
+        val t = s"EXISTS (${renderSql(sub, dialect)})"
+        if (neg) s"(NOT $t)" else t
+      case SqlExprInSubquery(v, sub, neg) =>
+        s"(${duckExpr(v)} ${if (neg) "NOT IN" else "IN"} (${renderSql(sub, dialect)}))"
+      case SqlExprScalarSubquery(sub) => s"(${renderSql(sub, dialect)})"
+      case SqlExprRaw(sql) =>
+        // best-effort identifier-quote swap for verbatim leaves
+        "`([^`]|``)*`".r.replaceAllIn(sql, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            "\"" + m.matched.drop(1).dropRight(1).replace("``", "`")
+              .replace("\"", "\"\"") + "\""))
+    }
+
+    private case class Block(
+        items: Option[Seq[String]] = None,
+        distinct: Boolean = false,
+        from: String,
+        where: Option[String] = None,
+        groupBy: Option[Seq[String]] = None,
+        having: Option[String] = None,
+        orderBy: Option[Seq[String]] = None,
+        limit: Option[Long] = None,
+        offset: Option[Long] = None) {
+      def sql: String =
+        s"SELECT ${if (distinct) "DISTINCT " else ""}" +
+          items.getOrElse(Seq("*")).mkString(", ") + s" FROM $from" +
+          where.fold("")(w => s" WHERE $w") +
+          groupBy.fold("")(g => s" GROUP BY ${g.mkString(", ")}") +
+          having.fold("")(h => s" HAVING $h") +
+          orderBy.fold("")(o => s" ORDER BY ${o.mkString(", ")}") +
+          limit.fold("")(l => s" LIMIT $l") +
+          offset.fold("")(o => s" OFFSET $o")
+      def hasSelect: Boolean = items.nonEmpty || distinct
+      def hasTail: Boolean = orderBy.nonEmpty || limit.nonEmpty || offset.nonEmpty
+    }
+
+    private def wrap(b: Block): Block =
+      Block(from = s"(${b.sql}) AS ${freshAlias()}")
+
+    private def sortKey(k: (String, Boolean, Boolean)): String = {
+      val (e, asc, nullsFirst) = k
+      s"${ex(e)} ${if (asc) "ASC" else "DESC"} " +
+        s"NULLS ${if (nullsFirst) "FIRST" else "LAST"}"
+    }
+
+    private def items(es: Seq[(String, String)]): Seq[String] = es.map {
+      case (nm, e) if nm == e || nm == "*" || e.endsWith(".*") => ex(e)
+      case (nm, e) => s"${ex(e)} AS ${qid(nm)}"
+    }
+
+    private def frameBound(v: Long, lower: Boolean): String = v match {
+      case Long.MinValue => "UNBOUNDED PRECEDING"
+      case Long.MaxValue => "UNBOUNDED FOLLOWING"
+      case 0L => "CURRENT ROW"
+      case x if x < 0 => s"${-x} PRECEDING"
+      case x => s"$x FOLLOWING"
+    }
+
+    private def overText(d: SqlWindowDef): String = {
+      val pb = if (d.partitionBy.isEmpty) ""
+        else s"PARTITION BY ${d.partitionBy.map(ex).mkString(", ")}"
+      val ob = if (d.orderBy.isEmpty) ""
+        else s"ORDER BY ${d.orderBy.map(sortKey).mkString(", ")}"
+      val fr = d.frame.fold("") { case (t, lo, hi) =>
+        s"${t.toUpperCase} BETWEEN ${frameBound(lo, true)} AND ${frameBound(hi, false)}"
+      }
+      s"${ex(d.func)} OVER (${Seq(pb, ob, fr).filter(_.nonEmpty).mkString(" ")})"
+    }
+
+    private def fromItem(op: SqlOp): String = op match {
+      case SqlRelation(name) => name
+      case SqlAlias(SqlRelation(nm), a) => s"$nm AS ${qid(a)}"
+      case SqlAlias(in, a) => s"(${top(in)}) AS ${qid(a)}"
+      case SqlJoin(l, r, how, cond) =>
+        val kw = how match {
+          case "inner" => "JOIN"
+          case "left" => "LEFT JOIN"
+          case "right" => "RIGHT JOIN"
+          case "outer" | "full" | "full_outer" => "FULL JOIN"
+          case "semi" => if (duck) "SEMI JOIN" else "LEFT SEMI JOIN"
+          case "anti" => if (duck) "ANTI JOIN" else "LEFT ANTI JOIN"
+          case "cross" => "CROSS JOIN"
+          case other => throw new UnsupportedOperationException(
+            s"renderSql: unknown join type '$other'")
+        }
+        s"${fromItem(l)} $kw ${fromItem(r)}${cond.fold("")(c => s" ON ${ex(c)}")}"
+      case other => s"(${top(other)}) AS ${freshAlias()}"
+    }
+
+    private def block(op: SqlOp): Block = op match {
+      case SqlLimit(in, lim, off) =>
+        val b = block(in)
+        val b0 = if (b.limit.nonEmpty || b.offset.nonEmpty) wrap(b) else b
+        b0.copy(limit = lim, offset = off)
+      case SqlSort(in, ks) =>
+        val b = block(in)
+        val b0 = if (b.hasTail) wrap(b) else b
+        b0.copy(orderBy = Some(ks.map(sortKey)))
+      case SqlDistinct(in) =>
+        val b = block(in)
+        val b0 = if (b.distinct || b.hasTail) wrap(b) else b
+        b0.copy(distinct = true)
+      case SqlProject(SqlWindow(in, defs), es) =>
+        val b = block(in)
+        val b0 = if (b.hasSelect || b.hasTail) wrap(b) else b
+        val wmap = defs.map(d => d.name -> overText(d)).toMap
+        val rendered = es.map { case (nm, e) =>
+          val sub = parseExpr(e).rewrite {
+            case SqlExprCol(Seq(one)) if wmap.contains(one) => SqlExprRaw(wmap(one))
+          }
+          val txt = if (duck) duckExpr(sub) else sub.render
+          if (nm == e || nm == "*") txt else s"$txt AS ${qid(nm)}"
+        }
+        b0.copy(items = Some(rendered))
+      case SqlProject(in, es) =>
+        val b = block(in)
+        val b0 = if (b.hasSelect || b.hasTail) wrap(b) else b
+        b0.copy(items = Some(items(es)))
+      case SqlFilter(in, p) =>
+        val b = block(in)
+        val b0 = if (b.hasSelect || b.hasTail || b.where.nonEmpty ||
+          b.groupBy.nonEmpty || b.having.nonEmpty) wrap(b) else b
+        b0.copy(where = Some(ex(p)))
+      case SqlHaving(in, p) =>
+        val b = block(in)
+        if (b.items.nonEmpty && b.having.isEmpty && !b.hasTail)
+          b.copy(having = Some(ex(p)))
+        else wrap(b).copy(where = Some(ex(p)))
+      case SqlAggregate(in, ks, as) =>
+        val b = block(in)
+        val b0 = if (b.hasSelect || b.hasTail || b.groupBy.nonEmpty ||
+          b.having.nonEmpty) wrap(b) else b
+        b0.copy(items = Some(items(as)),
+          groupBy = if (ks.isEmpty) None else Some(ks.map(ex)))
+      case SqlWindow(_, _) =>
+        throw new UnsupportedOperationException(
+          "renderSql: SqlWindow must sit directly below its SqlProject")
+      case SqlOpaque(_) | SqlResolved(_) =>
+        throw new UnsupportedOperationException(
+          "renderSql: tree is not fully decompiled (SqlOpaque) — " +
+            "check isFullyDecompiled first")
+      case leafOrFrom => Block(from = fromItem(leafOrFrom))
+    }
+
+    def top(op: SqlOp): String = op match {
+      case SqlSetOp(l, r, kind, all) =>
+        val kw = kind.toUpperCase + (if (all) " ALL" else "")
+        s"(${top(l)}) $kw (${top(r)})"
+      case SqlWith(in, ctes) =>
+        "WITH " + ctes.map { case (nm, b) => s"${qid(nm)} AS (${top(b)})" }
+          .mkString(", ") + " " + top(in)
+      case SqlOpaque(_) | SqlResolved(_) =>
+        throw new UnsupportedOperationException(
+          "renderSql: tree is not fully decompiled (SqlOpaque) — " +
+            "check isFullyDecompiled first")
+      case other => block(other).sql
+    }
+  }
 }

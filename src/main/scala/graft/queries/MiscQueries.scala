@@ -273,6 +273,35 @@ object MiscQueries {
       FROM supplier WHERE s_suppkey > 3 GROUP BY s_nationkey
       ORDER BY s_nationkey""")),
 
+    // Table→SQL rendering (round 10 — the `ibis.to_sql` role): decompile
+    // → rewrite through the round-10 WALKABLE expression nodes (BETWEEN
+    // bounds, LIKE pattern) → renderSql. The Spark side EXECUTES the
+    // spark-dialect rendering via spark.sql; the ORACLE IS the
+    // duckdb-dialect rendering verbatim (SqlDecompileSpec pins the
+    // rendered text to this string), so the driver's DuckDB run proves
+    // the rendered SQL executes elsewhere and values match the engine.
+    QueryDef("q97e_render_sql", (s, dir) => {
+      import graft.api._
+      customer(s, dir).createOrReplaceTempView("customer")
+      val op = SqlDecompile.decompile(s,
+        """SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS s
+           FROM customer
+           WHERE c_custkey BETWEEN 10 AND 5000 AND c_name LIKE '%1%'
+             AND c_name IS NOT NULL
+           GROUP BY c_nationkey
+           HAVING COUNT(*) >= 1
+           ORDER BY c_nationkey""")
+      require(op.isFullyDecompiled, "decompile fell back to an opaque plan")
+      val rewritten = op.rewriteExprs {
+        case SqlExprBetween(v, SqlExprLit("10"), hi, neg) =>
+          SqlExprBetween(v, SqlExprLit("3"), hi, neg)
+        case SqlExprLike("LIKE", v, SqlExprLit("'%1%'")) =>
+          SqlExprLike("LIKE", v, SqlExprLit("'%2%'"))
+      }
+      s.sql(rewritten.renderSql())
+    }, Some("""
+      SELECT c_nationkey, COUNT(1) AS n, CAST(SUM(c_custkey) AS BIGINT) AS s FROM customer WHERE (((c_custkey BETWEEN 3 AND 5000) AND (c_name LIKE '%2%')) AND (c_name IS NOT NULL)) GROUP BY c_nationkey HAVING (COUNT(1) >= 1) ORDER BY c_nationkey ASC NULLS FIRST""")),
+
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {
       Table(nation(s, dir)).sql(

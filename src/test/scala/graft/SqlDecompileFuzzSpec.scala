@@ -91,9 +91,29 @@ class SqlDecompileFuzzSpec extends SparkSpec {
     }
   }
 
+  /** Every expression string a decompiled tree holds — for the
+    * fully-parsed ratio over the fuzz corpus. */
+  private def exprStrings(op: graft.api.SqlOp): Seq[String] = {
+    import graft.api._
+    op match {
+      case SqlProject(in, es) => es.map(_._2) ++ exprStrings(in)
+      case SqlFilter(in, p) => p +: exprStrings(in)
+      case SqlHaving(in, p) => p +: exprStrings(in)
+      case SqlAggregate(in, ks, as) => ks ++ as.map(_._2) ++ exprStrings(in)
+      case SqlJoin(l, r, _, c) => c.toSeq ++ exprStrings(l) ++ exprStrings(r)
+      case SqlSort(in, ks) => ks.map(_._1) ++ exprStrings(in)
+      case SqlWindow(in, ds) =>
+        ds.flatMap(d => d.func +: (d.partitionBy ++ d.orderBy.map(_._1))) ++
+          exprStrings(in)
+      case SqlWith(in, ctes) => exprStrings(in) ++ ctes.flatMap(c => exprStrings(c._2))
+      case other => other.children.flatMap(exprStrings)
+    }
+  }
+
   test("300 random queries: decompile -> rebuild matches spark.sql exactly") {
     ensureViews()
     var walkable = 0; var opaque = 0
+    var exprTotal = 0; var exprParsed = 0
     for (seed <- 1 to 300) {
       val (sql, _) =
         try new Gen(seed.toLong).query(0)
@@ -109,10 +129,31 @@ class SqlDecompileFuzzSpec extends SparkSpec {
       val r = rebuilt.collect().toSeq
       val d = direct.collect().toSeq
       assert(r == d, s"seed $seed rows differ for: $sql\nrebuilt=$r\ndirect=$d")
+      if (op.isFullyDecompiled) {
+        // Table→SQL render round trip: the rendered text re-executes to
+        // the SAME columns and rows (the `ibis.to_sql` role, round 10)
+        val rendered = op.renderSql()
+        val re = spark.sql(rendered)
+        assert(re.columns.toSeq == direct.columns.toSeq,
+          s"seed $seed rendered columns differ\nsql: $sql\nrendered: $rendered")
+        assert(re.collect().toSeq == d,
+          s"seed $seed rendered rows differ\nsql: $sql\nrendered: $rendered")
+        // expression-granular walkability (round-10 long tail: LIKE,
+        // IS NULL, BETWEEN as nodes, not raw leaves)
+        for (s <- exprStrings(op); if s != "*" && !s.endsWith(".*")) {
+          exprTotal += 1
+          if (SqlDecompile.parseExpr(s).isFullyParsed) exprParsed += 1
+        }
+      }
     }
     info(s"$walkable walkable, $opaque opaque — all ${walkable + opaque} equivalent")
+    info(s"expression strings fully parsed: $exprParsed/$exprTotal")
     // the generator must actually exercise the walkable core, not just
     // fall through to opaque passthroughs
     assert(walkable > 150, s"only $walkable walkable — generator drifted")
+    // round 9 (pre-LIKE/IS NULL/BETWEEN nodes) measured ~88% here; the
+    // round-10 nodes lift the corpus to full expression walkability
+    assert(exprParsed.toDouble / exprTotal > 0.99,
+      s"fully-parsed expression ratio regressed: $exprParsed/$exprTotal")
   }
 }

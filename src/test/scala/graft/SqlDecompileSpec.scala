@@ -220,4 +220,148 @@ class SqlDecompileSpec extends SparkSpec {
     roundTrip("SELECT id, e FROM t1 LATERAL VIEW explode(array(1, 2)) x AS e ORDER BY id, e",
       expectWalkable = false)
   }
+
+  test("subquery expressions in plans degrade to opaque, never to corrupt pseudo-calls") {
+    ensureViews()
+    // catalyst renders Exists/ListQuery/ScalarSubquery as "exists()" /
+    // "listquery()" — text that PARSES but never resolves; before round
+    // 10 these sailed past the renders-back guard into walkable nodes
+    // that exploded at rebuild. They must be opaque AND still execute.
+    roundTrip("SELECT id FROM t1 WHERE EXISTS (SELECT 1 FROM t2 WHERE t2.id = t1.id) ORDER BY id",
+      expectWalkable = false)
+    roundTrip("SELECT id FROM t1 WHERE id IN (SELECT id FROM t2) ORDER BY id",
+      expectWalkable = false)
+    roundTrip("SELECT id, (SELECT MAX(id) FROM t2) AS m FROM t1 ORDER BY id",
+      expectWalkable = false)
+  }
+
+  test("round-10 expression nodes: LIKE/ILIKE/RLIKE, IS [NOT] NULL, [NOT] BETWEEN") {
+    val like = SqlDecompile.parseExpr("name LIKE 'a%'")
+    assert(like == SqlExprLike("LIKE", SqlExprCol(Seq("name")), SqlExprLit("'a%'")))
+    assert(SqlDecompile.parseExpr("name ILIKE 'A%'")
+      .isInstanceOf[SqlExprLike])
+    assert(SqlDecompile.parseExpr("name RLIKE 'a.*'")
+      .isInstanceOf[SqlExprLike])
+    assert(SqlDecompile.parseExpr("v IS NULL") == SqlExprIsNull(SqlExprCol(Seq("v"))))
+    assert(SqlDecompile.parseExpr("v IS NOT NULL") ==
+      SqlExprIsNull(SqlExprCol(Seq("v")), negated = true))
+    assert(SqlDecompile.parseExpr("v BETWEEN 1 AND 2") ==
+      SqlExprBetween(SqlExprCol(Seq("v")), SqlExprLit("1"), SqlExprLit("2")))
+    assert(SqlDecompile.parseExpr("v NOT BETWEEN 1 AND 2") ==
+      SqlExprBetween(SqlExprCol(Seq("v")), SqlExprLit("1"), SqlExprLit("2"),
+        negated = true))
+    // every node's rendering parses back and all are fully parsed
+    for (s <- Seq("name LIKE 'a%'", "name ILIKE 'A%'", "name RLIKE 'a.*'",
+        "v IS NULL", "v IS NOT NULL", "v BETWEEN 1 AND 2", "v NOT BETWEEN 1 AND 2",
+        "NOT (name LIKE 'a%')")) {
+      val e = SqlDecompile.parseExpr(s)
+      assert(e.isFullyParsed, s"$s -> $e")
+      assert(SqlDecompile.parseExpr(e.render).render == e.render, s"render of $s")
+    }
+  }
+
+  test("round-10 subquery expression nodes: EXISTS / IN (subquery) / scalar") {
+    ensureViews()
+    val ex = SqlDecompile.parseExpr("EXISTS (SELECT 1 FROM t2 WHERE t2.id = 1)")
+    assert(ex.isInstanceOf[SqlExprExists] && ex.isFullyParsed, s"$ex")
+    val in = SqlDecompile.parseExpr("id IN (SELECT id FROM t2 WHERE v > 15.0)")
+    assert(in.isInstanceOf[SqlExprInSubquery], s"$in")
+    val nin = SqlDecompile.parseExpr("id NOT IN (SELECT id FROM t2)")
+    assert(nin == SqlExprInSubquery(SqlExprCol(Seq("id")),
+      SqlProject(SqlRelation("t2"), Seq(("id", "id"))), negated = true))
+    val sc = SqlDecompile.parseExpr("(SELECT MAX(id) FROM t2)")
+    assert(sc.isInstanceOf[SqlExprScalarSubquery], s"$sc")
+    // the rendered text executes: rewrite the subquery's threshold then
+    // use the expression as a live filter
+    val rewritten = in.rewrite {
+      case SqlExprInSubquery(v, sub, neg) => SqlExprInSubquery(v,
+        sub match {
+          case SqlProject(SqlFilter(r, p), es) =>
+            SqlProject(SqlFilter(r, p.replace("15.0", "25.0")), es)
+          case o => o
+        }, neg)
+    }
+    val got = spark.table("t1").filter(rewritten.render)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L)) // t2 rows with v > 25 have ids {2, 9}; t1 holds only 2
+  }
+
+  test("renderSql: decompile → render → spark.sql matches the original") {
+    ensureViews()
+    def renderTrip(sql: String): Unit = {
+      val op = SqlDecompile.decompile(spark, sql)
+      assert(op.isFullyDecompiled, s"opaque: $sql\n$op")
+      val rendered = op.renderSql()
+      val re = spark.sql(rendered)
+      val direct = spark.sql(sql)
+      assert(re.columns.toSeq == direct.columns.toSeq,
+        s"columns of rendered: $rendered")
+      assert(re.collect().toSeq == direct.collect().toSeq,
+        s"rows differ\noriginal: $sql\nrendered: $rendered")
+    }
+    renderTrip("SELECT id, name FROM t1 WHERE id > 1 ORDER BY id")
+    renderTrip("SELECT grp, COUNT(*) AS n, SUM(id) AS s FROM t1 " +
+      "WHERE id BETWEEN 0 AND 3 GROUP BY grp HAVING COUNT(*) > 1 ORDER BY grp")
+    renderTrip("SELECT t1.id, name, v FROM t1 JOIN t2 ON t1.id = t2.id ORDER BY t1.id")
+    renderTrip("SELECT id FROM t1 ORDER BY id DESC LIMIT 2")
+    renderTrip("SELECT id FROM t1 ORDER BY id LIMIT 2 OFFSET 1")
+    renderTrip("SELECT DISTINCT grp FROM t1 ORDER BY grp")
+    renderTrip("SELECT * FROM (SELECT id FROM t1 UNION ALL SELECT id FROM t2) ORDER BY id")
+    renderTrip("WITH big AS (SELECT id, grp FROM t1 WHERE id >= 1) " +
+      "SELECT grp, COUNT(*) AS n FROM big GROUP BY grp ORDER BY grp")
+    renderTrip("SELECT id, grp, rank() OVER (PARTITION BY grp ORDER BY id DESC) AS r, " +
+      "sum(id) OVER (PARTITION BY grp ORDER BY id " +
+      "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM t1 ORDER BY id")
+    renderTrip("SELECT x.id AS a, y.id AS b FROM t1 AS x JOIN t2 AS y ON x.id = y.id " +
+      "ORDER BY a")
+    renderTrip("SELECT id + 1 AS p, CASE WHEN grp > 0 THEN 'hi' ELSE 'lo' END AS c " +
+      "FROM t1 WHERE name LIKE '%a%' OR id IS NOT NULL ORDER BY p, c")
+  }
+
+  test("renderSql: duckdb dialect + opaque refusal") {
+    ensureViews()
+    // duckdb spellings: infix BETWEEN (never the between() call Spark's
+    // parser emits), double-quoted weird identifiers, SEMI JOIN
+    val op = SqlDecompile.decompile(spark,
+      "SELECT id FROM t1 WHERE id BETWEEN 1 AND 3 ORDER BY id")
+    val duck = op.renderSql("duckdb")
+    assert(duck.contains("BETWEEN 1 AND 3") && !duck.contains("between("), duck)
+    val q = SqlDecompile.decompile(spark,
+      "SELECT id AS `odd name` FROM t1 ORDER BY 1")
+    assert(q.renderSql("duckdb").contains("\"odd name\""))
+    assert(q.renderSql().contains("`odd name`"))
+    val semi = SqlJoin(SqlRelation("t1"), SqlRelation("t2"), "semi",
+      Some("t1.id = t2.id"))
+    assert(SqlDecompile.renderSql(semi, "duckdb").contains(" SEMI JOIN "))
+    assert(SqlDecompile.renderSql(semi).contains(" LEFT SEMI JOIN "))
+    // opaque trees refuse to render
+    val opq = SqlDecompile.decompile(spark,
+      "SELECT id, e FROM t1 LATERAL VIEW explode(array(1, 2)) x AS e")
+    intercept[UnsupportedOperationException] { opq.renderSql() }
+  }
+
+  test("q97e oracle IS the duckdb rendering — pinned against drift") {
+    ensureViews()
+    // the corpus query's DuckDB oracle must be EXACTLY what renderSql
+    // emits for its rewritten tree, or the claimed render→DuckDB check
+    // silently decays into a hand-written-SQL check
+    Seq((1L, "c1", 1)).toDF("c_custkey", "c_name", "c_nationkey")
+      .createOrReplaceTempView("customer")
+    val op = SqlDecompile.decompile(spark,
+      """SELECT c_nationkey, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS s
+         FROM customer
+         WHERE c_custkey BETWEEN 10 AND 5000 AND c_name LIKE '%1%'
+           AND c_name IS NOT NULL
+         GROUP BY c_nationkey
+         HAVING COUNT(*) >= 1
+         ORDER BY c_nationkey""")
+    val rewritten = op.rewriteExprs {
+      case SqlExprBetween(v, SqlExprLit("10"), hi, neg) =>
+        SqlExprBetween(v, SqlExprLit("3"), hi, neg)
+      case SqlExprLike("LIKE", v, SqlExprLit("'%1%'")) =>
+        SqlExprLike("LIKE", v, SqlExprLit("'%2%'"))
+    }
+    assert(SparkEntry.oracleSql("q97e_render_sql").trim ==
+      rewritten.renderSql("duckdb").trim)
+  }
 }
