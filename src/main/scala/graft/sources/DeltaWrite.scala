@@ -757,29 +757,13 @@ object DeltaWrite {
   private def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).getRawPath
 
+  /** The commit publisher every write verb routes through — swap it for
+    * an object-store implementation to run multi-writer on S3-style
+    * storage ([[DeltaLogStore]]); everything else in the writer is
+    * storage-agnostic. */
+  @volatile var logStore: DeltaLogStore = HardLinkLogStore
+
   private def publishCommit(logDir: File, version: Long, lines: Seq[String],
-      path: String): Unit = {
-    // atomic publish with PUT-IF-ABSENT via hard-link creation
-    val tmpCommit = new File(logDir,
-      s".${version}_${java.util.UUID.randomUUID().toString}.json.tmp")
-    val target = new File(logDir, f"$version%020d.json")
-    try {
-      Files.write(tmpCommit.toPath, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-      try Files.createLink(target.toPath, tmpCommit.toPath)
-      catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"concurrent Delta commit at version $version for $path", e)
-        case _: UnsupportedOperationException =>
-          // no hard links on this fs: best-effort existence check + atomic
-          // move (still atomic; loses only the concurrent-writer guard)
-          if (target.exists())
-            throw new IllegalStateException(
-              s"concurrent Delta commit at version $version for $path")
-          Files.move(tmpCommit.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-      }
-    } finally {
-      if (tmpCommit.exists()) tmpCommit.delete()
-    }
-  }
+      path: String): Unit =
+    logStore.publish(logDir, version, lines, path)
 }

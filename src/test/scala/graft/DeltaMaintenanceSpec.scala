@@ -339,6 +339,41 @@ class DeltaMaintenanceSpec extends SparkSpec {
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  test("pluggable log store: every write verb routes its commit through it") {
+    import graft.sources.{DeltaLogStore, HardLinkLogStore}
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val counting = new DeltaLogStore {
+      def publish(logDir: File, version: Long, lines: Seq[String],
+          tablePath: String): Unit = {
+        seen += version
+        HardLinkLogStore.publish(logDir, version, lines, tablePath)
+      }
+    }
+    val prior = DeltaWrite.logStore
+    DeltaWrite.logStore = counting
+    try {
+      val path = tmpTable("graft_logstore")
+      DeltaWrite.toDelta(spark.range(0, 10).select(col("id"),
+        (col("id") * 2).as("v")), path) // v0
+      DeltaWrite.deleteWhere(spark, path, col("id") === 1L) // v1
+      DeltaWrite.updateWhere(spark, path, col("id") === 2L,
+        Map("v" -> lit(-1L))) // v2
+      DeltaWrite.merge(spark, path, Seq((3L, 33L)).toDF("id", "v"),
+        col("t.id") === col("s.id"),
+        whenMatchedUpdate = Some(Map("v" -> col("s.v")))) // v3
+      DeltaWrite.compact(spark, path) // v4
+      assert(seen.toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+        s"commits bypassed the log store: $seen")
+      val got = DeltaRead.readDelta(spark, path).as[(Long, Long)].collect().toMap
+      assert(got.size == 9 && got(2L) == -1L && got(3L) == 33L)
+      // put-if-absent: publishing an existing version fails loudly
+      intercept[IllegalStateException] {
+        HardLinkLogStore.publish(new File(path, "_delta_log"), 0L,
+          Seq("""{"commitInfo":{}}"""), path)
+      }
+    } finally DeltaWrite.logStore = prior
+  }
+
   test("writer protocol gate: append-only tables refuse destructive ops; declared invariants refuse writes") {
     val path = tmpTable("graft_wp_appendonly")
     DeltaWrite.toDelta(Seq((1L, 10L)).toDF("id", "v"), path)
