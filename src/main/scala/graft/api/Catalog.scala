@@ -116,4 +116,33 @@ object Catalog {
   def getSchema(spark: SparkSession, name: String,
       database: Option[String] = None): StructType =
     spark.table(qualified(name, database)).schema
+
+  /** compute_stats (reference :760): ANALYZE TABLE … COMPUTE STATISTICS
+    * [NOSCAN] — feeds Catalyst's cost-based sizing (join strategy,
+    * broadcast decisions) for catalog tables. */
+  def computeStats(spark: SparkSession, name: String,
+      database: Option[String] = None, noscan: Boolean = false): Unit =
+    spark.sql(s"ANALYZE TABLE ${qualified(name, database)} COMPUTE STATISTICS" +
+      (if (noscan) " NOSCAN" else ""))
+
+  private val cached =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]()
+
+  /** The reference's `_create_cached_table` (:785 — the `expr.cache()`
+    * role): materialize the expression in executor memory/disk and expose
+    * it as a named temp view; the frame is tracked so [[uncacheTable]]
+    * releases the memory on demand instead of at session end. */
+  def cacheTable(name: String, obj: Table): Table = {
+    val t = obj.df.cache()
+    t.createOrReplaceTempView(name)
+    cached.put(name, t)
+    table(obj.spark, name, None)
+  }
+
+  /** The reference's `_drop_cached_table`: drop the view and unpersist
+    * the tracked frame. */
+  def uncacheTable(spark: SparkSession, name: String): Unit = {
+    spark.catalog.dropTempView(name)
+    Option(cached.remove(name)).foreach(_.unpersist())
+  }
 }

@@ -197,6 +197,35 @@ object StreamingQueries {
       FROM (SELECT user_id, ts::TIMESTAMP AS t, event_id FROM events WHERE event_type = 'click') c
       JOIN (SELECT user_id, ts::TIMESTAMP AS t, value FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id AND p.t >= c.t AND p.t <= c.t + INTERVAL 30 MINUTE
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // LEFT OUTER stream-stream interval join (round 10): clicks with NO
+    // purchase inside the attribution band survive null-padded — the
+    // "unconverted clicks" side of attribution, which streaming can only
+    // emit after the watermark closes the band (StreamingSpec drives
+    // exactly that emission over MemoryStreams); the batch twin here is
+    // oracle-checked, counting matched rows, unmatched clicks, and the
+    // matched-value total in one pass.
+    QueryDef("q83c_interval_join_outer", (s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"), col("value").as("pval"))
+      Windows.intervalJoin(clicks, purchases, Seq("cu" -> "pu"),
+          "cts", "pts", before = "0 seconds", after = "30 minutes",
+          joinType = "left_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("pval").isNull, lit(1))).as("n_unmatched_rows"),
+          countDistinct(when(col("pval").isNull, col("cid"))).as("n_unmatched_clicks"),
+          dsum(coalesce(col("pval"), lit(0.0))).as("pval_sum"))
+    }, Some("""
+      SELECT COUNT(*) AS n_rows,
+        COUNT(CASE WHEN p.value IS NULL THEN 1 END) AS n_unmatched_rows,
+        COUNT(DISTINCT CASE WHEN p.value IS NULL THEN c.event_id END) AS n_unmatched_clicks,
+        CAST(SUM(CAST(COALESCE(p.value, 0) AS DECIMAL(38,4))) AS DOUBLE) AS pval_sum
+      FROM (SELECT user_id, ts::TIMESTAMP AS t, event_id FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS t, value FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.t >= c.t AND p.t <= c.t + INTERVAL 30 MINUTE"""))
   )
 }

@@ -300,6 +300,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows emit null-padded after the watermark closes the band (round 10)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val l = Windows.withWatermark(
+      clicks.toDF().toDF("cu", "cts"), Watermark("cts", "10 seconds"))
+    val r = Windows.withWatermark(
+      purchases.toDF().toDF("pu", "pts", "pval"), Watermark("pts", "10 seconds"))
+    val joined = Windows.intervalJoin(l, r, Seq("cu" -> "pu"),
+      "cts", "pts", before = "0 seconds", after = "1 minute",
+      joinType = "left_outer")
+      .select(col("cu"), col("pval"))
+    val query = joined.writeStream
+      .format("memory").queryName("ivj_lo").outputMode(OutputMode.Append())
+      .start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      purchases.addData((1L, ts("2024-01-01 10:00:30"), 5.0))
+      query.processAllAvailable()
+      // click 2 is unmatched but its band is still open — cannot emit yet;
+      // advance both watermarks far past the band, with a second tick so
+      // the state-eviction output flows through
+      for (t <- Seq("2024-01-01 10:10:00", "2024-01-01 10:20:00")) {
+        clicks.addData((99L, ts(t)))
+        purchases.addData((99L, ts(t), 0.0))
+        query.processAllAvailable()
+      }
+      val out = spark.table("ivj_lo").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) null else x.getDouble(1))).toSet
+      assert(out.contains((1L, 5.0)), s"matched pair missing: $out")
+      assert(out.exists(p => p._1 == 2L && p._2 == null),
+        s"unmatched left row never emitted null-padded: $out")
+    } finally query.stop()
+  }
+
   test("interval join on batch frames is the identical range-predicate join") {
     val clicks = Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")))
       .toDF("cu", "cts")

@@ -354,4 +354,26 @@ class TableApiSpec extends SparkSpec {
     Catalog.dropDatabase(spark, "graft_spec_db", force = true)
     assert(!Catalog.listDatabases(spark).contains("graft_spec_db"))
   }
+
+  test("catalog: cached tables materialize and release on demand; compute stats runs") {
+    import graft.api.Catalog
+    val src = Table(Seq((1L, "x"), (2L, "y")).toDF("id", "tag"))
+    val c = Catalog.cacheTable("graft_spec_cached", src)
+    assert(c.df.count() == 2)
+    assert(spark.table("graft_spec_cached").storageLevel.useMemory,
+      "cached table is not memory-backed")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_spec_cached")
+      .collect().head.getLong(0) == 2L)
+    Catalog.uncacheTable(spark, "graft_spec_cached")
+    intercept[Exception] { spark.table("graft_spec_cached").collect() }
+
+    Catalog.dropTable(spark, "graft_spec_stats", force = true)
+    Catalog.createTable("graft_spec_stats", src, overwrite = true)
+    Catalog.computeStats(spark, "graft_spec_stats")
+    Catalog.computeStats(spark, "graft_spec_stats", noscan = true)
+    val stats = spark.sql("DESCRIBE TABLE EXTENDED graft_spec_stats")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(stats.contains("Statistics"), s"no statistics recorded:\n$stats")
+    Catalog.dropTable(spark, "graft_spec_stats")
+  }
 }
