@@ -35,19 +35,37 @@ class SqlDecompileFuzzSpec extends SparkSpec {
       case _ => s"${pick(cols)} % ${rnd.nextInt(3) + 2}"
     }
 
-    def predicate(cols: Seq[String]): String = rnd.nextInt(6) match {
+    def predicate(cols: Seq[String]): String = rnd.nextInt(7) match {
       case 0 => s"${pick(cols)} ${pick(Seq(">", "<", ">=", "<=", "=", "<>"))} ${rnd.nextInt(5)}"
       case 1 => s"${pick(cols)} IN (${Seq.fill(rnd.nextInt(3) + 1)(rnd.nextInt(6)).mkString(", ")})"
       case 2 => s"${pick(cols)} BETWEEN ${rnd.nextInt(3)} AND ${rnd.nextInt(4) + 3}"
-      case 3 => s"${pick(cols)} IS NOT NULL"
-      case 4 => s"(${predicate(cols)} AND ${predicate(cols)})"
+      case 3 => s"${pick(cols)} ${pick(Seq("IS NOT NULL", "IS NULL"))}"
+      case 4 => s"${pick(cols)} NOT BETWEEN ${rnd.nextInt(2)} AND ${rnd.nextInt(3) + 1}"
+      case 5 => s"(${predicate(cols)} AND ${predicate(cols)})"
       case _ => s"(${predicate(cols)} OR ${predicate(cols)})"
     }
 
     /** A full query; returns (sql, output column names). */
     def query(depth: Int): (String, Seq[String]) = {
-      val shape = rnd.nextInt(10)
-      if (shape < 2 && depth < 1) { // set-op of two simple queries
+      val shape = rnd.nextInt(13)
+      if (shape == 10) { // string predicates: LIKE / NOT LIKE / IS NULL
+        val p = pick(Seq("name LIKE '%a%'", "name LIKE '_'", "name NOT LIKE 'z%'",
+          "name ILIKE 'A%'", "name RLIKE '[a-d]'", "name IS NOT NULL"))
+        val sql = s"SELECT id, name FROM ft1 WHERE $p AND ${predicate(Seq("id"))} " +
+          "ORDER BY id"
+        (sql, Seq("id", "name"))
+      } else if (shape == 11 && depth < 1) { // correlated/uncorrelated subquery predicate → opaque by contract
+        val p = pick(Seq(
+          "EXISTS (SELECT 1 FROM ft2 WHERE ft2.id = ft1.id)",
+          "NOT EXISTS (SELECT 1 FROM ft2 WHERE ft2.id = ft1.id)",
+          s"id IN (SELECT id FROM ft2 WHERE v > ${rnd.nextInt(40)})",
+          s"id NOT IN (SELECT id FROM ft2 WHERE v > ${rnd.nextInt(40)})"))
+        (s"SELECT id FROM ft1 WHERE $p ORDER BY id", Seq("id"))
+      } else if (shape == 12 && depth < 1) { // CTE
+        val sql = s"WITH b AS (SELECT id, grp FROM ft1 WHERE ${predicate(Seq("id", "grp"))}) " +
+          "SELECT grp, COUNT(*) AS n FROM b GROUP BY grp ORDER BY grp, n"
+        (sql, Seq("grp", "n"))
+      } else if (shape < 2 && depth < 1) { // set-op of two simple queries
         val op = pick(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
         val sql = s"SELECT id FROM ft1 WHERE ${predicate(Seq("id", "grp"))} " +
           s"$op SELECT CAST(${scalarExpr(Seq("id"))} AS BIGINT) FROM ft2"
