@@ -135,7 +135,9 @@ object Catalog {
   def cacheTable(name: String, obj: Table): Table = {
     val t = obj.df.cache()
     t.createOrReplaceTempView(name)
-    cached.put(name, t)
+    // re-caching a name must release the PREVIOUS frame's blocks, or they
+    // stay pinned until session end (unless it's the same frame)
+    Option(cached.put(name, t)).filter(_ ne t).foreach(_.unpersist())
     table(obj.spark, name, None)
   }
 

@@ -179,9 +179,7 @@ sealed trait SqlExpr {
 final case class SqlExprCol(parts: Seq[String]) extends SqlExpr {
   def children = Nil
   def mapChildren(f: SqlExpr => SqlExpr) = this
-  def render = parts.map(p =>
-    if (p.matches("[A-Za-z_][A-Za-z0-9_]*")) p
-    else s"`${p.replace("`", "``")}`").mkString(".")
+  def render = parts.map(SqlDecompile.quoteIdent(_)).mkString(".")
 }
 final case class SqlExprLit(sql: String) extends SqlExpr {
   def children = Nil
@@ -540,6 +538,11 @@ object SqlDecompile {
     // extras spark.sql's output doesn't. Opaque, not silently-wider.
     if (projectList.exists(_.exists(_.isInstanceOf[UnresolvedStar])))
       return SqlOpaque(p)
+    // same subquery guard as the plain-project path: a subquery anywhere
+    // in the list (item OR window keys) renders as a pseudo-call that
+    // parses back but never resolves — opaque, never corrupt-walkable
+    if (projectList.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
+      return SqlOpaque(p)
     val items: Seq[(String, String)] = projectList.map { ne =>
       val inner = ne match { case UnresolvedAlias(c, _) => c; case e => e }
       inner match {
@@ -794,6 +797,15 @@ object SqlDecompile {
     new SqlRenderer(dialect).top(op)
   }
 
+  /** The ONE identifier-quoting rule (plain identifiers pass bare;
+    * anything else backtick- or double-quote-escaped by dialect) —
+    * shared by [[SqlExprCol.render]] and the renderer so the three
+    * quoting sites can't drift. */
+  private[api] def quoteIdent(name: String, duck: Boolean = false): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+    else if (duck) "\"" + name.replace("\"", "\"\"") + "\""
+    else "`" + name.replace("`", "``") + "`"
+
   /** Compositional SQL text builder: folds compatible plan nodes into one
     * SELECT block (FROM → WHERE → GROUP BY → HAVING → SELECT → ORDER BY →
     * LIMIT/OFFSET) and wraps into a derived table only when a clause slot
@@ -804,10 +816,13 @@ object SqlDecompile {
     private var n = 0
     private def freshAlias(): String = { n += 1; s"__g$n" }
 
-    private def qid(name: String): String =
-      if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
-      else if (duck) "\"" + name.replace("\"", "\"\"") + "\""
-      else "`" + name.replace("`", "``") + "`"
+    private def qid(name: String): String = quoteIdent(name, duck)
+
+    /** A (possibly multi-part) relation or CTE-reference name, each
+      * segment quoted — a bare `FROM odd name` for a CTE declared as
+      * `WITH "odd name"` would not parse back. */
+    private def relName(name: String): String =
+      name.split("\\.", -1).map(qid).toSeq.mkString(".")
 
     /** Expression text in the output dialect. Spark keeps the stored
       * string verbatim (it parses with Spark's parser by construction);
@@ -817,9 +832,7 @@ object SqlDecompile {
       else duckExpr(parseExpr(s))
 
     private def duckExpr(e: SqlExpr): String = e match {
-      case SqlExprCol(parts) => parts.map(p =>
-        if (p.matches("[A-Za-z_][A-Za-z0-9_]*")) p
-        else "\"" + p.replace("\"", "\"\"") + "\"").mkString(".")
+      case SqlExprCol(parts) => parts.map(quoteIdent(_, duck = true)).mkString(".")
       case SqlExprLit(sql) =>
         // strip Spark's typed-literal suffixes (3L, 2S, 1.5D, 9.99BD)
         val m = "^(-?\\d+)[LS]$".r.findFirstMatchIn(sql)
@@ -896,7 +909,7 @@ object SqlDecompile {
       case (nm, e) => s"${ex(e)} AS ${qid(nm)}"
     }
 
-    private def frameBound(v: Long, lower: Boolean): String = v match {
+    private def frameBound(v: Long): String = v match {
       case Long.MinValue => "UNBOUNDED PRECEDING"
       case Long.MaxValue => "UNBOUNDED FOLLOWING"
       case 0L => "CURRENT ROW"
@@ -910,14 +923,14 @@ object SqlDecompile {
       val ob = if (d.orderBy.isEmpty) ""
         else s"ORDER BY ${d.orderBy.map(sortKey).mkString(", ")}"
       val fr = d.frame.fold("") { case (t, lo, hi) =>
-        s"${t.toUpperCase} BETWEEN ${frameBound(lo, true)} AND ${frameBound(hi, false)}"
+        s"${t.toUpperCase} BETWEEN ${frameBound(lo)} AND ${frameBound(hi)}"
       }
       s"${ex(d.func)} OVER (${Seq(pb, ob, fr).filter(_.nonEmpty).mkString(" ")})"
     }
 
     private def fromItem(op: SqlOp): String = op match {
-      case SqlRelation(name) => name
-      case SqlAlias(SqlRelation(nm), a) => s"$nm AS ${qid(a)}"
+      case SqlRelation(name) => relName(name)
+      case SqlAlias(SqlRelation(nm), a) => s"${relName(nm)} AS ${qid(a)}"
       case SqlAlias(in, a) => s"(${top(in)}) AS ${qid(a)}"
       case SqlJoin(l, r, how, cond) =>
         val kw = how match {

@@ -150,6 +150,22 @@ object DeltaWrite {
     checkWriteProtocol(st, path, appendOnlyOp = false)
     val table = new File(path)
     val logDir = new File(table, "_delta_log")
+    // the condition is evaluated in TWO distributed passes (counts, then
+    // the DV build) — a predicate whose value can change between passes
+    // (rand(), current_timestamp()) could silently over- or under-delete;
+    // the ANALYZED expression is checked (the unresolved form reports
+    // functions as deterministic before resolution)
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestampLike}
+      val probe = DeltaRead.readWithLineage(spark, path)
+        .select(condition.as("__graft_cond"))
+      val unstable = probe.queryExecution.analyzed.expressions.exists(_.exists(x =>
+        !x.deterministic || x.isInstanceOf[CurrentTimestampLike] ||
+          x.isInstanceOf[CurrentDate]))
+      require(!unstable,
+        s"deleteWhere condition must be deterministic and time-independent " +
+          s"(got: $condition); evaluate random/clock expressions to literals first")
+    }
     // per-file matched/live totals — a file whose live rows ALL match is
     // REMOVED outright (delta-spark's DELETE does the same) instead of
     // carrying a fully-dead DV forever. Partial aggregation: the driver
@@ -235,6 +251,16 @@ object DeltaWrite {
     }
     (dead ++ needDv).foreach { rel =>
       lines += s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    // both passes must agree on the touched set — a drift here (e.g. a
+    // current_timestamp()-dependent predicate crossing a boundary between
+    // passes) must abort the commit, never publish a partial delete
+    locally {
+      val missing = needDv.filterNot(descriptors.contains)
+      require(missing.isEmpty,
+        s"deleteWhere: the DV-build pass matched no rows in ${missing.size} " +
+          s"file(s) the count pass marked touched (${missing.take(3).mkString(", ")}…) — " +
+          "the condition changed value between passes; nothing was committed")
     }
     needDv.foreach { rel =>
       val e = st.active(rel)
@@ -531,6 +557,12 @@ object DeltaWrite {
   def checkpoint(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
+    // a checkpoint is a log write like any other: a table whose protocol
+    // demands features this writer doesn't implement (e.g. v2Checkpoint,
+    // which forbids exactly this classic-parquet checkpoint shape) must
+    // refuse rather than write a checkpoint other readers then trust
+    DeltaRead.checkProtocol(st, path)
+    checkWriteProtocol(st, path, appendOnlyOp = true)
     val logDir = new File(new File(path), "_delta_log")
     // the protocol action re-emits the REPLAYED writer requirements
     // verbatim — synthesizing them (the first cut set writerFeatures :=

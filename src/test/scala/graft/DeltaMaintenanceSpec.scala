@@ -278,6 +278,23 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(DeltaRead.readDelta(spark, path).filter(col("m") === 4).count() == 0)
   }
 
+  test("deleteWhere refuses a non-deterministic condition") {
+    val path = tmpTable("graft_del_nondet")
+    DeltaWrite.toDelta(spark.range(0, 10).select(col("id"),
+      (col("id") * 2).as("v")), path)
+    // the condition runs in two distributed passes — rand() or a clock
+    // read could match different rows in each, silently over- or
+    // under-deleting
+    for (cond <- Seq(rand() < 0.5,
+        col("v").cast("timestamp") <= current_timestamp())) {
+      val e = intercept[IllegalArgumentException] {
+        DeltaWrite.deleteWhere(spark, path, cond)
+      }
+      assert(e.getMessage.contains("deterministic"), e.getMessage)
+    }
+    assert(DeltaRead.readDelta(spark, path).count() == 10)
+  }
+
   test("checkpoint preserves the replayed writer protocol verbatim") {
     // legacy writer-only requirement: protocol (1,4) must survive a
     // checkpoint, not degrade to the writer's own (1,2)

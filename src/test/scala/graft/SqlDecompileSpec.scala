@@ -235,6 +235,29 @@ class SqlDecompileSpec extends SparkSpec {
       expectWalkable = false)
   }
 
+  test("window-bearing SELECT with a subquery item degrades to opaque, not corrupt") {
+    ensureViews()
+    // the window-project path must apply the same subquery guard as the
+    // plain-project path — a 'walkable' tree holding scalarsubquery()
+    // pseudo-text would explode at rebuild
+    roundTrip("SELECT (SELECT MAX(id) FROM t2) AS m, " +
+      "rank() OVER (ORDER BY id) AS r FROM t1 ORDER BY r",
+      expectWalkable = false)
+  }
+
+  test("renderSql quotes CTE-reference names that need it") {
+    ensureViews()
+    // catalog/view names can't carry spaces, but CTE names can — a bare
+    // `FROM odd name` for a CTE declared `WITH \`odd name\`` would not
+    // parse back
+    val cte = SqlDecompile.decompile(spark,
+      "WITH `odd name` AS (SELECT id FROM t1 WHERE id >= 1) " +
+        "SELECT COUNT(*) AS n FROM `odd name`")
+    val r2 = cte.renderSql()
+    assert(r2.contains("FROM `odd name`"), r2)
+    assert(spark.sql(r2).collect().head.getLong(0) == 4L, r2)
+  }
+
   test("round-10 expression nodes: LIKE/ILIKE/RLIKE, IS [NOT] NULL, [NOT] BETWEEN") {
     val like = SqlDecompile.parseExpr("name LIKE 'a%'")
     assert(like == SqlExprLike("LIKE", SqlExprCol(Seq("name")), SqlExprLit("'a%'")))

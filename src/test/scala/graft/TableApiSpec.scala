@@ -367,6 +367,15 @@ class TableApiSpec extends SparkSpec {
     Catalog.uncacheTable(spark, "graft_spec_cached")
     intercept[Exception] { spark.table("graft_spec_cached").collect() }
 
+    // re-caching a name releases the previous frame's blocks
+    val first = Seq((1L, "a")).toDF("id", "tag").cache()
+    Catalog.cacheTable("graft_spec_recache", Table(first))
+    first.count()
+    assert(first.storageLevel.useMemory)
+    Catalog.cacheTable("graft_spec_recache", Table(Seq((2L, "b")).toDF("id", "tag")))
+    assert(!first.storageLevel.useMemory, "previous cached frame leaked")
+    Catalog.uncacheTable(spark, "graft_spec_recache")
+
     Catalog.dropTable(spark, "graft_spec_stats", force = true)
     Catalog.createTable("graft_spec_stats", src, overwrite = true)
     Catalog.computeStats(spark, "graft_spec_stats")
