@@ -589,6 +589,15 @@ object SqlDecompile {
       // infix form to a `between(v, lo, hi)` call
       case betweenCall(v, lo, hi) =>
         SqlExprBetween(fromExpression(v), fromExpression(lo), fromExpression(hi))
+      // catalyst's .sql for RLike is the function spelling RLIKE(x, p),
+      // which parses back as a function call — fold the aliases into the
+      // same walkable node the infix form gets
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if Seq("rlike", "regexp", "regexp_like")
+            .contains(f.nameParts.mkString(".").toLowerCase) &&
+            f.arguments.size == 2 && !f.isDistinct && f.filter.isEmpty =>
+        SqlExprLike("RLIKE", fromExpression(f.arguments(0)),
+          fromExpression(f.arguments(1)))
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.filter.isEmpty && !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
         SqlExprFunc(f.nameParts.mkString("."), f.arguments.map(fromExpression),
@@ -841,6 +850,9 @@ object SqlDecompile {
         m.map(_.group(1)).getOrElse(sql)
       case SqlExprFunc(name, args, d) =>
         s"$name(${if (d) "DISTINCT " else ""}${args.map(duckExpr).mkString(", ")})"
+      // DuckDB has no <=> — the ANSI spelling is the portable form
+      case SqlExprBin("<=>", l, r) =>
+        s"(${duckExpr(l)} IS NOT DISTINCT FROM ${duckExpr(r)})"
       case SqlExprBin(op, l, r) => s"(${duckExpr(l)} $op ${duckExpr(r)})"
       case SqlExprUnary(op, c) => s"($op ${duckExpr(c)})"
       case SqlExprIn(v, list, neg) =>
@@ -852,6 +864,9 @@ object SqlDecompile {
         branches.map { case (c, v) =>
           s" WHEN ${duckExpr(c)} THEN ${duckExpr(v)}" }.mkString +
         orElse.fold("")(o => s" ELSE ${duckExpr(o)}") + " END"
+      // DuckDB has no RLIKE keyword — regexp_matches is its spelling
+      case SqlExprLike("RLIKE", v, p) =>
+        s"regexp_matches(${duckExpr(v)}, ${duckExpr(p)})"
       case SqlExprLike(kind, v, p) => s"(${duckExpr(v)} $kind ${duckExpr(p)})"
       case SqlExprIsNull(c, neg) =>
         s"(${duckExpr(c)} IS ${if (neg) "NOT " else ""}NULL)"

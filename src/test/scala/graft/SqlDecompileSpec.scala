@@ -357,6 +357,18 @@ class SqlDecompileSpec extends SparkSpec {
       Some("t1.id = t2.id"))
     assert(SqlDecompile.renderSql(semi, "duckdb").contains(" SEMI JOIN "))
     assert(SqlDecompile.renderSql(semi).contains(" LEFT SEMI JOIN "))
+    // duck re-spellings for Spark-only operators: RLIKE → regexp_matches,
+    // <=> → IS NOT DISTINCT FROM (verified against DuckDB's grammar)
+    val rl = SqlDecompile.decompile(spark,
+      "SELECT id FROM t1 WHERE name RLIKE '[a-d]' ORDER BY id")
+    val rld = rl.renderSql("duckdb")
+    assert(rld.contains("regexp_matches(name, '[a-d]')") && !rld.contains("RLIKE"), rld)
+    assert(spark.sql(rl.renderSql()).count() ==
+      spark.sql("SELECT id FROM t1 WHERE name RLIKE '[a-d]' ORDER BY id").count())
+    val ns = SqlDecompile.decompile(spark,
+      "SELECT id FROM t1 WHERE id <=> 1 ORDER BY id")
+    assert(ns.renderSql("duckdb").contains("IS NOT DISTINCT FROM"),
+      ns.renderSql("duckdb"))
     // opaque trees refuse to render
     val opq = SqlDecompile.decompile(spark,
       "SELECT id, e FROM t1 LATERAL VIEW explode(array(1, 2)) x AS e")
