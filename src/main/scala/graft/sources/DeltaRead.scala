@@ -116,14 +116,14 @@ object DeltaRead {
     mode == "name" || mode == "id"
   }
 
-  private def physName(f: StructField): String =
+  private[sources] def physName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
 
   /** The schema as stored in the files: every field renamed to its
     * physical name, recursively through structs, arrays and maps. */
-  private def physType(dt: DataType): DataType = dt match {
+  private[sources] def physType(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(name = physName(f), dataType = physType(f.dataType))))
     case a: ArrayType => a.copy(elementType = physType(a.elementType))

@@ -59,21 +59,13 @@ object DeltaWrite {
     val prior = DeltaRead.currentState(df.sparkSession, path)
     val version = prior.map(_.version + 1).getOrElse(0L)
     prior.foreach { st =>
-      // files this writer emits carry LOGICAL column names; committing
-      // them into a column-mapped table would read back as all-null
-      require(!Seq("name", "id").contains(
-        st.configuration.getOrElse("delta.columnMapping.mode", "none")),
-        s"table at $path uses column mapping " +
-          s"(${st.configuration("delta.columnMapping.mode")} mode); " +
-          "write it with delta-spark instead")
       if (mode == SaveMode.Append)
         require(st.partitionCols == partitionBy,
           s"append partitioning ${partitionBy.mkString("[", ",", "]")} does not match " +
             s"the table's ${st.partitionCols.mkString("[", ",", "]")} at $path")
       if (mode == SaveMode.Append && st.schemaJson != null) {
         val existing = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-        val same = existing.fields.map(f => (f.name, f.dataType)).toSeq ==
-          df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val same = shapeOf(existing) == shapeOf(df.schema)
         require(same,
           s"append schema ${df.schema.simpleString} does not match the table's " +
             s"${existing.simpleString} at $path — the mismatch would read back " +
@@ -87,15 +79,25 @@ object DeltaWrite {
       else Seq.empty
     val schemaChanged = prior.forall(_.schemaJson == null) ||
       prior.exists { st =>
-        DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-          .fields.map(f => (f.name, f.dataType)).toSeq !=
-          df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        shapeOf(DataType.fromJson(st.schemaJson).asInstanceOf[StructType]) !=
+          shapeOf(df.schema)
       }
     val partitioningChanged = prior.exists(_.partitionCols != partitionBy)
     val needMeta = prior.isEmpty ||
       (mode == SaveMode.Overwrite && (schemaChanged || partitioningChanged))
 
-    val added = writeParts(df, table, partitionBy)
+    // column-mapped tables (round 10): writes go through the PHYSICAL
+    // names + parquet field ids ([[toPhysical]]); what stays refused is a
+    // schema or partitioning CHANGE on such a table — that requires
+    // assigning fresh column ids, which is delta-spark territory
+    val mapped = prior.exists(DeltaRead.columnMapped)
+    if (mapped) require(!schemaChanged && !partitioningChanged,
+      s"table at $path uses column mapping; a schema or partitioning " +
+        "change needs new column-id assignment — use delta-spark for that " +
+        "(same-schema append/overwrite writes natively)")
+    val (outDf, layoutParts) =
+      if (mapped) forLayout(df, prior.get) else (df, partitionBy)
+    val added = writeParts(outDf, table, layoutParts)
 
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
@@ -300,8 +302,6 @@ object DeltaWrite {
       throw new IllegalArgumentException(s"no Delta table at $path"))
     DeltaRead.checkProtocol(st, path)
     checkWriteProtocol(st, path, appendOnlyOp = false)
-    require(!DeltaRead.columnMapped(st),
-      s"table at $path uses column mapping; update it with delta-spark instead")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val unknown = set.keySet -- schema.fieldNames
     require(unknown.isEmpty,
@@ -329,7 +329,8 @@ object DeltaWrite {
         case None => col("`" + f.name.replace("`", "``") + "`")
       }
     }.toSeq: _*)
-    val added = writeParts(updated, table, st.partitionCols)
+    val (outDf, layoutParts) = forLayout(updated, st)
+    val added = writeParts(outDf, table, layoutParts)
 
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
@@ -380,8 +381,6 @@ object DeltaWrite {
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
     DeltaRead.checkProtocol(st, path)
-    require(!DeltaRead.columnMapped(st),
-      s"table at $path uses column mapping; merge with delta-spark instead")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     whenMatchedUpdate.foreach { m =>
       val unknown = m.keySet -- schema.fieldNames
@@ -472,8 +471,10 @@ object DeltaWrite {
       inserted.exists(_.limit(1).collect().isEmpty)
     if (!rewriting && nothingToInsert) return st.version
 
-    val added = outRows.map(writeParts(_, table, st.partitionCols))
-      .getOrElse(Seq.empty)
+    val added = outRows.map { r =>
+      val (outDf, layoutParts) = forLayout(r, st)
+      writeParts(outDf, table, layoutParts)
+    }.getOrElse(Seq.empty)
     val removes = if (rewriting) touchedRel.toSeq.sorted else Seq.empty
     if (removes.isEmpty && added.isEmpty) return st.version
     val now = System.currentTimeMillis()
@@ -511,8 +512,6 @@ object DeltaWrite {
     // compaction never changes the logical table (dataChange=false), so an
     // append-only table may be compacted — delta-spark's OPTIMIZE agrees
     checkWriteProtocol(st, path, appendOnlyOp = true)
-    require(!DeltaRead.columnMapped(st),
-      s"table at $path uses column mapping; compact it with delta-spark instead")
     val table = new File(path)
 
     val groups = st.active.toSeq.groupBy(_._2.pv)
@@ -533,9 +532,9 @@ object DeltaWrite {
       val rels = picks.map(_._1).toSet
       val nOut = math.max(1,
         math.ceil(picks.map(_._2).sum.toDouble / targetFileBytes).toInt)
-      val added = writeParts(
-        DeltaRead.readSubset(spark, path, rels).coalesce(nOut),
-        table, st.partitionCols)
+      val (outDf, layoutParts) = forLayout(
+        DeltaRead.readSubset(spark, path, rels).coalesce(nOut), st)
+      val added = writeParts(outDf, table, layoutParts)
       rels.toSeq.sorted.foreach { rel =>
         lines += s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
@@ -656,6 +655,62 @@ object DeltaWrite {
     }
     deleted.foreach(_.delete())
     deleted.map(_.getAbsolutePath)
+  }
+
+  /** Name/type shape of a schema with per-field METADATA and nullability
+    * stripped at every level — schema-equality checks compare structure,
+    * not the column-mapping annotations a mapped table's logical schema
+    * carries on nested fields (StructField equality includes metadata,
+    * which made nested-struct appends into mapped tables false-mismatch). */
+  private def shapeOf(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, shapeOf(f.dataType),
+        nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = shapeOf(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = shapeOf(m.keyType), valueType = shapeOf(m.valueType),
+        valueContainsNull = true)
+    case o => o
+  }
+
+  /** Rename a LOGICAL-named frame to the table's PHYSICAL column names at
+    * every nesting level (round 10 — the write half of column mapping)
+    * and attach each field's `parquet.field.id` from its
+    * `delta.columnMapping.id`, so files written into a column-mapped
+    * table read back under BOTH name-mode (physical names) and id-mode
+    * (parquet field ids) resolution. The rename is one struct-positional
+    * cast, the mirror of [[DeltaRead]]'s physical→logical read cast. */
+  private def toPhysical(df: DataFrame,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    def phys(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val mb = new MetadataBuilder()
+        if (f.metadata.contains("delta.columnMapping.id"))
+          mb.putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+        StructField(DeltaRead.physName(f), phys(f.dataType), f.nullable, mb.build())
+      })
+      case a: ArrayType => a.copy(elementType = phys(a.elementType))
+      case m: MapType => m.copy(keyType = phys(m.keyType), valueType = phys(m.valueType))
+      case o => o
+    }
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val physSchema = phys(schema).asInstanceOf[StructType]
+    df.select(schema.fields.zip(physSchema.fields).map { case (lf, pf) =>
+      org.apache.spark.sql.functions.col("`" + lf.name.replace("`", "``") + "`")
+        .cast(pf.dataType).as(pf.name, pf.metadata)
+    }.toSeq: _*)
+  }
+
+  /** Physicalize `df` + the partition column names when the table is
+    * column-mapped; identity otherwise. Returns (frame to write,
+    * partition columns in the FILE-LAYOUT namespace). */
+  private def forLayout(df: DataFrame, st: DeltaRead.LogState): (DataFrame, Seq[String]) = {
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    if (!DeltaRead.columnMapped(st)) (df, st.partitionCols)
+    else (toPhysical(df, schema),
+      st.partitionCols.map(c => DeltaRead.physName(schema(c))))
   }
 
   /** Stage `df` as parquet parts and move them into the table directory

@@ -278,6 +278,50 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(DeltaRead.readDelta(spark, path).filter(col("m") === 4).count() == 0)
   }
 
+  test("updateWhere/merge/compact write PHYSICAL names into column-mapped tables (round 10)") {
+    import org.apache.spark.sql.types._
+    val dir = tmpTable("graft_cm_dml")
+    val table = new File(dir)
+    // hand-craft a name-mode column-mapped table: the file carries
+    // PHYSICAL names, the metaData maps them to logical id/v
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("p-id", "p-v")
+      .coalesce(1).write.parquet(dir + "/stage")
+    val stagePart = Option(new File(dir + "/stage").listFiles()).get
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(stagePart.toPath, new File(table, "part-1.parquet").toPath)
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "p-id")),
+      StructField("v", LongType, nullable = true, fm(2, "p-v"))))
+    val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    new File(table, "_delta_log").mkdirs()
+    Files.write(new File(new File(table, "_delta_log"), f"${0L}%020d.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"$schemaJson","partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"}}}""",
+        """{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+
+    DeltaWrite.updateWhere(spark, dir, col("id") === 2L, Map("v" -> lit(-2L)))
+    DeltaWrite.merge(spark, dir, Seq((3L, 333L), (9L, 90L)).toDF("id", "v"),
+      col("t.id") === col("s.id"),
+      whenMatchedUpdate = Some(Map("v" -> col("s.v"))),
+      whenNotMatchedInsert = Some(Map("id" -> col("s.id"), "v" -> col("s.v"))))
+    DeltaWrite.compact(spark, dir)
+    val got = DeltaRead.readDelta(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> -2L, 3L -> 333L, 9L -> 90L), s"$got")
+    // every surviving data file speaks the PHYSICAL namespace — a
+    // standard column-mapped reader resolves it by name or field id
+    for (f <- dataFiles(dir)) {
+      val cols = spark.read.parquet(f.getAbsolutePath).columns.toSet
+      assert(cols.subsetOf(Set("p-id", "p-v")), s"${f.getName}: $cols")
+    }
+  }
+
   test("deleteWhere refuses a non-deterministic condition") {
     val path = tmpTable("graft_del_nondet")
     DeltaWrite.toDelta(spark.range(0, 10).select(col("id"),

@@ -484,13 +484,29 @@ class DeltaReadSpec extends SparkSpec {
     graft.sources.DeltaWrite.deleteWhere(spark, table.getAbsolutePath, col("id") === 1L)
     val after = DeltaRead.readDelta(spark, table.getAbsolutePath)
     assert(after.select("name").as[String].collect().toSeq == Seq("b"))
-    // but plain toDelta refuses to write into it (logical-named files
-    // would read back as null)
+    // a same-schema APPEND works too (round 10): the writer physicalizes
+    // names at every nesting level and stamps parquet field ids
+    graft.sources.DeltaWrite.toDelta(
+      Seq((3L, "c", (30L, "z"), Seq(9))).toDF("id", "name", "meta", "xs")
+        .withColumn("meta", struct(col("meta._1").as("n1"), col("meta._2").as("n2"))),
+      table.getAbsolutePath, org.apache.spark.sql.SaveMode.Append)
+    val appended = DeltaRead.readDelta(spark, table.getAbsolutePath)
+      .selectExpr("id", "name", "meta.n1", "xs")
+      .as[(Long, String, Long, Seq[Int])].collect().sortBy(_._1)
+    assert(appended.toSeq == Seq((2L, "b", 20L, Seq(3)), (3L, "c", 30L, Seq(9))))
+    // the new file carries PHYSICAL names (a standard mapped reader's view)
+    val newPart = Option(table.listFiles()).get
+      .filter(f => f.getName.endsWith(".parquet") && f.getName != "part-1.parquet")
+    assert(newPart.nonEmpty)
+    val raw = spark.read.parquet(newPart.head.getAbsolutePath)
+    assert(raw.columns.toSet == Set("col-aaa", "col-bbb", "col-ccc", "col-ddd"),
+      raw.columns.mkString(","))
+    // but a SCHEMA CHANGE on a mapped table still refuses (new ids needed)
     val ex = intercept[IllegalArgumentException] {
-      graft.sources.DeltaWrite.toDelta(Seq((3L, "c")).toDF("id", "name"),
-        table.getAbsolutePath, org.apache.spark.sql.SaveMode.Append)
+      graft.sources.DeltaWrite.toDelta(Seq((4L, "d", 1.0)).toDF("id", "name", "extra"),
+        table.getAbsolutePath)
     }
-    assert(ex.getMessage.contains("column mapping"))
+    assert(ex.getMessage.contains("column-id"), ex.getMessage)
   }
 
   test("column mapping with partition columns: physical partitionValues keys") {
