@@ -530,6 +530,82 @@ object MiscQueries {
         (SELECT CAST(SUM(bal) AS DOUBLE) FROM merged) AS bal_sum,
         (SELECT COUNT(*) FROM supplier) AS n_v0""")),
 
+    // Native Delta COLUMN-MAPPED DML (round 10): a name-mode mapped table
+    // is hand-crafted from nation (files speak a PHYSICAL namespace,
+    // metaData maps it to logical key/reg), then UPDATE, MERGE
+    // (update+insert), APPEND and COMPACT all run through the native
+    // writer — which physicalizes names and stamps parquet field ids —
+    // and the final logical read is predicted by the oracle from nation
+    // alone. Any mapping slip (logical-named file, wrong physical name,
+    // lost field) reads back null and breaks the hash.
+    QueryDef("q98i_delta_column_mapping", (s, dir) => {
+      import org.apache.spark.sql.types._
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_cmq").toFile
+      val p = base.getAbsolutePath
+      val src = nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+      val keyT = src.schema("n_nationkey").dataType
+      val regT = src.schema("n_regionkey").dataType
+      src.select(col("n_nationkey").as("p-key"), col("n_regionkey").as("p-reg"))
+        .coalesce(1).write.parquet(p + "/stage")
+      val part = Option(new java.io.File(p + "/stage").listFiles()).get
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(base, "part-0.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p + "/stage"))
+      def fm(id: Long, phys: String) = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build()
+      val logical = StructType(Seq(
+        StructField("key", keyT, nullable = true, fm(1, "p-key")),
+        StructField("reg", regT, nullable = true, fm(2, "p-reg"))))
+      val logDir = new java.io.File(base, "_delta_log"); logDir.mkdirs()
+      def jstr(x: String) =
+        "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"${0L}%020d.json").toPath,
+        (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"cmq","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":${jstr(logical.json)},"partitionColumns":[],""" +
+            s""""configuration":{"delta.columnMapping.mode":"name",""" +
+            s""""delta.columnMapping.maxColumnId":"2"}}}""",
+          """{"add":{"path":"part-0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+        ).mkString("\n") + "\n").getBytes("UTF-8"))
+
+      graft.sources.DeltaWrite.updateWhere(s, p, col("key") < 5,
+        Map("reg" -> (col("reg") + 100)))                              // v1
+      val mSrc = nation(s, dir)
+        .select(col("n_nationkey").as("k"), col("n_regionkey").as("r"))
+        .filter(col("k") >= 20 || col("k") < 3)
+        .withColumn("k", when(col("k") < 3, col("k") + 1000).otherwise(col("k")))
+      graft.sources.DeltaWrite.merge(s, p, mSrc,
+        on = col("t.key") === col("s.k"),
+        whenMatchedUpdate = Some(Map("reg" -> lit(-1))),
+        whenNotMatchedInsert = Some(Map(
+          "key" -> col("s.k"), "reg" -> col("s.r"))))                  // v2
+      val extra = s.range(2).select(
+        (col("id") + 9001).cast(keyT).as("key"), col("id").cast(regT).as("reg"))
+      Table(extra).toDelta(p, org.apache.spark.sql.SaveMode.Append)    // v3
+      graft.sources.DeltaWrite.compact(s, p)                           // v4 (no logical change)
+      Table.readDelta(s, p).df
+        .agg(count(lit(1)).as("n"),
+          sum(col("key")).cast("long").as("key_sum"),
+          sum(col("reg")).cast("long").as("reg_sum"))
+    }, Some("""
+      WITH updated AS (
+        SELECT n_nationkey AS key,
+          CASE WHEN n_nationkey < 5 THEN n_regionkey + 100
+               ELSE n_regionkey END AS reg
+        FROM nation),
+      merged AS (
+        SELECT key, CASE WHEN key >= 20 THEN -1 ELSE reg END AS reg FROM updated
+        UNION ALL
+        SELECT n_nationkey + 1000, n_regionkey FROM nation WHERE n_nationkey < 3
+        UNION ALL SELECT 9001, 0 UNION ALL SELECT 9002, 1)
+      SELECT COUNT(*) AS n,
+        CAST(SUM(key) AS BIGINT) AS key_sum,
+        CAST(SUM(reg) AS BIGINT) AS reg_sum
+      FROM merged""")),
+
     // Arrow IPC ROUND-TRIP (interop/ArrowExport + ArrowImport — the
     // reference's Arrow-first contract both directions): a frame carrying
     // decimals, token arrays, structs and maps is exported as an Arrow
