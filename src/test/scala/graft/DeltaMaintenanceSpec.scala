@@ -322,6 +322,45 @@ class DeltaMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("partitioned column-mapped table: update moves rows between partitions with physical pv keys") {
+    import org.apache.spark.sql.types._
+    val dir = tmpTable("graft_cm_part")
+    val table = new File(dir)
+    // one physical file in partition east (partition col NOT in the file)
+    Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("col-xx")
+      .coalesce(1).write.parquet(dir + "/stage")
+    val part = Option(new File(dir + "/stage").listFiles()).get
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(table, "f1.parquet").toPath)
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "col-xx")),
+      StructField("region", StringType, nullable = true, fm(2, "col-yy"))))
+    val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    new File(table, "_delta_log").mkdirs()
+    Files.write(new File(new File(table, "_delta_log"), f"${0L}%020d.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"$schemaJson","partitionColumns":["region"],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name"}}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{"col-yy":"east"},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+
+    // logical-term UPDATE that MOVES a row to a new partition value
+    DeltaWrite.updateWhere(spark, dir, col("id") === 2L,
+      Map("region" -> lit("west")))
+    val got = DeltaRead.readDelta(spark, dir).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "east"), (2L, "west"), (3L, "east")), s"$got")
+    // the rewrite's add actions carry PHYSICAL partitionValues keys
+    val lastCommit = Option(new File(table, "_delta_log").listFiles()).get
+      .filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    val text = new String(Files.readAllBytes(lastCommit.toPath), "UTF-8")
+    assert(text.contains(""""col-yy":"west""""), text)
+    assert(!text.contains(""""region":"""), s"logical pv key leaked: $text")
+  }
+
   test("deleteWhere refuses a non-deterministic condition") {
     val path = tmpTable("graft_del_nondet")
     DeltaWrite.toDelta(spark.range(0, 10).select(col("id"),
