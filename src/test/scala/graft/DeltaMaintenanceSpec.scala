@@ -320,6 +320,46 @@ class DeltaMaintenanceSpec extends SparkSpec {
       val cols = spark.read.parquet(f.getAbsolutePath).columns.toSet
       assert(cols.subsetOf(Set("p-id", "p-v")), s"${f.getName}: $cols")
     }
+    // same-schema OVERWRITE physicalizes too (no metaData re-emit: the
+    // mapping stays authoritative from commit 0)
+    DeltaWrite.toDelta(Seq((7L, 70L)).toDF("id", "v"), dir)
+    assert(DeltaRead.readDelta(spark, dir).as[(Long, Long)].collect().toSeq ==
+      Seq((7L, 70L)))
+    assert(dataFiles(dir).forall(f =>
+      spark.read.parquet(f.getAbsolutePath).columns.toSet
+        .subsetOf(Set("p-id", "p-v"))))
+  }
+
+  test("id-mode column-mapped table takes DML through the same physical path") {
+    import org.apache.spark.sql.types._
+    val dir = tmpTable("graft_cm_id")
+    val table = new File(dir)
+    Seq((1L, 10L), (2L, 20L)).toDF("c1", "c2")
+      .coalesce(1).write.parquet(dir + "/stage")
+    val part = Option(new File(dir + "/stage").listFiles()).get
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(table, "f0.parquet").toPath)
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "c1")),
+      StructField("v", LongType, nullable = true, fm(2, "c2"))))
+    val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    new File(table, "_delta_log").mkdirs()
+    Files.write(new File(new File(table, "_delta_log"), f"${0L}%020d.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"$schemaJson","partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id",""" +
+          s""""delta.columnMapping.maxColumnId":"2"}}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+    DeltaWrite.updateWhere(spark, dir, col("id") === 1L, Map("v" -> lit(-1L)))
+    DeltaWrite.toDelta(Seq((3L, 30L)).toDF("id", "v"), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    val got = DeltaRead.readDelta(spark, dir).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> -1L, 2L -> 20L, 3L -> 30L), s"$got")
   }
 
   test("partitioned column-mapped table: update moves rows between partitions with physical pv keys") {
