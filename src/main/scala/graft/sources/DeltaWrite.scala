@@ -25,9 +25,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * all-null columns), and overwrite with a new schema or partitioning
   * publishes an updated metaData action. Partitioned layouts are
   * hive-style dirs with per-add `partitionValues` (see [[toDelta]]).
+  * Writer-side protocol requirements are ENFORCED ([[checkWriteProtocol]]):
+  * unknown writer features, append-only tables facing destructive ops,
+  * CHECK constraints / invariants / generated or identity columns / CDF
+  * refuse clearly. COLUMN-MAPPED tables (name or id mode) take writes
+  * natively — frames physicalize to the mapped names with parquet field
+  * ids before landing ([[toPhysical]]); only a schema/partitioning
+  * change on such a table stays refused (fresh column-id assignment).
   *
-  * Tables written here carry protocol (1,2) and read back both through
-  * [[DeltaRead]] and any standard Delta reader. */
+  * Fresh tables carry protocol (1,2); a DV-writing DELETE upgrades to
+  * (3,7) preserving prior writer requirements. Everything reads back
+  * both through [[DeltaRead]] and any standard Delta reader. */
 object DeltaWrite {
 
   /** Write `df` to a Delta table at `path`. Supported modes: Overwrite
