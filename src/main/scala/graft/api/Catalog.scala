@@ -136,8 +136,13 @@ object Catalog {
     val t = obj.df.cache()
     t.createOrReplaceTempView(name)
     // re-caching a name must release the PREVIOUS frame's blocks, or they
-    // stay pinned until session end (unless it's the same frame)
-    Option(cached.put(name, t)).filter(_ ne t).foreach(_.unpersist())
+    // stay pinned until session end — but Spark's CacheManager keys
+    // entries by CANONICALIZED PLAN, so a displaced frame whose plan is
+    // equivalent to the new one shares the new entry; unpersisting it
+    // would evict the cache we just created (sameSemantics = same entry)
+    Option(cached.put(name, t))
+      .filter(prev => (prev ne t) && !prev.sameSemantics(t))
+      .foreach(_.unpersist())
     table(obj.spark, name, None)
   }
 

@@ -101,7 +101,14 @@ sealed trait SqlOp {
     SqlDecompile.renderSql(this, dialect)
 }
 
-final case class SqlRelation(name: String) extends SqlOp { def children = Nil }
+final case class SqlRelation(name: String) extends SqlOp {
+  def children = Nil
+  /** The exact identifier parts when decompiled from a plan — `name` is
+    * their '.'-joined form, which is LOSSY for a single identifier
+    * containing a literal dot; the renderer prefers these. Not part of
+    * the case-class shape (equality/patterns unchanged). */
+  private[api] var nameParts: Seq[String] = Nil
+}
 final case class SqlProject(input: SqlOp, exprs: Seq[(String, String)]) extends SqlOp {
   def children = Seq(input)
 }
@@ -378,7 +385,10 @@ object SqlDecompile {
   }
 
   def fromPlan(plan: LogicalPlan): SqlOp = plan match {
-    case UnresolvedRelation(nameParts, _, _) => SqlRelation(nameParts.mkString("."))
+    case UnresolvedRelation(nameParts, _, _) =>
+      val r = SqlRelation(nameParts.mkString("."))
+      r.nameParts = nameParts
+      r
     case p @ Project(projectList, child) =>
       if (projectList.exists(_.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.WindowExpression])))
@@ -806,12 +816,30 @@ object SqlDecompile {
     new SqlRenderer(dialect).top(op)
   }
 
-  /** The ONE identifier-quoting rule (plain identifiers pass bare;
-    * anything else backtick- or double-quote-escaped by dialect) —
-    * shared by [[SqlExprCol.render]] and the renderer so the three
-    * quoting sites can't drift. */
+  /** SQL keywords that cannot stand bare as identifiers (the ANSI core
+    * plus the dialect words this renderer itself emits) — an alias named
+    * `order` or a CTE named `end` must render quoted or the output fails
+    * to parse in either dialect. */
+  private val ReservedWords = Set(
+    "all", "and", "any", "anti", "as", "asc", "between", "both", "by",
+    "case", "cast", "create", "cross", "current", "default", "delete",
+    "desc", "distinct", "drop", "else", "end", "except", "exists",
+    "false", "fetch", "filter", "for", "foreign", "from", "full",
+    "group", "having", "ilike", "in", "inner", "insert", "intersect",
+    "into", "is", "join", "lateral", "leading", "left", "like", "limit",
+    "natural", "not", "null", "offset", "on", "or", "order", "outer",
+    "over", "partition", "pivot", "primary", "qualify", "range",
+    "references", "right", "rows", "select", "semi", "set", "some",
+    "table", "then", "to", "trailing", "true", "union", "unique",
+    "update", "using", "values", "when", "where", "window", "with")
+
+  /** The ONE identifier-quoting rule (plain non-reserved identifiers
+    * pass bare; anything else backtick- or double-quote-escaped by
+    * dialect) — shared by [[SqlExprCol.render]] and the renderer so the
+    * three quoting sites can't drift. */
   private[api] def quoteIdent(name: String, duck: Boolean = false): String =
-    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+        !ReservedWords.contains(name.toLowerCase)) name
     else if (duck) "\"" + name.replace("\"", "\"\"") + "\""
     else "`" + name.replace("`", "``") + "`"
 
@@ -830,8 +858,9 @@ object SqlDecompile {
     /** A (possibly multi-part) relation or CTE-reference name, each
       * segment quoted — a bare `FROM odd name` for a CTE declared as
       * `WITH "odd name"` would not parse back. */
-    private def relName(name: String): String =
-      name.split("\\.", -1).map(qid).toSeq.mkString(".")
+    private def relName(r: SqlRelation): String =
+      (if (r.nameParts.nonEmpty) r.nameParts
+       else r.name.split("\\.", -1).toSeq).map(qid).mkString(".")
 
     /** Expression text in the output dialect. Spark keeps the stored
       * string verbatim (it parses with Spark's parser by construction);
@@ -944,8 +973,8 @@ object SqlDecompile {
     }
 
     private def fromItem(op: SqlOp): String = op match {
-      case SqlRelation(name) => relName(name)
-      case SqlAlias(SqlRelation(nm), a) => s"${relName(nm)} AS ${qid(a)}"
+      case r: SqlRelation => relName(r)
+      case SqlAlias(r: SqlRelation, a) => s"${relName(r)} AS ${qid(a)}"
       case SqlAlias(in, a) => s"(${top(in)}) AS ${qid(a)}"
       case SqlJoin(l, r, how, cond) =>
         val kw = how match {

@@ -541,6 +541,7 @@ object MiscQueries {
     QueryDef("q98i_delta_column_mapping", (s, dir) => {
       import org.apache.spark.sql.types._
       val base = java.nio.file.Files.createTempDirectory("graft_delta_cmq").toFile
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(base) // reaped at JVM exit
       val p = base.getAbsolutePath
       val src = nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
       val keyT = src.schema("n_nationkey").dataType

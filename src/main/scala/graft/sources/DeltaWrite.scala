@@ -73,7 +73,7 @@ object DeltaWrite {
             s"the table's ${st.partitionCols.mkString("[", ",", "]")} at $path")
       if (mode == SaveMode.Append && st.schemaJson != null) {
         val existing = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-        val same = shapeOf(existing) == shapeOf(df.schema)
+        val same = conformsTo(df.schema, existing)
         require(same,
           s"append schema ${df.schema.simpleString} does not match the table's " +
             s"${existing.simpleString} at $path — the mismatch would read back " +
@@ -195,50 +195,70 @@ object DeltaWrite {
     }
     val touched: Seq[(String, Boolean)] =
       counts.toSeq.map(r => (relOf(r.getString(0)), r.getLong(1) == r.getLong(2)))
+    val matchedByRel: Map[String, Long] =
+      counts.toSeq.map(r => relOf(r.getString(0)) -> r.getLong(1)).toMap
     val dead = touched.filter(_._2).map(_._1)
     val needDv: Seq[String] = touched.filterNot(_._2).map(_._1)
-    // distributed DV build: shuffle only the matched (file, pos) pairs of
-    // files that keep live rows, group per file, write each sidecar inside
-    // the task. One sidecar per touched file (the protocol allows any
-    // file↔sidecar arrangement; delta-spark also writes several).
-    val descriptors: Map[String, DeletionVectors.Descriptor] =
-      if (needDv.isEmpty) Map.empty
-      else {
-        import spark.implicits._
-        val priorDv: Map[String, String] =
-          needDv.flatMap(rel => Option(st.active(rel).dvJson).map(rel -> _)).toMap
-        val absToRelB = spark.sparkContext.broadcast(absToRel)
-        val priorDvB = spark.sparkContext.broadcast(priorDv)
-        val needDvB = spark.sparkContext.broadcast(needDv.toSet)
-        val tablePath = table.getAbsolutePath
-        DeltaRead.readWithLineage(spark, path)
-          .filter(condition)
-          .select(col("_graft_file").cast("string").as("_1"),
-            col("_graft_pos").cast("long").as("_2"))
-          .as[(String, Long)]
-          .filter { r =>
-            val abs = new File(DeltaRead.filePathToLocal(r._1)).getAbsolutePath
-            absToRelB.value.get(abs).exists(needDvB.value.contains)
-          }
-          .groupByKey(_._1)
-          .mapGroups { (fp, rows) =>
-            val tableDir = new File(tablePath)
-            val abs = new File(DeltaRead.filePathToLocal(fp)).getAbsolutePath
-            val rel = absToRelB.value(abs)
-            val fresh = rows.map(_._2).toArray
-            val merged = priorDvB.value.get(rel) match {
-              case Some(j) => (DeletionVectors.readDescriptor(
-                DeltaRead.parseDvDescriptor(j), tableDir) ++ fresh).distinct.sorted
-              case None => java.util.Arrays.sort(fresh); fresh
-            }
-            val d = DeletionVectors.writeDvFile(tableDir, Seq(rel -> merged))(rel)
-            (rel, d.storageType, d.pathOrInlineDv, d.offset.get, d.sizeInBytes, d.cardinality)
-          }
-          .collect()
-          .map { case (rel, sType, pid, off, size, card) =>
-            rel -> DeletionVectors.Descriptor(sType, pid, Some(off), size, card)
-          }.toMap
+    // distributed DV build: the matched (file, pos) pairs of EVERY touched
+    // file shuffle and group per file — files keeping live rows write
+    // their sidecar inside the task (one per file; the protocol allows
+    // any file↔sidecar arrangement), fully-dead files just RECOUNT so the
+    // two passes can be cross-checked in both directions below.
+    import spark.implicits._
+    val priorDv: Map[String, String] =
+      needDv.flatMap(rel => Option(st.active(rel).dvJson).map(rel -> _)).toMap
+    val absToRelB = spark.sparkContext.broadcast(absToRel)
+    val priorDvB = spark.sparkContext.broadcast(priorDv)
+    val needDvB = spark.sparkContext.broadcast(needDv.toSet)
+    val touchedB = spark.sparkContext.broadcast(touched.map(_._1).toSet)
+    val tablePath = table.getAbsolutePath
+    val results = DeltaRead.readWithLineage(spark, path)
+      .filter(condition)
+      .select(col("_graft_file").cast("string").as("_1"),
+        col("_graft_pos").cast("long").as("_2"))
+      .as[(String, Long)]
+      .filter { r =>
+        val abs = new File(DeltaRead.filePathToLocal(r._1)).getAbsolutePath
+        absToRelB.value.get(abs).exists(touchedB.value.contains)
       }
+      .groupByKey(_._1)
+      .mapGroups { (fp, rows) =>
+        val tableDir = new File(tablePath)
+        val abs = new File(DeltaRead.filePathToLocal(fp)).getAbsolutePath
+        val rel = absToRelB.value(abs)
+        if (!needDvB.value.contains(rel)) {
+          var c = 0L; rows.foreach(_ => c += 1)
+          (rel, "", "", 0, 0, 0L, c)
+        } else {
+          val fresh = rows.map(_._2).toArray
+          val merged = priorDvB.value.get(rel) match {
+            case Some(j) => (DeletionVectors.readDescriptor(
+              DeltaRead.parseDvDescriptor(j), tableDir) ++ fresh).distinct.sorted
+            case None => java.util.Arrays.sort(fresh); fresh
+          }
+          val d = DeletionVectors.writeDvFile(tableDir, Seq(rel -> merged))(rel)
+          (rel, d.storageType, d.pathOrInlineDv, d.offset.get, d.sizeInBytes,
+            d.cardinality, fresh.length.toLong)
+        }
+      }
+      .collect()
+    // both passes must agree PER FILE on the matched count — a predicate
+    // whose value drifted between passes (hidden state the determinism
+    // probe can't see) must abort the commit, never remove a file whose
+    // rows the second evaluation would have kept
+    locally {
+      val freshByRel = results.map(r => r._1 -> r._7).toMap
+      val drifted = touched.map(_._1)
+        .filter(rel => !freshByRel.get(rel).contains(matchedByRel(rel)))
+      require(drifted.isEmpty,
+        s"deleteWhere: the condition matched different rows across the two " +
+          s"distributed passes in ${drifted.size} file(s) " +
+          s"(${drifted.take(3).mkString(", ")}…) — nothing was committed")
+    }
+    val descriptors: Map[String, DeletionVectors.Descriptor] =
+      results.filter(_._2.nonEmpty).map { case (rel, sType, pid, off, size, card, _) =>
+        rel -> DeletionVectors.Descriptor(sType, pid, Some(off), size, card)
+      }.toMap
     val now = System.currentTimeMillis()
     val lines = Seq.newBuilder[String]
     if (needDv.nonEmpty) {
@@ -261,16 +281,6 @@ object DeltaWrite {
     }
     (dead ++ needDv).foreach { rel =>
       lines += s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
-    }
-    // both passes must agree on the touched set — a drift here (e.g. a
-    // current_timestamp()-dependent predicate crossing a boundary between
-    // passes) must abort the commit, never publish a partial delete
-    locally {
-      val missing = needDv.filterNot(descriptors.contains)
-      require(missing.isEmpty,
-        s"deleteWhere: the DV-build pass matched no rows in ${missing.size} " +
-          s"file(s) the count pass marked touched (${missing.take(3).mkString(", ")}…) — " +
-          "the condition changed value between passes; nothing was committed")
     }
     needDv.foreach { rel =>
       val e = st.active(rel)
@@ -564,12 +574,13 @@ object DeltaWrite {
   def checkpoint(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
-    // a checkpoint is a log write like any other: a table whose protocol
-    // demands features this writer doesn't implement (e.g. v2Checkpoint,
-    // which forbids exactly this classic-parquet checkpoint shape) must
-    // refuse rather than write a checkpoint other readers then trust
+    // a table whose protocol demands features this writer doesn't know
+    // (e.g. v2Checkpoint, which forbids exactly this classic-parquet
+    // checkpoint shape) must refuse rather than write a checkpoint other
+    // readers then trust; the data-change content gates (CDF,
+    // constraints, invariants) do NOT apply to a metadata-only write
     DeltaRead.checkProtocol(st, path)
-    checkWriteProtocol(st, path, appendOnlyOp = true)
+    checkWriteProtocol(st, path, appendOnlyOp = true, metadataOnly = true)
     val logDir = new File(new File(path), "_delta_log")
     // the protocol action re-emits the REPLAYED writer requirements
     // verbatim — synthesizing them (the first cut set writerFeatures :=
@@ -682,6 +693,27 @@ object DeltaWrite {
     case o => o
   }
 
+  /** May `dfT` data be written into a `tableT` column? Identical
+    * name/type shape (metadata ignored) AND nullability only TIGHTENS:
+    * non-null data into a nullable column is fine, possibly-null data
+    * into a column the table declares non-null would falsify the schema
+    * contract other readers trust. */
+  private def conformsTo(dfT: DataType, tableT: DataType): Boolean = (dfT, tableT) match {
+    case (a: StructType, b: StructType) =>
+      a.length == b.length && a.fields.zip(b.fields).forall { case (fa, fb) =>
+        fa.name == fb.name && conformsTo(fa.dataType, fb.dataType) &&
+          (!fa.nullable || fb.nullable)
+      }
+    case (a: org.apache.spark.sql.types.ArrayType,
+          b: org.apache.spark.sql.types.ArrayType) =>
+      conformsTo(a.elementType, b.elementType) && (!a.containsNull || b.containsNull)
+    case (a: org.apache.spark.sql.types.MapType,
+          b: org.apache.spark.sql.types.MapType) =>
+      conformsTo(a.keyType, b.keyType) && conformsTo(a.valueType, b.valueType) &&
+        (!a.valueContainsNull || b.valueContainsNull)
+    case (a, b) => a == b
+  }
+
   /** Rename a LOGICAL-named frame to the table's PHYSICAL column names at
     * every nesting level (round 10 — the write half of column mapping)
     * and attach each field's `parquet.field.id` from its
@@ -703,7 +735,6 @@ object DeltaWrite {
       case m: MapType => m.copy(keyType = phys(m.keyType), valueType = phys(m.valueType))
       case o => o
     }
-    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val physSchema = phys(schema).asInstanceOf[StructType]
     df.select(schema.fields.zip(physSchema.fields).map { case (lf, pf) =>
       org.apache.spark.sql.functions.col("`" + lf.name.replace("`", "``") + "`")
@@ -729,6 +760,12 @@ object DeltaWrite {
   private def writeParts(df: DataFrame, table: File,
       partitionBy: Seq[String]): Seq[(String, Map[String, String], Long)] = {
     val tmp = Files.createTempDirectory("graft_delta_write").toFile
+    // parquet field ids (column-mapping writes attach them as
+    // parquet.field.id metadata) must actually land in the footers —
+    // scoped set/restore, never a session-lifetime flip
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val priorFieldId = df.sparkSession.conf.getOption(fieldIdKey)
+    df.sparkSession.conf.set(fieldIdKey, "true")
     try {
       val w = df.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -756,7 +793,13 @@ object DeltaWrite {
           }.toMap
           ((rel :+ name).mkString("/"), pv, dest.length())
         }
-    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      priorFieldId match {
+        case Some(v) => df.sparkSession.conf.set(fieldIdKey, v)
+        case None => df.sparkSession.conf.unset(fieldIdKey)
+      }
+    }
   }
 
   /** Writer features a legacy minWriterVersion implies (PROTOCOL.md
@@ -786,7 +829,7 @@ object DeltaWrite {
     * CARRYING the feature flags with no such content pass: the flags
     * alone demand nothing of a writer that adds plain data. */
   private[sources] def checkWriteProtocol(st: DeltaRead.LogState, path: String,
-      appendOnlyOp: Boolean): Unit = {
+      appendOnlyOp: Boolean, metadataOnly: Boolean = false): Unit = {
     val feats =
       if (st.minWriter >= 7) st.writerFeatures else legacyWriterFeatures(st.minWriter)
     val unknown = feats -- KnownWriterFeatures
@@ -795,6 +838,11 @@ object DeltaWrite {
         (if (unknown.nonEmpty) s"features ${unknown.toSeq.sorted.mkString("[", ",", "]")}"
          else s"version ${st.minWriter}") +
         " this native writer does not enforce — write it with delta-spark instead")
+    // the content gates below guard DATA changes (rows written or
+    // logically removed); a metadata-only log write (checkpoint) touches
+    // no rows, so CDF/constraints/invariants demand nothing of it —
+    // delta-spark checkpoints such tables freely too
+    if (metadataOnly) return
     require(appendOnlyOp ||
       st.configuration.getOrElse("delta.appendOnly", "false") != "true",
       s"Delta table at $path is append-only (delta.appendOnly=true); " +
