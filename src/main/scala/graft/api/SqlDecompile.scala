@@ -304,8 +304,11 @@ object SqlDecompile {
     * for the surface this decompiler covers. */
   private def exprSql(e: Expression): String = e match {
     case UnresolvedAlias(child, _) => exprSql(child)
-    case a: Alias => s"${exprSql(a.child)} AS ${a.name}"
-    case u: UnresolvedAttribute => u.nameParts.mkString(".")
+    // alias and attribute names quote when needed (reserved words, odd
+    // characters) — bare they would fail the renders-back guard and
+    // degrade the whole node to opaque
+    case a: Alias => s"${exprSql(a.child)} AS ${quoteIdent(a.name)}"
+    case u: UnresolvedAttribute => u.nameParts.map(quoteIdent(_)).mkString(".")
     case s: UnresolvedStar => starSql(s)
     case other => other.sql
   }

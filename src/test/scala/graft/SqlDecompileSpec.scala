@@ -245,6 +245,18 @@ class SqlDecompileSpec extends SparkSpec {
       expectWalkable = false)
   }
 
+  test("reserved-word identifiers stay walkable and render quoted in both dialects") {
+    ensureViews()
+    val op = SqlDecompile.decompile(spark,
+      "SELECT id AS `order` FROM t1 WHERE id > 1 ORDER BY `order`")
+    assert(op.isFullyDecompiled, s"$op")
+    val r = op.renderSql()
+    assert(r.contains("AS `order`") && r.contains("ORDER BY `order`"), r)
+    assert(spark.sql(r).columns.toSeq == Seq("order"))
+    assert(spark.sql(r).collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    assert(op.renderSql("duckdb").contains("AS \"order\""), op.renderSql("duckdb"))
+  }
+
   test("renderSql quotes CTE-reference names that need it") {
     ensureViews()
     // catalog/view names can't carry spaces, but CTE names can — a bare
