@@ -137,19 +137,32 @@ object Catalog {
     t.createOrReplaceTempView(name)
     // re-caching a name must release the PREVIOUS frame's blocks, or they
     // stay pinned until session end — but Spark's CacheManager keys
-    // entries by CANONICALIZED PLAN, so a displaced frame whose plan is
-    // equivalent to the new one shares the new entry; unpersisting it
-    // would evict the cache we just created (sameSemantics = same entry)
+    // entries by CANONICALIZED PLAN, so unpersist is GLOBAL per plan: skip
+    // it when the displaced frame shares an entry with the new one
+    // (sameSemantics = same entry — unpersisting would evict the cache we
+    // just created) or with a frame still cached under ANOTHER name
+    // (unpersisting would pull the blocks out from under that name too)
     Option(cached.put(name, t))
       .filter(prev => (prev ne t) && !prev.sameSemantics(t))
+      .filterNot(prev => stillBacked(prev))
       .foreach(_.unpersist())
     table(obj.spark, name, None)
   }
 
+  /** Is some OTHER cached name still semantically backed by `frame`'s
+    * CacheManager entry? */
+  private def stillBacked(frame: org.apache.spark.sql.DataFrame): Boolean = {
+    val it = cached.values.iterator()
+    var hit = false
+    while (it.hasNext && !hit) hit = it.next().sameSemantics(frame)
+    hit
+  }
+
   /** The reference's `_drop_cached_table`: drop the view and unpersist
-    * the tracked frame. */
+    * the tracked frame — unless another cached name still shares its
+    * CacheManager entry. */
   def uncacheTable(spark: SparkSession, name: String): Unit = {
     spark.catalog.dropTempView(name)
-    Option(cached.remove(name)).foreach(_.unpersist())
+    Option(cached.remove(name)).filterNot(stillBacked).foreach(_.unpersist())
   }
 }

@@ -85,10 +85,14 @@ object DeltaWrite {
     val priorActive: Seq[String] =
       if (mode == SaveMode.Overwrite) prior.map(_.active.keys.toSeq).getOrElse(Seq.empty)
       else Seq.empty
+    // "changed" when the name/type shape differs OR the incoming data does
+    // not conform to the declared nullability (an overwrite LOOSENING a
+    // field from non-null to nullable must re-emit metaData, or the table
+    // keeps declaring non-null while new files can hold nulls)
     val schemaChanged = prior.forall(_.schemaJson == null) ||
       prior.exists { st =>
-        shapeOf(DataType.fromJson(st.schemaJson).asInstanceOf[StructType]) !=
-          shapeOf(df.schema)
+        val existing = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+        shapeOf(existing) != shapeOf(df.schema) || !conformsTo(df.schema, existing)
       }
     val partitioningChanged = prior.exists(_.partitionCols != partitionBy)
     val needMeta = prior.isEmpty ||
@@ -199,28 +203,26 @@ object DeltaWrite {
       counts.toSeq.map(r => relOf(r.getString(0)) -> r.getLong(1)).toMap
     val dead = touched.filter(_._2).map(_._1)
     val needDv: Seq[String] = touched.filterNot(_._2).map(_._1)
-    // distributed DV build: the matched (file, pos) pairs of EVERY touched
-    // file shuffle and group per file — files keeping live rows write
-    // their sidecar inside the task (one per file; the protocol allows
-    // any file↔sidecar arrangement), fully-dead files just RECOUNT so the
-    // two passes can be cross-checked in both directions below.
+    // distributed DV build: the matched (file, pos) pairs of EVERY file
+    // the second evaluation matches — NOT pre-filtered to pass-1's touched
+    // set, so a predicate drifting to match rows in a previously-untouched
+    // file surfaces as a pass-2-only entry for the drift check below —
+    // shuffle and group per file. Files keeping live rows write their
+    // sidecar inside the task (one per file; the protocol allows any
+    // file↔sidecar arrangement); fully-dead and pass-2-only files just
+    // RECOUNT so the two passes can be cross-checked in both directions.
     import spark.implicits._
     val priorDv: Map[String, String] =
       needDv.flatMap(rel => Option(st.active(rel).dvJson).map(rel -> _)).toMap
     val absToRelB = spark.sparkContext.broadcast(absToRel)
     val priorDvB = spark.sparkContext.broadcast(priorDv)
     val needDvB = spark.sparkContext.broadcast(needDv.toSet)
-    val touchedB = spark.sparkContext.broadcast(touched.map(_._1).toSet)
     val tablePath = table.getAbsolutePath
     val results = DeltaRead.readWithLineage(spark, path)
       .filter(condition)
       .select(col("_graft_file").cast("string").as("_1"),
         col("_graft_pos").cast("long").as("_2"))
       .as[(String, Long)]
-      .filter { r =>
-        val abs = new File(DeltaRead.filePathToLocal(r._1)).getAbsolutePath
-        absToRelB.value.get(abs).exists(touchedB.value.contains)
-      }
       .groupByKey(_._1)
       .mapGroups { (fp, rows) =>
         val tableDir = new File(tablePath)
@@ -242,14 +244,16 @@ object DeltaWrite {
         }
       }
       .collect()
-    // both passes must agree PER FILE on the matched count — a predicate
-    // whose value drifted between passes (hidden state the determinism
-    // probe can't see) must abort the commit, never remove a file whose
-    // rows the second evaluation would have kept
+    // both passes must agree on the matched count of EVERY file — a
+    // predicate whose value drifted between passes (hidden state the
+    // determinism probe can't see) must abort the commit, whether the
+    // drift shrank a touched file's match set OR newly matched rows in a
+    // file pass 1 never saw (an entry appearing only in pass 2)
     locally {
       val freshByRel = results.map(r => r._1 -> r._7).toMap
-      val drifted = touched.map(_._1)
-        .filter(rel => !freshByRel.get(rel).contains(matchedByRel(rel)))
+      val drifted = (touched.map(_._1) ++
+          freshByRel.keys.filterNot(matchedByRel.contains)).distinct
+        .filter(rel => freshByRel.getOrElse(rel, 0L) != matchedByRel.getOrElse(rel, 0L))
       require(drifted.isEmpty,
         s"deleteWhere: the condition matched different rows across the two " +
           s"distributed passes in ${drifted.size} file(s) " +
@@ -638,6 +642,13 @@ object DeltaWrite {
     require(retentionMs >= 0, "retentionMs must be >= 0")
     val st = DeltaRead.currentState(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path"))
+    // vacuum trusts the replayed active set absolutely — a table whose
+    // protocol demands features this replay doesn't implement (e.g.
+    // v2Checkpoint) could hide live add actions from the classic replay,
+    // and vacuum would then DELETE referenced data files. Refuse first,
+    // like every other verb (vacuumProtocolCheck exists for exactly this).
+    DeltaRead.checkProtocol(st, path)
+    checkWriteProtocol(st, path, appendOnlyOp = true, metadataOnly = true)
     val table = new File(path)
     val activeAbs = st.active.keys.map { p =>
       // percent-decode only: URLDecoder's '+'→space rule would corrupt a
@@ -758,11 +769,15 @@ object DeltaWrite {
     * layout), each part returned as (relative path, partitionValues,
     * size). The staging dir is removed afterwards. */
   private def writeParts(df: DataFrame, table: File,
-      partitionBy: Seq[String]): Seq[(String, Map[String, String], Long)] = {
+      partitionBy: Seq[String]): Seq[(String, Map[String, String], Long)] = fieldIdLock.synchronized {
     val tmp = Files.createTempDirectory("graft_delta_write").toFile
     // parquet field ids (column-mapping writes attach them as
     // parquet.field.id metadata) must actually land in the footers —
-    // scoped set/restore, never a session-lifetime flip
+    // scoped set/restore, never a session-lifetime flip. The flag is a
+    // SESSION conf (the parquet write support reads SQLConf, not writer
+    // options), so concurrent write verbs on one session serialize here:
+    // an interleaved set/restore could leave another verb writing with
+    // the wrong value or restoring a stale one.
     val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
     val priorFieldId = df.sparkSession.conf.getOption(fieldIdKey)
     df.sparkSession.conf.set(fieldIdKey, "true")
@@ -801,6 +816,10 @@ object DeltaWrite {
       }
     }
   }
+
+  /** Serializes the session-conf set/restore window in [[writeParts]]
+    * across all write verbs of this JVM. */
+  private val fieldIdLock = new Object
 
   /** Writer features a legacy minWriterVersion implies (PROTOCOL.md
     * "Writer Version Requirements" — v7 lists features explicitly). */
