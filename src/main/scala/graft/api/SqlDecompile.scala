@@ -329,7 +329,7 @@ object SqlDecompile {
     * unparseable frame, for one) — anything that fails the round trip
     * degrades the containing plan node to [[SqlOpaque]] instead of
     * shipping a string that breaks at rebuild. */
-  private def rendersBack(s: String): Boolean =
+  private[api] def rendersBack(s: String): Boolean =
     s == "*" || s.endsWith(".*") || {
       try {
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(s)
@@ -951,8 +951,19 @@ object SqlDecompile {
         s"NULLS ${if (nullsFirst) "FIRST" else "LAST"}"
     }
 
+    /** A plain column reference whose LAST name part already equals the
+      * output name needs no `AS` — `SELECT t0.x` names the column `x` in
+      * both dialects. Beyond brevity this keeps a re-analysis of the
+      * rendered text alias-free exactly where the source plan was, which
+      * the plan-decompile faithfulness gate compares. */
+    private def bareIdentity(nm: String, e: SqlExpr): Boolean = e match {
+      case SqlExprCol(parts) => parts.nonEmpty && parts.last == nm
+      case _ => false
+    }
+
     private def items(es: Seq[(String, String)]): Seq[String] = es.map {
       case (nm, e) if nm == e || nm == "*" || e.endsWith(".*") => ex(e)
+      case (nm, e) if bareIdentity(nm, parseExpr(e)) => ex(e)
       case (nm, e) => s"${ex(e)} AS ${qid(nm)}"
     }
 
@@ -1017,7 +1028,8 @@ object SqlDecompile {
             case SqlExprCol(Seq(one)) if wmap.contains(one) => SqlExprRaw(wmap(one))
           }
           val txt = if (duck) duckExpr(sub) else sub.render
-          if (nm == e || nm == "*") txt else s"$txt AS ${qid(nm)}"
+          if (nm == e || nm == "*" || bareIdentity(nm, sub)) txt
+          else s"$txt AS ${qid(nm)}"
         }
         b0.copy(items = Some(rendered))
       case SqlProject(in, es) =>

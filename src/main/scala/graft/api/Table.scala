@@ -432,6 +432,23 @@ final class Table(val df: DataFrame) {
   def toJson(path: String): Unit = df.write.mode("overwrite").json(path)
   def toOrc(path: String): Unit = df.write.mode("overwrite").orc(path)
 
+  /** `ibis.to_sql` on a FLUENT-composed table (reference
+    * `ibis/expr/sql.py:to_sql`, re-exported at the top level): decompile
+    * this table's analyzed plan into the walkable [[SqlOp]] tree and
+    * render it as SQL text in the given dialect ("spark" | "duckdb").
+    * Covers the relational core (relation/project/filter/aggregate/join/
+    * sort/limit/distinct/set-op/window); anything outside REFUSES
+    * ([[PlanDecompile.Refused]]) — and every successful render is
+    * verified against this plan (optimized-plan `sameResult` + schema),
+    * so the returned SQL is never silently wrong. */
+  def renderSql(dialect: String = "spark"): String =
+    PlanDecompile.renderSql(df, dialect)
+
+  /** The decompiled [[SqlOp]] tree of this table's analyzed plan — the
+    * walkable/rewritable intermediate [[renderSql]] renders. Throws
+    * [[PlanDecompile.Refused]] outside the relational core. */
+  def toSqlOp: SqlOp = PlanDecompile.decompile(df)
+
   /** ibis Table.alias + .sql (relations.py:3957,4004): run SQL against this
     * table under a name — Spark-native via temp view. */
   def sql(query: String, alias: String): Table = {

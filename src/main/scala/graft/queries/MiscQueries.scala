@@ -302,6 +302,54 @@ object MiscQueries {
     }, Some("""
       SELECT c_nationkey, COUNT(1) AS n, CAST(SUM(c_custkey) AS BIGINT) AS s FROM customer WHERE (((c_custkey BETWEEN 3 AND 5000) AND (c_name LIKE '%2%')) AND (c_name IS NOT NULL)) GROUP BY c_nationkey HAVING (COUNT(1) >= 1) ORDER BY c_nationkey ASC NULLS FIRST""")),
 
+    // Composed-Table→SQL (round 11 — full `ibis.to_sql` parity, reference
+    // ibis/expr/sql.py:to_sql on ANY expression): a table built ONLY
+    // through the fluent API decompiles (api/PlanDecompile) and renders.
+    // The Spark side EXECUTES the spark-dialect rendering via spark.sql;
+    // the ORACLE IS the duckdb-dialect rendering verbatim (pinned both
+    // here and in PlanDecompileSpec), so the driver's DuckDB run proves a
+    // fluent plan's rendered SQL executes elsewhere and values match.
+    QueryDef("q97f_render_fluent", (s, dir) => {
+      val df = customer(s, dir)
+        .filter(col("c_acctbal") > 100 && col("c_mktsegment") === "BUILDING")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).cast("bigint").as("s"))
+        .orderBy(col("c_nationkey"))
+      val t = new graft.api.Table(df)
+      val duck = t.renderSql("duckdb")
+      require(duck ==
+        "SELECT t0.c_nationkey, count(1) AS n, " +
+          "CAST(sum(t0.c_custkey) AS BIGINT) AS s FROM customer AS t0 " +
+          "WHERE ((t0.c_acctbal > CAST(100 AS DOUBLE)) AND (t0.c_mktsegment = 'BUILDING')) " +
+          "GROUP BY t0.c_nationkey ORDER BY c_nationkey ASC NULLS FIRST",
+        s"fluent duckdb rendering drifted from the recorded oracle:\n$duck")
+      customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(t.renderSql())
+    }, Some("""
+      SELECT t0.c_nationkey, count(1) AS n, CAST(sum(t0.c_custkey) AS BIGINT) AS s FROM customer AS t0 WHERE ((t0.c_acctbal > CAST(100 AS DOUBLE)) AND (t0.c_mktsegment = 'BUILDING')) GROUP BY t0.c_nationkey ORDER BY c_nationkey ASC NULLS FIRST""")),
+
+    // Composed-Table→SQL across a JOIN (round 11): fresh t0/t1 leaf
+    // aliases keep both sides' columns unambiguous; same oracle-is-the-
+    // rendering mechanism as q97f.
+    QueryDef("q97g_render_fluent_join", (s, dir) => {
+      val n = nation(s, dir); val r = region(s, dir)
+      val df = n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_nation"))
+        .orderBy(col("r_name"))
+      val t = new graft.api.Table(df)
+      val duck = t.renderSql("duckdb")
+      require(duck ==
+        "SELECT t1.r_name, count(1) AS n_nations, max(t0.n_name) AS max_nation " +
+          "FROM nation AS t0 JOIN region AS t1 ON (t0.n_regionkey = t1.r_regionkey) " +
+          "GROUP BY t1.r_name ORDER BY r_name ASC NULLS FIRST",
+        s"fluent-join duckdb rendering drifted from the recorded oracle:\n$duck")
+      nation(s, dir).createOrReplaceTempView("nation")
+      region(s, dir).createOrReplaceTempView("region")
+      s.sql(t.renderSql())
+    }, Some("""
+      SELECT t1.r_name, count(1) AS n_nations, max(t0.n_name) AS max_nation FROM nation AS t0 JOIN region AS t1 ON (t0.n_regionkey = t1.r_regionkey) GROUP BY t1.r_name ORDER BY r_name ASC NULLS FIRST""")),
+
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {
       Table(nation(s, dir)).sql(
@@ -587,10 +635,21 @@ object MiscQueries {
         (col("id") + 9001).cast(keyT).as("key"), col("id").cast(regT).as("reg"))
       Table(extra).toDelta(p, org.apache.spark.sql.SaveMode.Append)    // v3
       graft.sources.DeltaWrite.compact(s, p)                           // v4 (no logical change)
+      // round 11 — SCHEMA EVOLUTION on the mapped table: ADD COLUMN gets
+      // a fresh column id (metadata-only commit), pre-evolution rows read
+      // back null, and a post-evolution append physicalizes all three
+      graft.sources.DeltaWrite.addColumns(s, p, Seq(
+        StructField("bonus", LongType, nullable = true)))              // v5
+      val late = s.range(2).select(
+        (col("id") + 9101).cast(keyT).as("key"),
+        col("id").cast(regT).as("reg"),
+        (col("id") * 5 + 5).as("bonus"))
+      Table(late).toDelta(p, org.apache.spark.sql.SaveMode.Append)     // v6
       Table.readDelta(s, p).df
         .agg(count(lit(1)).as("n"),
           sum(col("key")).cast("long").as("key_sum"),
-          sum(col("reg")).cast("long").as("reg_sum"))
+          sum(col("reg")).cast("long").as("reg_sum"),
+          sum(coalesce(col("bonus"), lit(0L))).cast("long").as("bonus_sum"))
     }, Some("""
       WITH updated AS (
         SELECT n_nationkey AS key,
@@ -601,11 +660,15 @@ object MiscQueries {
         SELECT key, CASE WHEN key >= 20 THEN -1 ELSE reg END AS reg FROM updated
         UNION ALL
         SELECT n_nationkey + 1000, n_regionkey FROM nation WHERE n_nationkey < 3
-        UNION ALL SELECT 9001, 0 UNION ALL SELECT 9002, 1)
+        UNION ALL SELECT 9001, 0 UNION ALL SELECT 9002, 1),
+      evolved AS (
+        SELECT key, reg, 0 AS bonus FROM merged
+        UNION ALL SELECT 9101, 0, 5 UNION ALL SELECT 9102, 1, 10)
       SELECT COUNT(*) AS n,
         CAST(SUM(key) AS BIGINT) AS key_sum,
-        CAST(SUM(reg) AS BIGINT) AS reg_sum
-      FROM merged""")),
+        CAST(SUM(reg) AS BIGINT) AS reg_sum,
+        CAST(SUM(bonus) AS BIGINT) AS bonus_sum
+      FROM evolved""")),
 
     // Arrow IPC ROUND-TRIP (interop/ArrowExport + ArrowImport — the
     // reference's Arrow-first contract both directions): a frame carrying

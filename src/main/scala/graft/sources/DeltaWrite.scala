@@ -98,17 +98,34 @@ object DeltaWrite {
     val needMeta = prior.isEmpty ||
       (mode == SaveMode.Overwrite && (schemaChanged || partitioningChanged))
 
-    // column-mapped tables (round 10): writes go through the PHYSICAL
-    // names + parquet field ids ([[toPhysical]]); what stays refused is a
-    // schema or partitioning CHANGE on such a table — that requires
-    // assigning fresh column ids, which is delta-spark territory
+    // column-mapped tables (round 10/11): writes go through the PHYSICAL
+    // names + parquet field ids ([[toPhysical]]). A schema-changing
+    // OVERWRITE now EVOLVES the mapping ([[evolveMapped]], round 11):
+    // surviving fields keep their column ids / physical names, new fields
+    // get fresh ids (maxColumnId bumps) — the delta-spark model; only a
+    // TYPE change on an existing field still refuses.
     val mapped = prior.exists(DeltaRead.columnMapped)
-    if (mapped) require(!schemaChanged && !partitioningChanged,
-      s"table at $path uses column mapping; a schema or partitioning " +
-        "change needs new column-id assignment — use delta-spark for that " +
-        "(same-schema append/overwrite writes natively)")
+    val (schemaJsonOut, confOut): (String, Map[String, String]) = prior match {
+      case None => (df.schema.json, Map.empty)
+      case Some(st) if !mapped =>
+        (df.schema.json, st.configuration)
+      case Some(st) =>
+        if (!needMeta) (st.schemaJson, st.configuration)
+        else {
+          val existing = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+          val maxId0 = st.configuration.get("delta.columnMapping.maxColumnId")
+            .map(_.toLong).getOrElse(0L)
+          val (evolved, maxId) = evolveMapped(existing, df.schema, maxId0, path)
+          (evolved.json,
+            st.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
+        }
+    }
     val (outDf, layoutParts) =
-      if (mapped) forLayout(df, prior.get) else (df, partitionBy)
+      if (!mapped) (df, partitionBy)
+      else {
+        val schema = DataType.fromJson(schemaJsonOut).asInstanceOf[StructType]
+        (toPhysical(df, schema), partitionBy.map(c => DeltaRead.physName(schema(c))))
+      }
     val added = writeParts(outDf, table, layoutParts)
 
     val now = System.currentTimeMillis()
@@ -118,9 +135,9 @@ object DeltaWrite {
     if (needMeta)
       lines += s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${jstr(df.schema.json)},""" +
+        s""""schemaString":${jstr(schemaJsonOut)},""" +
         s""""partitionColumns":${partitionBy.map(jstr).mkString("[", ",", "]")},""" +
-        s""""configuration":{},"createdTime":$now}}"""
+        s""""configuration":${confJson(confOut)},"createdTime":$now}}"""
     priorActive.foreach { p =>
       lines += s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
@@ -724,6 +741,124 @@ object DeltaWrite {
         (!a.valueContainsNull || b.valueContainsNull)
     case (a, b) => a == b
   }
+
+  /** ALTER TABLE … ADD COLUMNS — a METADATA-ONLY commit, delta-spark's
+    * ALTER TABLE shape: no data file is touched; existing files simply
+    * lack the new fields and read back null (parquet by-name / by-id
+    * resolution both return null for an absent column). On a
+    * COLUMN-MAPPED table each new field gets a fresh column id and a
+    * `col-<uuid>` physical name, and `delta.columnMapping.maxColumnId`
+    * bumps (PROTOCOL.md "Column Mapping" — ids are never reused). New
+    * columns must be nullable: existing rows have no value for them.
+    * Returns the committed version. */
+  def addColumns(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val st = DeltaRead.currentState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no Delta table at $path"))
+    DeltaRead.checkProtocol(st, path)
+    checkWriteProtocol(st, path, appendOnlyOp = true, metadataOnly = true)
+    require(st.schemaJson != null, s"table at $path has no schema to evolve")
+    val existing = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val clash = cols.map(_.name).intersect(existing.fieldNames.toSeq)
+    require(clash.isEmpty,
+      s"addColumns: ${clash.mkString(", ")} already exist at $path")
+    val notNullable = cols.filterNot(_.nullable).map(_.name)
+    require(notNullable.isEmpty,
+      s"addColumns: ${notNullable.mkString(", ")} must be nullable — " +
+        "existing files hold no values for a new column")
+    val (schemaOut, confOut) =
+      if (!DeltaRead.columnMapped(st)) (StructType(existing.fields ++ cols), st.configuration)
+      else {
+        val maxId0 = st.configuration.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(0L)
+        val (evolved, maxId) =
+          evolveMapped(existing, StructType(existing.fields ++ cols), maxId0, path)
+        (evolved, st.configuration + ("delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
+    val now = System.currentTimeMillis()
+    val line = s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schemaOut.json)},""" +
+      s""""partitionColumns":${st.partitionCols.map(jstr).mkString("[", ",", "]")},""" +
+      s""""configuration":${confJson(confOut)},"createdTime":$now}}"""
+    publishCommit(new File(new File(path), "_delta_log"), st.version + 1, Seq(line), path)
+    st.version + 1
+  }
+
+  /** Merge a column-mapped table's existing mapped schema with an
+    * incoming logical schema (round 11 — the evolution delta-spark
+    * performs): fields matching by NAME PATH keep their column id and
+    * physical name verbatim; NEW fields (recursively, nested struct
+    * fields included) take fresh ids and `col-<uuid>` physical names; a
+    * TYPE change on a surviving field refuses (Delta's type-change rules
+    * are a separate feature this writer does not implement). Dropped
+    * fields simply leave the schema — their ids are never reused because
+    * maxColumnId only grows. Returns (mapped schema, new maxColumnId). */
+  private[sources] def evolveMapped(existing: StructType, incoming: StructType,
+      maxId0: Long, path: String): (StructType, Long) = {
+    import org.apache.spark.sql.types._
+    // a foreign table may omit maxColumnId from its configuration — the
+    // schema's own ids are the authoritative floor (ids must never clash)
+    def maxIdIn(dt: DataType): Long = dt match {
+      case s: StructType => (0L +: s.fields.toSeq.map { f =>
+        val own = if (f.metadata.contains("delta.columnMapping.id"))
+          f.metadata.getLong("delta.columnMapping.id") else 0L
+        math.max(own, maxIdIn(f.dataType))
+      }).max
+      case a: ArrayType => maxIdIn(a.elementType)
+      case m: MapType => math.max(maxIdIn(m.keyType), maxIdIn(m.valueType))
+      case _ => 0L
+    }
+    var maxId = math.max(maxId0, maxIdIn(existing))
+    def fresh(): Metadata = {
+      maxId += 1
+      new MetadataBuilder()
+        .putLong("delta.columnMapping.id", maxId)
+        .putString("delta.columnMapping.physicalName",
+          "col-" + java.util.UUID.randomUUID().toString)
+        .build()
+    }
+    // a brand-new subtree: every nested struct field needs its own id
+    def freshType(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = freshType(f.dataType),
+          metadata = fresh())))
+      case a: ArrayType => a.copy(elementType = freshType(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = freshType(m.keyType), valueType = freshType(m.valueType))
+      case o => o
+    }
+    def mergeType(prev: DataType, inc: DataType, at: String): DataType = (prev, inc) match {
+      case (ps: StructType, is: StructType) => walk(ps, is, at)
+      case (pa: ArrayType, ia: ArrayType) =>
+        ia.copy(elementType = mergeType(pa.elementType, ia.elementType, s"$at.element"))
+      case (pm: MapType, im: MapType) =>
+        im.copy(keyType = mergeType(pm.keyType, im.keyType, s"$at.key"),
+          valueType = mergeType(pm.valueType, im.valueType, s"$at.value"))
+      case (p, i) if p == i => i
+      case (p, i) => throw new IllegalArgumentException(
+        s"column-mapped table at $path: field $at changes type " +
+          s"${p.simpleString} -> ${i.simpleString}; type changes need " +
+          "delta-spark's type-widening rules")
+    }
+    def walk(prev: StructType, inc: StructType, at: String): StructType =
+      StructType(inc.fields.map { f =>
+        prev.fields.find(_.name == f.name) match {
+          case Some(p) =>
+            f.copy(dataType = mergeType(p.dataType, f.dataType, s"$at${f.name}"),
+              metadata = p.metadata)
+          case None =>
+            f.copy(dataType = freshType(f.dataType), metadata = fresh())
+        }
+      })
+    (walk(existing, incoming, ""), maxId)
+  }
+
+  /** Configuration map → the metaData action's JSON object. */
+  private def confJson(conf: Map[String, String]): String =
+    conf.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${jstr(k)}:${if (v == null) "null" else jstr(v)}" }.mkString("{", ",", "}")
 
   /** Rename a LOGICAL-named frame to the table's PHYSICAL column names at
     * every nesting level (round 10 — the write half of column mapping)

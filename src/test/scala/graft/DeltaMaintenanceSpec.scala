@@ -555,4 +555,122 @@ class DeltaMaintenanceSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("invariants"), e3.getMessage)
   }
+
+  /** A fresh hand-crafted name-mode column-mapped table (the round-10
+    * fixture shape): physical names `p-id`/`p-v`, logical `id`/`v`. */
+  private def mkMappedTable(prefix: String): String = {
+    import org.apache.spark.sql.types._
+    val dir = tmpTable(prefix)
+    val table = new File(dir)
+    Seq((1L, 10L), (2L, 20L)).toDF("p-id", "p-v")
+      .coalesce(1).write.parquet(dir + "/stage")
+    val part = Option(new File(dir + "/stage").listFiles()).get
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new File(table, "part-1.parquet").toPath)
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, fm(1, "p-id")),
+      StructField("v", LongType, nullable = true, fm(2, "p-v"))))
+    new File(table, "_delta_log").mkdirs()
+    Files.write(new File(new File(table, "_delta_log"), f"${0L}%020d.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jsonStr(logical.json)},"partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"}}}""",
+        """{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+    dir
+  }
+
+  test("addColumns on a column-mapped table: fresh id, maxColumnId bump, null read-back, mapped append (round 11)") {
+    import org.apache.spark.sql.types._
+    val dir = mkMappedTable("graft_cm_addcol")
+    val v = DeltaWrite.addColumns(spark, dir,
+      Seq(StructField("w", StringType, nullable = true)))
+    assert(v == 1L)
+    // metadata evolved: fresh column id 3, maxColumnId bumped, existing
+    // ids/physical names untouched
+    val st = DeltaRead.currentState(spark, dir).get
+    assert(st.configuration("delta.columnMapping.maxColumnId") == "3")
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    assert(schema("id").metadata.getString("delta.columnMapping.physicalName") == "p-id")
+    assert(schema("w").metadata.getLong("delta.columnMapping.id") == 3L)
+    assert(schema("w").metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    // pre-evolution files read back null in the new column
+    val before = DeltaRead.readDelta(spark, dir)
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(before == Set((1L, 10L, None), (2L, 20L, None)), s"$before")
+    // a post-evolution APPEND carries all three columns, physicalized
+    DeltaWrite.toDelta(Seq((3L, 30L, "x")).toDF("id", "v", "w"), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    val after = DeltaRead.readDelta(spark, dir)
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(after == before + ((3L, 30L, Some("x"))), s"$after")
+    // the new file speaks the physical namespace for the fresh column too
+    val physW = schema("w").metadata.getString("delta.columnMapping.physicalName")
+    val newFiles = dataFiles(dir).filterNot(_.getName == "part-1.parquet")
+    assert(newFiles.nonEmpty)
+    for (f <- newFiles) {
+      val cols = spark.read.parquet(f.getAbsolutePath).columns.toSet
+      assert(cols == Set("p-id", "p-v", physW), s"${f.getName}: $cols")
+    }
+    // non-nullable and clashing adds refuse
+    intercept[IllegalArgumentException] {
+      DeltaWrite.addColumns(spark, dir, Seq(StructField("z", LongType, nullable = false)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWrite.addColumns(spark, dir, Seq(StructField("id", LongType)))
+    }
+  }
+
+  test("schema-changing OVERWRITE on a column-mapped table evolves the mapping (round 11)") {
+    import org.apache.spark.sql.types._
+    val dir = mkMappedTable("graft_cm_evolve")
+    // overwrite with one surviving column (id) and one new column (score)
+    DeltaWrite.toDelta(Seq((5L, 0.5), (6L, 0.25)).toDF("id", "score"), dir)
+    val st = DeltaRead.currentState(spark, dir).get
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    // surviving field keeps its id + physical name; new field gets id 3
+    assert(schema("id").metadata.getLong("delta.columnMapping.id") == 1L)
+    assert(schema("id").metadata.getString("delta.columnMapping.physicalName") == "p-id")
+    assert(schema("score").metadata.getLong("delta.columnMapping.id") == 3L)
+    assert(st.configuration("delta.columnMapping.maxColumnId") == "3")
+    assert(st.configuration("delta.columnMapping.mode") == "name")
+    val got = DeltaRead.readDelta(spark, dir).as[(Long, Double)].collect().toSet
+    assert(got == Set((5L, 0.5), (6L, 0.25)), s"$got")
+    // ACTIVE files speak the physical namespace (fresh col-<uuid> for
+    // score); the logically-removed pre-overwrite file stays on disk
+    // until vacuum
+    val physScore = schema("score").metadata.getString("delta.columnMapping.physicalName")
+    for (f <- dataFiles(dir) if st.active.contains(f.getName)) {
+      val cols = spark.read.parquet(f.getAbsolutePath).columns.toSet
+      assert(cols == Set("p-id", physScore), s"${f.getName}: $cols")
+    }
+    assert(st.active.nonEmpty)
+    // a TYPE change on a surviving field still refuses
+    intercept[IllegalArgumentException] {
+      DeltaWrite.toDelta(Seq(("now-a-string", 1L)).toDF("id", "n"), dir)
+    }
+  }
+
+  test("addColumns on an UNMAPPED table is a metadata-only commit with null read-back") {
+    import org.apache.spark.sql.types._
+    val path = tmpTable("graft_addcol_plain")
+    DeltaWrite.toDelta(Seq((1L, 10L)).toDF("id", "v"), path)
+    val before = dataFiles(path).map(_.getName).toSet
+    val v = DeltaWrite.addColumns(spark, path,
+      Seq(StructField("note", StringType, nullable = true)))
+    assert(v == 1L)
+    assert(dataFiles(path).map(_.getName).toSet == before, "data files must not change")
+    val got = DeltaRead.readDelta(spark, path)
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set((1L, 10L, None)), s"$got")
+    DeltaWrite.toDelta(Seq((2L, 20L, "hi")).toDF("id", "v", "note"), path,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(DeltaRead.readDelta(spark, path).count() == 2)
+  }
 }

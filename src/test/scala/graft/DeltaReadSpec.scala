@@ -501,12 +501,20 @@ class DeltaReadSpec extends SparkSpec {
     val raw = spark.read.parquet(newPart.head.getAbsolutePath)
     assert(raw.columns.toSet == Set("col-aaa", "col-bbb", "col-ccc", "col-ddd"),
       raw.columns.mkString(","))
-    // but a SCHEMA CHANGE on a mapped table still refuses (new ids needed)
-    val ex = intercept[IllegalArgumentException] {
-      graft.sources.DeltaWrite.toDelta(Seq((4L, "d", 1.0)).toDF("id", "name", "extra"),
-        table.getAbsolutePath)
-    }
-    assert(ex.getMessage.contains("column-id"), ex.getMessage)
+    // a SCHEMA-CHANGING overwrite EVOLVES the mapping (round 11):
+    // surviving fields keep their ids, the new field gets a fresh one
+    graft.sources.DeltaWrite.toDelta(
+      Seq((4L, "d", 1.0)).toDF("id", "name", "extra"), table.getAbsolutePath)
+    val st = DeltaRead.currentState(spark, table.getAbsolutePath).get
+    val evolved = org.apache.spark.sql.types.DataType.fromJson(st.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(evolved("id").metadata.getString("delta.columnMapping.physicalName")
+      == "col-aaa")
+    assert(evolved("extra").metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    val back = DeltaRead.readDelta(spark, table.getAbsolutePath)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(back == Seq((4L, "d", 1.0)), back.toString)
   }
 
   test("column mapping with partition columns: physical partitionValues keys") {

@@ -1,0 +1,254 @@
+package graft
+
+import graft.api.{PlanDecompile, Table}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed-Table → SQL (`ibis.to_sql` parity, round 11): every fluent
+  * pipeline below renders via [[Table.renderSql]] and the SPARK rendering
+  * is re-executed (over temp views of the same inputs) and compared
+  * VALUE-LEVEL against the original DataFrame. The duckdb rendering is
+  * exercised for shape (non-empty, no backticks); its value-level check
+  * is the q97f corpus entry, where DuckDB itself executes the rendering
+  * as the oracle. Unsupported shapes must REFUSE, never mis-render. */
+class PlanDecompileSpec extends SparkSpec {
+
+  private def t(name: String): DataFrame = graft.queries.Tables.t(spark, sfDir, name)
+
+  /** Register the sf tables as temp views so the rendered SQL's by-name
+    * relations resolve when re-executed through spark.sql. */
+  private def ensureViews(): Unit =
+    Seq("nation", "region", "customer", "supplier", "orders", "lineitem", "part")
+      .foreach(n => t(n).createOrReplaceTempView(n))
+
+  private def check(df: DataFrame): String = {
+    ensureViews()
+    val sql = new Table(df).renderSql()
+    val re = spark.sql(sql)
+    assert(re.columns.toSeq == df.columns.toSeq, s"column mismatch for:\n$sql")
+    val a = df.collect().map(_.toString).sorted.toSeq
+    val b = re.collect().map(_.toString).sorted.toSeq
+    assert(a == b, s"value mismatch for:\n$sql")
+    val duck = new Table(df).renderSql("duckdb")
+    assert(duck.nonEmpty && !duck.contains("`"), s"duckdb rendering malformed:\n$duck")
+    sql
+  }
+
+  private def refuses(df: DataFrame): Unit =
+    assertThrows[PlanDecompile.Refused] { new Table(df).renderSql() }
+
+  // ------------------------------------------------------------ the core
+
+  test("project + filter folds into one SELECT block") {
+    val sql = check(t("nation").filter(col("n_nationkey") > 5)
+      .select(col("n_name"), (col("n_regionkey") + 1).as("r1")))
+    assert(sql.contains("WHERE"), sql)
+    assert(!sql.contains("SELECT *"), sql)
+  }
+
+  test("aggregate with grouping keys, HAVING-style filter above") {
+    check(t("customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("s"))
+      .filter(col("n") > 2)
+      .orderBy(col("c_nationkey")))
+  }
+
+  test("global aggregate without grouping") {
+    check(t("nation").agg(count(lit(1)).as("n"), max(col("n_nationkey")).as("mx")))
+  }
+
+  test("inner join with projection and sort") {
+    val n = t("nation"); val r = t("region")
+    check(n.join(r, n("n_regionkey") === r("r_regionkey"), "inner")
+      .select(n("n_name"), r("r_name"))
+      .orderBy(col("n_name")))
+  }
+
+  test("left/semi/anti/cross joins") {
+    val n = t("nation"); val r = t("region")
+    check(n.join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .select(n("n_name"), r("r_name")).orderBy(col("n_name")))
+    check(n.join(r, n("n_regionkey") === r("r_regionkey"), "left_semi")
+      .orderBy(col("n_nationkey")))
+    check(n.join(r.filter(col("r_regionkey") < 2),
+      n("n_regionkey") === r("r_regionkey"), "left_anti")
+      .orderBy(col("n_nationkey")))
+    check(n.limit(3).crossJoin(r.select(col("r_name"))))
+  }
+
+  test("self-join disambiguates via fresh aliases") {
+    val a = t("nation"); val b = t("nation")
+    val j = a.join(b, a("n_regionkey") === b("n_regionkey") &&
+      a("n_nationkey") < b("n_nationkey"))
+      .select(a("n_name").as("x"), b("n_name").as("y"))
+      .orderBy(col("x"), col("y"))
+    val sql = check(j)
+    assert(sql.contains("t0") && sql.contains("t1"), sql)
+  }
+
+  test("three-way join folds into one FROM clause") {
+    val c = t("customer"); val o = t("orders"); val n = t("nation")
+    val sql = check(
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("n_name")))
+    // one flat SELECT block — joins fold into a single FROM clause
+    assert("SELECT".r.findAllIn(sql).size == 1, s"over-nested rendering:\n$sql")
+  }
+
+  test("limit, offset, and their compositions") {
+    val base = t("customer").orderBy(col("c_custkey"))
+    check(base.limit(7))
+    check(base.offset(3))
+    check(base.offset(3).limit(7))  // skip 3, take 7
+    check(base.limit(7).offset(3))  // take 7, then skip 3 → 4 rows
+  }
+
+  test("distinct and set ops") {
+    val a = t("nation").select(col("n_regionkey"))
+    val b = t("region").select(col("r_regionkey").as("n_regionkey"))
+    check(a.distinct().orderBy(col("n_regionkey")))
+    check(a.union(b).orderBy(col("n_regionkey")))
+    check(a.intersect(b).orderBy(col("n_regionkey")))
+    check(a.exceptAll(b).orderBy(col("n_regionkey")))
+  }
+
+  test("window functions: rank family, lag/lead, framed aggregate") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    check(t("customer")
+      .withColumn("rnk", rank().over(w))
+      .withColumn("prev", lag(col("c_acctbal"), 1).over(w))
+      .withColumn("nxt", lead(col("c_custkey"), 2, -1).over(w))
+      .withColumn("run", sum(col("c_custkey")).over(w.rowsBetween(-1, 0)))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("rnk"), col("prev"),
+        col("nxt"), col("run"))
+      .orderBy(col("c_nationkey"), col("c_custkey")))
+  }
+
+  test("window consumed by a non-project parent gets a pass-through block") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    // filter directly above the window column (QUALIFY shape)
+    check(t("nation").withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).orderBy(col("n_regionkey")))
+  }
+
+  test("scalar function breadth through catalyst .sql") {
+    check(t("customer").select(
+      upper(col("c_name")).as("u"),
+      substring(col("c_name"), 1, 3).as("s3"),
+      coalesce(col("c_mktsegment"), lit("none")).as("cc"),
+      when(col("c_acctbal") > 0, "pos").otherwise("neg").as("sign"),
+      abs(col("c_acctbal")).as("mag"),
+      round(col("c_acctbal") * 2, 1).as("r2"),
+      concat_ws("-", col("c_mktsegment"), col("c_name")).as("cw"))
+      .filter(length(col("c_name")) > 5 && col("c_custkey").isin(1, 2, 3, 5, 8))
+      .orderBy(col("u")))
+  }
+
+  test("aggregate breadth: avg/min/max/countDistinct/stddev") {
+    check(t("lineitem").groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("aq"),
+        min(col("l_discount")).as("mn"),
+        max(col("l_tax")).as("mx"),
+        countDistinct(col("l_suppkey")).as("cd"),
+        stddev_samp(col("l_extendedprice")).as("sd"))
+      .orderBy(col("l_returnflag")))
+  }
+
+  test("derived join side wraps under its own alias") {
+    val agg = t("orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val c = t("customer")
+    check(c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
+      .select(col("c_custkey"), col("n_orders"))
+      .orderBy(col("c_custkey")))
+  }
+
+  test("engine-registered SQL functions round-trip in the spark dialect") {
+    ensureViews()
+    // money_sum4 is injected by GraftExtensions, so its rendering
+    // re-analyzes and the faithfulness gate passes — spark-dialect only
+    // (a foreign engine would reject the name loudly, never silently)
+    val sql = new Table(t("lineitem").groupBy(col("l_returnflag"))
+      .agg(graft.queries.Tables.dsum(col("l_quantity")).as("q"))).renderSql()
+    assert(sql.contains("money_sum4("), sql)
+  }
+
+  test("the q97e mechanism holds: duckdb text is stable for a fluent plan") {
+    ensureViews()
+    val df = t("customer")
+      .filter(col("c_acctbal") > 100 && col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).cast("bigint").as("s"))
+      .orderBy(col("c_nationkey"))
+    val duck = new Table(df).renderSql("duckdb")
+    // pinned: this exact text is the q97f corpus oracle — change both together
+    assert(duck ==
+      "SELECT t0.c_nationkey, count(1) AS n, " +
+        "CAST(sum(t0.c_custkey) AS BIGINT) AS s FROM customer AS t0 " +
+        "WHERE ((t0.c_acctbal > CAST(100 AS DOUBLE)) AND (t0.c_mktsegment = 'BUILDING')) " +
+        "GROUP BY t0.c_nationkey ORDER BY c_nationkey ASC NULLS FIRST", duck)
+  }
+
+  // ------------------------------------------------------------ refusals
+
+  test("unsupported shapes refuse instead of mis-rendering") {
+    ensureViews()
+    // dropDuplicates on a key subset has no plain DISTINCT form
+    refuses(t("nation").dropDuplicates("n_regionkey"))
+    // memtable leaf (LocalRelation) is not a named relation
+    import spark.implicits._
+    refuses(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    // TABLESAMPLE has a Sample node outside the core
+    refuses(t("nation").sample(0.5))
+  }
+
+  test("corpus sweep: fluent corpus plans render and re-execute equal (>= 50)") {
+    // raw-parquet views: rendered SQL references leaf relations by path
+    // basename, and the leaves are the RAW reads (any Tables.t transform
+    // is part of the decompiled plan, not of the view)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("nation", "region", "customer", "supplier", "orders", "lineitem",
+      "part", "events", "documents", "embeddings")
+      .foreach(n => spark.read.parquet(s"$sfDir/$n.parquet").createOrReplaceTempView(n))
+    val candidates = (graft.queries.RelationalQueries.defs ++
+      graft.queries.AggregationQueries.defs ++
+      graft.queries.TpchQueries.defs ++ graft.queries.TpchQueries2.defs)
+    var ok = 0; var refused = 0
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    for (d <- candidates) {
+      val df =
+        try d.fn(spark, sfDir)
+        catch { case e: Exception => fail(s"${d.name}: corpus fn broke: $e") }
+      try {
+        val sql = new Table(df).renderSql()
+        val re = spark.sql(sql)
+        val a = df.collect().map(_.toString).sorted.toSeq
+        val b = re.collect().map(_.toString).sorted.toSeq
+        if (re.columns.toSeq == df.columns.toSeq && a == b) ok += 1
+        else failed += s"${d.name}: rendered SQL executed to DIFFERENT values\n$sql"
+      } catch {
+        case _: PlanDecompile.Refused => refused += 1
+        case e: Exception => failed += s"${d.name}: ${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+    }
+    info(s"corpus sweep: $ok rendered+equal, $refused refused, ${failed.size} broken " +
+      s"of ${candidates.size}")
+    assert(failed.isEmpty, failed.mkString("\n\n"))
+    assert(ok + refused >= 50, s"sweep too small: $ok + $refused")
+    // the renderer must cover a real majority, not refuse its way to green
+    assert(ok >= 30, s"only $ok corpus plans rendered — coverage regressed")
+  }
+
+  test("nondeterministic expressions round-trip via their materialized seed") {
+    ensureViews()
+    // rand()'s analyzed seed is a literal; the rendering carries it, so
+    // re-analysis produces the SAME generator and the gate passes
+    val sql = new Table(t("nation").select((rand() * 0).as("z"))).renderSql()
+    assert(sql.toLowerCase.contains("rand("), sql)
+  }
+}
