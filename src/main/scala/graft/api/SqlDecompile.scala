@@ -611,6 +611,14 @@ object SqlDecompile {
             f.arguments.size == 2 && !f.isDistinct && f.filter.isEmpty =>
         SqlExprLike("RLIKE", fromExpression(f.arguments(0)),
           fromExpression(f.arguments(1)))
+      // Spark's parser (and .sql) spell infix LIKE/ILIKE as the function
+      // calls like(x, p) / ilike(x, p) in some positions — DuckDB has no
+      // such functions, so they must fold into the walkable infix node
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if Seq("like", "ilike").contains(f.nameParts.mkString(".").toLowerCase) &&
+            f.arguments.size == 2 && !f.isDistinct && f.filter.isEmpty =>
+        SqlExprLike(f.nameParts.mkString(".").toUpperCase,
+          fromExpression(f.arguments(0)), fromExpression(f.arguments(1)))
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.filter.isEmpty && !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
         SqlExprFunc(f.nameParts.mkString("."), f.arguments.map(fromExpression),
