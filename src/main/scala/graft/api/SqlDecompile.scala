@@ -299,6 +299,165 @@ object SqlDecompile {
   def decompile(spark: SparkSession, sql: String): SqlOp =
     fromPlan(spark.sessionState.sqlParser.parsePlan(sql))
 
+  /** `ibis.parse_sql(sql, dialect=...)` (reference ibis/expr/sql.py:402-428
+    * accepts any sqlglot input dialect): decompile SQL written in another
+    * engine's spelling. `dialect` is "spark" (no-op) or "duckdb" (round
+    * 11): double-quoted identifiers, `regexp_matches`/`len`/`list`/
+    * `list_value` function spellings and a QUALIFY clause map onto
+    * Spark's grammar before parsing ([[DuckInput]]); `IS [NOT] DISTINCT
+    * FROM` and unaliased derived tables Spark's parser accepts natively.
+    * Unmapped DuckDB-only constructs fail loudly at parse or rebuild —
+    * never a silent mistranslation. */
+  def decompile(spark: SparkSession, sql: String, dialect: String): SqlOp = {
+    require(dialect == "spark" || dialect == "duckdb",
+      s"unknown input dialect '$dialect' (spark | duckdb)")
+    decompile(spark, if (dialect == "duckdb") DuckInput.toSparkSql(sql) else sql)
+  }
+
+  /** DuckDB → Spark SQL text mapping for [[decompile]]'s input-dialect
+    * role. String-literal content is never touched (a tokenizer splits
+    * code from '…' literals first); only spellings with IDENTICAL
+    * semantics map ("len" = length, DuckDB's LIST() aggregate =
+    * collect_list, regexp_matches = partial-match RLIKE, list_value =
+    * array); QUALIFY rewrites structurally into a derived table with the
+    * predicate as a computed column. Anything else passes through and
+    * fails loudly at parse/analysis if Spark doesn't speak it. */
+  private[api] object DuckInput {
+
+    def toSparkSql(sql: String): String = rewriteQualify(mapTokens(sql))
+
+    /** Split into (code, string-literal) segments; map double-quoted
+      * identifiers to backticks and function spellings in CODE segments
+      * only. */
+    private[api] def mapTokens(sql: String): String = {
+      val out = new StringBuilder
+      val code = new StringBuilder
+      def flushCode(): Unit = { out ++= mapCode(code.toString()); code.clear() }
+      var i = 0
+      while (i < sql.length) {
+        sql.charAt(i) match {
+          case '\'' =>
+            flushCode()
+            val j = closingQuote(sql, i, '\'')
+            out ++= sql.substring(i, j + 1); i = j + 1
+          case '"' =>
+            flushCode()
+            val j = closingQuote(sql, i, '"')
+            val ident = sql.substring(i + 1, j).replace("\"\"", "\"")
+            out ++= "`" + ident.replace("`", "``") + "`"; i = j + 1
+          case c => code += c; i += 1
+        }
+      }
+      flushCode()
+      out.toString()
+    }
+
+    /** Index of the closing quote, honoring the doubled-quote escape. */
+    private def closingQuote(s: String, open: Int, q: Char): Int = {
+      var i = open + 1
+      while (i < s.length) {
+        if (s.charAt(i) == q) {
+          if (i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+          else return i
+        } else i += 1
+      }
+      throw new IllegalArgumentException(s"unterminated $q-quoted token in: $s")
+    }
+
+    private def mapCode(code: String): String = {
+      var s = code
+      s = "(?i)\\bregexp_matches\\s*\\(".r.replaceAllIn(s, "rlike(")
+      s = "(?i)\\blen\\s*\\(".r.replaceAllIn(s, "length(")
+      s = "(?i)\\blist_value\\s*\\(".r.replaceAllIn(s, "array(")
+      s = "(?i)\\blist\\s*\\(".r.replaceAllIn(s, "collect_list(")
+      s
+    }
+
+    /** Rewrite `SELECT <items> FROM <rest> QUALIFY <pred> [<tail>]` into
+      * a derived table computing the predicate as a column — Spark has no
+      * QUALIFY clause. Supported when every select item is a plain
+      * (possibly qualified) identifier or carries an `AS alias` (the
+      * outer SELECT needs the output names), and the QUALIFY sits at the
+      * top level. Unsupported shapes throw — never a wrong rewrite. */
+    private[api] def rewriteQualify(sql0: String): String = {
+      val sql = sql0.trim
+      val qIdx = topLevelKeyword(sql, "QUALIFY")
+      if (qIdx < 0) return sql
+      val selIdx = topLevelKeyword(sql, "SELECT")
+      val fromIdx = topLevelKeyword(sql, "FROM")
+      require(selIdx == 0 && fromIdx > selIdx && fromIdx < qIdx,
+        s"unsupported QUALIFY shape (need a top-level SELECT … FROM … QUALIFY …): $sql")
+      val items = splitTopLevel(sql.substring(selIdx + "SELECT".length, fromIdx), ',')
+      val outNames = items.map { it =>
+        val t = it.trim
+        val asM = "(?i)\\s+AS\\s+(`(?:[^`]|``)+`|[A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+          .findFirstMatchIn(t)
+        asM.map(_.group(1)).getOrElse {
+          require(t.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
+            s"QUALIFY rewrite needs plain or AS-aliased select items, got: $t")
+          t.split('.').last
+        }
+      }
+      // the tail (ORDER BY / LIMIT / OFFSET after the predicate) moves to
+      // the outer query
+      val after = sql.substring(qIdx + "QUALIFY".length)
+      val tailIdx = Seq("ORDER", "LIMIT", "OFFSET")
+        .map(k => topLevelKeyword(after, k)).filter(_ >= 0).sorted.headOption
+      val (pred, tail) = tailIdx match {
+        case Some(t) => (after.substring(0, t), " " + after.substring(t))
+        case None => (after, "")
+      }
+      val itemsText = sql.substring(selIdx + "SELECT".length, fromIdx).trim
+      val rest = sql.substring(fromIdx + "FROM".length, qIdx)
+      s"SELECT ${outNames.mkString(", ")} FROM " +
+        s"(SELECT $itemsText, ($pred) AS __graft_qualify__ FROM $rest) " +
+        s"WHERE __graft_qualify__$tail"
+    }
+
+    /** First index of keyword `kw` at paren-depth 0 outside quotes, as a
+      * whole word; -1 if absent. */
+    private def topLevelKeyword(s: String, kw: String): Int = {
+      var i = 0; var depth = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' | '`' => i = closingQuote(s, i, s.charAt(i)) + 1
+          case '(' => depth += 1; i += 1
+          case ')' => depth -= 1; i += 1
+          case c if depth == 0 && Character.toUpperCase(c) == kw.charAt(0) &&
+              i + kw.length <= s.length &&
+              s.substring(i, i + kw.length).equalsIgnoreCase(kw) &&
+              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i + kw.length == s.length ||
+                !Character.isLetterOrDigit(s.charAt(i + kw.length))) =>
+            return i
+          case _ => i += 1
+        }
+      }
+      -1
+    }
+
+    /** Split on `sep` at paren-depth 0 outside quotes. */
+    private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+      val parts = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var i = 0; var depth = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' | '`' =>
+            val j = closingQuote(s, i, s.charAt(i))
+            cur ++= s.substring(i, j + 1); i = j + 1
+          case '(' => depth += 1; cur += '('; i += 1
+          case ')' => depth -= 1; cur += ')'; i += 1
+          case c if c == sep && depth == 0 =>
+            parts += cur.toString(); cur.clear(); i += 1
+          case c => cur += c; i += 1
+        }
+      }
+      parts += cur.toString()
+      parts.result()
+    }
+  }
+
   /** Render an unresolved expression back to SQL text. Catalyst's
     * Expression.sql on unresolved trees round-trips through the parser
     * for the surface this decompiler covers. */
@@ -310,6 +469,18 @@ object SqlDecompile {
     case a: Alias => s"${exprSql(a.child)} AS ${quoteIdent(a.name)}"
     case u: UnresolvedAttribute => u.nameParts.map(quoteIdent(_)).mkString(".")
     case s: UnresolvedStar => starSql(s)
+    // UnresolvedFunction.sql silently DROPS the DISTINCT flag (and the
+    // FILTER clause / IGNORE NULLS / WITHIN GROUP) — COUNT(DISTINCT x)
+    // would decompile-and-rebuild as count(x). Render DISTINCT
+    // faithfully; the unrenderable modifiers emit a parse-poison token so
+    // the containing node degrades to opaque instead of mis-rebuilding.
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+      if (f.filter.isDefined || f.ignoreNulls || f.orderingWithinGroup.nonEmpty)
+        "__GRAFT_UNRENDERABLE__ !"
+      else
+        s"${f.nameParts.map(quoteIdent(_)).mkString(".")}(" +
+          s"${if (f.isDistinct) "DISTINCT " else ""}" +
+          s"${f.arguments.map(exprSql).mkString(", ")})"
     case other => other.sql
   }
 
