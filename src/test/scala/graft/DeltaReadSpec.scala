@@ -538,4 +538,63 @@ class DeltaReadSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "east"), (2L, "east"), (3L, "west")))
   }
+
+  test("distributed log replay: ~100k add/remove actions reconcile as one Spark job (round 11)") {
+    val table = java.nio.file.Files.createTempDirectory("graft_delta_bigr").toFile
+    val logDir = new File(table, "_delta_log"); logDir.mkdirs()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    def jstr(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // 1000 commits × ~100 actions = ~100k lines: commit v adds 50 files
+    // f_v_i; each v >= 1 also REMOVES 49 of commit v-1's files (keeping
+    // f_{v-1}_0) and RE-ADDS one older survivor with a DV descriptor —
+    // the protocol's remove-then-re-add update shape within one commit
+    val nCommits = 1000
+    for (v <- 0 until nCommits) {
+      val lines = Seq.newBuilder[String]
+      if (v == 0) {
+        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        lines += s"""{"metaData":{"id":"big","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(schema.json)},"partitionColumns":[],""" +
+          s""""configuration":{"k":"v$v"}}}"""
+      }
+      if (v > 0) for (i <- 1 until 50)
+        lines += s"""{"remove":{"path":"f_${v - 1}_$i","deletionTimestamp":1,"dataChange":true}}"""
+      for (i <- 0 until 50)
+        lines += s"""{"add":{"path":"f_${v}_$i","partitionValues":{"p":"${i % 3}"},""" +
+          s""""size":1,"modificationTime":1,"dataChange":true}}"""
+      if (v > 1) {
+        // DV-update on a long-lived survivor: remove + re-add in ONE commit
+        lines += s"""{"remove":{"path":"f_0_0","deletionTimestamp":1,"dataChange":true}}"""
+        lines += s"""{"add":{"path":"f_0_0","partitionValues":{"p":"0"},"size":1,""" +
+          s""""modificationTime":1,"dataChange":true,"deletionVector":{""" +
+          s""""storageType":"u","pathOrInlineDv":"dv$v","offset":1,"sizeInBytes":8,"cardinality":$v}}}"""
+      }
+      java.nio.file.Files.write(new File(logDir, f"$v%020d.json").toPath,
+        (lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    // expected active: survivors f_v_0 for v < 999, all 50 of commit 999
+    val expected = (0 until nCommits - 1).map(v => s"f_${v}_0").toSet ++
+      (0 until 50).map(i => s"f_${nCommits - 1}_$i")
+
+    // distributed path (1000 commits >= default threshold 64)
+    val distributed = DeltaRead.currentState(spark, table.getAbsolutePath).get
+    assert(distributed.active.keySet.toSet == expected,
+      s"distributed active set wrong: ${distributed.active.size} files")
+    assert(distributed.configuration == Map("k" -> "v0"))
+    assert(distributed.version == (nCommits - 1).toLong)
+    // the DV-update winner is the LATEST re-add's descriptor
+    assert(distributed.active("f_0_0").dvJson.contains(s"dv${nCommits - 1}"))
+    assert(distributed.active("f_0_0").pv == Map("p" -> "0"))
+
+    // the sequential driver path must agree exactly
+    spark.conf.set("graft.delta.replay.distributedMinCommits", "1000000")
+    try {
+      val sequential = DeltaRead.currentState(spark, table.getAbsolutePath).get
+      assert(sequential.active.keySet.toSet == distributed.active.keySet.toSet)
+      assert(sequential.active("f_0_0").dvJson == distributed.active("f_0_0").dvJson)
+      assert(sequential.configuration == distributed.configuration)
+    } finally spark.conf.unset("graft.delta.replay.distributedMinCommits")
+    org.apache.commons.io.FileUtils.deleteDirectory(table)
+  }
 }
