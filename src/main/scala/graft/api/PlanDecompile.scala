@@ -98,12 +98,46 @@ object PlanDecompile {
         GlobalLimit(Literal(math.max(l - o, 0L).toInt),
           Offset(Literal(o.toInt), c))
     }
+    // rename-only aliases: a decompile-introduced disambiguation suffix
+    // (uniquify) survives optimization as Alias(attr, newName) where the
+    // source plan has the bare attribute — names are semantics-free after
+    // analysis, so both sides normalize by collapsing attribute-renaming
+    // aliases and rewiring references before the comparison
+    def dealias(p: LogicalPlan): LogicalPlan = {
+      val subst = scala.collection.mutable.HashMap[ExprId, AttributeReference]()
+      p.foreach {
+        case Project(items, _) => items.foreach {
+          case a @ Alias(ar: AttributeReference, _)
+              if a.metadata == org.apache.spark.sql.types.Metadata.empty =>
+            subst(a.exprId) = ar
+          case _ => ()
+        }
+        case _ => ()
+      }
+      def resolve(ar: AttributeReference): AttributeReference = {
+        var cur = ar; var guard = 0
+        while (subst.contains(cur.exprId) && guard < 100) {
+          cur = subst(cur.exprId); guard += 1
+        }
+        cur
+      }
+      p.transformUp {
+        case Project(items, child) =>
+          Project(items.map {
+            case a @ Alias(ar: AttributeReference, _) if subst.contains(a.exprId) =>
+              resolve(ar)
+            case o => o
+          }, child)
+      }.transformAllExpressions {
+        case ar: AttributeReference => resolve(ar)
+      }
+    }
     // optimization EVALUATES foldable expressions — a rendering that
     // analyzed clean can still blow up here (exotic shapes like pivot's
     // synthetic aggregates); any failure is a refusal, never an escape
     val same =
-      try strip(df.queryExecution.optimizedPlan)
-        .sameResult(strip(re.queryExecution.optimizedPlan))
+      try dealias(strip(df.queryExecution.optimizedPlan))
+        .sameResult(dealias(strip(re.queryExecution.optimizedPlan)))
       catch { case scala.util.control.NonFatal(e) =>
         refuse(s"rendered SQL fails optimization: ${e.getClass.getSimpleName}: ${e.getMessage}") }
     if (!same)
@@ -118,26 +152,77 @@ object PlanDecompile {
   private final class Run {
     private var n = -1
     private var w = -1
+    private var c = -1
     def freshAlias(): String = { n += 1; s"t$n" }
     def freshWin(): String = { w += 1; s"__graft_pw${w}__" }
+    def freshCol(base: String): String = { c += 1; s"${base}__g$c" }
     val rels = scala.collection.mutable.LinkedHashMap[String, LogicalPlan]()
+  }
+
+  /** Rendered (name, sql, exprId) items with duplicate names resolved:
+    * at the ROOT (user-visible output) duplicates refuse; in an
+    * intermediate projection the 2nd+ occurrence takes a fresh suffix —
+    * every reference binds by exprId, so renaming is invisible. */
+  private def uniquify(items: Seq[(String, String, ExprId)], root: Boolean,
+      what: String)(implicit run: Run): Seq[(String, String, ExprId)] = {
+    val seen = scala.collection.mutable.Set[String]()
+    items.map { case (n, e, id) =>
+      if (seen.add(n)) (n, e, id)
+      else if (root)
+        refuse(s"duplicate $what output name '$n' in the final projection " +
+          "cannot be rendered")
+      else { val n2 = run.freshCol(n); seen.add(n2); (n2, e, id) }
+    }
   }
 
   private type Env = Map[ExprId, Seq[String]]
 
   private def decTop(plan: LogicalPlan)(implicit run: Run): SqlOp = {
-    val (op, env) = dec(plan)
+    val (op, env) = dec(plan, root = true)
     materialize(op, plan.output, env)._1
   }
 
   /** Bottom-up decompile: each subtree returns its op plus the scope
     * mapping every visible attribute's exprId to the name parts that
-    * reference it in the rendered SQL at that point. */
-  private def dec(plan: LogicalPlan)(implicit run: Run): (SqlOp, Env) = plan match {
+    * reference it in the rendered SQL at that point. `root` marks the
+    * chain whose output names are USER-VISIBLE (propagated through
+    * name-preserving nodes): duplicate names there refuse, while an
+    * INTERMEDIATE projection's duplicates (self-join column fan-in)
+    * uniquify with a fresh suffix — invisible in the final output, and
+    * references bind by exprId so nothing can mis-resolve. */
+  private def dec(plan: LogicalPlan, root: Boolean = false)(
+      implicit run: Run): (SqlOp, Env) = plan match {
     case SubqueryAlias(_, child) =>
       // user/catalog aliases are cosmetic here — scoping is by exprId and
       // every leaf gets its own fresh alias
-      dec(child)
+      dec(child, root)
+
+    case ResolvedHint(child, _) =>
+      // join-strategy hints (broadcast(...)) don't change semantics and
+      // SQL text can't carry them — render the plan beneath (the
+      // faithfulness gate strips hints on both sides before comparing)
+      dec(child, root)
+
+    case lr: LocalRelation =>
+      // memtable → inline VALUES (the reference's to_sql inlines
+      // memtables too); typed literal cells keep the source types on
+      // re-parse. Bounded: inlining a big frame as SQL text is a
+      // pathology, not a rendering.
+      if (lr.data.isEmpty) refuse("an empty memtable has no VALUES form")
+      if (lr.data.size > 1000)
+        refuse(s"memtable with ${lr.data.size} rows is too large to inline as VALUES")
+      requireDistinct(lr.output.map(_.name), "memtable column names")
+      val rows = lr.data.map { ir =>
+        lr.output.zipWithIndex.map { case (a, i) =>
+          val s = Literal(ir.get(i, a.dataType), a.dataType).sql
+          if (!SqlDecompile.rendersBack(s))
+            refuse(s"memtable cell of type ${a.dataType.simpleString} has no literal SQL form")
+          s
+        }
+      }
+      val alias = run.freshAlias()
+      (SqlAlias(SqlValues(lr.output.map(_.name), rows), alias),
+        lr.output.map(a => a.exprId -> Seq(alias, a.name)).toMap)
 
     case leaf: LeafNode =>
       val name = leafName(leaf).getOrElse(
@@ -154,7 +239,13 @@ object PlanDecompile {
       (SqlAlias(rel, alias), leaf.output.map(a => a.exprId -> Seq(alias, a.name)).toMap)
 
     case p @ Project(list, child) =>
-      val (in, env) = dec(child) // SqlWindow input is this node's own shape
+      // a window child goes behind its pass-through projection so this
+      // project's expressions land ABOVE the Window node on re-analysis —
+      // mirroring the analyzer's own shape (arithmetic over window
+      // columns lives in the project above the Window); the optimizer
+      // collapses the adjacent projects identically on both sides
+      val (in0, env0) = dec(child)
+      val (in, env) = materialize(in0, child.output, env0)
       // the analyzer's window extraction can list the same attribute
       // twice in its helper projection — identical repeats collapse
       // (same exprId, same name: one rendered column serves every ref)
@@ -166,17 +257,17 @@ object PlanDecompile {
           case other => acc :+ other
         }
       }
-      val items = deduped.map {
-        case a: Alias => (a.name, rex(a.child, env))
-        case ar: AttributeReference => (ar.name, rex(ar, env))
+      val rendered = deduped.map {
+        case a: Alias => (a.name, rex(a.child, env), a.exprId)
+        case ar: AttributeReference => (ar.name, rex(ar, env), ar.exprId)
         case o => refuse(s"project item ${o.getClass.getSimpleName}")
       }
-      requireDistinct(items.map(_._1), "project output names")
-      val env2 = deduped.map(ne => ne.exprId -> Seq(ne.name)).toMap
-      (SqlProject(in, items.toSeq), env2)
+      val items = uniquify(rendered, root, "project")
+      (SqlProject(in, items.map(t => (t._1, t._2))),
+        items.map(t => t._3 -> Seq(t._1)).toMap)
 
     case Filter(cond, child) =>
-      val (in0, env0) = dec(child)
+      val (in0, env0) = dec(child, root)
       val (in, env) = materialize(in0, child.output, env0)
       (SqlFilter(in, rex(cond, env)), env)
 
@@ -184,16 +275,17 @@ object PlanDecompile {
       val (in0, env0) = dec(child)
       val (in, env) = materialize(in0, child.output, env0)
       val keys = grouping.map(g => rex(g, env))
-      val aggs = aggExprs.map {
-        case al: Alias => (al.name, rex(al.child, env))
-        case ar: AttributeReference => (ar.name, rex(ar, env))
+      val rendered = aggExprs.map {
+        case al: Alias => (al.name, rex(al.child, env), al.exprId)
+        case ar: AttributeReference => (ar.name, rex(ar, env), ar.exprId)
         case o => refuse(s"aggregate item ${o.getClass.getSimpleName}")
       }
-      requireDistinct(aggs.map(_._1), "aggregate output names")
-      (SqlAggregate(in, keys, aggs), outEnv(a.output))
+      val aggs = uniquify(rendered, root, "aggregate")
+      (SqlAggregate(in, keys, aggs.map(t => (t._1, t._2))),
+        aggs.map(t => t._3 -> Seq(t._1)).toMap)
 
     case s @ Sort(order, true, child, _) =>
-      val (in0, env0) = dec(child)
+      val (in0, env0) = dec(child, root)
       val (in, env) = materialize(in0, child.output, env0)
       val keys = order.map { case SortOrder(e, dir, nulls, _) =>
         (rex(e, env), dir == Ascending, nulls == NullsFirst)
@@ -201,7 +293,7 @@ object PlanDecompile {
       (SqlSort(in, keys), env)
 
     case GlobalLimit(limitLit(n), LocalLimit(_, child)) =>
-      val (in0, env0) = dec(child)
+      val (in0, env0) = dec(child, root)
       val (in, env) = materialize(in0, child.output, env0)
       in match {
         case SqlLimit(i, None, off) => (SqlLimit(i, Some(n), off), env)
@@ -209,7 +301,7 @@ object PlanDecompile {
       }
 
     case Offset(limitLit(o), child) =>
-      val (in0, env0) = dec(child)
+      val (in0, env0) = dec(child, root)
       val (in, env) = materialize(in0, child.output, env0)
       in match {
         // LIMIT l already applied below: skipping o of those l rows is
@@ -222,14 +314,14 @@ object PlanDecompile {
       }
 
     case d @ Deduplicate(keys, child) =>
-      val (in0, env0) = dec(child)
+      val (in0, env0) = dec(child, root)
       val (in, env) = materialize(in0, child.output, env0)
       if (keys.map(_.exprId).toSet != d.output.map(_.exprId).toSet)
         refuse("dropDuplicates on a key subset has no plain-SQL DISTINCT form")
       (SqlDistinct(in), env)
 
     case Distinct(child) =>
-      val (in0, env0) = dec(child)
+      val (in0, env0) = dec(child, root)
       val (in, env) = materialize(in0, child.output, env0)
       (SqlDistinct(in), env)
 
@@ -347,6 +439,13 @@ object PlanDecompile {
     override def sql: String = parts.map(SqlDecompile.quoteIdent(_)).mkString(".")
   }
 
+  /** Pre-rendered SQL fragment leaf (lambda bodies). */
+  private final case class RawSql(text: String) extends LeafExpression with Unevaluable {
+    override def dataType: DataType = NullType
+    override def nullable: Boolean = true
+    override def sql: String = text
+  }
+
   /** Render a RESOLVED expression to SQL text in the given scope: splice
     * qualified references over attributes, let catalyst `.sql` print the
     * tree, and demand the text re-parses. Faithfulness beyond parseability
@@ -365,6 +464,22 @@ object PlanDecompile {
         case ar: AttributeReference =>
           QualifiedRef(env.getOrElse(ar.exprId,
             refuse(s"column ${ar.name}#${ar.exprId.id} is not in scope")))
+        // catalyst's .sql mangles lambdas into the unresolvable pseudo-call
+        // lambdafunction(namedlambdavariable()…) — render `x -> body`
+        // (inner lambdas and captured columns are already substituted:
+        // transformUp is bottom-up)
+        case lf: LambdaFunction =>
+          val names = lf.arguments.map {
+            case v: NamedLambdaVariable => v.name
+            case o => refuse(s"lambda argument ${o.getClass.getSimpleName}")
+          }
+          val body = lf.function.transformUp {
+            case v: NamedLambdaVariable => RawSql(SqlDecompile.quoteIdent(v.name))
+          }
+          val lhs =
+            if (names.size == 1) SqlDecompile.quoteIdent(names.head)
+            else names.map(SqlDecompile.quoteIdent(_)).mkString("(", ", ", ")")
+          RawSql(s"$lhs -> ${body.sql}")
       }.sql
       catch {
         case r: Refused => throw r

@@ -155,6 +155,15 @@ final case class SqlWindowDef(name: String, func: String,
 final case class SqlWindow(input: SqlOp, defs: Seq[SqlWindowDef]) extends SqlOp {
   def children = Seq(input)
 }
+/** Inline VALUES relation (round 11): literal rows under column names —
+  * the memtable/`ibis.memtable` rendering (the reference's to_sql inlines
+  * memtables the same way). Each cell is a TYPED literal's SQL text
+  * (`1L`, `DATE '2024-01-01'`), so the re-parsed relation keeps the
+  * source's types; the duckdb dialect strips the spark type suffixes. */
+final case class SqlValues(names: Seq[String], rows: Seq[Seq[String]]) extends SqlOp {
+  def children = Nil
+}
+
 /** Fallback for plan shapes outside the walkable core: carries the raw
   * parsed subtree, which still executes verbatim on rebuild. */
 final case class SqlOpaque(plan: LogicalPlan) extends SqlOp { def children = Nil }
@@ -970,6 +979,8 @@ object SqlDecompile {
         }
         df.withColumn(d.name, expr(d.func).over(framed))
       }
+    case v: SqlValues =>
+      spark.sql(s"SELECT * FROM ${valuesSql(v, "__graft_values__", duck = false)}")
     case SqlAlias(in, name) => rebuild(spark, in, scope).alias(name)
     case SqlWith(in, ctes) =>
       // later CTEs may reference earlier ones — extend the scope left to
@@ -990,6 +1001,19 @@ object SqlDecompile {
       df: org.apache.spark.sql.DataFrame) extends SqlOp { def children = Nil }
 
   // ------------------------------------------------------- SQL rendering
+
+  /** A [[SqlValues]] as a FROM item: spark spells the inline table bare
+    * (`VALUES (…) AS t(a, b)`), duckdb parenthesizes (`(VALUES (…)) AS
+    * t(a, b)`); cell texts pass through the dialect's expression mapper. */
+  private[api] def valuesSql(v: SqlValues, alias: String, duck: Boolean): String = {
+    val cell: String => String =
+      if (!duck) identity
+      else s => new SqlRenderer("duckdb").duckCell(s)
+    val rows = v.rows.map(_.map(cell).mkString("(", ", ", ")")).mkString(", ")
+    val cols = v.names.map(quoteIdent(_, duck)).mkString(", ")
+    if (duck) s"(VALUES $rows) AS ${quoteIdent(alias, duck = true)}($cols)"
+    else s"VALUES $rows AS ${quoteIdent(alias)}($cols)"
+  }
 
   /** [[SqlOp.renderSql]]'s engine. */
   def renderSql(op: SqlOp, dialect: String = "spark"): String = {
@@ -1165,9 +1189,14 @@ object SqlDecompile {
       s"${ex(d.func)} OVER (${Seq(pb, ob, fr).filter(_.nonEmpty).mkString(" ")})"
     }
 
+    /** A VALUES cell in the duckdb dialect (spark literals re-spelled). */
+    def duckCell(s: String): String = duckExpr(parseExpr(s))
+
     private def fromItem(op: SqlOp): String = op match {
       case r: SqlRelation => relName(r)
       case SqlAlias(r: SqlRelation, a) => s"${relName(r)} AS ${qid(a)}"
+      case v: SqlValues => valuesSql(v, freshAlias(), duck)
+      case SqlAlias(v: SqlValues, a) => valuesSql(v, a, duck)
       case SqlAlias(in, a) => s"(${top(in)}) AS ${qid(a)}"
       case SqlJoin(l, r, how, cond) =>
         val kw = how match {
