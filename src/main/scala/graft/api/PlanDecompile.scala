@@ -87,6 +87,17 @@ object PlanDecompile {
       case RepartitionByExpression(_, child, _, _) => child
       case ResolvedHint(child, _) => child
       case j: Join if j.hint != JoinHint.NONE => j.copy(hint = JoinHint.NONE)
+      // the LATERAL VIEW table alias lands as Generate.qualifier — pure
+      // name-resolution scaffolding, semantics-free after analysis
+      case g: Generate if g.qualifier.isDefined => g.copy(qualifier = None)
+      // a small Range leaf rendered as inline VALUES re-analyzes to a
+      // LocalRelation of the same rows — normalize the source side to
+      // the same literal form
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range
+          if r.numElements.isValidLong && r.numElements.toLong <= 1000 =>
+        LocalRelation(r.output,
+          (0L until r.numElements.toLong).map(i =>
+            org.apache.spark.sql.catalyst.InternalRow(r.start + i * r.step)))
       // limit/offset chains: LocalLimit inside a GlobalLimit/Offset chain
       // is a derived per-partition bound, and `limit(l).offset(o)` vs
       // `LIMIT l-o OFFSET o` optimize to different-but-equivalent
@@ -223,6 +234,19 @@ object PlanDecompile {
       val alias = run.freshAlias()
       (SqlAlias(SqlValues(lr.output.map(_.name), rows), alias),
         lr.output.map(a => a.exprId -> Seq(alias, a.name)).toMap)
+
+    case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+      // spark.range(...) — a literal integer sequence; small ones inline
+      // as typed VALUES (both dialects), the same bound as memtables
+      val n = r.numElements
+      if (n.isValidLong && n.toLong >= 1 && n.toLong <= 1000) {
+        val rows = (0L until n.toLong).map(i =>
+          Seq(Literal(r.start + i * r.step, org.apache.spark.sql.types.LongType).sql))
+        val alias = run.freshAlias()
+        val name = r.output.head.name
+        (SqlAlias(SqlValues(Seq(name), rows), alias),
+          Map(r.output.head.exprId -> Seq(alias, name)))
+      } else refuse(s"range of ${r.numElements} rows is too large to inline as VALUES")
 
     case leaf: LeafNode =>
       val name = leafName(leaf).getOrElse(
@@ -361,6 +385,22 @@ object PlanDecompile {
       val (rop, renv) = joinSide(r)
       val env = lenv ++ renv
       (SqlJoin(lop, rop, how, cond.map(rex(_, env))), env)
+
+    case g @ Generate(gen, _, outer, _, genOutput, child) =>
+      val (in0, env0) = dec(child)
+      val (in, env) = materialize(in0, child.output, env0)
+      val func = rex(gen, env)
+      // only explode/posexplode have an OUTER function form for rebuild
+      // and only a plain explode has a duckdb spelling — record the bare
+      // argument when the generator is one
+      val explodeArg = gen match {
+        case Explode(e) if !outer => Some(rex(e, env))
+        case _ => None
+      }
+      requireDistinct(genOutput.map(_.name), "generator output names")
+      val alias = run.freshAlias()
+      val env2 = env ++ genOutput.map(a => a.exprId -> Seq(alias, a.name))
+      (SqlGenerate(in, func, genOutput.map(_.name), alias, outer, explodeArg), env2)
 
     case w @ Window(winExprs, _, _, child, _) =>
       val (in0, env0) = dec(child)

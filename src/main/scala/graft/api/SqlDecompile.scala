@@ -46,6 +46,7 @@ sealed trait SqlOp {
     case SqlAlias(in, n) => SqlAlias(f(in), n)
     case SqlWith(in, ctes) => SqlWith(f(in), ctes.map { case (n, b) => (n, f(b)) })
     case SqlWindow(in, ds) => SqlWindow(f(in), ds)
+    case g: SqlGenerate => g.copy(input = f(g.input))
     case leaf => leaf
   }
 
@@ -162,6 +163,20 @@ final case class SqlWindow(input: SqlOp, defs: Seq[SqlWindowDef]) extends SqlOp 
   * source's types; the duckdb dialect strips the spark type suffixes. */
 final case class SqlValues(names: Seq[String], rows: Seq[Seq[String]]) extends SqlOp {
   def children = Nil
+}
+
+/** Generator over the input (round 11): Spark's LATERAL VIEW — `func` is
+  * the generator call text (`explode(xs)`, `posexplode(xs)`,
+  * `stack(2, 'a', a, 'b', b)`), `cols` the generated column names,
+  * `alias` the LATERAL VIEW's table alias (generated columns are
+  * referenced `alias.col` above), `outer` keeps empty/null input rows.
+  * `explodeArg` carries the bare argument text when the generator is a
+  * plain non-outer explode — the one shape the duckdb dialect can spell
+  * (`CROSS JOIN UNNEST(arg) AS alias(col)`); other generators refuse in
+  * duckdb rather than mistranslate. */
+final case class SqlGenerate(input: SqlOp, func: String, cols: Seq[String],
+    alias: String, outer: Boolean, explodeArg: Option[String]) extends SqlOp {
+  def children = Seq(input)
 }
 
 /** Fallback for plan shapes outside the walkable core: carries the raw
@@ -981,6 +996,18 @@ object SqlDecompile {
       }
     case v: SqlValues =>
       spark.sql(s"SELECT * FROM ${valuesSql(v, "__graft_values__", duck = false)}")
+    case SqlGenerate(in, func, cols, alias, outer, _) =>
+      // generator in the select list with a multi-alias — the DataFrame
+      // rendering of LATERAL VIEW (an OUTER explode/posexplode maps to
+      // its *_outer function; other outer generators have no fn form)
+      val fn =
+        if (!outer) func
+        else if (func.startsWith("explode(")) "explode_outer(" + func.stripPrefix("explode(")
+        else if (func.startsWith("posexplode(")) "posexplode_outer(" + func.stripPrefix("posexplode(")
+        else throw new UnsupportedOperationException(
+          s"rebuild: no function form for OUTER generator $func")
+      rebuild(spark, in, scope).alias(alias)
+        .selectExpr("*", s"$fn AS (${cols.map(c => s"`${c.replace("`", "``")}`").mkString(", ")})")
     case SqlAlias(in, name) => rebuild(spark, in, scope).alias(name)
     case SqlWith(in, ctes) =>
       // later CTEs may reference earlier ones — extend the scope left to
@@ -1260,6 +1287,26 @@ object SqlDecompile {
           b.having.nonEmpty) wrap(b) else b
         b0.copy(items = Some(items(as)),
           groupBy = if (ks.isEmpty) None else Some(ks.map(ex)))
+      case SqlGenerate(in, func, cols, alias, outer, explodeArg) =>
+        val b = block(in)
+        // a taken SELECT slot or tail wraps first; an input WHERE folds
+        // into the same block — SQL evaluates the lateral view before the
+        // WHERE, but a predicate over pre-generate columns keeps the same
+        // rows either side of the generator (and the generator's own
+        // references stay in scope, which a wrap would break)
+        val b0 = if (b.hasSelect || b.hasTail) wrap(b) else b
+        val lateral =
+          if (!duck)
+            s" LATERAL VIEW ${if (outer) "OUTER " else ""}${ex(func)} " +
+              s"${qid(alias)} AS ${cols.map(qid).mkString(", ")}"
+          else explodeArg match {
+            case Some(arg) if !outer && cols.size == 1 =>
+              s" CROSS JOIN UNNEST(${ex(arg)}) AS ${qid(alias)}(${qid(cols.head)})"
+            case _ => throw new UnsupportedOperationException(
+              "renderSql: only a plain explode over an array has a duckdb " +
+                s"spelling (got ${func}${if (outer) " OUTER" else ""})")
+          }
+        b0.copy(from = b0.from + lateral)
       case SqlWindow(_, _) =>
         throw new UnsupportedOperationException(
           "renderSql: SqlWindow must sit directly below its SqlProject")

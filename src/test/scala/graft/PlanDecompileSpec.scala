@@ -18,10 +18,10 @@ class PlanDecompileSpec extends SparkSpec {
   /** Register the sf tables as temp views so the rendered SQL's by-name
     * relations resolve when re-executed through spark.sql. */
   private def ensureViews(): Unit =
-    Seq("nation", "region", "customer", "supplier", "orders", "lineitem", "part")
-      .foreach(n => t(n).createOrReplaceTempView(n))
+    Seq("nation", "region", "customer", "supplier", "orders", "lineitem", "part",
+      "documents").foreach(n => t(n).createOrReplaceTempView(n))
 
-  private def check(df: DataFrame): String = {
+  private def checkSpark(df: DataFrame): String = {
     ensureViews()
     val sql = new Table(df).renderSql()
     val re = spark.sql(sql)
@@ -29,6 +29,11 @@ class PlanDecompileSpec extends SparkSpec {
     val a = df.collect().map(_.toString).sorted.toSeq
     val b = re.collect().map(_.toString).sorted.toSeq
     assert(a == b, s"value mismatch for:\n$sql")
+    sql
+  }
+
+  private def check(df: DataFrame): String = {
+    val sql = checkSpark(df)
     val duck = new Table(df).renderSql("duckdb")
     assert(duck.nonEmpty && !duck.contains("`"), s"duckdb rendering malformed:\n$duck")
     sql
@@ -204,6 +209,34 @@ class PlanDecompileSpec extends SparkSpec {
     refuses(t("nation").sample(0.5))
   }
 
+  test("explode renders as LATERAL VIEW (spark) and CROSS JOIN UNNEST (duckdb)") {
+    ensureViews()
+    val df = t("documents").filter(col("doc_id") < 5)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+      .orderBy(col("doc_id"))
+    val sql = check(df)
+    assert(sql.contains("LATERAL VIEW explode("), sql)
+    val duck = new Table(df).renderSql("duckdb")
+    assert(duck.contains("CROSS JOIN UNNEST("), duck)
+    // posexplode renders in spark; duckdb has no ordinal-unnest spelling
+    val pe = t("documents").filter(col("doc_id") < 3)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .orderBy(col("doc_id"), col("pos"))
+    val sql2 = checkSpark(pe)
+    assert(sql2.contains("LATERAL VIEW posexplode("), sql2)
+    assertThrows[UnsupportedOperationException] { new Table(pe).renderSql("duckdb") }
+  }
+
+  test("spark.range inlines as typed VALUES") {
+    ensureViews()
+    val df = t("nation").join(spark.range(3).select(col("id").as("n_regionkey")),
+      "n_regionkey").groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+    val sql = check(df)
+    assert(sql.contains("VALUES"), sql)
+  }
+
   test("memtables render as inline VALUES in both dialects (round 11)") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "s")
@@ -261,10 +294,12 @@ class PlanDecompileSpec extends SparkSpec {
     assert(failed.isEmpty, failed.mkString("\n\n"))
     assert(ok + refused >= 50, s"sweep too small: $ok + $refused")
     // the renderer must cover a real majority, not refuse its way to green
-    // (round-11 close: 49 of 58 — hints, lambdas, self-join column fan-in
-    // and memtables all render; the rest are custom-expression or
-    // Generate/Expand shapes)
-    assert(ok >= 45, s"only $ok corpus plans rendered — coverage regressed")
+    // (round-11 close: 51 of 58 — hints, lambdas, self-join column
+    // fan-in, memtables, ranges and explode/LATERAL VIEW all render; the
+    // remaining 7 are engine-custom expressions — asof_search, the
+    // co-moment udaf, pivot's synthetic aggregate — and the RDD-backed
+    // row-id leaf, all of which no SQL text could reproduce)
+    assert(ok >= 48, s"only $ok corpus plans rendered — coverage regressed")
   }
 
   test("nondeterministic expressions round-trip via their materialized seed") {
