@@ -295,6 +295,62 @@ object PlanDecompile {
       val (in, env) = materialize(in0, child.output, env0)
       (SqlFilter(in, rex(cond, env)), env)
 
+    case a @ Aggregate(grouping, aggExprs, ex: Expand, _)
+        if grouping.lastOption.exists {
+          case ar: AttributeReference => ar.name == "spark_grouping_id"
+          case _ => false
+        } =>
+      // rollup/cube/groupingSets: the analyzer's shape is
+      //   Aggregate(keys' :+ spark_grouping_id,
+      //     Expand(rows = [childCols…, keyOrNull…, gidLiteral],
+      //       Project(childCols ++ keyAliases, base)))
+      // — recover the key expressions from the helper projection's
+      // aliases, the per-set inclusion from each Expand row's null mask,
+      // and render GROUP BY GROUPING SETS (…); grouping()/grouping_id()
+      // in the aggregates reference spark_grouping_id, which maps back to
+      // the grouping_id() call the analyzer re-expands identically
+      val gidAttr = grouping.last.asInstanceOf[AttributeReference]
+      val k = grouping.size - 1
+      if (k < 1) refuse("grouping sets without keys")
+      val proj = ex.child match {
+        case p: Project => p
+        case o => refuse(s"grouping sets over ${o.getClass.getSimpleName}")
+      }
+      if (proj.projectList.size < k) refuse("grouping-sets helper projection too narrow")
+      val aliases = proj.projectList.takeRight(k).map {
+        case al: Alias => al
+        case o => refuse(s"grouping-sets helper item ${o.getClass.getSimpleName}")
+      }
+      val (cin0, cenv0) = dec(proj.child)
+      val (in, cenv) = materialize(cin0, proj.child.output, cenv0)
+      val keyTexts = aliases.map(al => rex(al.child, cenv))
+      val outTail = ex.output.takeRight(k + 1)
+      val outKeyAttrs = outTail.init
+      val groupKeyIds = grouping.init.map {
+        case ar: AttributeReference => ar.exprId
+        case o => refuse(s"grouping-sets key ${o.getClass.getSimpleName}")
+      }
+      if (groupKeyIds.toSet != outKeyAttrs.map(_.exprId).toSet)
+        refuse("grouping-sets key attributes do not line up with the Expand output")
+      val raw = outKeyAttrs.map(_.exprId).zip(keyTexts).toMap +
+        (gidAttr.exprId -> "grouping_id()")
+      val base = ex.output.size - (k + 1)
+      val sets = ex.projections.map { row =>
+        if (row.size != ex.output.size) refuse("malformed Expand projection row")
+        keyTexts.zip(row.slice(base, base + k)).collect {
+          case (t, e) if !(e.isInstanceOf[Literal] &&
+            e.asInstanceOf[Literal].value == null) => t
+        }
+      }
+      val rendered = aggExprs.map {
+        case al: Alias => (al.name, rex(al.child, cenv, raw), al.exprId)
+        case ar: AttributeReference => (ar.name, rex(ar, cenv, raw), ar.exprId)
+        case o => refuse(s"grouping-sets aggregate item ${o.getClass.getSimpleName}")
+      }
+      val itemsU = uniquify(rendered, root, "grouping-sets")
+      (SqlGroupingSets(in, keyTexts, sets, itemsU.map(t => (t._1, t._2))),
+        itemsU.map(t => t._3 -> Seq(t._1)).toMap)
+
     case a @ Aggregate(grouping, aggExprs, child, _) =>
       val (in0, env0) = dec(child)
       val (in, env) = materialize(in0, child.output, env0)
@@ -491,7 +547,8 @@ object PlanDecompile {
     * tree, and demand the text re-parses. Faithfulness beyond parseability
     * (a `.sql` that parses but means something else) is what the
     * whole-query [[verify]] gate exists for. */
-  private def rex(e: Expression, env: Env): String = {
+  private def rex(e: Expression, env: Env,
+      raw: Map[ExprId, String] = Map.empty): String = {
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       refuse("subquery expressions are not renderable from an analyzed plan")
     if (e.exists(_.isInstanceOf[WindowExpression]))
@@ -501,6 +558,9 @@ object PlanDecompile {
     // those shapes refuse, same as a failed .sql
     val s =
       try e.transformUp {
+        // raw overrides (grouping-sets keys, grouping_id()) come first
+        case ar: AttributeReference if raw.contains(ar.exprId) =>
+          RawSql(raw(ar.exprId))
         case ar: AttributeReference =>
           QualifiedRef(env.getOrElse(ar.exprId,
             refuse(s"column ${ar.name}#${ar.exprId.id} is not in scope")))

@@ -47,6 +47,7 @@ sealed trait SqlOp {
     case SqlWith(in, ctes) => SqlWith(f(in), ctes.map { case (n, b) => (n, f(b)) })
     case SqlWindow(in, ds) => SqlWindow(f(in), ds)
     case g: SqlGenerate => g.copy(input = f(g.input))
+    case gs: SqlGroupingSets => gs.copy(input = f(gs.input))
     case leaf => leaf
   }
 
@@ -163,6 +164,16 @@ final case class SqlWindow(input: SqlOp, defs: Seq[SqlWindowDef]) extends SqlOp 
   * source's types; the duckdb dialect strips the spark type suffixes. */
 final case class SqlValues(names: Seq[String], rows: Seq[Seq[String]]) extends SqlOp {
   def children = Nil
+}
+
+/** GROUPING SETS aggregate (round 11): `keys` are the distinct grouping
+  * expressions, `sets` the per-set inclusion (each a subset of keys, in
+  * key order) — rollup/cube decompile to their expanded sets, which
+  * re-analyze to the identical Expand plan. `aggs` may reference
+  * `grouping_id()` / `grouping(...)`. */
+final case class SqlGroupingSets(input: SqlOp, keys: Seq[String],
+    sets: Seq[Seq[String]], aggs: Seq[(String, String)]) extends SqlOp {
+  def children = Seq(input)
 }
 
 /** Generator over the input (round 11): Spark's LATERAL VIEW — `func` is
@@ -996,6 +1007,26 @@ object SqlDecompile {
       }
     case v: SqlValues =>
       spark.sql(s"SELECT * FROM ${valuesSql(v, "__graft_values__", duck = false)}")
+    case SqlGroupingSets(in, keys, sets, aggs) =>
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      // Dataset.groupingSets (Spark 4) takes the sets as Column seqs over
+      // the full key list; agg expressions may call grouping_id(). Same
+      // key-dedup dance as SqlAggregate: groupingSets().agg() auto-
+      // prepends the grouping columns, the SQL select order is the list's
+      val df = rebuild(spark, in, scope)
+      val keyIdx = keys.zipWithIndex.toMap
+      val pure = aggs.filter { case (_, e) => !keyIdx.contains(e) }
+      val aggCols =
+        if (pure.isEmpty) Seq(count(lit(1)).as("__graft_dummy__"))
+        else pure.map { case (n, e) => expr(e).as(n) }
+      val agged = df.groupingSets(sets.map(_.map(expr)), keys.map(expr): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+      agged.select(aggs.map { case (n, e) =>
+        keyIdx.get(e) match {
+          case Some(i) => col(s"`${agged.columns(i)}`").as(n)
+          case None => col(s"`$n`")
+        }
+      }: _*)
     case SqlGenerate(in, func, cols, alias, outer, _) =>
       // generator in the select list with a multi-alias — the DataFrame
       // rendering of LATERAL VIEW (an OUTER explode/posexplode maps to
@@ -1287,6 +1318,13 @@ object SqlDecompile {
           b.having.nonEmpty) wrap(b) else b
         b0.copy(items = Some(items(as)),
           groupBy = if (ks.isEmpty) None else Some(ks.map(ex)))
+      case SqlGroupingSets(in, _, sets, as) =>
+        val b = block(in)
+        val b0 = if (b.hasSelect || b.hasTail || b.groupBy.nonEmpty ||
+          b.having.nonEmpty) wrap(b) else b
+        val setsSql = sets.map(_.map(ex).mkString("(", ", ", ")")).mkString(", ")
+        b0.copy(items = Some(items(as)),
+          groupBy = Some(Seq(s"GROUPING SETS ($setsSql)")))
       case SqlGenerate(in, func, cols, alias, outer, explodeArg) =>
         val b = block(in)
         // a taken SELECT slot or tail wraps first; an input WHERE folds

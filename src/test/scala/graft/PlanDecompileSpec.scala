@@ -228,6 +228,25 @@ class PlanDecompileSpec extends SparkSpec {
     assertThrows[UnsupportedOperationException] { new Table(pe).renderSql("duckdb") }
   }
 
+  test("rollup and cube render as GROUP BY GROUPING SETS (round 11)") {
+    ensureViews()
+    val r = t("orders").rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("lvl"))
+      .orderBy(col("lvl"), col("o_orderstatus"), col("o_orderpriority"))
+    val sql = checkSpark(r)
+    assert(sql.contains("GROUPING SETS ("), sql)
+    // rollup over 2 keys = 3 sets ending with the grand total: (a,b), (a), ()
+    assert(sql.contains(", ())"), sql)
+    val c = t("orders").cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    val sql2 = checkSpark(c)
+    // cube over 2 keys = 4 sets
+    assert(sql2.contains("GROUPING SETS ("), sql2)
+  }
+
   test("spark.range inlines as typed VALUES") {
     ensureViews()
     val df = t("nation").join(spark.range(3).select(col("id").as("n_regionkey")),
