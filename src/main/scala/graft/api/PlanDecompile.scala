@@ -41,37 +41,75 @@ object PlanDecompile {
   /** Decompile `df`'s analyzed plan into a walkable [[SqlOp]] tree
     * (throws [[Refused]] outside the supported core). The tree rebuilds
     * ([[SqlOp.table]]) against relation NAMES, so rebuilding requires
-    * the referenced tables in the session catalog; rendering does not. */
+    * the referenced tables in the session catalog; rendering does not.
+    * Multi-referenced deterministic subplans lift into `WITH` CTEs
+    * (round 12, the reference's extract_ctes pass —
+    * ibis/backends/sql/rewrites.py:335-347); if the CTE form refuses,
+    * the decompile retries with extraction disabled. */
   def decompile(df: DataFrame): SqlOp = {
     val run = new Run
-    decTop(df.queryExecution.analyzed)(run)
+    try decTop(df.queryExecution.analyzed, extractCtes = true)(run)
+    catch {
+      case _: Refused if run.ctesAttempted =>
+        decTop(df.queryExecution.analyzed, extractCtes = false)(new Run)
+    }
   }
 
   /** Decompile + render in `dialect` ("spark" | "duckdb"), with the
     * faithfulness gate: the spark-dialect rendering must re-analyze (over
     * the ORIGINAL relation leaves, no catalog needed) to the same output
-    * schema and a `sameResult`-identical optimized plan. */
+    * schema and a `sameResult`-identical optimized plan. CTE extraction
+    * is attempted first; any refusal on the CTE form (including a failed
+    * gate) falls back to the inline form before refusing for good. */
   def renderSql(df: DataFrame, dialect: String = "spark"): String = {
-    val run = new Run
-    val op = decTop(df.queryExecution.analyzed)(run)
-    val sparkSql = SqlDecompile.renderSql(op, "spark")
-    verify(df, sparkSql, run)
+    def attempt(extract: Boolean, run: Run): (String, SqlOp) = {
+      val op = decTop(df.queryExecution.analyzed, extract)(run)
+      val sparkSql = SqlDecompile.renderSql(op, "spark")
+      verify(df, sparkSql, run)
+      (sparkSql, op)
+    }
+    val first = new Run
+    val (sparkSql, op) =
+      try attempt(true, first)
+      catch {
+        // only retry when extraction actually changed the rendering — a
+        // plain refusal refuses identically either way
+        case r: Refused if first.ctesAttempted =>
+          if (sys.env.contains("GRAFT_RENDER_DEBUG"))
+            System.err.println(s"[renderSql] CTE form refused, retrying inline: ${r.getMessage}")
+          attempt(false, new Run)
+      }
     if (dialect == "spark") sparkSql else SqlDecompile.renderSql(op, dialect)
   }
 
   /** Re-parse the spark rendering, splice the original relation leaves in
-    * place of the by-name references, and demand semantic equality. */
+    * place of the by-name references, and demand semantic equality. A
+    * rendering with a WITH clause (or an input plan that carried one)
+    * compares after CTE INLINING at the ANALYZED stage on BOTH sides —
+    * each reference gets a fresh-exprId copy of its def — so the
+    * optimizer sees the same inline shape either way and per-branch
+    * rewrites (pushdown into one branch only) cannot fail the gate. */
   private def verify(df: DataFrame, sparkSql: String, run: Run): Unit = {
     val spark = df.sparkSession
     val lower = run.rels.map { case (k, v) => k.toLowerCase -> v }.toMap
     val parsed =
       try spark.sessionState.sqlParser.parsePlan(sparkSql)
       catch { case e: Exception => refuse(s"rendered SQL does not re-parse: ${e.getMessage}") }
-    val spliced = parsed.transformUp {
+    // transformUpWithSubqueries: rendered subquery expressions hold
+    // nested plans whose relations need the same splice; CTE bodies are
+    // NOT plan children of UnresolvedWith (they ride in cteRelations),
+    // so they recurse explicitly — without this the splice silently
+    // skips every relation inside a WITH body
+    def splice(p: LogicalPlan): LogicalPlan = p.transformUpWithSubqueries {
       case UnresolvedRelation(parts, _, _)
           if parts.size == 1 && lower.contains(parts.head.toLowerCase) =>
         lower(parts.head.toLowerCase)
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, b, o) =>
+          (n, splice(b).asInstanceOf[SubqueryAlias], o)
+        })
     }
+    val spliced = splice(parsed)
     val re =
       try org.apache.spark.sql.GraftSqlBridge.ofPlan(spark, spliced)
       catch { case e: Exception => refuse(s"rendered SQL does not re-analyze: ${e.getMessage}") }
@@ -90,14 +128,6 @@ object PlanDecompile {
       // the LATERAL VIEW table alias lands as Generate.qualifier — pure
       // name-resolution scaffolding, semantics-free after analysis
       case g: Generate if g.qualifier.isDefined => g.copy(qualifier = None)
-      // a small Range leaf rendered as inline VALUES re-analyzes to a
-      // LocalRelation of the same rows — normalize the source side to
-      // the same literal form
-      case r: org.apache.spark.sql.catalyst.plans.logical.Range
-          if r.numElements.isValidLong && r.numElements.toLong <= 1000 =>
-        LocalRelation(r.output,
-          (0L until r.numElements.toLong).map(i =>
-            org.apache.spark.sql.catalyst.InternalRow(r.start + i * r.step)))
       // limit/offset chains: LocalLimit inside a GlobalLimit/Offset chain
       // is a derived per-partition bound, and `limit(l).offset(o)` vs
       // `LIMIT l-o OFFSET o` optimize to different-but-equivalent
@@ -116,13 +146,18 @@ object PlanDecompile {
     // aliases and rewiring references before the comparison
     def dealias(p: LogicalPlan): LogicalPlan = {
       val subst = scala.collection.mutable.HashMap[ExprId, AttributeReference]()
+      def collect(items: Seq[NamedExpression]): Unit = items.foreach {
+        case a @ Alias(ar: AttributeReference, _)
+            if a.metadata == org.apache.spark.sql.types.Metadata.empty =>
+          subst(a.exprId) = ar
+        case _ => ()
+      }
       p.foreach {
-        case Project(items, _) => items.foreach {
-          case a @ Alias(ar: AttributeReference, _)
-              if a.metadata == org.apache.spark.sql.types.Metadata.empty =>
-            subst(a.exprId) = ar
-          case _ => ()
-        }
+        case Project(items, _) => collect(items)
+        // CTE inlining leaves grouping-key renames INSIDE Aggregate
+        // output lists (the ref-site Project collapses into the
+        // aggregate) — same normalization: a bare rename is names-only
+        case Aggregate(_, items, _, _) => collect(items)
         case _ => ()
       }
       def resolve(ar: AttributeReference): AttributeReference = {
@@ -132,28 +167,114 @@ object PlanDecompile {
         }
         cur
       }
+      def strip(items: Seq[NamedExpression]): Seq[NamedExpression] = items.map {
+        case a @ Alias(ar: AttributeReference, _) if subst.contains(a.exprId) =>
+          resolve(ar)
+        case o => o
+      }
       p.transformUp {
-        case Project(items, child) =>
-          Project(items.map {
-            case a @ Alias(ar: AttributeReference, _) if subst.contains(a.exprId) =>
-              resolve(ar)
-            case o => o
-          }, child)
+        case Project(items, child) => Project(strip(items), child)
+        case a @ Aggregate(g, items, child, h) =>
+          a.copy(aggregateExpressions = strip(items))
       }.transformAllExpressions {
         case ar: AttributeReference => resolve(ar)
       }
+    }
+    // CTEs inline at the ANALYZED stage (fresh-exprId copy per
+    // reference) and the result re-optimizes — both sides, so an input
+    // plan that itself carried a WITH normalizes identically
+    def optimizedInlined(d: DataFrame): LogicalPlan = {
+      val analyzed = d.queryExecution.analyzed
+      // a small Range rendered as VALUES re-analyzes to a LocalRelation,
+      // which the optimizer CONSTANT-FOLDS through projections — so the
+      // source side must become the same LocalRelation BEFORE its own
+      // optimization, or only one side folds and sameResult fails
+      val inlined = inlineCtes(analyzed).transformUp {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Range
+            if r.numElements.isValidLong && r.numElements.toLong <= 1000 =>
+          LocalRelation(r.output,
+            (0L until r.numElements.toLong).map(i =>
+              org.apache.spark.sql.catalyst.InternalRow(r.start + i * r.step)))
+      }
+      if (inlined eq analyzed) d.queryExecution.optimizedPlan
+      else org.apache.spark.sql.GraftSqlBridge.ofPlan(spark, inlined)
+        .queryExecution.optimizedPlan
     }
     // optimization EVALUATES foldable expressions — a rendering that
     // analyzed clean can still blow up here (exotic shapes like pivot's
     // synthetic aggregates); any failure is a refusal, never an escape
     val same =
-      try dealias(strip(df.queryExecution.optimizedPlan))
-        .sameResult(dealias(strip(re.queryExecution.optimizedPlan)))
+      try dealias(strip(optimizedInlined(df)))
+        .sameResult(dealias(strip(optimizedInlined(re))))
       catch { case scala.util.control.NonFatal(e) =>
         refuse(s"rendered SQL fails optimization: ${e.getClass.getSimpleName}: ${e.getMessage}") }
-    if (!same)
+    if (!same) {
+      if (sys.env.contains("GRAFT_RENDER_DEBUG"))
+        System.err.println("[verify] sameResult failed\n--- original ---\n" +
+          dealias(strip(optimizedInlined(df))).treeString +
+          "\n--- re-analyzed ---\n" + dealias(strip(optimizedInlined(re))).treeString)
       refuse("rendered SQL re-analyzes to a semantically DIFFERENT plan " +
         "(optimized-plan sameResult check failed)")
+    }
+  }
+
+  /** Inline every CTE in an ANALYZED plan: each [[CTERelationRef]] is
+    * replaced by a fresh-exprId copy of its def's child (renamed
+    * positionally onto the ref's output attrs), defs resolving left to
+    * right so chained CTEs expand fully. Returns the input instance
+    * unchanged when the plan carries no CTE nodes. */
+  private def inlineCtes(plan: LogicalPlan): LogicalPlan = {
+    var found = false
+    plan.foreach(p =>
+      if (p.isInstanceOf[WithCTE] || p.isInstanceOf[CTERelationRef]) found = true)
+    if (!found) return plan
+    def go(p: LogicalPlan, defs: Map[Long, LogicalPlan]): LogicalPlan = p match {
+      case w: WithCTE =>
+        val d2 = w.cteDefs.foldLeft(defs) { (m, d) => m + (d.id -> go(d.child, m)) }
+        go(w.plan, d2)
+      case r: CTERelationRef =>
+        val body = freshCopy(defs.getOrElse(r.cteId,
+          refuse("unresolved CTE id during verification")))
+        Project(body.output.zip(r.output).map { case (a, o) =>
+          Alias(a, o.name)(exprId = o.exprId) }, body)
+      case other =>
+        val kids = other.children.map(go(_, defs))
+        val rebuilt =
+          if (kids.zip(other.children).forall { case (a, b) => a eq b }) other
+          else other.withNewChildren(kids)
+        rebuilt.transformExpressions {
+          case se: SubqueryExpression
+              if se.plan.exists(q =>
+                q.isInstanceOf[WithCTE] || q.isInstanceOf[CTERelationRef]) =>
+            se.withNewPlan(go(se.plan, defs))
+        }
+    }
+    go(plan, Map.empty)
+  }
+
+  /** A structurally identical copy of a SELF-CONTAINED subplan with every
+    * defined exprId replaced by a fresh one: leaf relations re-instance
+    * via [[MultiInstanceRelation]], aliases and generator/expand outputs
+    * take new ids, references follow. Two inlined copies of one CTE def
+    * must not share ids or the enclosing join's canonical form binds both
+    * sides' references to the first. */
+  private def freshCopy(plan: LogicalPlan): LogicalPlan = {
+    val mapping = scala.collection.mutable.HashMap[ExprId, ExprId]()
+    def remap(id: ExprId): ExprId =
+      mapping.getOrElseUpdate(id, NamedExpression.newExprId)
+    // one uniform remap: leaf outputs are constructor params, so
+    // transformExpressions rewrites the DEFINING attributes and every
+    // reference through the same old→fresh map — alignment by
+    // construction (a separate newInstance() pass would mint leaf ids
+    // the reference remap can't see)
+    plan.transformUp {
+      case p => p.transformExpressions {
+        case a: Alias =>
+          Alias(a.child, a.name)(remap(a.exprId), a.qualifier, a.explicitMetadata,
+            a.nonInheritableMetadataKeys)
+        case ar: AttributeReference => ar.withExprId(remap(ar.exprId))
+      }
+    }
   }
 
   // ----------------------------------------------------------- decompile
@@ -164,10 +285,31 @@ object PlanDecompile {
     private var n = -1
     private var w = -1
     private var c = -1
+    private var k = -1
     def freshAlias(): String = { n += 1; s"t$n" }
     def freshWin(): String = { w += 1; s"__graft_pw${w}__" }
     def freshCol(base: String): String = { c += 1; s"${base}__g$c" }
+    def freshCte(): String = { k += 1; s"graft_cte_$k" }
     val rels = scala.collection.mutable.LinkedHashMap[String, LogicalPlan]()
+    /** CTE bodies in WITH-clause order (extraction markers first in
+      * dependency order, then input-plan WithCTE defs as encountered). */
+    val cteBodies = scala.collection.mutable.ArrayBuffer[(String, SqlOp)]()
+    /** Input-plan CTERelationDef id → (rendered name, column names). */
+    val cteById = scala.collection.mutable.HashMap[Long, (String, Seq[String])]()
+    /** Did this run lift any repeated subtree into a CTE? (Gates the
+      * retry-without-extraction fallback.) */
+    var ctesAttempted = false
+  }
+
+  /** Marker leaf spliced over every occurrence of an extracted repeated
+    * subplan: carries the CTE's name, its rendered column names (the
+    * representative occurrence's), and THIS occurrence's output attrs so
+    * the scope maps each exprId positionally onto the CTE columns. The
+    * original canon rides outside the case-class shape so markers of one
+    * CTE canonical-compare equal across occurrences. */
+  private final case class CteRefLeaf(name: String, cols: Seq[String],
+      refOutput: Seq[Attribute]) extends LeafNode {
+    override def output: Seq[Attribute] = refOutput
   }
 
   /** Rendered (name, sql, exprId) items with duplicate names resolved:
@@ -188,9 +330,131 @@ object PlanDecompile {
 
   private type Env = Map[ExprId, Seq[String]]
 
-  private def decTop(plan: LogicalPlan)(implicit run: Run): SqlOp = {
-    val (op, env) = dec(plan, root = true)
-    materialize(op, plan.output, env)._1
+  private def decTop(plan: LogicalPlan, extractCtes: Boolean)(
+      implicit run: Run): SqlOp = {
+    val (main, bodies) =
+      if (extractCtes) selectAndMark(plan) else (plan, Nil)
+    if (bodies.nonEmpty) run.ctesAttempted = true
+    // decompile the lifted bodies first (dependency order) so marker
+    // references inside the main tree AND inside later bodies resolve
+    bodies.foreach { case (name, body) =>
+      val (op, env) = dec(body, root = true)
+      run.cteBodies += name -> materialize(op, body.output, env)._1
+    }
+    val (op, env) = dec(main, root = true)
+    val mainOp = materialize(op, main.output, env)._1
+    if (run.cteBodies.isEmpty) mainOp
+    else {
+      // a CTE name shadowing a real relation would silently re-bind the
+      // relation's references — structurally unreturnable, like the rest
+      val names = run.cteBodies.map(_._1.toLowerCase).toSet
+      if (run.rels.keys.exists(r => names(r.toLowerCase)))
+        refuse("a CTE name collides with a referenced relation name")
+      SqlWith(mainOp, run.cteBodies.toList)
+    }
+  }
+
+  // --------------------------------------------------------- CTE lifting
+
+  /** The reference's extract_ctes pass (ibis/backends/sql/rewrites.py:
+    * 335-347, visible in every golden snapshot under
+    * ibis/backends/tests/sql/snapshots/): find DETERMINISTIC subplans
+    * whose canonicalized form occurs more than once, lift each into a
+    * named CTE, and splice a [[CteRefLeaf]] over every occurrence.
+    * Greedy largest-first so a repeated outer plan lifts whole, with its
+    * own inner repeats lifted from the single remaining body on later
+    * passes. Returns the marked main tree plus (name, body) pairs in
+    * dependency order (a body only references CTEs listed before it). */
+  private def selectAndMark(plan: LogicalPlan)(
+      implicit run: Run): (LogicalPlan, Seq[(String, LogicalPlan)]) = {
+    def eligible(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode | _: LocalRelation |
+          _: org.apache.spark.sql.catalyst.plans.logical.Range => false
+      // views render as named references — nothing to lift
+      case _: View => false
+      // analyzer-internal scaffolding that dec() consumes as part of its
+      // parent's pattern — lifting it would break the pattern, refuse,
+      // and force the no-CTE retry for nothing
+      case _: Expand | _: LocalLimit => false
+      // CANONICALLY TRANSPARENT wrappers (their canonicalized form IS the
+      // child's): counting them would pair a node with its own wrapped
+      // self and loop; the underlying node is counted on its own
+      case _: SubqueryAlias | _: ResolvedHint => false
+      case p =>
+        p.deterministic &&
+          // input-plan CTE machinery is handled by its own dec cases; a
+          // lifted body containing a CTERelationRef would decompile
+          // before the referenced def registers
+          !p.exists(q => q.isInstanceOf[WithCTE] || q.isInstanceOf[CTERelationRef]) &&
+          !p.expressions.exists(_.exists(_.isInstanceOf[SubqueryExpression]))
+    }
+    def size(p: LogicalPlan): Int = { var s = 0; p.foreach(_ => s += 1); s }
+
+    // forest(0) = main tree; forest(i + 1) = body of the i-th chosen CTE.
+    // Later passes keep marking ALL entries, so earlier bodies pick up
+    // markers for later (smaller, contained) CTEs.
+    var forest = Vector(plan)
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    var go = true
+    while (go && names.size < 16) {
+      val groups = scala.collection.mutable.LinkedHashMap[
+        LogicalPlan, scala.collection.mutable.ArrayBuffer[LogicalPlan]]()
+      // never descend into a View — it renders as a name, its stored
+      // plan is invisible to the output (and must never carry markers)
+      def walk(p: LogicalPlan): Unit = p match {
+        case _: View => ()
+        case _ =>
+          if (eligible(p))
+            groups.getOrElseUpdate(p.canonicalized,
+              new scala.collection.mutable.ArrayBuffer) += p
+          p.children.foreach(walk)
+      }
+      forest.foreach(walk)
+      val repeated = groups.iterator.filter(_._2.size > 1).toSeq
+      if (repeated.isEmpty) go = false
+      else {
+        val (canon, occs) = repeated.maxBy { case (c, _) => size(c) }
+        val rep = occs.head
+        val name = run.freshCte()
+        names += name
+        val cols = rep.output.map(_.name)
+        def mark(t: LogicalPlan): LogicalPlan = t match {
+          case v: View => v
+          // transparent wrappers canonical-compare equal to their child —
+          // keep the wrapper, mark beneath it
+          case sa: SubqueryAlias => sa.mapChildren(mark)
+          case h: ResolvedHint => h.mapChildren(mark)
+          case p if p.canonicalized == canon => CteRefLeaf(name, cols, p.output)
+          case p => p.mapChildren(mark)
+        }
+        def markChildren(t: LogicalPlan): LogicalPlan = t.mapChildren(mark)
+        forest = forest.zipWithIndex.map { case (t, i) =>
+          if (i > 0) markChildren(t) // a body must never mark its own root
+          else mark(t)
+        } :+ rep
+      }
+    }
+    if (names.isEmpty) (plan, Nil)
+    else {
+      // WITH order: definition before use — topo-sort by marker refs
+      // (containment is acyclic, so this always completes)
+      val bodies = names.zip(forest.drop(1)).toIndexedSeq
+      val deps: Map[String, Set[String]] = bodies.map { case (n, b) =>
+        n -> b.collect { case m: CteRefLeaf => m.name }.toSet
+      }.toMap
+      val ordered = scala.collection.mutable.ArrayBuffer[(String, LogicalPlan)]()
+      val placed = scala.collection.mutable.Set[String]()
+      var remaining = bodies
+      while (remaining.nonEmpty) {
+        val (ready, later) = remaining.partition { case (n, _) =>
+          deps(n).forall(placed)
+        }
+        if (ready.isEmpty) refuse("cyclic CTE dependency (internal)")
+        ready.foreach { case (n, b) => ordered += n -> b; placed += n }
+        remaining = later
+      }
+      (forest.head, ordered.toSeq)
+    }
   }
 
   /** Bottom-up decompile: each subtree returns its op plus the scope
@@ -248,7 +512,42 @@ object PlanDecompile {
           Map(r.output.head.exprId -> Seq(alias, name)))
       } else refuse(s"range of ${r.numElements} rows is too large to inline as VALUES")
 
-    case leaf: LeafNode =>
+    case m: CteRefLeaf =>
+      // one occurrence of an extracted repeated subplan: reference the
+      // CTE by name under a fresh alias; positional column mapping (the
+      // occurrence's names may differ — canonical equality ignores names)
+      val alias = run.freshAlias()
+      val rel = SqlRelation(m.name)
+      rel.nameParts = Seq(m.name)
+      (SqlAlias(rel, alias),
+        m.refOutput.zip(m.cols).map { case (a, c) => a.exprId -> Seq(alias, c) }.toMap)
+
+    case w: WithCTE =>
+      // an input plan that ALREADY carries CTEs (Table.sql / spark.sql
+      // with WITH): decompile each def once, in order (later defs may
+      // reference earlier ones), and walk the main plan
+      w.cteDefs.foreach { d =>
+        if (!run.cteById.contains(d.id)) {
+          val name = run.freshCte()
+          val (op, env) = dec(d.child, root = true)
+          run.cteBodies += name -> materialize(op, d.child.output, env)._1
+          run.cteById(d.id) = (name, d.child.output.map(_.name))
+        }
+      }
+      dec(w.plan, root)
+
+    case r: CTERelationRef =>
+      val (name, cols) = run.cteById.getOrElse(r.cteId,
+        refuse("CTE reference outside its WITH scope"))
+      val alias = run.freshAlias()
+      val rel = SqlRelation(name)
+      rel.nameParts = Seq(name)
+      (SqlAlias(rel, alias),
+        r.output.zip(cols).map { case (a, c) => a.exprId -> Seq(alias, c) }.toMap)
+
+    case leaf @ (_: LeafNode | _: View) =>
+      // View is unary (its child is the stored plan) but renders as a
+      // catalog reference by name, exactly like a leaf relation
       val name = leafName(leaf).getOrElse(
         refuse(s"unsupported leaf relation ${leaf.getClass.getSimpleName}"))
       run.rels.get(name) match {
@@ -548,16 +847,44 @@ object PlanDecompile {
     * (a `.sql` that parses but means something else) is what the
     * whole-query [[verify]] gate exists for. */
   private def rex(e: Expression, env: Env,
-      raw: Map[ExprId, String] = Map.empty): String = {
-    if (e.exists(_.isInstanceOf[SubqueryExpression]))
-      refuse("subquery expressions are not renderable from an analyzed plan")
+      raw: Map[ExprId, String] = Map.empty)(implicit run: Run): String = {
     if (e.exists(_.isInstanceOf[WindowExpression]))
       refuse("window expression outside a Window node")
+    // UNCORRELATED subqueries (round 12): the nested plan decompiles
+    // through the same run (shared relation splice + alias counter) and
+    // embeds as a parenthesized SELECT; correlated forms refuse (their
+    // outer references have no scope in a detached rendering). A
+    // TOP-DOWN pre-pass — bottom-up would reach the inner ListQuery
+    // before the InSubquery that gives it meaning.
+    val pre =
+      try e.transformDown {
+        case sq: ScalarSubquery =>
+          if (sq.outerAttrs.nonEmpty) refuse("correlated scalar subquery")
+          RawSql(s"(${subquerySql(sq.plan)})")
+        case ex: Exists =>
+          if (ex.outerAttrs.nonEmpty) refuse("correlated EXISTS subquery")
+          RawSql(s"exists (${subquerySql(ex.plan)})")
+        case in: InSubquery =>
+          in.query match {
+            case lq: ListQuery if lq.outerAttrs.isEmpty && in.values.size == 1 =>
+              RawSql(s"(${rex(in.values.head, env, raw)} IN (${subquerySql(lq.plan)}))")
+            case lq: ListQuery if lq.outerAttrs.nonEmpty =>
+              refuse("correlated IN subquery")
+            case _ => refuse("multi-value IN subquery")
+          }
+        case other: SubqueryExpression =>
+          refuse(s"subquery expression ${other.getClass.getSimpleName}")
+      }
+      catch {
+        case r: Refused => throw r
+        case ex: Throwable =>
+          refuse(s"subquery substitution failed: ${ex.getClass.getSimpleName}")
+      }
     // the substitution itself can throw: some expression constructors
     // (pivot's synthetic aggregates) evaluate their children on copy —
     // those shapes refuse, same as a failed .sql
     val s =
-      try e.transformUp {
+      try pre.transformUp {
         // raw overrides (grouping-sets keys, grouping_id()) come first
         case ar: AttributeReference if raw.contains(ar.exprId) =>
           RawSql(raw(ar.exprId))
@@ -588,6 +915,15 @@ object PlanDecompile {
     if (!SqlDecompile.rendersBack(s))
       refuse(s"generated text does not re-parse: $s")
     s
+  }
+
+  /** Render an uncorrelated subquery's plan as standalone SQL text,
+    * through the SAME run — its relations join the splice map and its
+    * aliases stay globally unique (and any CTEs it registers land in the
+    * enclosing WITH, which scopes over subqueries). */
+  private def subquerySql(plan: LogicalPlan)(implicit run: Run): String = {
+    val (op, env) = dec(plan)
+    SqlDecompile.renderSql(materialize(op, plan.output, env)._1, "spark")
   }
 
   /** One analyzed window expression → [[SqlWindowDef]]. Ranking and

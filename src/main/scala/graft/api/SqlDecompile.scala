@@ -359,7 +359,8 @@ object SqlDecompile {
     * fails loudly at parse/analysis if Spark doesn't speak it. */
   private[api] object DuckInput {
 
-    def toSparkSql(sql: String): String = rewriteQualify(mapTokens(sql))
+    def toSparkSql(sql: String): String =
+      rewriteQualify(rewriteUnnest(mapTokens(sql)))
 
     /** Split into (code, string-literal) segments; map double-quoted
       * identifiers to backticks and function spellings in CODE segments
@@ -380,6 +381,12 @@ object SqlDecompile {
             val j = closingQuote(sql, i, '"')
             val ident = sql.substring(i + 1, j).replace("\"\"", "\"")
             out ++= "`" + ident.replace("`", "``") + "`"; i = j + 1
+          case '`' =>
+            // an already-backticked identifier is code to Spark but must
+            // not hit the spelling regexes — `len(` is a NAME, not a call
+            flushCode()
+            val j = closingQuote(sql, i, '`')
+            out ++= sql.substring(i, j + 1); i = j + 1
           case c => code += c; i += 1
         }
       }
@@ -400,12 +407,95 @@ object SqlDecompile {
     }
 
     private def mapCode(code: String): String = {
+      // (?<![.\w]) — never rewrite a dot-qualified call (t.list(...)) or a
+      // name that merely ENDS with a mapped spelling (my_len(...)
       var s = code
-      s = "(?i)\\bregexp_matches\\s*\\(".r.replaceAllIn(s, "rlike(")
-      s = "(?i)\\blen\\s*\\(".r.replaceAllIn(s, "length(")
-      s = "(?i)\\blist_value\\s*\\(".r.replaceAllIn(s, "array(")
-      s = "(?i)\\blist\\s*\\(".r.replaceAllIn(s, "collect_list(")
+      s = "(?i)(?<![.\\w])regexp_matches\\s*\\(".r.replaceAllIn(s, "rlike(")
+      s = "(?i)(?<![.\\w])len\\s*\\(".r.replaceAllIn(s, "length(")
+      s = "(?i)(?<![.\\w])list_value\\s*\\(".r.replaceAllIn(s, "array(")
+      s = "(?i)(?<![.\\w])list\\s*\\(".r.replaceAllIn(s, "collect_list(")
+      s = "(?i)(?<![.\\w])string_split_regex\\s*\\(".r.replaceAllIn(s, "split(")
       s
+    }
+
+    /** Rewrite DuckDB's lateral-unnest FROM item — `CROSS JOIN
+      * UNNEST(<arg>) AS <alias>(<col>)` — into Spark's `LATERAL VIEW
+      * explode(<arg>) <alias> AS <col>` (the exact inverse of the duckdb
+      * renderer's one supported generator spelling). Non-matching shapes
+      * pass through untouched and fail loudly at parse. */
+    private[api] def rewriteUnnest(sql: String): String = {
+      def matchWord(i: Int, w: String): Int =
+        if (i + w.length <= sql.length && sql.regionMatches(true, i, w, 0, w.length) &&
+            (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+            (i + w.length == sql.length || !isWordChar(sql.charAt(i + w.length))))
+          i + w.length
+        else -1
+      def skipWs(i0: Int): Int = {
+        var i = i0
+        while (i < sql.length && Character.isWhitespace(sql.charAt(i))) i += 1
+        i
+      }
+      /** (identifier text verbatim, index after) or null. */
+      def ident(i: Int): (String, Int) =
+        if (i < sql.length && sql.charAt(i) == '`') {
+          val j = closingQuote(sql, i, '`')
+          (sql.substring(i, j + 1), j + 1)
+        } else {
+          var j = i
+          while (j < sql.length && isWordChar(sql.charAt(j))) j += 1
+          if (j == i) null else (sql.substring(i, j), j)
+        }
+      /** Balanced-paren argument starting at '(' — honors quotes. */
+      def balanced(open: Int): Int = {
+        var i = open; var depth = 0
+        while (i < sql.length) {
+          sql.charAt(i) match {
+            case '\'' | '`' => i = closingQuote(sql, i, sql.charAt(i)) + 1
+            case '(' => depth += 1; i += 1
+            case ')' => depth -= 1; i += 1; if (depth == 0) return i
+            case _ => i += 1
+          }
+        }
+        -1
+      }
+      val out = new StringBuilder
+      var i = 0
+      while (i < sql.length) {
+        sql.charAt(i) match {
+          case '\'' | '`' =>
+            val j = closingQuote(sql, i, sql.charAt(i))
+            out ++= sql.substring(i, j + 1); i = j + 1
+          case c if (c == 'c' || c == 'C') && matchWord(i, "CROSS") > 0 =>
+            // attempt the full CROSS JOIN UNNEST(arg) AS a(col) shape;
+            // bail to verbatim copy at the first mismatch
+            val attempt: Option[(String, Int)] = for {
+              afterCross <- Some(matchWord(i, "CROSS"))
+              afterJoin <- Some(matchWord(skipWs(afterCross), "JOIN")).filter(_ > 0)
+              afterUnnest <- Some(matchWord(skipWs(afterJoin), "UNNEST")).filter(_ > 0)
+              po = skipWs(afterUnnest)
+              if po < sql.length && sql.charAt(po) == '('
+              pc = balanced(po)
+              if pc > 0
+              afterAs <- Some(matchWord(skipWs(pc), "AS")).filter(_ > 0)
+              a <- Option(ident(skipWs(afterAs)))
+              co = skipWs(a._2)
+              if co < sql.length && sql.charAt(co) == '('
+              col <- Option(ident(skipWs(co + 1)))
+              cc = skipWs(col._2)
+              if cc < sql.length && sql.charAt(cc) == ')'
+            } yield {
+              val arg = sql.substring(po + 1, pc - 1)
+              (s"LATERAL VIEW explode(${rewriteUnnest(arg)}) ${a._1} AS ${col._1}",
+                cc + 1)
+            }
+            attempt match {
+              case Some((text, next)) => out ++= text; i = next
+              case None => out += sql.charAt(i); i += 1
+            }
+          case c => out += c; i += 1
+        }
+      }
+      out.toString()
     }
 
     /** Rewrite `SELECT <items> FROM <rest> QUALIFY <pred> [<tail>]` into
@@ -449,6 +539,11 @@ object SqlDecompile {
         s"WHERE __graft_qualify__$tail"
     }
 
+    /** An identifier character for keyword-boundary purposes — '_' counts
+      * (date_from must not match FROM), unlike isLetterOrDigit alone. */
+    private def isWordChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_'
+
     /** First index of keyword `kw` at paren-depth 0 outside quotes, as a
       * whole word; -1 if absent. */
     private def topLevelKeyword(s: String, kw: String): Int = {
@@ -461,9 +556,9 @@ object SqlDecompile {
           case c if depth == 0 && Character.toUpperCase(c) == kw.charAt(0) &&
               i + kw.length <= s.length &&
               s.substring(i, i + kw.length).equalsIgnoreCase(kw) &&
-              (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
               (i + kw.length == s.length ||
-                !Character.isLetterOrDigit(s.charAt(i + kw.length))) =>
+                !isWordChar(s.charAt(i + kw.length))) =>
             return i
           case _ => i += 1
         }
@@ -1097,6 +1192,30 @@ object SqlDecompile {
     "table", "then", "to", "trailing", "true", "union", "unique",
     "update", "using", "values", "when", "where", "window", "with")
 
+  /** Decode catalyst's backslash-escaped string-literal BODY (the text
+    * between the quotes of `Literal.sql`) to real characters. Used by the
+    * duckdb dialect, whose strings are escape-free. */
+  private def unescapeSparkString(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        sb += (s.charAt(i + 1) match {
+          case 'n' => '\n'
+          case 't' => '\t'
+          case 'r' => '\r'
+          case 'b' => '\b'
+          case 'f' => '\f'
+          case '0' => '\u0000'
+          case other => other // \' \" \\ and any passthrough
+        })
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString()
+  }
+
   /** The ONE identifier-quoting rule (plain non-reserved identifiers
     * pass bare; anything else backtick- or double-quote-escaped by
     * dialect) — shared by [[SqlExprCol.render]] and the renderer so the
@@ -1135,12 +1254,32 @@ object SqlDecompile {
 
     private def duckExpr(e: SqlExpr): String = e match {
       case SqlExprCol(parts) => parts.map(quoteIdent(_, duck = true)).mkString(".")
+      case SqlExprLit(sql)
+          if sql.length >= 2 && sql.head == '\'' && sql.last == '\'' &&
+            sql.contains("\\") =>
+        // spark escapes string literals with BACKSLASH sequences ('gam\'ma');
+        // duckdb strings are escape-free with doubled quotes — unescape to
+        // real characters, re-quote duckdb-style
+        val real = unescapeSparkString(sql.substring(1, sql.length - 1))
+        "'" + real.replace("'", "''") + "'"
       case SqlExprLit(sql) =>
         // strip Spark's typed-literal suffixes (3L, 2S, 1.5D, 9.99BD)
         val m = "^(-?\\d+)[LS]$".r.findFirstMatchIn(sql)
           .orElse("^(-?\\d*\\.\\d+(?:[eE][+-]?\\d+)?)[DF]$".r.findFirstMatchIn(sql))
           .orElse("^(-?\\d*\\.?\\d+)BD$".r.findFirstMatchIn(sql))
         m.map(_.group(1)).getOrElse(sql)
+      // DuckDB function spellings for spark names with identical
+      // semantics (value-proven by tools/render_check.py's fuzz corpus):
+      // array() = list construction, split(x, re) = regex split
+      case SqlExprFunc(name, args, false) if name.equalsIgnoreCase("array") =>
+        s"list_value(${args.map(duckExpr).mkString(", ")})"
+      case SqlExprFunc(name, args, false)
+          if name.equalsIgnoreCase("split") &&
+            (args.size == 2 ||
+              // the analyzer materializes spark's default limit=-1 third
+              // argument — same unlimited-regex-split semantics
+              (args.size == 3 && args(2) == SqlExprLit("-1"))) =>
+        s"string_split_regex(${args.take(2).map(duckExpr).mkString(", ")})"
       case SqlExprFunc(name, args, d) =>
         s"$name(${if (d) "DISTINCT " else ""}${args.map(duckExpr).mkString(", ")})"
       // DuckDB has no <=> — the ANSI spelling is the portable form

@@ -10,6 +10,31 @@ import Tables._
   * passthrough, IO round-trips, memtable/DummyTable. */
 object MiscQueries {
 
+  /** The pinned duckdb renderings q97f/q97g assert at runtime AND use as
+    * their DuckDB oracles (PlanDecompileSpec pins the q97f text too, via
+    * this constant) — a renderer formatting change is ONE coordinated
+    * update here, not three scattered string edits. */
+  val Q97fDuckGolden: String =
+    "SELECT t0.c_nationkey, count(1) AS n, " +
+      "CAST(sum(t0.c_custkey) AS BIGINT) AS s FROM customer AS t0 " +
+      "WHERE ((t0.c_acctbal > CAST(100 AS DOUBLE)) AND (t0.c_mktsegment = 'BUILDING')) " +
+      "GROUP BY t0.c_nationkey ORDER BY c_nationkey ASC NULLS FIRST"
+  val Q97gDuckGolden: String =
+    "SELECT t1.r_name, count(1) AS n_nations, max(t0.n_name) AS max_nation " +
+      "FROM nation AS t0 JOIN region AS t1 ON (t0.n_regionkey = t1.r_regionkey) " +
+      "GROUP BY t1.r_name ORDER BY r_name ASC NULLS FIRST"
+  /** q97h: a fluent self-join over one aggregate subplan must render the
+    * subplan ONCE, as a WITH CTE (round 12 — the reference's extract_ctes
+    * pass, ibis/backends/sql/rewrites.py:335-347). */
+  val Q97hDuckGolden: String =
+    "WITH graft_cte_0 AS (SELECT t0.o_custkey, count(1) AS n, " +
+      "CAST(sum(t0.o_orderkey) AS BIGINT) AS s FROM orders AS t0 " +
+      "GROUP BY t0.o_custkey) " +
+      "SELECT t1.o_custkey AS k, t1.n AS n1, t2.s AS s2 " +
+      "FROM graft_cte_0 AS t1 JOIN graft_cte_0 AS t2 " +
+      "ON ((t1.o_custkey = t2.o_custkey) AND (t1.n >= t2.n)) " +
+      "ORDER BY k ASC NULLS FIRST"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Impure expressions (ibis ops.Impure — RandomScalar/RandomUUID/
@@ -317,16 +342,11 @@ object MiscQueries {
         .orderBy(col("c_nationkey"))
       val t = new graft.api.Table(df)
       val duck = t.renderSql("duckdb")
-      require(duck ==
-        "SELECT t0.c_nationkey, count(1) AS n, " +
-          "CAST(sum(t0.c_custkey) AS BIGINT) AS s FROM customer AS t0 " +
-          "WHERE ((t0.c_acctbal > CAST(100 AS DOUBLE)) AND (t0.c_mktsegment = 'BUILDING')) " +
-          "GROUP BY t0.c_nationkey ORDER BY c_nationkey ASC NULLS FIRST",
+      require(duck == Q97fDuckGolden,
         s"fluent duckdb rendering drifted from the recorded oracle:\n$duck")
       customer(s, dir).createOrReplaceTempView("customer")
       s.sql(t.renderSql())
-    }, Some("""
-      SELECT t0.c_nationkey, count(1) AS n, CAST(sum(t0.c_custkey) AS BIGINT) AS s FROM customer AS t0 WHERE ((t0.c_acctbal > CAST(100 AS DOUBLE)) AND (t0.c_mktsegment = 'BUILDING')) GROUP BY t0.c_nationkey ORDER BY c_nationkey ASC NULLS FIRST""")),
+    }, Some(Q97fDuckGolden)),
 
     // Composed-Table→SQL across a JOIN (round 11): fresh t0/t1 leaf
     // aliases keep both sides' columns unambiguous; same oracle-is-the-
@@ -339,16 +359,31 @@ object MiscQueries {
         .orderBy(col("r_name"))
       val t = new graft.api.Table(df)
       val duck = t.renderSql("duckdb")
-      require(duck ==
-        "SELECT t1.r_name, count(1) AS n_nations, max(t0.n_name) AS max_nation " +
-          "FROM nation AS t0 JOIN region AS t1 ON (t0.n_regionkey = t1.r_regionkey) " +
-          "GROUP BY t1.r_name ORDER BY r_name ASC NULLS FIRST",
+      require(duck == Q97gDuckGolden,
         s"fluent-join duckdb rendering drifted from the recorded oracle:\n$duck")
       nation(s, dir).createOrReplaceTempView("nation")
       region(s, dir).createOrReplaceTempView("region")
       s.sql(t.renderSql())
-    }, Some("""
-      SELECT t1.r_name, count(1) AS n_nations, max(t0.n_name) AS max_nation FROM nation AS t0 JOIN region AS t1 ON (t0.n_regionkey = t1.r_regionkey) GROUP BY t1.r_name ORDER BY r_name ASC NULLS FIRST""")),
+    }, Some(Q97gDuckGolden)),
+
+    // CTE extraction (round 12): a self-joined aggregate subplan lifts
+    // into ONE WITH body — the oracle IS the duckdb rendering, so the
+    // driver's DuckDB run proves the CTE form executes elsewhere and
+    // matches the engine's values (the q97f mechanism).
+    QueryDef("q97h_render_cte", (s, dir) => {
+      val totals = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("bigint").as("s"))
+      val j = totals.alias("a").join(totals.alias("b"),
+          col("a.o_custkey") === col("b.o_custkey") && col("a.n") >= col("b.n"))
+        .select(col("a.o_custkey").as("k"), col("a.n").as("n1"), col("b.s").as("s2"))
+        .orderBy(col("k"))
+      val t = new graft.api.Table(j)
+      val duck = t.renderSql("duckdb")
+      require(duck == Q97hDuckGolden,
+        s"CTE duckdb rendering drifted from the recorded oracle:\n$duck")
+      orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(t.renderSql())
+    }, Some(Q97hDuckGolden)),
 
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {

@@ -71,7 +71,11 @@ object DeltaRead {
       scala.collection.mutable.LinkedHashMap.empty)
 
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck",
+      // round 12: the reader requests the table's (widened) schema and
+      // Spark 4's parquet readers promote int32→int64 / float→double
+      // from older files' narrower physical types natively
+      "typeWidening")
 
   /** Relative paths of the currently active files — the remove set an
     * overwrite commit must publish ([[DeltaWrite]]). */
@@ -455,9 +459,14 @@ object DeltaRead {
         to_json(col("add.deletionVector")).cast("string") else lit(null).cast("string")
       val winners = df
         .filter(ap.isNotNull || rp.isNotNull)
+        // __ord: intra-commit line order (partition-local id; a commit
+        // JSON is one split) — after (version, isAdd) the tie-break is
+        // the LAST action line, matching the sequential replay exactly
+        // (not the lexicographic pv/dv text a bare struct-max would use)
+        .withColumn("__ord", monotonically_increasing_id())
         .select(coalesce(ap, rp).as("path"),
           struct(col("__v"), ap.isNotNull.cast("int").as("isAdd"),
-            pv.as("pv"), dv.as("dv")).as("act"))
+            col("__ord").as("ord"), pv.as("pv"), dv.as("dv")).as("act"))
         .groupBy(col("path"))
         .agg(max(col("act")).as("w"))
         .select(col("path"), col("w.isAdd"), col("w.pv"), col("w.dv"))

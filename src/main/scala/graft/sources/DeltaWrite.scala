@@ -739,7 +739,92 @@ object DeltaWrite {
           b: org.apache.spark.sql.types.MapType) =>
       conformsTo(a.keyType, b.keyType) && conformsTo(a.valueType, b.valueType) &&
         (!a.valueContainsNull || b.valueContainsNull)
-    case (a, b) => a == b
+    case (a, b) => a == b || widens(a, b)
+  }
+
+  /** The type-widening lattice this writer implements (the LOSSLESS
+    * integer/float core of the Delta `typeWidening` table feature —
+    * PROTOCOL.md "Type Widening"): byte → short → int → long and
+    * float → double. Everything else (decimal re-scaling, date →
+    * timestampNTZ, int → double) refuses — narrower-than-protocol,
+    * never wrong. */
+  private[sources] def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE … CHANGE COLUMN TYPE — type widening as a METADATA-ONLY
+    * commit (round 12; delta protocol `typeWidening` table feature): the
+    * field's declared type widens per [[widens]], existing files keep
+    * their narrower physical type and READERS upcast (Spark 4's parquet
+    * readers promote int32→int64 / float→double natively; [[DeltaRead]]
+    * requests the table schema). The commit upgrades the protocol to
+    * reader/writer features including `typeWidening` and records the
+    * protocol's `delta.typeChanges` field metadata, so foreign readers
+    * either implement the upcast or refuse loudly — never misread.
+    * Column-mapped fields keep their column id / physical name. Returns
+    * the committed version. */
+  def widenColumn(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String, newType: DataType): Long = {
+    val st = DeltaRead.currentState(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no Delta table at $path"))
+    DeltaRead.checkProtocol(st, path)
+    checkWriteProtocol(st, path, appendOnlyOp = true, metadataOnly = true)
+    require(st.schemaJson != null, s"table at $path has no schema to evolve")
+    val existing = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val idx = existing.fieldNames.indexOf(column)
+    require(idx >= 0, s"widenColumn: no column '$column' at $path")
+    require(!st.partitionCols.contains(column),
+      s"widenColumn: '$column' is a partition column — partition values " +
+        "are strings in the log; widening them is a rewrite, not an ALTER")
+    val old = existing.fields(idx)
+    require(widens(old.dataType, newType),
+      s"widenColumn: ${old.dataType.simpleString} -> ${newType.simpleString} " +
+        "is not a supported lossless widening (byte->short->int->long, " +
+        "float->double)")
+    // protocol's per-field change record: readers see WHAT widened and
+    // can trust older files' narrower physical types
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(old.metadata)
+      .putMetadataArray("delta.typeChanges", Array(
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("fromType", old.dataType.typeName)
+          .putString("toType", newType.typeName)
+          .build()))
+      .build()
+    val schemaOut = StructType(existing.fields.updated(idx,
+      old.copy(dataType = newType, metadata = md)))
+    val now = System.currentTimeMillis()
+    val lines = Seq.newBuilder[String]
+    // typeWidening is a reader+writer table feature: minReader 3 /
+    // minWriter 7, both feature lists carry it (plus every feature the
+    // prior protocol implied — feature lists are exhaustive)
+    val readerFeats = ((if (st.minReader >= 3) st.readerFeatures else Set.empty[String]) +
+      "typeWidening").toSeq.distinct.sorted
+    val writerFeats = ((if (st.minWriter >= 7) st.writerFeatures
+      else legacyWriterFeatures(st.minWriter)) ++ readerFeats + "typeWidening")
+      .toSeq.distinct.sorted
+    val upToDate = st.minReader >= 3 && st.minWriter >= 7 &&
+      st.readerFeatures.contains("typeWidening") &&
+      st.writerFeatures.contains("typeWidening")
+    if (!upToDate)
+      lines += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":${readerFeats.map(jstr).mkString("[", ",", "]")},""" +
+        s""""writerFeatures":${writerFeats.map(jstr).mkString("[", ",", "]")}}}"""
+    lines += s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schemaOut.json)},""" +
+      s""""partitionColumns":${st.partitionCols.map(jstr).mkString("[", ",", "]")},""" +
+      s""""configuration":${confJson(st.configuration)},"createdTime":$now}}"""
+    publishCommit(new File(new File(path), "_delta_log"), st.version + 1,
+      lines.result(), path)
+    st.version + 1
   }
 
   /** ALTER TABLE … ADD COLUMNS — a METADATA-ONLY commit, delta-spark's
@@ -837,10 +922,15 @@ object DeltaWrite {
         im.copy(keyType = mergeType(pm.keyType, im.keyType, s"$at.key"),
           valueType = mergeType(pm.valueType, im.valueType, s"$at.value"))
       case (p, i) if p == i => i
+      // lossless widening on a surviving field (round 12): an OVERWRITE
+      // replaces every data file, so the widened declared type holds for
+      // all remaining files — no typeChanges record needed here
+      case (p, i) if widens(p, i) => i
       case (p, i) => throw new IllegalArgumentException(
         s"column-mapped table at $path: field $at changes type " +
-          s"${p.simpleString} -> ${i.simpleString}; type changes need " +
-          "delta-spark's type-widening rules")
+          s"${p.simpleString} -> ${i.simpleString}; only the lossless " +
+          "widenings byte->short->int->long / float->double are supported " +
+          "(delta typeWidening; see also DeltaWrite.widenColumn)")
     }
     def walk(prev: StructType, inc: StructType, at: String): StructType =
       StructType(inc.fields.map { f =>
@@ -972,7 +1062,7 @@ object DeltaWrite {
   private val KnownWriterFeatures = Set(
     "appendOnly", "invariants", "checkConstraints", "generatedColumns",
     "changeDataFeed", "columnMapping", "identityColumns", "deletionVectors",
-    "timestampNtz", "vacuumProtocolCheck")
+    "timestampNtz", "vacuumProtocolCheck", "typeWidening")
 
   /** Refuse writes that would skip an enforcement the table's WRITER
     * protocol declares (PROTOCOL.md: writers must respect

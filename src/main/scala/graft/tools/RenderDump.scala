@@ -2,10 +2,11 @@ package graft.tools
 
 import java.io.File
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Spark half of the DUCKDB-DIALECT render round trip (round 11,
-  * VERDICT r10 #3): generate the 300-query fuzz corpus
+  * VERDICT r10 #3; widened round 12): generate the 300-query fuzz corpus
   * ([[SqlFuzzGen]]), decompile each walkable query, render it in the
   * DUCKDB dialect, and dump (a) the fixture tables as parquet, (b) each
   * walkable query's ENGINE result as parquet, (c) `render_duckdb.json`
@@ -14,6 +15,18 @@ import org.apache.spark.sql.SparkSession
   * and value-compares — proving the duckdb renderer's output is not just
   * well-formed text but executes ELSEWHERE to the engine's own values,
   * at fuzz breadth rather than q97e/q97f/q97g's three shapes.
+  *
+  * Round 12 adds:
+  *  - the REVERSE direction (VERDICT r11 #2, reference role
+  *    ibis/expr/sql.py:402-428): every duckdb rendering feeds back
+  *    through `parse_sql(_, dialect="duckdb")`, the rebuilt plan
+  *    executes in the ENGINE and its result dumps as `<name>_rt` —
+  *    render_check.py value-compares it against DuckDB, closing the
+  *    dialect loop in both directions;
+  *  - FLUENT entries (`fl_*`, via [[graft.api.PlanDecompile]]) covering
+  *    the duckdb spellings the fuzz grammar can't reach: CROSS JOIN
+  *    UNNEST (explode), inline VALUES (memtable + range), WITH CTEs,
+  *    list_value/string_split_regex function mappings.
   *
   * Usage: runMain graft.tools.RenderDump <outDir> */
 object RenderDump {
@@ -40,7 +53,22 @@ object RenderDump {
 
     var walkable = 0
     var opaque = 0
+    var reverseOk = 0
+    val reverseFails = Seq.newBuilder[(String, String)]
     val rendered = Seq.newBuilder[(String, String)]
+
+    /** Reverse: duckdb text → parse_sql(dialect=duckdb) → engine run. */
+    def reverse(name: String, duck: String): Unit =
+      try {
+        val rt = graft.api.SqlDecompile.decompile(spark, duck, "duckdb")
+          .table(spark).df
+        rt.coalesce(1).write.parquet(s"$out/${name}_rt")
+        reverseOk += 1
+      } catch {
+        case e: Exception =>
+          reverseFails += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+
     for (seed <- 1 to 300) {
       val (sql, _) = new SqlFuzzGen(seed.toLong).query(0)
       val op = graft.api.SqlDecompile.decompile(spark, sql)
@@ -51,8 +79,60 @@ object RenderDump {
         val duck = op.renderSql("duckdb")
         rendered += (name -> duck)
         spark.sql(sql).coalesce(1).write.parquet(s"$out/$name")
+        reverse(name, duck)
       }
     }
+
+    // fluent entries: composed plans rendered via PlanDecompile — the
+    // generator/VALUES/CTE spellings the text-fuzz grammar never emits
+    val ft1p = spark.read.parquet(s"$out/_fixtures/ft1")
+    val fluent: Seq[(String, DataFrame)] = Seq(
+      "fl_explode_array" -> ft1p
+        .select(col("id"), explode(array(col("id"), col("id") + 1, lit(7L))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+        .orderBy(col("v")),
+      "fl_explode_split" -> ft1p.filter(col("id") < 5)
+        .select(col("id"), explode(split(concat(col("name"), lit(",z")), ",")).as("w"))
+        .orderBy(col("id"), col("w")),
+      "fl_values_memtable" -> Seq(
+          (1L, "alpha", java.sql.Date.valueOf("2024-01-02"), 1.5),
+          (2L, "beta", java.sql.Date.valueOf("2024-05-06"), -2.25),
+          (3L, "gam'ma", java.sql.Date.valueOf("2023-12-31"), 0.0))
+        .toDF("id", "tag", "d", "x")
+        .filter(col("id") >= 1)
+        .select(col("id"), col("tag"), col("d"), (col("x") * 2).as("x2"))
+        .orderBy(col("id")),
+      "fl_range" -> spark.range(1, 9)
+        .select((col("id") * 3).as("v")).orderBy(col("v")),
+      "fl_cte_self_join" -> {
+        val totals = ft1p.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+        totals.alias("a").join(totals.alias("b"),
+            col("a.grp") === col("b.grp") && col("a.s") >= col("b.s"))
+          .select(col("a.grp").as("g"), col("a.n").as("n1"), col("b.s").as("s2"))
+          .orderBy(col("g"))
+      },
+      "fl_values_join" -> {
+        import spark.implicits._
+        val dims = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "word")
+        ft1p.join(dims, ft1p("grp") === dims("k"))
+          .select(col("id"), col("word")).orderBy(col("id"), col("word"))
+      })
+    var fluentOk = 0
+    val fluentFails = Seq.newBuilder[(String, String)]
+    for ((name, df) <- fluent) {
+      try {
+        val duck = graft.api.PlanDecompile.renderSql(df, "duckdb")
+        rendered += (name -> duck)
+        df.coalesce(1).write.parquet(s"$out/$name")
+        fluentOk += 1
+        reverse(name, duck)
+      } catch {
+        case e: Exception =>
+          fluentFails += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
+    }
+
     val entries = rendered.result()
     val json = entries.map { case (n, q) =>
       val esc = q.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -60,8 +140,12 @@ object RenderDump {
     }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.write(new File(out, "render_duckdb.json").toPath,
       json.getBytes("UTF-8"))
-    println(s"[render-dump] $walkable walkable rendered, $opaque opaque " +
-      s"(of 300) -> $out")
+    val ff = fluentFails.result()
+    val rf = reverseFails.result()
+    println(s"[render-dump] $walkable walkable rendered, $opaque opaque (of 300); " +
+      s"fluent $fluentOk/${fluent.size}; reverse $reverseOk/${entries.size} -> $out")
+    ff.foreach { case (n, m) => println(s"[render-dump] FLUENT-FAIL $n: $m") }
+    rf.foreach { case (n, m) => println(s"[render-dump] REVERSE-FAIL $n: $m") }
     spark.stop()
   }
 }

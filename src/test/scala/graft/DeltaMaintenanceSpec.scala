@@ -673,4 +673,77 @@ class DeltaMaintenanceSpec extends SparkSpec {
       org.apache.spark.sql.SaveMode.Append)
     assert(DeltaRead.readDelta(spark, path).count() == 2)
   }
+
+  test("widenColumn: metadata-only int->long / float->double; old files upcast on read (round 12)") {
+    import org.apache.spark.sql.types._
+    val path = tmpTable("graft_widen_plain")
+    DeltaWrite.toDelta(Seq((1, 1.5f), (2, -2.25f)).toDF("id", "x"), path)
+    val before = dataFiles(path).map(_.getName).toSet
+    assert(DeltaWrite.widenColumn(spark, path, "id", LongType) == 1L)
+    assert(DeltaWrite.widenColumn(spark, path, "x", DoubleType) == 2L)
+    assert(dataFiles(path).map(_.getName).toSet == before, "metadata-only: no file rewrite")
+    // old int32/float files read back under the WIDENED declared schema
+    val df = DeltaRead.readDelta(spark, path)
+    assert(df.schema("id").dataType == LongType, df.schema.simpleString)
+    assert(df.schema("x").dataType == DoubleType, df.schema.simpleString)
+    assert(df.as[(Long, Double)].collect().toSet == Set((1L, 1.5d), (2L, -2.25d)))
+    // appends: narrower incoming data still conforms (files keep int32,
+    // readers upcast), wider-than-declared refuses at the schema gate
+    DeltaWrite.toDelta(Seq((3, 9.0f)).toDF("id", "x"), path,
+      org.apache.spark.sql.SaveMode.Append)
+    DeltaWrite.toDelta(Seq((4L, 16.0d)).toDF("id", "x"), path,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(DeltaRead.readDelta(spark, path).as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5d), (2L, -2.25d), (3L, 9.0d), (4L, 16.0d)))
+    // protocol now carries the typeWidening feature on both lists and the
+    // field records its delta.typeChanges history
+    val st = DeltaRead.currentState(spark, path).get
+    assert(st.readerFeatures.contains("typeWidening"), st.readerFeatures)
+    assert(st.writerFeatures.contains("typeWidening"), st.writerFeatures)
+    val idField = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]("id")
+    assert(idField.metadata.contains("delta.typeChanges"), idField.metadata.json)
+    // narrowing refuses
+    assertThrows[IllegalArgumentException] {
+      DeltaWrite.widenColumn(spark, path, "id", IntegerType)
+    }
+  }
+
+  test("widenColumn on a COLUMN-MAPPED table keeps ids/physical names; mixed files upcast") {
+    import org.apache.spark.sql.types._
+    val dir = tmpTable("graft_widen_mapped")
+    val table = new File(dir)
+    // hand-craft a name-mode column-mapped table with an INT column
+    Seq((1, "a")).toDF("p-k", "p-tag").coalesce(1).write.parquet(dir + "/stage")
+    val stagePart = Option(new File(dir + "/stage").listFiles()).get
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(stagePart.toPath, new File(table, "part-1.parquet").toPath)
+    def fm(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("k", IntegerType, nullable = true, fm(1, "p-k")),
+      StructField("tag", StringType, nullable = true, fm(2, "p-tag"))))
+    val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    new File(table, "_delta_log").mkdirs()
+    Files.write(new File(new File(table, "_delta_log"), f"${0L}%020d.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"$schemaJson","partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"}}}""",
+        """{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n") + "\n").getBytes("UTF-8"))
+
+    DeltaWrite.widenColumn(spark, dir, "k", LongType)
+    val st = DeltaRead.currentState(spark, dir).get
+    val kAfter = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]("k")
+    assert(kAfter.dataType == LongType)
+    assert(kAfter.metadata.getLong("delta.columnMapping.id") == 1L, "column id must survive")
+    assert(kAfter.metadata.getString("delta.columnMapping.physicalName") == "p-k")
+    // append LONG data into the mapped table, read mixed int32+int64 files
+    DeltaWrite.toDelta(Seq((2L, "b")).toDF("k", "tag"), dir,
+      org.apache.spark.sql.SaveMode.Append)
+    assert(DeltaRead.readDelta(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
 }

@@ -191,12 +191,8 @@ class PlanDecompileSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(col("c_custkey")).cast("bigint").as("s"))
       .orderBy(col("c_nationkey"))
     val duck = new Table(df).renderSql("duckdb")
-    // pinned: this exact text is the q97f corpus oracle — change both together
-    assert(duck ==
-      "SELECT t0.c_nationkey, count(1) AS n, " +
-        "CAST(sum(t0.c_custkey) AS BIGINT) AS s FROM customer AS t0 " +
-        "WHERE ((t0.c_acctbal > CAST(100 AS DOUBLE)) AND (t0.c_mktsegment = 'BUILDING')) " +
-        "GROUP BY t0.c_nationkey ORDER BY c_nationkey ASC NULLS FIRST", duck)
+    // pinned via the ONE shared constant the q97f corpus oracle also uses
+    assert(duck == graft.queries.MiscQueries.Q97fDuckGolden, duck)
   }
 
   // ------------------------------------------------------------ refusals
@@ -327,5 +323,102 @@ class PlanDecompileSpec extends SparkSpec {
     // re-analysis produces the SAME generator and the gate passes
     val sql = new Table(t("nation").select((rand() * 0).as("z"))).renderSql()
     assert(sql.toLowerCase.contains("rand("), sql)
+  }
+
+  // ------------------------------------------------- CTE lifting (round 12)
+
+  test("a multi-referenced aggregate lifts into ONE WITH body (extract_ctes)") {
+    ensureViews()
+    // the reference's year_total shape (TPC-DS q74-style): one aggregate
+    // subplan joined to itself — must render with a single CTE body, not
+    // the subplan's text duplicated per reference
+    val totals = t("orders").groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+    val a = totals.alias("a"); val b = totals.alias("b")
+    val j = a.join(b, col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.total") >= col("b.total"))
+      .select(col("a.o_custkey").as("k"), col("a.total").as("t1"), col("b.n").as("n2"))
+      .orderBy(col("k")).limit(10)
+    val sql = checkSpark(j)
+    assert(sql.startsWith("WITH graft_cte_0 AS ("), sql)
+    // exactly one aggregate body: the GROUP BY text appears once
+    assert("GROUP BY".r.findAllIn(sql).size == 1, sql)
+    assert("FROM orders".r.findAllIn(sql).size == 1, sql)
+    val duck = new Table(j).renderSql("duckdb")
+    assert(duck.startsWith("WITH graft_cte_0 AS ("), duck)
+  }
+
+  test("three-way reuse references the same CTE three times") {
+    ensureViews()
+    val base = t("nation").filter(col("n_regionkey") < 3)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    val u = base.union(base).union(base)
+      .groupBy(col("n_regionkey")).agg(sum(col("n")).as("s"))
+      .orderBy(col("n_regionkey"))
+    val sql = checkSpark(u)
+    assert(sql.startsWith("WITH graft_cte_0"), sql)
+    assert("graft_cte_0".r.findAllIn(sql).size == 4, sql) // 1 def + 3 refs
+  }
+
+  test("an input plan that already carries a WITH decompiles and re-renders") {
+    ensureViews()
+    val df = spark.sql(
+      """WITH t AS (SELECT o_custkey, sum(o_totalprice) AS tot FROM orders GROUP BY o_custkey)
+        |SELECT x.o_custkey AS k, x.tot, y.tot AS tot2 FROM t x JOIN t y ON x.o_custkey = y.o_custkey
+        |ORDER BY k LIMIT 10""".stripMargin)
+    val sql = checkSpark(df)
+    assert(sql.startsWith("WITH graft_cte_0"), sql)
+  }
+
+  test("CTE-extracted trees rebuild through SqlOp.table too") {
+    ensureViews()
+    val base = t("region").select(col("r_regionkey"), col("r_name"))
+    val j = base.alias("l").join(base.alias("r"),
+        col("l.r_regionkey") === col("r.r_regionkey"))
+      .select(col("l.r_name").as("a"), col("r.r_name").as("b"))
+      .orderBy(col("a"))
+    val op = PlanDecompile.decompile(j)
+    assert(op.isInstanceOf[graft.api.SqlWith], op.getClass.getSimpleName)
+    val re = op.table(spark).df
+    assert(re.collect().map(_.toString).sorted.toSeq ==
+      j.collect().map(_.toString).sorted.toSeq)
+  }
+
+  // ---------------------------------------- subquery expressions (round 12)
+
+  test("uncorrelated scalar / IN / EXISTS subqueries render; correlated refuse") {
+    ensureViews()
+    val scalar = spark.sql(
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey LIMIT 10""".stripMargin)
+    val s1 = checkSpark(scalar)
+    assert(s1.contains("(SELECT avg("), s1)
+
+    val inq = spark.sql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        |ORDER BY c_custkey LIMIT 10""".stripMargin)
+    val s2 = checkSpark(inq)
+    assert(s2.contains(" IN (SELECT"), s2)
+
+    val ex = spark.sql(
+      """SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM region WHERE r_regionkey = 0)
+        |ORDER BY n_name LIMIT 5""".stripMargin)
+    val s3 = checkSpark(ex)
+    assert(s3.toLowerCase.contains("exists (select"), s3)
+
+    val notIn = spark.sql(
+      """SELECT n_name FROM nation
+        |WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey > 2)
+        |ORDER BY n_name""".stripMargin)
+    val s4 = checkSpark(notIn)
+    assert(s4.contains("NOT"), s4)
+
+    // correlated forms have no detached rendering — refuse, never wrong
+    refuses(spark.sql(
+      "SELECT c_custkey FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"))
   }
 }

@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.api.Table
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Golden-SQL snapshots (round 12, the reference's
+  * ibis/backends/tests/sql/test_select_sql.py + snapshots/ model): the
+  * EXACT rendered text of ~30 representative fluent plans is pinned as
+  * checked-in files, one per (plan, dialect) — renderer drift becomes a
+  * reviewable diff, not a silent reformat. Regenerate intentionally with
+  * GRAFT_UPDATE_GOLDENS=1 (writes the files, fails the run so a stale
+  * green can't ship), then commit the diff. */
+class SqlGoldenSpec extends SparkSpec {
+
+  private val goldenDir = Paths.get("src/test/resources/sql_goldens")
+
+  private def t(name: String): DataFrame = graft.queries.Tables.t(spark, sfDir, name)
+
+  /** (name, plan builder, dialects to pin — duckdb omitted where the
+    * dialect refuses by design, e.g. posexplode). */
+  private lazy val plans: Seq[(String, () => DataFrame, Seq[String])] = {
+    def both = Seq("spark", "duckdb")
+    Seq(
+      ("project_filter", () => t("nation").filter(col("n_nationkey") > 5)
+        .select(col("n_name"), (col("n_regionkey") + 1).as("r1")), both),
+      ("mutate_case_cast", () => t("customer")
+        .select(col("c_custkey").cast("int").as("k"),
+          when(col("c_acctbal") > 0, lit("pos")).otherwise(lit("neg")).as("sign")), both),
+      ("agg_grouped", () => t("customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("s"))
+        .orderBy(col("c_nationkey")), both),
+      ("agg_global", () => t("nation")
+        .agg(count(lit(1)).as("n"), max(col("n_nationkey")).as("mx")), both),
+      ("agg_having", () => t("customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 2)
+        .orderBy(col("c_nationkey")), both),
+      ("agg_distinct", () => t("orders")
+        .agg(countDistinct(col("o_custkey")).as("nd")), both),
+      ("join_inner", () => {
+        val n = t("nation"); val r = t("region")
+        n.join(r, n("n_regionkey") === r("r_regionkey"))
+          .select(n("n_name"), r("r_name")).orderBy(col("n_name"))
+      }, both),
+      ("join_left", () => {
+        val n = t("nation"); val r = t("region")
+        n.join(r, n("n_regionkey") === r("r_regionkey"), "left")
+          .select(n("n_name"), r("r_name")).orderBy(col("n_name"))
+      }, both),
+      ("join_semi_anti", () => {
+        val n = t("nation"); val r = t("region")
+        n.join(r, n("n_regionkey") === r("r_regionkey"), "left_semi")
+          .join(t("region").filter(col("r_regionkey") > 99),
+            n("n_nationkey") === col("r_regionkey"), "left_anti")
+          .orderBy(col("n_nationkey"))
+      }, both),
+      ("join_three_way", () => {
+        val c = t("customer"); val n = t("nation"); val r = t("region")
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(r("r_name")).agg(count(lit(1)).as("n_cust"))
+          .orderBy(col("r_name"))
+      }, both),
+      ("self_join_cte", () => {
+        val totals = t("orders").groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        totals.alias("a").join(totals.alias("b"),
+            col("a.o_custkey") === col("b.o_custkey") && col("a.total") >= col("b.total"))
+          .select(col("a.o_custkey").as("k"), col("a.total").as("t1"), col("b.n").as("n2"))
+          .orderBy(col("k")).limit(10)
+      }, both),
+      ("union_all_cte", () => {
+        val base = t("nation").filter(col("n_regionkey") < 3)
+          .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+        base.union(base).groupBy(col("n_regionkey")).agg(sum(col("n")).as("s"))
+          .orderBy(col("n_regionkey"))
+      }, both),
+      ("set_ops", () => {
+        val a = t("nation").select(col("n_regionkey").as("k"))
+        val b = t("region").select(col("r_regionkey").as("k"))
+        a.intersect(b).except(b.filter(col("k") > 3)).orderBy(col("k"))
+      }, both),
+      ("distinct_limit_offset", () => t("customer")
+        .select(col("c_nationkey")).distinct()
+        .orderBy(col("c_nationkey")).offset(2).limit(5), both),
+      ("sort_nulls_desc", () => t("customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc_nulls_last, col("c_custkey").asc_nulls_first)
+        .limit(10), both),
+      ("window_rank", () => t("customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          rank().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))).as("rk"))
+        .orderBy(col("c_nationkey"), col("c_custkey")).limit(20), both),
+      ("window_lag_frame", () => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+        t("customer")
+          .select(col("c_custkey"),
+            lag(col("c_acctbal"), 1).over(w).as("prev"),
+            sum(col("c_acctbal")).over(w.rowsBetween(-2, 0)).as("run3"))
+          .orderBy(col("c_custkey")).limit(20)
+      }, both),
+      ("rollup", () => t("customer")
+        .rollup(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first), both),
+      ("cube_grouping_id", () => t("nation")
+        .cube(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("n_regionkey").asc_nulls_first, col("gid")), both),
+      ("explode_unnest", () => t("documents").filter(col("doc_id") < 5)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+        .orderBy(col("doc_id")), both),
+      ("posexplode_spark_only", () => t("documents").filter(col("doc_id") < 3)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .orderBy(col("doc_id"), col("pos")).limit(10), Seq("spark")),
+      ("memtable_values", () => {
+        import spark.implicits._
+        Seq((1L, "a", java.sql.Date.valueOf("2024-01-02")),
+          (2L, "b", java.sql.Date.valueOf("2024-05-06")))
+          .toDF("id", "tag", "d").filter(col("id") > 0)
+      }, both),
+      ("range_values", () => spark.range(1, 6)
+        .select((col("id") * 2).as("even")), both),
+      ("like_between_in", () => t("customer")
+        .filter(col("c_name").like("%1%") && col("c_custkey").between(10, 500) &&
+          col("c_nationkey").isin(1, 2, 3))
+        .select(col("c_custkey")).orderBy(col("c_custkey")), both),
+      ("null_handling", () => t("customer")
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("none")).as("seg"),
+          col("c_acctbal").isNull.as("no_bal"))
+        .orderBy(col("c_custkey")).limit(5), both),
+      ("string_funcs", () => t("nation")
+        .select(upper(col("n_name")).as("u"), length(col("n_name")).as("l"),
+          substring(col("n_name"), 1, 3).as("pre"))
+        .orderBy(col("u")), both),
+      ("numeric_funcs", () => t("customer")
+        .select(abs(col("c_acctbal")).as("a"), round(col("c_acctbal"), 1).as("r"),
+          (col("c_custkey") % 7).as("m"))
+        .orderBy(col("m"), col("a")).limit(10), both),
+      ("scalar_subquery", () => spark.sql(
+        "SELECT c_custkey FROM customer WHERE c_acctbal > " +
+          "(SELECT avg(c_acctbal) FROM customer) ORDER BY c_custkey LIMIT 10"), both),
+      ("in_subquery", () => spark.sql(
+        "SELECT c_custkey FROM customer WHERE c_nationkey IN " +
+          "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1) " +
+          "ORDER BY c_custkey LIMIT 10"), both),
+      ("exists_subquery", () => spark.sql(
+        "SELECT n_name FROM nation WHERE EXISTS " +
+          "(SELECT 1 FROM region WHERE r_regionkey = 0) ORDER BY n_name LIMIT 5"), both),
+      ("with_input", () => spark.sql(
+        "WITH t AS (SELECT o_custkey, sum(o_totalprice) AS tot FROM orders " +
+          "GROUP BY o_custkey) SELECT x.o_custkey AS k, x.tot, y.tot AS tot2 " +
+          "FROM t x JOIN t y ON x.o_custkey = y.o_custkey ORDER BY k LIMIT 10"), both)
+    )
+  }
+
+  private def ensureViews(): Unit =
+    Seq("nation", "region", "customer", "supplier", "orders", "lineitem", "part",
+      "documents").foreach(n => t(n).createOrReplaceTempView(n))
+
+  test("rendered SQL matches the checked-in goldens (spark + duckdb)") {
+    ensureViews()
+    val update = sys.env.get("GRAFT_UPDATE_GOLDENS").contains("1")
+    if (update) Files.createDirectories(goldenDir)
+    val drift = scala.collection.mutable.ArrayBuffer[String]()
+    var pinned = 0
+    for ((name, mk, dialects) <- plans; dialect <- dialects) {
+      val rendered = new Table(mk()).renderSql(dialect)
+      val file = goldenDir.resolve(s"$name.$dialect.sql")
+      if (update) {
+        Files.write(file, (rendered + "\n").getBytes("UTF-8"))
+        pinned += 1
+      } else {
+        assert(Files.exists(file),
+          s"missing golden $file — regenerate with GRAFT_UPDATE_GOLDENS=1")
+        val want = new String(Files.readAllBytes(file), "UTF-8").stripLineEnd
+        if (rendered != want)
+          drift += s"$name.$dialect:\n  golden:   $want\n  rendered: $rendered"
+        pinned += 1
+      }
+    }
+    info(s"$pinned golden renderings checked across ${plans.size} plans")
+    assert(drift.isEmpty, s"renderer drift against goldens:\n${drift.mkString("\n\n")}")
+    assert(!update, "goldens regenerated — rerun without GRAFT_UPDATE_GOLDENS to pin")
+  }
+}
