@@ -13,12 +13,16 @@ object Bench {
 
   /** Headline subset: one per cost shape — scan+agg, multi-join, window,
     * asof (compact runs+probe), set-op distinct, LSH dedup, ANN topk, text
-    * featurization, windowed events. */
+    * featurization, windowed events, and (round 12) the two TPC-DS-shaped
+    * heavies the DS corpus adds over TPC-H: a ROLLUP aggregate over a
+    * 4-way join (q202, DS Q27 shape) and window-over-join year-over-year
+    * analytics (q204, DS Q47 shape). */
   private val headline = Seq(
     "q01_agg", "q03_join_agg_top", "q12_window_rank", "q19_asof_join",
     "q37_mode", "q60b_text_stats_full", "q63_dedup_keep_first", "q65_minhash_pairs",
     "q68_embedding_topk", "q71_quality_pipeline", "q80_tumble", "q82_session",
-    "q101_tpch5_local_volume", "q103_tpch13_custdist")
+    "q101_tpch5_local_volume", "q103_tpch13_custdist",
+    "q202_ds27_rollup_avgs", "q204_ds47_yoy_monthly")
 
   /** Timed but excluded from the ratio geomean: q80_control is the bare-
     * groupBy floor measurement for q80 (verdict r2 #8); the q114 pair

@@ -299,6 +299,11 @@ object PlanDecompile {
     /** Did this run lift any repeated subtree into a CTE? (Gates the
       * retry-without-extraction fallback.) */
     var ctesAttempted = false
+    /** Scope visible to OuterReference inside the subquery currently
+      * being rendered: the union of every enclosing query block's env
+      * (exprIds are globally unique, so a flat merge cannot mis-bind).
+      * Saved/restored around each nested rendering in [[subquerySql]]. */
+    var outerScope: Env = Map.empty
   }
 
   /** Marker leaf spliced over every occurrence of an extracted repeated
@@ -850,26 +855,28 @@ object PlanDecompile {
       raw: Map[ExprId, String] = Map.empty)(implicit run: Run): String = {
     if (e.exists(_.isInstanceOf[WindowExpression]))
       refuse("window expression outside a Window node")
-    // UNCORRELATED subqueries (round 12): the nested plan decompiles
-    // through the same run (shared relation splice + alias counter) and
-    // embeds as a parenthesized SELECT; correlated forms refuse (their
-    // outer references have no scope in a detached rendering). A
-    // TOP-DOWN pre-pass — bottom-up would reach the inner ListQuery
-    // before the InSubquery that gives it meaning.
+    // Subqueries (round 12): the nested plan decompiles through the same
+    // run (shared relation splice + alias counter) and embeds as a
+    // parenthesized SELECT. CORRELATED forms render too — the analyzer
+    // wraps each outer column in [[OuterReference]], which resolves
+    // against the env at THIS rex call site (pushed onto the run's outer
+    // scope for the nested rendering); an outer name that would re-bind
+    // differently inside the subquery block is caught by the whole-query
+    // faithfulness gate, so a mis-scoped rendering refuses rather than
+    // ships. A TOP-DOWN pre-pass — bottom-up would reach the inner
+    // ListQuery before the InSubquery that gives it meaning.
     val pre =
       try e.transformDown {
         case sq: ScalarSubquery =>
-          if (sq.outerAttrs.nonEmpty) refuse("correlated scalar subquery")
-          RawSql(s"(${subquerySql(sq.plan)})")
+          if (sq.joinCond.nonEmpty) refuse("scalar subquery with a pre-planned join condition")
+          RawSql(s"(${subquerySql(sq.plan, env)})")
         case ex: Exists =>
-          if (ex.outerAttrs.nonEmpty) refuse("correlated EXISTS subquery")
-          RawSql(s"exists (${subquerySql(ex.plan)})")
+          if (ex.joinCond.nonEmpty) refuse("EXISTS subquery with a pre-planned join condition")
+          RawSql(s"exists (${subquerySql(ex.plan, env)})")
         case in: InSubquery =>
           in.query match {
-            case lq: ListQuery if lq.outerAttrs.isEmpty && in.values.size == 1 =>
-              RawSql(s"(${rex(in.values.head, env, raw)} IN (${subquerySql(lq.plan)}))")
-            case lq: ListQuery if lq.outerAttrs.nonEmpty =>
-              refuse("correlated IN subquery")
+            case lq: ListQuery if lq.joinCond.isEmpty && in.values.size == 1 =>
+              RawSql(s"(${rex(in.values.head, env, raw)} IN (${subquerySql(lq.plan, env)}))")
             case _ => refuse("multi-value IN subquery")
           }
         case other: SubqueryExpression =>
@@ -888,6 +895,14 @@ object PlanDecompile {
         // raw overrides (grouping-sets keys, grouping_id()) come first
         case ar: AttributeReference if raw.contains(ar.exprId) =>
           RawSql(raw(ar.exprId))
+        // a correlated column inside a subquery: OuterReference is a LEAF
+        // (the wrapped attribute is a constructor param, not a child), so
+        // it resolves here against the enclosing blocks' merged scope
+        case OuterReference(ar: AttributeReference) =>
+          QualifiedRef(run.outerScope.getOrElse(ar.exprId,
+            refuse(s"outer reference ${ar.name}#${ar.exprId.id} is not in any enclosing scope")))
+        case OuterReference(o) =>
+          refuse(s"outer reference to ${o.getClass.getSimpleName}")
         case ar: AttributeReference =>
           QualifiedRef(env.getOrElse(ar.exprId,
             refuse(s"column ${ar.name}#${ar.exprId.id} is not in scope")))
@@ -917,13 +932,22 @@ object PlanDecompile {
     s
   }
 
-  /** Render an uncorrelated subquery's plan as standalone SQL text,
-    * through the SAME run — its relations join the splice map and its
-    * aliases stay globally unique (and any CTEs it registers land in the
-    * enclosing WITH, which scopes over subqueries). */
-  private def subquerySql(plan: LogicalPlan)(implicit run: Run): String = {
-    val (op, env) = dec(plan)
-    SqlDecompile.renderSql(materialize(op, plan.output, env)._1, "spark")
+  /** Render a subquery's plan as standalone SQL text, through the SAME
+    * run — its relations join the splice map and its aliases stay
+    * globally unique (and any CTEs it registers land in the enclosing
+    * WITH, which scopes over subqueries). `outer` — the env in effect at
+    * the subquery expression's call site — is pushed onto the run's
+    * outer scope for the nested rendering, so correlated
+    * [[OuterReference]]s inside the plan resolve to the enclosing
+    * block's alias-qualified names (subqueries nest: the merged scope
+    * accumulates, and is restored on exit). */
+  private def subquerySql(plan: LogicalPlan, outer: Env)(implicit run: Run): String = {
+    val saved = run.outerScope
+    run.outerScope = saved ++ outer
+    try {
+      val (op, env) = dec(plan)
+      SqlDecompile.renderSql(materialize(op, plan.output, env)._1, "spark")
+    } finally run.outerScope = saved
   }
 
   /** One analyzed window expression → [[SqlWindowDef]]. Ranking and

@@ -35,6 +35,26 @@ object MiscQueries {
       "ON ((t1.o_custkey = t2.o_custkey) AND (t1.n >= t2.n)) " +
       "ORDER BY k ASC NULLS FIRST"
 
+  /** q97i: a plan SOURCED FROM SQL TEXT carrying an uncorrelated scalar
+    * subquery renders in both dialects (round 12 — the largest previously
+    * refusing class, PlanDecompile SubqueryExpression support). */
+  val Q97iDuckGolden: String =
+    "SELECT t0.c_custkey, t0.c_acctbal FROM customer AS t0 " +
+      "WHERE (t0.c_acctbal > (SELECT avg(t1.c_acctbal) AS \"avg(c_acctbal)\" FROM customer AS t1)) " +
+      "ORDER BY c_custkey ASC NULLS FIRST LIMIT 10"
+
+  /** q97j: a CORRELATED scalar subquery (per-nation average, TPC-H
+    * Q2/Q17 shape) renders too — the analyzer's OuterReference resolves
+    * against the enclosing block's alias, so `t2.c_nationkey = t0
+    * .c_nationkey` crosses the subquery boundary exactly as SQL scoping
+    * requires. */
+  val Q97jDuckGolden: String =
+    "SELECT t1.n_name, t0.c_custkey, t0.c_acctbal FROM customer AS t0 " +
+      "JOIN nation AS t1 ON (t0.c_nationkey = t1.n_nationkey) " +
+      "WHERE (t0.c_acctbal > (SELECT avg(t2.c_acctbal) AS \"avg(c_acctbal)\" FROM customer AS t2 " +
+      "WHERE (t2.c_nationkey = t0.c_nationkey))) " +
+      "ORDER BY c_custkey ASC NULLS FIRST LIMIT 15"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Impure expressions (ibis ops.Impure — RandomScalar/RandomUUID/
@@ -384,6 +404,44 @@ object MiscQueries {
       orders(s, dir).createOrReplaceTempView("orders")
       s.sql(t.renderSql())
     }, Some(Q97hDuckGolden)),
+
+    // Subquery-expression rendering (round 12): a plan built FROM SQL TEXT
+    // (spark.sql) with an uncorrelated scalar subquery decompiles and
+    // renders instead of refusing — the oracle IS the duckdb rendering
+    // (the q97f mechanism), so DuckDB executes the rendered text and must
+    // match the engine running the rendered spark text.
+    QueryDef("q97i_render_subquery", (s, dir) => {
+      customer(s, dir).createOrReplaceTempView("customer")
+      val plan = s.sql(
+        """SELECT c_custkey, c_acctbal FROM customer
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          |ORDER BY c_custkey LIMIT 10""".stripMargin)
+      val t = new graft.api.Table(plan)
+      val duck = t.renderSql("duckdb")
+      require(duck == Q97iDuckGolden,
+        s"subquery duckdb rendering drifted from the recorded oracle:\n$duck")
+      s.sql(t.renderSql())
+    }, Some(Q97iDuckGolden)),
+
+    // Correlated subquery rendering (round 12): the scalar subquery's
+    // WHERE references the OUTER query's alias — DuckDB executes the
+    // rendered text as the oracle, the engine executes the rendered
+    // spark text, and both must value-match.
+    QueryDef("q97j_render_correlated", (s, dir) => {
+      customer(s, dir).createOrReplaceTempView("customer")
+      nation(s, dir).createOrReplaceTempView("nation")
+      val plan = s.sql(
+        """SELECT n_name, c_custkey, c_acctbal FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+          |                   WHERE c2.c_nationkey = customer.c_nationkey)
+          |ORDER BY c_custkey LIMIT 15""".stripMargin)
+      val t = new graft.api.Table(plan)
+      val duck = t.renderSql("duckdb")
+      require(duck == Q97jDuckGolden,
+        s"correlated-subquery duckdb rendering drifted from the recorded oracle:\n$duck")
+      s.sql(t.renderSql())
+    }, Some(Q97jDuckGolden)),
 
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {

@@ -117,7 +117,20 @@ object RenderDump {
         val dims = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "word")
         ft1p.join(dims, ft1p("grp") === dims("k"))
           .select(col("id"), col("word")).orderBy(col("id"), col("word"))
-      })
+      },
+      // subquery expressions (round 12): uncorrelated scalar, correlated
+      // EXISTS, and correlated scalar — the rendered text embeds nested
+      // SELECTs whose duckdb retranslation (and reverse parse) the fuzz
+      // grammar never reaches
+      "fl_subquery_scalar" -> spark.sql(
+        "SELECT id, v FROM ft2 WHERE v > (SELECT avg(v) FROM ft2) ORDER BY id, v"),
+      "fl_subquery_exists_corr" -> spark.sql(
+        "SELECT t.id, t.name FROM ft1 t WHERE EXISTS " +
+          "(SELECT 1 FROM ft2 WHERE ft2.id = t.id AND ft2.v > 0) ORDER BY t.id"),
+      "fl_subquery_scalar_corr" -> spark.sql(
+        "SELECT id, grp FROM ft1 WHERE id > " +
+          "(SELECT min(ft2.id) FROM ft2 WHERE ft2.id > ft1.grp) " +
+          "ORDER BY id, grp"))
     var fluentOk = 0
     val fluentFails = Seq.newBuilder[(String, String)]
     for ((name, df) <- fluent) {

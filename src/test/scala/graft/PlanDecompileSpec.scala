@@ -386,7 +386,7 @@ class PlanDecompileSpec extends SparkSpec {
 
   // ---------------------------------------- subquery expressions (round 12)
 
-  test("uncorrelated scalar / IN / EXISTS subqueries render; correlated refuse") {
+  test("uncorrelated scalar / IN / EXISTS subqueries render") {
     ensureViews()
     val scalar = spark.sql(
       """SELECT c_custkey, c_acctbal FROM customer
@@ -415,10 +415,49 @@ class PlanDecompileSpec extends SparkSpec {
         |ORDER BY n_name""".stripMargin)
     val s4 = checkSpark(notIn)
     assert(s4.contains("NOT"), s4)
+  }
 
-    // correlated forms have no detached rendering — refuse, never wrong
-    refuses(spark.sql(
-      "SELECT c_custkey FROM customer c WHERE EXISTS " +
-        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"))
+  test("correlated EXISTS / IN / scalar subqueries render through the enclosing scope") {
+    ensureViews()
+    // EXISTS with an equi-correlation (TPC-H Q4 shape)
+    val ex = spark.sql(
+      """SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey
+        |              AND c_acctbal > 9000)
+        |ORDER BY n_name""".stripMargin)
+    val s1 = checkSpark(ex)
+    assert(s1.toLowerCase.contains("exists (select"), s1)
+
+    // NOT EXISTS (TPC-H Q21/Q22 shape)
+    checkSpark(spark.sql(
+      """SELECT r_name FROM region
+        |WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey
+        |                  AND n_nationkey > 20)
+        |ORDER BY r_name""".stripMargin))
+
+    // correlated IN
+    checkSpark(spark.sql(
+      """SELECT c_custkey FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey = c_custkey % 5)
+        |ORDER BY c_custkey LIMIT 20""".stripMargin))
+
+    // correlated scalar subquery (per-group average, TPC-H Q2/Q17 shape)
+    val sc = spark.sql(
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = customer.c_nationkey)
+        |ORDER BY c_custkey LIMIT 20""".stripMargin)
+    val s2 = checkSpark(sc)
+    assert(s2.contains("(SELECT avg("), s2)
+
+    // correlation from a NESTED block two levels up still resolves
+    checkSpark(spark.sql(
+      """SELECT n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_nationkey = n_nationkey
+        |              AND c_acctbal > (SELECT min(o_totalprice) / 100 FROM orders
+        |                               WHERE o_custkey = c_custkey))
+        |ORDER BY n_name""".stripMargin))
   }
 }

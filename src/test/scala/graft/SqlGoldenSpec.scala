@@ -157,7 +157,16 @@ class SqlGoldenSpec extends SparkSpec {
       ("with_input", () => spark.sql(
         "WITH t AS (SELECT o_custkey, sum(o_totalprice) AS tot FROM orders " +
           "GROUP BY o_custkey) SELECT x.o_custkey AS k, x.tot, y.tot AS tot2 " +
-          "FROM t x JOIN t y ON x.o_custkey = y.o_custkey ORDER BY k LIMIT 10"), both)
+          "FROM t x JOIN t y ON x.o_custkey = y.o_custkey ORDER BY k LIMIT 10"), both),
+      ("correlated_exists", () => spark.sql(
+        "SELECT n_name FROM nation WHERE EXISTS " +
+          "(SELECT 1 FROM customer WHERE c_nationkey = n_nationkey AND c_acctbal > 9000) " +
+          "ORDER BY n_name"), both),
+      ("correlated_scalar", () => spark.sql(
+        "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > " +
+          "(SELECT avg(c2.c_acctbal) FROM customer c2 " +
+          "WHERE c2.c_nationkey = customer.c_nationkey) " +
+          "ORDER BY c_custkey LIMIT 20"), both)
     )
   }
 

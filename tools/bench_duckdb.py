@@ -21,7 +21,8 @@ HEADLINE = [
     "q01_agg", "q03_join_agg_top", "q12_window_rank", "q19_asof_join",
     "q37_mode", "q60b_text_stats_full", "q63_dedup_keep_first", "q65_minhash_pairs",
     "q68_embedding_topk", "q71_quality_pipeline", "q80_tumble", "q82_session",
-    "q101_tpch5_local_volume", "q103_tpch13_custdist"]
+    "q101_tpch5_local_volume", "q103_tpch13_custdist",
+    "q202_ds27_rollup_avgs", "q204_ds47_yoy_monthly"]
 
 # Controls are timed but kept OUT of the ratio geomean: q80_control is the
 # bare-groupBy floor measurement for q80; the q114 pair measures salted vs
