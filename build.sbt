@@ -45,4 +45,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the JVM a comparable working set (lazily committed, harmless for
   // small runs).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // Shuffle dir for ad-hoc runMain experiments (TimeOne): graft.Bench
+  // builds its session with tmpfs shuffle explicitly, but spark.local.dir
+  // is fixed at JVM start — a plain `runMain graft.tools.TimeOne` would
+  // otherwise spill SF100 shuffles to the throttled sandbox disk and
+  // measure IO QoS, not the plan (BENCH_LARGE.md round-3 note).
+  sys.env.get("SPARK_LOCAL_DIR").map(d => s"-Dspark.local.dir=$d").toSeq

@@ -52,21 +52,47 @@ object TpcdsQueries {
       GROUP BY 1, 2 ORDER BY d_year, sum_agg DESC, p_brand""")),
 
     // DS Q27 shape: ROLLUP averages over a (nation, segment) hierarchy.
+    // Plan: the rollup keys (n_name, c_mktsegment) are functionally
+    // dependent on c_custkey, and every aggregate is a decomposable
+    // sum/count — so collapse the fact side to per-customer partial sums
+    // FIRST (decimal sums are exact, so two-level summation is
+    // bit-identical to the single-pass oracle), then join the 100×
+    // smaller per-customer frame to customer + broadcast nation and
+    // expand ×3 over THAT. The naive join-then-rollup shape expands the
+    // full lineitem join output 3× before aggregating (measured 7.7× of
+    // DuckDB at SF10; this shape ~2×); at 100 TB the Expand over the
+    // fact table is the difference between shuffling 3× the corpus and
+    // shuffling |customers|.
     QueryDef("q202_ds27_rollup_avgs", (s, dir) => {
       val c = customer(s, dir); val o = orders(s, dir)
       val l = lineitem(s, dir); val n = nation(s, dir)
-      val j = Table(c)
-        .join(Table(o), c("c_custkey") === o("o_custkey"))
-        .join(Table(l), o("o_orderkey") === l("l_orderkey"))
-        .join(Table(n), c("c_nationkey") === n("n_nationkey")).df
+      val perOrder = l.select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(38,4)")).as("oq"),
+          count(col("l_quantity")).as("onq"),
+          sum(col("l_extendedprice").cast("decimal(38,4)")).as("op"),
+          count(col("l_extendedprice")).as("onp"),
+          sum(col("l_discount").cast("decimal(38,4)")).as("od"),
+          count(col("l_discount")).as("ond"))
+      val perCust = Table(perOrder)
+        .join(Table(o.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .df.groupBy(col("o_custkey"))
+        .agg(
+          sum(col("oq")).as("sq"), sum(col("onq")).as("cq"),
+          sum(col("op")).as("sp"), sum(col("onp")).as("cp"),
+          sum(col("od")).as("sd"), sum(col("ond")).as("cd"))
+      val j = Table(perCust)
+        .join(Table(c.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Table(n), col("c_nationkey") === col("n_nationkey")).df
       Table(j.rollup(col("n_name"), col("c_mktsegment"))
         .agg(
-          round(sum(col("l_quantity").cast("decimal(38,4)")).cast("double") /
-            count(col("l_quantity")), 6).as("agg1"),
-          round(sum(col("l_extendedprice").cast("decimal(38,4)")).cast("double") /
-            count(col("l_extendedprice")), 6).as("agg2"),
-          round(sum(col("l_discount").cast("decimal(38,4)")).cast("double") /
-            count(col("l_discount")), 6).as("agg3"),
+          round(sum(col("sq")).cast("double") / sum(col("cq")), 6).as("agg1"),
+          round(sum(col("sp")).cast("double") / sum(col("cp")), 6).as("agg2"),
+          round(sum(col("sd")).cast("double") / sum(col("cd")), 6).as("agg3"),
           (grouping(col("n_name")) * 2 + grouping(col("c_mktsegment"))).cast("int").as("lvl")))
         .sort(SortKey.asc(col("lvl")), SortKey.asc(col("n_name")), SortKey.asc(col("c_mktsegment")))
         .df
@@ -115,16 +141,29 @@ object TpcdsQueries {
 
     // DS Q47/Q57 shape: monthly revenue per nation with lag-1, lag-12, and
     // a decimal-exact windowed yearly mean (window-over-join analytics).
+    // Plan: revenue is a decimal sum, so collapse lineitem to one exact
+    // per-order revenue BELOW the orderkey exchange (map-side combine
+    // shrinks the fact shuffle ~4×, and the orders join arrives
+    // co-partitioned on the agg's own hash layout); the monthly group-by
+    // then runs over |orders| rows, not |lineitem|, and the window ranks
+    // 25 nations × months — driver-trivial at any scale.
     QueryDef("q204_ds47_yoy_monthly", (s, dir) => {
       val l = lineitem(s, dir); val o = orders(s, dir)
       val c = customer(s, dir); val n = nation(s, dir)
-      val monthly = Table(l)
-        .join(Table(o), l("l_orderkey") === o("o_orderkey"))
-        .join(Table(c), o("o_custkey") === c("c_custkey"))
-        .join(Table(n), c("c_nationkey") === n("n_nationkey"))
-        .mutate("yr" -> year(o("o_orderdate")), "mo" -> month(o("o_orderdate")))
-        .groupBy(n("n_name"), col("yr"), col("mo"))
-        .aggregate(dsum(rev()).as("r"))
+      val perOrder = l
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lrev"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("lrev").cast("decimal(38,4)")).as("orev"))
+      val monthly = Table(perOrder)
+        .join(Table(o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Table(c.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Table(n), col("c_nationkey") === col("n_nationkey"))
+        .mutate("yr" -> year(col("o_orderdate")), "mo" -> month(col("o_orderdate")))
+        .groupBy(col("n_name"), col("yr"), col("mo"))
+        .aggregate(sum(col("orev")).cast("double").as("r"))
       val wSeq = Window.partitionBy(col("n_name")).orderBy(col("yr"), col("mo"))
       val wYear = Window.partitionBy(col("n_name"), col("yr"))
       monthly
