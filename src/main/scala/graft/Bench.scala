@@ -30,7 +30,8 @@ object Bench {
   private val controls = Seq(
     "q80_control", "q101_control", "q101b_tpch5_bucketed",
     "q103_control", "q103b_tpch13_bucketed",
-    "q114_skew_hot_salted", "q114b_skew_hot_plain")
+    "q114_skew_hot_salted", "q114b_skew_hot_plain",
+    "q202_control", "q204_control")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -173,6 +174,44 @@ object Bench {
     // mid-line). The compact line carries only what the gate needs.
     val compactExtra = new StringBuilder
 
+    // ---- incremental line-of-record (round-12 verdict #1) ----
+    // The round-12 driver record was rc=124/parsed:null: the grown ladder
+    // outlived the driver's budget and the ONLY metric print sat after the
+    // sections that never ran. Three levers so a truncated run still leaves
+    // a parsable record: (a) the compact gate line is printed after EVERY
+    // SF section (geomeans accumulated so far), not only at the end;
+    // (b) BENCH_LAST.json is rewritten at each of those checkpoints;
+    // (c) a lowest-priority Hadoop shutdown hook re-prints the latest
+    // compact line — SIGTERM runs shutdown hooks, and priority 0 sequences
+    // AFTER Spark's context-stop (40s-range priorities), so the line lands
+    // at the very tail of stdout even when the JVM is killed mid-section.
+    def compactLineOf(withRatioMap: Boolean): String = {
+      val ce = if (withRatioMap) compactExtra.toString
+               else compactExtra.toString.replaceAll(""","ratio_sf100":\{[^}]*\}""", "")
+      f"""{"metric":"total","value":$totalWarm%.3f,"unit":"sec","queries":${fmt(warm)}""" +
+        f""","value_cold":$total%.3f""" +
+        ce + f""","sf":"$sfDir","detail":"BENCH_LAST.json"}"""
+    }
+    def fullLineOf(): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},""" +
+        f""""value_warm":$totalWarm%.3f,"queries_warm":${fmt(warm)}""" +
+        extra.toString + f""","sf":"$sfDir"}"""
+    val latestCompact = new java.util.concurrent.atomic.AtomicReference[String]("")
+    def checkpoint(): Unit = {
+      val c = { val full = compactLineOf(true); if (full.length <= 1900) full else compactLineOf(false) }
+      latestCompact.set(c)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), fullLineOf() + "\n")
+      println(c)
+      System.out.flush()
+    }
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        def run(): Unit = {
+          val c = latestCompact.get()
+          if (c.nonEmpty) { println(c); System.out.flush() }
+        }
+      }, 0)
+
     // Self-grading for the main (driver-chosen) SF dir too: when a DuckDB
     // baseline measured over the SAME files is committed (bench/
     // duckdb_<basename>.json, from tools/bench_duckdb.py), embed per-query
@@ -195,6 +234,7 @@ object Bench {
         }
       }
     }
+    checkpoint()
 
     // Large-SF sections (round-1 verdict: sf0.1 is all JVM floor — the 2×
     // gate is only measurable where compute dominates). data/sfN is emitted
@@ -251,6 +291,20 @@ object Bench {
             .foreach(f => warmPageCache(f.getPath))
         }
         val names = headline.filter(SparkEntry.queries.contains)
+        // SF100 self-defense (round-12 verdict #1): the grown ladder in a
+        // degraded host window outlived the driver's wall-clock budget and
+        // SIGTERM'd the JVM mid-section, leaving NO record. Two graceful-
+        // degradation levers, both env-tunable: (a) the post-priming q01
+        // anchor read is compared against the 3-5s calibration band — out
+        // of band means the host window is degraded, so drop to adjacent
+        // best-of-2 and skip the two DS heavies (whose ~10 min of SF100
+        // attempts are what blew the round-12 budget) rather than record
+        // window noise at full protocol cost; (b) a section budget — once
+        // exceeded, remaining queries are skipped (counted in the record)
+        // instead of running the section to death.
+        var sectionBudget = Double.MaxValue
+        var sectionStart = System.nanoTime()
+        def sectionElapsed = (System.nanoTime() - sectionStart) / 1e9
         val w0 = protocol match {
           case "adjacentBest3" =>
             // best-of-3 (was 2): single-query interference windows (host
@@ -259,7 +313,38 @@ object Bench {
             // attempts — a q01 steady at 4.5s once recorded 36.8s as the
             // min of two. Three adjacent attempts bound one bad window.
             timeAt("q01_agg") // priming: codegen + catalog + first-scan setup
-            names.map(n => n -> Seq.fill(3)(timeAt(n)).min)
+            val anchor = timeAt("q01_agg")
+            val anchorMax = sys.env.getOrElse("SPARK_GRAFT_SF100_ANCHOR_MAX", "6.0").toDouble
+            sectionBudget = sys.env.getOrElse("SPARK_GRAFT_SF100_BUDGET_SEC", "1500").toDouble
+            sectionStart = System.nanoTime()
+            val degraded = anchor > anchorMax
+            val attempts = if (degraded) 2 else 3
+            val skip: Set[String] =
+              if (degraded) Set("q202_ds27_rollup_avgs", "q204_ds47_yoy_monthly")
+              else Set.empty
+            if (degraded) {
+              System.err.println(f"[bench] $tag q01 anchor $anchor%.2fs > $anchorMax%.1fs " +
+                "calibration band: degrading to best-of-2 and skipping the DS heavies")
+              extra ++= f""","q01_anchor_$tag":$anchor%.3f,"${tag}_degraded":true"""
+              compactExtra ++= s""","${tag}_degraded":true"""
+            }
+            var truncated = 0
+            val res = names.flatMap { n =>
+              if (skip(n)) None
+              else if (sectionElapsed > sectionBudget) { truncated += 1; None }
+              else {
+                // the anchor read doubles as q01's first attempt
+                val first = if (n == "q01_agg") anchor else timeAt(n)
+                Some(n -> (first +: Seq.fill(attempts - 1)(timeAt(n))).min)
+              }
+            }
+            if (truncated > 0) {
+              System.err.println(s"[bench] $tag section budget ${sectionBudget}s exceeded: " +
+                s"$truncated queries skipped")
+              extra ++= s""","${tag}_truncated":$truncated"""
+              compactExtra ++= s""","${tag}_truncated":$truncated"""
+            }
+            res
           case _ =>
             names.foreach(timeAt) // cold pass
             val w1 = names.map(n => n -> timeAt(n)).toMap
@@ -294,12 +379,15 @@ object Bench {
             if (tag == "sf100") compactExtra ++= s""","ratio_sf100":${fmt(ratios)}"""
           }
         }
-        // floor + skew controls at the compute-dominated SFs only
-        if (tag != "sf1") {
+        // floor + skew controls at the compute-dominated SFs only; under a
+        // blown section budget the headline record outranks the floor
+        // attributions — skip rather than risk the whole-run record
+        if (tag != "sf1" && sectionElapsed <= sectionBudget) {
           val ctl = controls.filter(SparkEntry.queries.contains)
           val cw = ctl.map { n => val a = timeAt(n); n -> math.min(a, timeAt(n)) }
           extra ++= s""","controls_$tag":${fmt(cw)}"""
         }
+        checkpoint()
       }
     }
     // Streaming throughput (round-2 verdict #10): rate-source micro-bench
@@ -315,29 +403,20 @@ object Bench {
       compactExtra ++= s
     }
 
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(cold)},""" +
-      f""""value_warm":$totalWarm%.3f,"queries_warm":${fmt(warm)}""" +
-      extra.toString + f""","sf":"$sfDir"}"""
     // Compact line of record: the driver captures only the LAST ~2000 chars
     // of stdout, and round 6 proved the full line (~4 KB once per-SF maps
-    // accrue) gets its head truncated there. This line carries the contract
-    // fields (metric/value/unit/queries/sf) plus the gate verdict (ratio
-    // geomeans, sf100 per-query ratios, stream throughput) and is printed
-    // LAST; full detail lives in the first print + BENCH_LAST.json. If the
-    // sf100 ratio map ever grows it past the window, drop it — the geomeans
-    // and BENCH_LAST.json still tell the story.
+    // accrue) gets its head truncated there. The compact line carries the
+    // contract fields (metric/value/unit/queries/sf) plus the gate verdict
+    // (ratio geomeans, sf100 per-query ratios, stream throughput) and is
+    // printed LAST — and, since round 13, also after every SF section via
+    // checkpoint(); full detail lives in the first print + BENCH_LAST.json.
     // "value" and "queries" must agree (sum of queries ≈ value): both are
     // WARM here, with the cold total under "value_cold" — the full line
     // keeps its original cold-under-"queries" vocabulary, so a parser of
     // either line sees internally consistent semantics.
-    def compactLine(withRatioMap: Boolean): String = {
-      val ce = if (withRatioMap) compactExtra.toString
-               else compactExtra.toString.replaceAll(""","ratio_sf100":\{[^}]*\}""", "")
-      f"""{"metric":"total","value":$totalWarm%.3f,"unit":"sec","queries":${fmt(warm)}""" +
-        f""","value_cold":$total%.3f""" +
-        ce + f""","sf":"$sfDir","detail":"BENCH_LAST.json"}"""
-    }
-    val compact = { val c = compactLine(true); if (c.length <= 1900) c else compactLine(false) }
+    val line = fullLineOf()
+    val compact = { val c = compactLineOf(true); if (c.length <= 1900) c else compactLineOf(false) }
+    latestCompact.set(compact)
     println(line)
     // Belt and braces for the line of record: build.sbt routes forked run
     // output through StdoutOutput (undecorated), and the exact line is also

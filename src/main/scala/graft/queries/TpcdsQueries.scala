@@ -109,6 +109,53 @@ object TpcdsQueries {
       GROUP BY ROLLUP (n_name, c_mktsegment)
       ORDER BY lvl, n_name NULLS LAST, c_mktsegment NULLS LAST""")),
 
+    // Floor control for q202 (round-12 verdict #2): the eager-aggregation
+    // BACKBONE alone — per-order partial sums below the orderkey exchange,
+    // the orders join, and the per-customer re-aggregation — with none of
+    // the customer/nation dimension joins and no rollup Expand, collapsed
+    // to one grand-total row (= q202's lvl=3 row plus a customer count).
+    // The delta between this and q202 is the dimension-join + Expand
+    // machinery; the delta between this and DuckDB's flat join-then-agg
+    // SQL is the exchange-pair floor (the same attribution q101_control
+    // gives q101). Excluded from the bench ratio geomean.
+    QueryDef("q202_control", (s, dir) => {
+      val o = orders(s, dir); val l = lineitem(s, dir)
+      val perOrder = l.select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(38,4)")).as("oq"),
+          count(col("l_quantity")).as("onq"),
+          sum(col("l_extendedprice").cast("decimal(38,4)")).as("op"),
+          count(col("l_extendedprice")).as("onp"),
+          sum(col("l_discount").cast("decimal(38,4)")).as("od"),
+          count(col("l_discount")).as("ond"))
+      val perCust = Table(perOrder)
+        .join(Table(o.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .df.groupBy(col("o_custkey"))
+        .agg(
+          sum(col("oq")).as("sq"), sum(col("onq")).as("cq"),
+          sum(col("op")).as("sp"), sum(col("onp")).as("cp"),
+          sum(col("od")).as("sd"), sum(col("ond")).as("cd"))
+      perCust.agg(
+        count(lit(1)).as("n_cust"),
+        round(sum(col("sq")).cast("double") / sum(col("cq")), 6).as("agg1"),
+        round(sum(col("sp")).cast("double") / sum(col("cp")), 6).as("agg2"),
+        round(sum(col("sd")).cast("double") / sum(col("cd")), 6).as("agg3"))
+    }, Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+        ROUND(CAST(SUM(sq) AS DOUBLE) / SUM(cq), 6) AS agg1,
+        ROUND(CAST(SUM(sp) AS DOUBLE) / SUM(cp), 6) AS agg2,
+        ROUND(CAST(SUM(sd) AS DOUBLE) / SUM(cd), 6) AS agg3
+      FROM (
+        SELECT o_custkey,
+          SUM(CAST(l_quantity AS DECIMAL(38,4))) AS sq, COUNT(l_quantity) AS cq,
+          SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS sp, COUNT(l_extendedprice) AS cp,
+          SUM(CAST(l_discount AS DECIMAL(38,4))) AS sd, COUNT(l_discount) AS cd
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey)""")),
+
     // DS Q36 shape: gross-margin ratio over the same hierarchy (ratio of
     // two decimal-exact sums per rollup group).
     QueryDef("q203_ds36_margin_rollup", (s, dir) => {
@@ -191,6 +238,43 @@ object TpcdsQueries {
             / COUNT(r) OVER (PARTITION BY n_name, yr), 6) AS year_avg
         FROM monthly)
       WHERE yr = 1997 ORDER BY n_name, yr, mo""")),
+
+    // Floor control for q204 (round-12 verdict #2): the monthly aggregate
+    // alone — per-order revenue collapsed below the orderkey exchange,
+    // the orders/customer/nation joins, and the (nation, year, month)
+    // group-by — WITHOUT the window pass (lag-1 / lag-12 / yearly mean)
+    // and without the final year filter, so every window input row is
+    // produced. The delta between this and q204 is the window machinery
+    // (25 nations × ~84 months — driver-trivial); the delta between this
+    // and DuckDB's flat SQL is the join + exchange floor. Excluded from
+    // the bench ratio geomean.
+    QueryDef("q204_control", (s, dir) => {
+      val l = lineitem(s, dir); val o = orders(s, dir)
+      val c = customer(s, dir); val n = nation(s, dir)
+      val perOrder = l
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lrev"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("lrev").cast("decimal(38,4)")).as("orev"))
+      Table(perOrder)
+        .join(Table(o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Table(c.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Table(n), col("c_nationkey") === col("n_nationkey"))
+        .mutate("yr" -> year(col("o_orderdate")), "mo" -> month(col("o_orderdate")))
+        .groupBy(col("n_name"), col("yr"), col("mo"))
+        .aggregate(sum(col("orev")).cast("double").as("r"))
+        .sort(SortKey.asc(col("n_name")), SortKey.asc(col("yr")), SortKey.asc(col("mo")))
+        .df
+    }, Some("""
+      SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS r
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3 ORDER BY n_name, yr, mo""")),
 
     // DS Q1/Q30 shape: customers whose returned value exceeds 1.2× their
     // nation's average returned value (decorrelated avg + join).

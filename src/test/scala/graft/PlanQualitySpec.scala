@@ -210,4 +210,62 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("Expand"), s"approx describe should not Expand:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q202 expands over the per-customer aggregate, not the fact join") {
+    // The SF100 ratio rests on the eager-aggregation decomposition: the
+    // rollup's Expand (×3 row multiplier) must consume the per-customer
+    // aggregate (|customers| rows), never the raw lineitem join output
+    // (3× the fact table at 100 TB). A refactor that re-inlines the join
+    // under the rollup would stay value-correct (decimal sums are exact
+    // across levels) and only surface as a 2.2× bench regression — this
+    // pins the shape (round-12 verdict #2).
+    val p = plan("q202_ds27_rollup_avgs")
+    val lines = p.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"no Expand (rollup) in plan:\n$p")
+    // below the Expand, an aggregate must appear before the lineitem scan:
+    // the rollup's input is already collapsed to per-customer rows
+    val below = lines.drop(expandIdx + 1)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val liIdx = below.indexWhere(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+    assert(liIdx >= 0, s"no lineitem scan below the Expand:\n$p")
+    assert(aggIdx >= 0 && aggIdx < liIdx,
+      s"rollup Expand consumes un-aggregated fact rows (join re-inlined):\n$p")
+    // and the lineitem branch itself aggregates (per-order) before any join
+    val scanIdx = lines.indexWhere(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+    val above = lines.take(scanIdx).reverse
+    val a = above.indexWhere(_.contains("HashAggregate"))
+    val j = above.indexWhere(_.contains("Join"))
+    assert(a >= 0 && (j < 0 || a < j),
+      s"lineitem joins before its per-order aggregate:\n$p")
+  }
+
+  test("q204 ships pre-aggregated order revenue through one orderkey exchange") {
+    // Same guard for the YoY window query: lineitem must collapse to one
+    // exact per-order revenue BELOW its exchange (map-side combine), the
+    // plan must carry exactly one l_orderkey exchange, and the Window must
+    // rank the monthly aggregate (25 nations × months), not fact rows.
+    val p = plan("q204_ds47_yoy_monthly")
+    val lines = p.linesIterator.toSeq
+    val scanIdx = lines.indexWhere(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+    assert(scanIdx >= 0, s"no lineitem scan:\n$p")
+    val above = lines.take(scanIdx).reverse
+    val aggIdx = above.indexWhere(_.contains("HashAggregate"))
+    val exIdx = above.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(aggIdx >= 0 && exIdx >= 0 && aggIdx < exIdx,
+      s"lineitem ships un-aggregated rows into its exchange:\n$p")
+    val n = lines.count(_.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(n == 1, s"expected exactly one l_orderkey exchange, got $n:\n$p")
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, s"no Window node:\n$p")
+    val belowWin = lines.drop(winIdx + 1)
+    val a2 = belowWin.indexWhere(_.contains("HashAggregate"))
+    val s2 = belowWin.indexWhere(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet"))
+    assert(a2 >= 0 && s2 >= 0 && a2 < s2,
+      s"Window consumes un-aggregated fact rows:\n$p")
+  }
 }

@@ -29,7 +29,15 @@ HEADLINE = [
 # plain join on a 90%-hot key (the DuckDB number is the same query once —
 # it has no salting concept).
 CONTROLS = ["q80_control", "q101_control", "q101b_tpch5_bucketed",
-            "q103_control", "q103b_tpch13_bucketed", "q114_skew_hot_salted"]
+            "q103_control", "q103b_tpch13_bucketed", "q114_skew_hot_salted",
+            "q202_control", "q204_control"]
+
+# Note on what the ratio compares (round-12 advice): the Spark side of
+# q202/q204 (and q03/q101) runs a hand-pre-aggregated eager-agg plan, while
+# the DuckDB side intentionally runs the NAIVE join-then-rollup/window SQL
+# from the oracle map — the ratio is "our best plan vs DuckDB's own
+# optimizer on the declarative query", not plan-for-plan. Results are
+# value-identical (the same SQL is the correctness oracle).
 
 if not os.path.exists("/tmp/oracle_all.json"):
     subprocess.run(["sbt", "-batch", "runMain graft.tools.DumpOracle ALL /tmp/oracle_all.json"],
