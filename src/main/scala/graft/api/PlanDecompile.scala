@@ -875,7 +875,9 @@ object PlanDecompile {
           RawSql(s"exists (${subquerySql(ex.plan, env)})")
         case in: InSubquery =>
           in.query match {
-            case lq: ListQuery if lq.joinCond.isEmpty && in.values.size == 1 =>
+            case lq: ListQuery if lq.joinCond.nonEmpty =>
+              refuse("IN subquery with a pre-planned join condition")
+            case lq: ListQuery if in.values.size == 1 =>
               RawSql(s"(${rex(in.values.head, env, raw)} IN (${subquerySql(lq.plan, env)}))")
             case _ => refuse("multi-value IN subquery")
           }

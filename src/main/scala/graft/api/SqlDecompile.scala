@@ -235,6 +235,16 @@ final case class SqlExprFunc(name: String, args: Seq[SqlExpr],
   def render =
     s"$name(${if (distinct) "DISTINCT " else ""}${args.map(_.render).mkString(", ")})"
 }
+/** `agg(args) FILTER (WHERE cond)` — the ANSI aggregate filter clause
+  * (the reference's `where=` reduction argument, reference
+  * ibis/expr/operations/reductions.py:28-29 `Filterable`; every backend
+  * golden under ibis/backends/tests/sql/snapshots renders it as FILTER).
+  * Spark and DuckDB share the spelling verbatim. */
+final case class SqlExprAggFilter(func: SqlExpr, cond: SqlExpr) extends SqlExpr {
+  def children = Seq(func, cond)
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(func = f(func), cond = f(cond))
+  def render = s"${func.render} FILTER (WHERE ${cond.render})"
+}
 final case class SqlExprBin(op: String, left: SqlExpr, right: SqlExpr) extends SqlExpr {
   def children = Seq(left, right)
   def mapChildren(f: SqlExpr => SqlExpr) = copy(left = f(left), right = f(right))
@@ -599,19 +609,49 @@ object SqlDecompile {
     case a: Alias => s"${exprSql(a.child)} AS ${quoteIdent(a.name)}"
     case u: UnresolvedAttribute => u.nameParts.map(quoteIdent(_)).mkString(".")
     case s: UnresolvedStar => starSql(s)
-    // UnresolvedFunction.sql silently DROPS the DISTINCT flag (and the
-    // FILTER clause / IGNORE NULLS / WITHIN GROUP) — COUNT(DISTINCT x)
-    // would decompile-and-rebuild as count(x). Render DISTINCT
-    // faithfully; the unrenderable modifiers emit a parse-poison token so
-    // the containing node degrades to opaque instead of mis-rebuilding.
+    // UnresolvedFunction.sql silently DROPS the DISTINCT flag and the
+    // FILTER clause (count(x) FILTER (WHERE p) prints as count(x, p) —
+    // an extra ARGUMENT) and IGNORE NULLS / WITHIN GROUP — COUNT(DISTINCT
+    // x) would decompile-and-rebuild as count(x). Render DISTINCT and
+    // FILTER faithfully (round 13 — FILTER is the reference's `where=`
+    // reduction, its most common aggregate modifier); the remaining
+    // unrenderable modifiers emit a parse-poison token so the containing
+    // node degrades to opaque instead of mis-rebuilding.
     case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-      if (f.filter.isDefined || f.ignoreNulls || f.orderingWithinGroup.nonEmpty)
+      if (f.ignoreNulls || f.orderingWithinGroup.nonEmpty)
         "__GRAFT_UNRENDERABLE__ !"
-      else
-        s"${f.nameParts.map(quoteIdent(_)).mkString(".")}(" +
+      else {
+        val base = s"${f.nameParts.map(quoteIdent(_)).mkString(".")}(" +
           s"${if (f.isDistinct) "DISTINCT " else ""}" +
           s"${f.arguments.map(exprSql).mkString(", ")})"
-    case other => other.sql
+        f.filter.fold(base)(p => s"$base FILTER (WHERE ${exprSql(p)})")
+      }
+    case r: RawSqlLeaf => r.text
+    case other =>
+      // catalyst's default .sql mishandles modifier-carrying aggregate
+      // calls NESTED inside composite expressions too (DISTINCT silently
+      // dropped, the FILTER predicate printed as an extra ARGUMENT —
+      // `HAVING count(DISTINCT x) > 1` would render as `count(x) > 1`):
+      // pre-render those nodes through this function and splice the text
+      // in as verbatim leaves before asking .sql for the composite
+      try other.transformUp {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.isDistinct || f.filter.isDefined || f.ignoreNulls ||
+              f.orderingWithinGroup.nonEmpty =>
+          RawSqlLeaf(exprSql(f))
+      }.sql
+      catch { case _: Exception => "__GRAFT_UNRENDERABLE__ !" }
+  }
+
+  /** Verbatim-SQL leaf spliced into unresolved trees before calling
+    * Expression.sql (see [[exprSql]]'s composite case). */
+  private final case class RawSqlLeaf(text: String)
+      extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+      with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.NullType
+    override def nullable: Boolean = true
+    override def sql: String = text
   }
 
   private def starSql(s: UnresolvedStar): String =
@@ -622,7 +662,10 @@ object SqlDecompile {
     case a: Alias => (a.name, exprSql(a.child))
     case u: UnresolvedAttribute => (u.nameParts.last, exprSql(u))
     case s: UnresolvedStar => ("*", starSql(s))
-    case other => (other.sql, other.sql)
+    // exprSql, not .sql, for both halves: a bare modifier-carrying
+    // aggregate item (count(DISTINCT x), agg FILTER …) would otherwise
+    // lose its modifier in the rebuilt text
+    case other => val s = exprSql(other); (s, s)
   }
 
   /** Does this rendered expression parse back? Catalyst's .sql is not
@@ -924,6 +967,13 @@ object SqlDecompile {
           if f.filter.isEmpty && !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
         SqlExprFunc(f.nameParts.mkString("."), f.arguments.map(fromExpression),
           f.isDistinct)
+      // agg FILTER (WHERE p): strip the filter, model the bare call through
+      // the cases above, and wrap — keeps the LIKE/RLIKE foldings and the
+      // DISTINCT flag on the inner node
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.filter.isDefined && !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
+        SqlExprAggFilter(fromExpression(f.copy(filter = None)),
+          fromExpression(f.filter.get))
       case Add(l, r, _) => bin("+", l, r)
       case Subtract(l, r, _) => bin("-", l, r)
       case Multiply(l, r, _) => bin("*", l, r)
@@ -1282,6 +1332,9 @@ object SqlDecompile {
         s"string_split_regex(${args.take(2).map(duckExpr).mkString(", ")})"
       case SqlExprFunc(name, args, d) =>
         s"$name(${if (d) "DISTINCT " else ""}${args.map(duckExpr).mkString(", ")})"
+      // ANSI aggregate FILTER clause — DuckDB shares the spelling
+      case SqlExprAggFilter(fn, c) =>
+        s"${duckExpr(fn)} FILTER (WHERE ${duckExpr(c)})"
       // DuckDB has no <=> — the ANSI spelling is the portable form
       case SqlExprBin("<=>", l, r) =>
         s"(${duckExpr(l)} IS NOT DISTINCT FROM ${duckExpr(r)})"

@@ -55,6 +55,17 @@ object MiscQueries {
       "WHERE (t2.c_nationkey = t0.c_nationkey))) " +
       "ORDER BY c_custkey ASC NULLS FIRST LIMIT 15"
 
+  /** q97k: FILTER-clause aggregates (round 13 — the reference's `where=`
+    * reduction argument, reference ibis/expr/operations/reductions.py:28-29
+    * `Filterable`; its backend goldens render them as FILTER) decompile and
+    * render in both dialects instead of poison-degrading to opaque. */
+  val Q97kDuckGolden: String =
+    "SELECT t0.c_nationkey, " +
+      "count(1) FILTER (WHERE (t0.c_acctbal > CAST(100 AS DOUBLE))) AS n_rich, " +
+      "CAST(sum(t0.c_custkey) FILTER (WHERE (t0.c_mktsegment = 'BUILDING')) AS BIGINT) AS s_bldg " +
+      "FROM customer AS t0 GROUP BY t0.c_nationkey " +
+      "ORDER BY c_nationkey ASC NULLS FIRST"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Impure expressions (ibis ops.Impure — RandomScalar/RandomUUID/
@@ -442,6 +453,26 @@ object MiscQueries {
         s"correlated-subquery duckdb rendering drifted from the recorded oracle:\n$duck")
       s.sql(t.renderSql())
     }, Some(Q97jDuckGolden)),
+
+    // FILTER-clause aggregate rendering (round 13): a SQL-sourced plan
+    // whose aggregates carry FILTER (WHERE …) — the reference's `where=`
+    // reduction — decompiles and renders in both dialects; previously the
+    // modifier poison-degraded to opaque. The oracle IS the duckdb
+    // rendering (the q97f mechanism), and the parse_sql path is covered
+    // by the fuzz grammar + SqlDecompileSpec.
+    QueryDef("q97k_render_agg_filter", (s, dir) => {
+      customer(s, dir).createOrReplaceTempView("customer")
+      val plan = s.sql(
+        """SELECT c_nationkey,
+          |  count(*) FILTER (WHERE c_acctbal > 100) AS n_rich,
+          |  CAST(sum(c_custkey) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS s_bldg
+          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      val t = new graft.api.Table(plan)
+      val duck = t.renderSql("duckdb")
+      require(duck == Q97kDuckGolden,
+        s"agg-FILTER duckdb rendering drifted from the recorded oracle:\n$duck")
+      s.sql(t.renderSql())
+    }, Some(Q97kDuckGolden)),
 
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {

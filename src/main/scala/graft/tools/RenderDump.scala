@@ -130,7 +130,37 @@ object RenderDump {
       "fl_subquery_scalar_corr" -> spark.sql(
         "SELECT id, grp FROM ft1 WHERE id > " +
           "(SELECT min(ft2.id) FROM ft2 WHERE ft2.id > ft1.grp) " +
-          "ORDER BY id, grp"))
+          "ORDER BY id, grp"),
+      // round 13 breadth (VERDICT r12 #7 + #4): FILTER-clause aggregates
+      // and more correlated shapes — NOT EXISTS, correlated IN, nested
+      // one-level-per-hop correlation, correlated scalar in the SELECT
+      // list, correlated EXISTS under a join, FILTER inside a correlated
+      // subquery — each value-checked in BOTH directions by render_check
+      "fl_agg_filter" -> spark.sql(
+        "SELECT grp, count(*) FILTER (WHERE id > 2) AS n_hi, " +
+          "CAST(sum(id) FILTER (WHERE name <> 'a') AS BIGINT) AS s " +
+          "FROM ft1 GROUP BY grp ORDER BY grp"),
+      "fl_corr_not_exists" -> spark.sql(
+        "SELECT id FROM ft1 WHERE NOT EXISTS " +
+          "(SELECT 1 FROM ft2 WHERE ft2.id = ft1.id AND ft2.v > 25) ORDER BY id"),
+      "fl_corr_in" -> spark.sql(
+        "SELECT id, name FROM ft1 WHERE grp IN " +
+          "(SELECT ft2.id FROM ft2 WHERE ft2.v > ft1.id * 5) ORDER BY id, name"),
+      "fl_corr_nested" -> spark.sql(
+        "SELECT t.id FROM ft1 t WHERE t.id > " +
+          "(SELECT min(a.id) FROM ft1 a WHERE a.grp = t.grp AND a.id > " +
+          "(SELECT min(b.id) FROM ft2 b WHERE b.id = a.id)) ORDER BY t.id"),
+      "fl_corr_scalar_select" -> spark.sql(
+        "SELECT id, (SELECT count(1) FROM ft2 WHERE ft2.id = ft1.id) AS n " +
+          "FROM ft1 ORDER BY id"),
+      // (the output alias avoids duckdb's ambiguous-ORDER-BY binding when
+      // both join inputs carry a column of the projected name)
+      "fl_corr_exists_join" -> spark.sql(
+        "SELECT t.id AS tid, t.name, d.v FROM ft1 t JOIN ft2 d ON t.id = d.id " +
+          "WHERE EXISTS (SELECT 1 FROM ft2 e WHERE e.id = t.grp) ORDER BY tid"),
+      "fl_corr_agg_filter" -> spark.sql(
+        "SELECT t.id, (SELECT count(1) FILTER (WHERE e.v > 15) FROM ft2 e " +
+          "WHERE e.id = t.id) AS n FROM ft1 t ORDER BY t.id"))
     var fluentOk = 0
     val fluentFails = Seq.newBuilder[(String, String)]
     for ((name, df) <- fluent) {

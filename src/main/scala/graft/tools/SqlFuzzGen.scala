@@ -56,10 +56,14 @@ final class SqlFuzzGen(seed: Long) {
       val sql = s"SELECT id FROM ft1 WHERE ${predicate(Seq("id", "grp"))} " +
         s"$op SELECT CAST(${scalarExpr(Seq("id"))} AS BIGINT) FROM ft2"
       (s"SELECT * FROM ($sql) ORDER BY id", Seq("id"))
-    } else if (shape < 4) { // aggregate
+    } else if (shape < 4) { // aggregate (maybe with an ANSI FILTER clause)
       val keyIsOrdinal = rnd.nextBoolean()
       val groupKey = if (keyIsOrdinal) "1" else "grp"
-      val agg = pick(Seq("COUNT(*)", "SUM(id)", "MIN(id)", "MAX(id)", "AVG(id)"))
+      val agg0 = pick(Seq("COUNT(*)", "SUM(id)", "MIN(id)", "MAX(id)", "AVG(id)"))
+      // agg FILTER (WHERE p) — round 13: the reference's `where=` reduction;
+      // shared spelling in spark and duckdb, so the round trip value-checks it
+      val agg = if (rnd.nextInt(3) == 0)
+        s"$agg0 FILTER (WHERE ${predicate(Seq("id"))})" else agg0
       val having = if (rnd.nextBoolean()) s" HAVING $agg >= 0" else ""
       val sql = s"SELECT grp AS k, $agg AS a FROM ft1 " +
         s"WHERE ${predicate(Seq("id", "grp"))} GROUP BY $groupKey$having ORDER BY k, a"

@@ -43,6 +43,32 @@ class SqlDecompileSpec extends SparkSpec {
     roundTrip("SELECT upper(name) AS u, id * 2 AS d FROM t1 WHERE grp <> 2 ORDER BY d")
   }
 
+  test("FILTER-clause aggregates round-trip; DISTINCT survives composite HAVING (round 13)") {
+    ensureViews()
+    // agg FILTER (WHERE p) — previously poison-degraded to opaque
+    roundTrip("SELECT grp, SUM(id) FILTER (WHERE id > 1) AS s FROM t1 GROUP BY grp ORDER BY grp")
+    roundTrip("SELECT grp, COUNT(DISTINCT name) FILTER (WHERE id < 4) AS c " +
+      "FROM t1 GROUP BY grp ORDER BY grp")
+    // modifier-carrying aggregates NESTED in composites: catalyst's .sql
+    // drops DISTINCT and prints FILTER as an extra argument — the
+    // decompiler must splice its own faithful rendering (a silent
+    // wrong-SQL path before round 13, not merely a refusal)
+    roundTrip("SELECT grp, COUNT(DISTINCT name) + 1 AS c1 FROM t1 GROUP BY grp ORDER BY grp")
+    roundTrip("SELECT grp, COUNT(*) AS n FROM t1 GROUP BY grp " +
+      "HAVING COUNT(DISTINCT name) > 1 ORDER BY grp")
+    roundTrip("SELECT grp, COUNT(*) AS n FROM t1 GROUP BY grp " +
+      "HAVING SUM(id) FILTER (WHERE id > 0) >= 3 ORDER BY grp")
+    val op = SqlDecompile.decompile(spark,
+      "SELECT grp, COUNT(DISTINCT name) > 1 AS flag FROM t1 GROUP BY grp ORDER BY grp")
+    assert(op.isFullyDecompiled, s"composite DISTINCT item should stay walkable:\n$op")
+    val txt = op.renderSql()
+    assert(txt.contains("DISTINCT"), s"DISTINCT dropped from composite rendering: $txt")
+    // the still-unrenderable modifiers keep degrading loudly, never wrongly
+    val ig = SqlDecompile.decompile(spark,
+      "SELECT grp, any_value(name) IGNORE NULLS AS a FROM t1 GROUP BY grp ORDER BY grp")
+    assert(!ig.isFullyDecompiled, "IGNORE NULLS must degrade to opaque")
+  }
+
   test("ordinal GROUP BY / ORDER BY resolve against the select list, not a constant") {
     ensureViews()
     // GROUP BY 1 must group by the first select item (grp), ORDER BY 2

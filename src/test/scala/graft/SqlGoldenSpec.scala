@@ -166,7 +166,42 @@ class SqlGoldenSpec extends SparkSpec {
         "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > " +
           "(SELECT avg(c2.c_acctbal) FROM customer c2 " +
           "WHERE c2.c_nationkey = customer.c_nationkey) " +
-          "ORDER BY c_custkey LIMIT 20"), both)
+          "ORDER BY c_custkey LIMIT 20"), both),
+      // round 13: FILTER-clause aggregates + the correlated breadth probe
+      // (verdict r12 #7) — nested correlation (one level per hop, Spark's
+      // own analyzer limit), correlated EXISTS under a join, correlated
+      // IN, a correlated scalar in the SELECT list, and FILTER inside a
+      // correlated subquery
+      ("agg_filter_clause", () => spark.sql(
+        "SELECT c_nationkey, count(*) FILTER (WHERE c_acctbal > 100) AS n_rich, " +
+          "CAST(sum(c_custkey) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS s_bldg " +
+          "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"), both),
+      ("correlated_exists_join", () => spark.sql(
+        "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey " +
+          "WHERE EXISTS (SELECT 1 FROM customer " +
+          "WHERE c_nationkey = n_nationkey AND c_acctbal > 9000) ORDER BY n_name"), both),
+      ("correlated_not_exists", () => spark.sql(
+        "SELECT n_name FROM nation WHERE NOT EXISTS " +
+          "(SELECT 1 FROM customer WHERE c_nationkey = n_nationkey AND c_acctbal > 9999) " +
+          "ORDER BY n_name LIMIT 8"), both),
+      ("correlated_in", () => spark.sql(
+        "SELECT c_custkey FROM customer WHERE c_nationkey IN " +
+          "(SELECT n_nationkey FROM nation WHERE n_regionkey = customer.c_custkey % 5) " +
+          "ORDER BY c_custkey LIMIT 12"), both),
+      ("correlated_nested", () => spark.sql(
+        "SELECT c_custkey, c_acctbal FROM customer c1 WHERE c_acctbal > " +
+          "(SELECT avg(c2.c_acctbal) FROM customer c2 " +
+          "WHERE c2.c_nationkey = c1.c_nationkey AND c2.c_acctbal > " +
+          "(SELECT min(c3.c_acctbal) FROM customer c3 " +
+          "WHERE c3.c_mktsegment = c2.c_mktsegment)) ORDER BY c_custkey LIMIT 10"), both),
+      ("correlated_scalar_select", () => spark.sql(
+        "SELECT n_name, (SELECT count(1) FROM customer " +
+          "WHERE c_nationkey = n_nationkey) AS n_cust FROM nation " +
+          "ORDER BY n_name LIMIT 10"), both),
+      ("correlated_agg_filter", () => spark.sql(
+        "SELECT n_name, (SELECT count(1) FILTER (WHERE c_acctbal > 1000) " +
+          "FROM customer WHERE c_nationkey = n_nationkey) AS n_rich FROM nation " +
+          "ORDER BY n_name LIMIT 10"), both)
     )
   }
 
