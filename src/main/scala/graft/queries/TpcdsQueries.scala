@@ -66,15 +66,24 @@ object TpcdsQueries {
     QueryDef("q202_ds27_rollup_avgs", (s, dir) => {
       val c = customer(s, dir); val o = orders(s, dir)
       val l = lineitem(s, dir); val n = nation(s, dir)
+      // exact long-cents partials (round 13, A/B 1.46x at SF10): the
+      // row-level cast to decimal(18,4) applies the SAME half-up scale-4
+      // rounding as the oracle's DECIMAL(38,4); x10000-to-long makes the
+      // two hot aggregate levels plain codegen long sums. Overflow-safe at
+      // any SF: per-order (<=7 lines) and per-customer (SF-invariant order
+      // count) sums are bounded; the unbounded rollup level sums as
+      // decimal(38,0) over only |customers| rows.
+      def cents(x: org.apache.spark.sql.Column) =
+        (x.cast("decimal(18,4)") * 10000).cast("long")
       val perOrder = l.select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
         .groupBy(col("l_orderkey"))
         .agg(
-          sum(col("l_quantity").cast("decimal(38,4)")).as("oq"),
+          sum(cents(col("l_quantity"))).as("oq"),
           count(col("l_quantity")).as("onq"),
-          sum(col("l_extendedprice").cast("decimal(38,4)")).as("op"),
+          sum(cents(col("l_extendedprice"))).as("op"),
           count(col("l_extendedprice")).as("onp"),
-          sum(col("l_discount").cast("decimal(38,4)")).as("od"),
+          sum(cents(col("l_discount"))).as("od"),
           count(col("l_discount")).as("ond"))
       val perCust = Table(perOrder)
         .join(Table(o.select(col("o_orderkey"), col("o_custkey"))),
@@ -88,11 +97,14 @@ object TpcdsQueries {
         .join(Table(c.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
           col("o_custkey") === col("c_custkey"))
         .join(Table(n), col("c_nationkey") === col("n_nationkey")).df
+      def avgOf(cs: String, cc: String) =
+        round((sum(col(cs).cast("decimal(38,0)")) / 10000)
+          .cast("double") / sum(col(cc)), 6)
       Table(j.rollup(col("n_name"), col("c_mktsegment"))
         .agg(
-          round(sum(col("sq")).cast("double") / sum(col("cq")), 6).as("agg1"),
-          round(sum(col("sp")).cast("double") / sum(col("cp")), 6).as("agg2"),
-          round(sum(col("sd")).cast("double") / sum(col("cd")), 6).as("agg3"),
+          avgOf("sq", "cq").as("agg1"),
+          avgOf("sp", "cp").as("agg2"),
+          avgOf("sd", "cd").as("agg3"),
           (grouping(col("n_name")) * 2 + grouping(col("c_mktsegment"))).cast("int").as("lvl")))
         .sort(SortKey.asc(col("lvl")), SortKey.asc(col("n_name")), SortKey.asc(col("c_mktsegment")))
         .df
@@ -120,15 +132,17 @@ object TpcdsQueries {
     // gives q101). Excluded from the bench ratio geomean.
     QueryDef("q202_control", (s, dir) => {
       val o = orders(s, dir); val l = lineitem(s, dir)
+      def cents(x: org.apache.spark.sql.Column) =
+        (x.cast("decimal(18,4)") * 10000).cast("long")
       val perOrder = l.select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
         .groupBy(col("l_orderkey"))
         .agg(
-          sum(col("l_quantity").cast("decimal(38,4)")).as("oq"),
+          sum(cents(col("l_quantity"))).as("oq"),
           count(col("l_quantity")).as("onq"),
-          sum(col("l_extendedprice").cast("decimal(38,4)")).as("op"),
+          sum(cents(col("l_extendedprice"))).as("op"),
           count(col("l_extendedprice")).as("onp"),
-          sum(col("l_discount").cast("decimal(38,4)")).as("od"),
+          sum(cents(col("l_discount"))).as("od"),
           count(col("l_discount")).as("ond"))
       val perCust = Table(perOrder)
         .join(Table(o.select(col("o_orderkey"), col("o_custkey"))),
@@ -138,11 +152,14 @@ object TpcdsQueries {
           sum(col("oq")).as("sq"), sum(col("onq")).as("cq"),
           sum(col("op")).as("sp"), sum(col("onp")).as("cp"),
           sum(col("od")).as("sd"), sum(col("ond")).as("cd"))
+      def avgOf(cs: String, cc: String) =
+        round((sum(col(cs).cast("decimal(38,0)")) / 10000)
+          .cast("double") / sum(col(cc)), 6)
       perCust.agg(
         count(lit(1)).as("n_cust"),
-        round(sum(col("sq")).cast("double") / sum(col("cq")), 6).as("agg1"),
-        round(sum(col("sp")).cast("double") / sum(col("cp")), 6).as("agg2"),
-        round(sum(col("sd")).cast("double") / sum(col("cd")), 6).as("agg3"))
+        avgOf("sq", "cq").as("agg1"),
+        avgOf("sp", "cp").as("agg2"),
+        avgOf("sd", "cd").as("agg3"))
     }, Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
         ROUND(CAST(SUM(sq) AS DOUBLE) / SUM(cq), 6) AS agg1,
@@ -197,11 +214,15 @@ object TpcdsQueries {
     QueryDef("q204_ds47_yoy_monthly", (s, dir) => {
       val l = lineitem(s, dir); val o = orders(s, dir)
       val c = customer(s, dir); val n = nation(s, dir)
+      // exact long-cents revenue partials (round 13, A/B 1.72x at SF10 —
+      // see q202's cents note): integer sums through the per-order and
+      // monthly aggregates, decimal only for the final /10000 rescale
       val perOrder = l
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lrev"))
+          ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)") * 10000).cast("long").as("lrev_c"))
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("lrev").cast("decimal(38,4)")).as("orev"))
+        .agg(sum(col("lrev_c")).as("orev_c"))
       val monthly = Table(perOrder)
         .join(Table(o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))),
           col("l_orderkey") === col("o_orderkey"))
@@ -210,7 +231,8 @@ object TpcdsQueries {
         .join(Table(n), col("c_nationkey") === col("n_nationkey"))
         .mutate("yr" -> year(col("o_orderdate")), "mo" -> month(col("o_orderdate")))
         .groupBy(col("n_name"), col("yr"), col("mo"))
-        .aggregate(sum(col("orev")).cast("double").as("r"))
+        .aggregate((sum(col("orev_c").cast("decimal(38,0)")) / 10000)
+          .cast("double").as("r"))
       val wSeq = Window.partitionBy(col("n_name")).orderBy(col("yr"), col("mo"))
       val wYear = Window.partitionBy(col("n_name"), col("yr"))
       monthly
@@ -253,9 +275,10 @@ object TpcdsQueries {
       val c = customer(s, dir); val n = nation(s, dir)
       val perOrder = l
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lrev"))
+          ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)") * 10000).cast("long").as("lrev_c"))
         .groupBy(col("l_orderkey"))
-        .agg(sum(col("lrev").cast("decimal(38,4)")).as("orev"))
+        .agg(sum(col("lrev_c")).as("orev_c"))
       Table(perOrder)
         .join(Table(o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))),
           col("l_orderkey") === col("o_orderkey"))
@@ -264,7 +287,8 @@ object TpcdsQueries {
         .join(Table(n), col("c_nationkey") === col("n_nationkey"))
         .mutate("yr" -> year(col("o_orderdate")), "mo" -> month(col("o_orderdate")))
         .groupBy(col("n_name"), col("yr"), col("mo"))
-        .aggregate(sum(col("orev")).cast("double").as("r"))
+        .aggregate((sum(col("orev_c").cast("decimal(38,0)")) / 10000)
+          .cast("double").as("r"))
         .sort(SortKey.asc(col("n_name")), SortKey.asc(col("yr")), SortKey.asc(col("mo")))
         .df
     }, Some("""
