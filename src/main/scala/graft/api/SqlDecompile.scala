@@ -235,6 +235,29 @@ final case class SqlExprFunc(name: String, args: Seq[SqlExpr],
   def render =
     s"$name(${if (distinct) "DISTINCT " else ""}${args.map(_.render).mkString(", ")})"
 }
+/** `f(args) IGNORE NULLS` — spark's null-skipping modifier for
+  * first/last/lead/lag/nth_value/any_value. No duckdb spelling exists
+  * (probed: both `f(x) IGNORE NULLS` and `f(x IGNORE NULLS)` fail its
+  * parser) — the duckdb renderer refuses loudly. */
+final case class SqlExprIgnoreNulls(func: SqlExpr) extends SqlExpr {
+  def children = Seq(func)
+  def mapChildren(f: SqlExpr => SqlExpr) = copy(func = f(func))
+  def render = s"${func.render} IGNORE NULLS"
+}
+/** `f(args) WITHIN GROUP (ORDER BY …)` — ordered-set aggregates
+  * (percentile_cont / percentile_disc / mode / listagg). DuckDB shares
+  * the spelling for the percentile pair (probed, incl. ASC/DESC and
+  * NULLS FIRST/LAST and FILTER composition); the others refuse there. */
+final case class SqlExprWithinGroup(func: SqlExpr,
+    keys: Seq[(SqlExpr, Boolean, Boolean)]) extends SqlExpr {
+  def children = func +: keys.map(_._1)
+  def mapChildren(f: SqlExpr => SqlExpr) =
+    copy(func = f(func), keys = keys.map { case (e, a, n) => (f(e), a, n) })
+  def render = s"${func.render} WITHIN GROUP (ORDER BY " + keys.map {
+    case (e, a, n) =>
+      s"${e.render} ${if (a) "ASC" else "DESC"} NULLS ${if (n) "FIRST" else "LAST"}"
+  }.mkString(", ") + ")"
+}
 /** `agg(args) FILTER (WHERE cond)` — the ANSI aggregate filter clause
   * (the reference's `where=` reduction argument, reference
   * ibis/expr/operations/reductions.py:28-29 `Filterable`; every backend
@@ -609,23 +632,24 @@ object SqlDecompile {
     case a: Alias => s"${exprSql(a.child)} AS ${quoteIdent(a.name)}"
     case u: UnresolvedAttribute => u.nameParts.map(quoteIdent(_)).mkString(".")
     case s: UnresolvedStar => starSql(s)
-    // UnresolvedFunction.sql silently DROPS the DISTINCT flag and the
-    // FILTER clause (count(x) FILTER (WHERE p) prints as count(x, p) —
-    // an extra ARGUMENT) and IGNORE NULLS / WITHIN GROUP — COUNT(DISTINCT
-    // x) would decompile-and-rebuild as count(x). Render DISTINCT and
-    // FILTER faithfully (round 13 — FILTER is the reference's `where=`
-    // reduction, its most common aggregate modifier); the remaining
-    // unrenderable modifiers emit a parse-poison token so the containing
-    // node degrades to opaque instead of mis-rebuilding.
+    // UnresolvedFunction.sql silently DROPS the DISTINCT flag and every
+    // modifier clause (count(x) FILTER (WHERE p) prints as count(x, p) —
+    // an extra ARGUMENT) — COUNT(DISTINCT x) would decompile-and-rebuild
+    // as count(x). Render all four modifiers faithfully (round 13), in
+    // spark's grammar order: WITHIN GROUP, then FILTER, then IGNORE NULLS.
     case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-      if (f.ignoreNulls || f.orderingWithinGroup.nonEmpty)
-        "__GRAFT_UNRENDERABLE__ !"
-      else {
-        val base = s"${f.nameParts.map(quoteIdent(_)).mkString(".")}(" +
-          s"${if (f.isDistinct) "DISTINCT " else ""}" +
-          s"${f.arguments.map(exprSql).mkString(", ")})"
-        f.filter.fold(base)(p => s"$base FILTER (WHERE ${exprSql(p)})")
-      }
+      val base = s"${f.nameParts.map(quoteIdent(_)).mkString(".")}(" +
+        s"${if (f.isDistinct) "DISTINCT " else ""}" +
+        s"${f.arguments.map(exprSql).mkString(", ")})"
+      val wg =
+        if (f.orderingWithinGroup.isEmpty) ""
+        else " WITHIN GROUP (ORDER BY " + f.orderingWithinGroup.map { so =>
+          s"${exprSql(so.child)} ${if (so.direction == Ascending) "ASC" else "DESC"} " +
+            s"NULLS ${if (so.nullOrdering == NullsFirst) "FIRST" else "LAST"}"
+        }.mkString(", ") + ")"
+      val flt = f.filter.fold("")(p => s" FILTER (WHERE ${exprSql(p)})")
+      val in_ = if (f.ignoreNulls) " IGNORE NULLS" else ""
+      s"$base$wg$flt$in_"
     case r: RawSqlLeaf => r.text
     case other =>
       // catalyst's default .sql mishandles modifier-carrying aggregate
@@ -967,13 +991,22 @@ object SqlDecompile {
           if f.filter.isEmpty && !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
         SqlExprFunc(f.nameParts.mkString("."), f.arguments.map(fromExpression),
           f.isDistinct)
-      // agg FILTER (WHERE p): strip the filter, model the bare call through
-      // the cases above, and wrap — keeps the LIKE/RLIKE foldings and the
-      // DISTINCT flag on the inner node
+      // modifier-carrying calls: strip ONE modifier per recursion (outermost
+      // first, matching spark's grammar order IGNORE NULLS > FILTER >
+      // WITHIN GROUP) so the wrappers compose and the LIKE/RLIKE foldings
+      // and DISTINCT flag stay on the innermost node
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-          if f.filter.isDefined && !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
+          if f.ignoreNulls =>
+        SqlExprIgnoreNulls(fromExpression(f.copy(ignoreNulls = false)))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.filter.isDefined =>
         SqlExprAggFilter(fromExpression(f.copy(filter = None)),
           fromExpression(f.filter.get))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.orderingWithinGroup.nonEmpty =>
+        SqlExprWithinGroup(fromExpression(f.copy(orderingWithinGroup = Nil)),
+          f.orderingWithinGroup.map(so => (fromExpression(so.child),
+            so.direction == Ascending, so.nullOrdering == NullsFirst)))
       case Add(l, r, _) => bin("+", l, r)
       case Subtract(l, r, _) => bin("-", l, r)
       case Multiply(l, r, _) => bin("*", l, r)
@@ -1335,6 +1368,25 @@ object SqlDecompile {
       // ANSI aggregate FILTER clause — DuckDB shares the spelling
       case SqlExprAggFilter(fn, c) =>
         s"${duckExpr(fn)} FILTER (WHERE ${duckExpr(c)})"
+      // WITHIN GROUP: DuckDB shares the spelling for the percentile pair
+      // (probed incl. sort modifiers + FILTER composition); no duckdb
+      // form exists for listagg/mode ordered-set calls or IGNORE NULLS —
+      // refuse loudly rather than emit text that parses differently
+      case SqlExprWithinGroup(fn, keys) =>
+        val inner = fn match {
+          case SqlExprFunc(nm, _, _)
+              if Seq("percentile_cont", "percentile_disc")
+                .contains(nm.toLowerCase) => duckExpr(fn)
+          case _ => throw new UnsupportedOperationException(
+            s"duckdb dialect: no WITHIN GROUP spelling for ${fn.render}")
+        }
+        s"$inner WITHIN GROUP (ORDER BY " + keys.map { case (e, a, n) =>
+          s"${duckExpr(e)} ${if (a) "ASC" else "DESC"} " +
+            s"NULLS ${if (n) "FIRST" else "LAST"}"
+        }.mkString(", ") + ")"
+      case SqlExprIgnoreNulls(fn) =>
+        throw new UnsupportedOperationException(
+          s"duckdb dialect: no IGNORE NULLS spelling for ${fn.render}")
       // DuckDB has no <=> — the ANSI spelling is the portable form
       case SqlExprBin("<=>", l, r) =>
         s"(${duckExpr(l)} IS NOT DISTINCT FROM ${duckExpr(r)})"
@@ -1402,6 +1454,38 @@ object SqlDecompile {
       val (e, asc, nullsFirst) = k
       s"${ex(e)} ${if (asc) "ASC" else "DESC"} " +
         s"NULLS ${if (nullsFirst) "FIRST" else "LAST"}"
+    }
+
+    /** DuckDB binds a bare ORDER BY identifier against the FROM scope
+      * when the select item carrying that output name is an implicit
+      * (un-aliased) qualified reference — with two join inputs exposing
+      * the name the bind is AMBIGUOUS there, while spark resolves against
+      * the output list first. Where the hazard is visible (the name
+      * appears qualified by ≥2 distinct relations in the rendered FROM
+      * text) the key rewrites to the select-list ORDINAL — unambiguous in
+      * both dialects; everywhere else keys render unchanged, so existing
+      * output text is stable. A hazard this heuristic misses still fails
+      * LOUDLY at DuckDB's binder, never silently differently. */
+    private def duckSafeSortKeys(b: Block,
+        ks: Seq[(String, Boolean, Boolean)]): Seq[String] = {
+      val ident = "[A-Za-z_][A-Za-z0-9_]*"
+      val qualRefItem = s"^($ident)\\.($ident)$$".r
+      lazy val implicitAt: Map[String, Seq[Int]] =
+        b.items.getOrElse(Nil).zipWithIndex.collect {
+          case (qualRefItem(_, nm), i) => nm -> i
+        }.groupBy(_._1).map { case (nm, xs) => nm -> xs.map(_._2) }
+      def ambiguousIn(from: String, nm: String): Boolean =
+        s"($ident)\\.${java.util.regex.Pattern.quote(nm)}\\b".r
+          .findAllMatchIn(from).map(_.group(1)).toSet.size >= 2
+      ks.map {
+        case k @ (e, asc, nf)
+            if duck && e.matches(ident) &&
+              implicitAt.get(e).exists(_.size == 1) &&
+              !b.items.getOrElse(Nil).exists(_.endsWith(s" AS ${qid(e)}")) &&
+              ambiguousIn(b.from, e) =>
+          sortKey(((implicitAt(e).head + 1).toString, asc, nf))
+        case k => sortKey(k)
+      }
     }
 
     /** A plain column reference whose LAST name part already equals the
@@ -1472,7 +1556,7 @@ object SqlDecompile {
       case SqlSort(in, ks) =>
         val b = block(in)
         val b0 = if (b.hasTail) wrap(b) else b
-        b0.copy(orderBy = Some(ks.map(sortKey)))
+        b0.copy(orderBy = Some(duckSafeSortKeys(b0, ks)))
       case SqlDistinct(in) =>
         val b = block(in)
         val b0 = if (b.distinct || b.hasTail) wrap(b) else b

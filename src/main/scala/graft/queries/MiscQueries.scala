@@ -474,6 +474,34 @@ object MiscQueries {
       s.sql(t.renderSql())
     }, Some(Q97kDuckGolden)),
 
+    // Ordered-set aggregates through parse_sql (round 13): WITHIN GROUP
+    // percentiles — composed with FILTER and nested under round() so the
+    // modifier rides inside a composite expression (the RawSqlLeaf splice
+    // path) — decompile to walkable nodes, rebuild, and execute; the
+    // duckdb dialect shares the percentile spelling (asserted at run
+    // time). Values rounded to 4 decimals on both sides (the q34 rule:
+    // interpolated percentiles differ in the last ulp across engines).
+    QueryDef("q97l_within_group", (s, dir) => {
+      customer(s, dir).createOrReplaceTempView("customer")
+      val op = graft.api.SqlDecompile.decompile(s,
+        """SELECT c_nationkey,
+          |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4) AS med,
+          |  round(percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal DESC)
+          |    FILTER (WHERE c_mktsegment = 'BUILDING'), 4) AS p25b,
+          |  count(*) FILTER (WHERE c_acctbal > 0) AS n_pos
+          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      require(op.isFullyDecompiled, "WITHIN GROUP shapes must stay walkable")
+      require(op.renderSql("duckdb").contains("WITHIN GROUP"),
+        "duckdb rendering lost the WITHIN GROUP clause")
+      op.table(s).df
+    }, Some("""
+      SELECT c_nationkey,
+        ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4) AS med,
+        ROUND(percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal DESC)
+          FILTER (WHERE c_mktsegment = 'BUILDING'), 4) AS p25b,
+        COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_pos
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {
       Table(nation(s, dir)).sql(

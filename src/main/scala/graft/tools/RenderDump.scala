@@ -153,11 +153,12 @@ object RenderDump {
       "fl_corr_scalar_select" -> spark.sql(
         "SELECT id, (SELECT count(1) FROM ft2 WHERE ft2.id = ft1.id) AS n " +
           "FROM ft1 ORDER BY id"),
-      // (the output alias avoids duckdb's ambiguous-ORDER-BY binding when
-      // both join inputs carry a column of the projected name)
+      // (ORDER BY a bare name both join inputs carry: the duck renderer
+      // must rewrite the key to the select-list ordinal or DuckDB's
+      // binder rejects it as ambiguous)
       "fl_corr_exists_join" -> spark.sql(
-        "SELECT t.id AS tid, t.name, d.v FROM ft1 t JOIN ft2 d ON t.id = d.id " +
-          "WHERE EXISTS (SELECT 1 FROM ft2 e WHERE e.id = t.grp) ORDER BY tid"),
+        "SELECT t.id, t.name, d.v FROM ft1 t JOIN ft2 d ON t.id = d.id " +
+          "WHERE EXISTS (SELECT 1 FROM ft2 e WHERE e.id = t.grp) ORDER BY id"),
       "fl_corr_agg_filter" -> spark.sql(
         "SELECT t.id, (SELECT count(1) FILTER (WHERE e.v > 15) FROM ft2 e " +
           "WHERE e.id = t.id) AS n FROM ft1 t ORDER BY t.id"))

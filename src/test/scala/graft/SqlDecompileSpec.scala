@@ -63,10 +63,37 @@ class SqlDecompileSpec extends SparkSpec {
     assert(op.isFullyDecompiled, s"composite DISTINCT item should stay walkable:\n$op")
     val txt = op.renderSql()
     assert(txt.contains("DISTINCT"), s"DISTINCT dropped from composite rendering: $txt")
-    // the still-unrenderable modifiers keep degrading loudly, never wrongly
+  }
+
+  test("WITHIN GROUP / IGNORE NULLS are walkable modifiers (round 13)") {
+    ensureViews()
+    roundTrip("SELECT grp, percentile_cont(0.5) WITHIN GROUP (ORDER BY id) AS p " +
+      "FROM t1 GROUP BY grp ORDER BY grp")
+    roundTrip("SELECT grp, percentile_disc(0.25) WITHIN GROUP (ORDER BY id DESC) " +
+      "FILTER (WHERE id > 0) AS p FROM t1 GROUP BY grp ORDER BY grp")
+    roundTrip("SELECT grp, listagg(name, ',') WITHIN GROUP (ORDER BY id) AS s " +
+      "FROM t1 GROUP BY grp ORDER BY grp")
+    roundTrip("SELECT grp, mode() WITHIN GROUP (ORDER BY id) AS m " +
+      "FROM t1 GROUP BY grp ORDER BY grp")
+    roundTrip("SELECT grp, any_value(name) IGNORE NULLS AS a " +
+      "FROM t1 GROUP BY grp ORDER BY grp")
+    roundTrip("SELECT id, first_value(name) IGNORE NULLS OVER (ORDER BY id) AS f " +
+      "FROM t1 ORDER BY id")
+    // duckdb dialect: the percentile pair shares the spelling (probed);
+    // listagg/mode ordered-set calls and IGNORE NULLS refuse LOUDLY
+    val ok = SqlDecompile.decompile(spark,
+      "SELECT grp, percentile_cont(0.5) WITHIN GROUP (ORDER BY id) AS p " +
+        "FROM t1 GROUP BY grp ORDER BY grp")
+    assert(ok.renderSql("duckdb").contains("WITHIN GROUP"))
+    val la = SqlDecompile.decompile(spark,
+      "SELECT grp, listagg(name, ',') WITHIN GROUP (ORDER BY id) AS s " +
+        "FROM t1 GROUP BY grp ORDER BY grp")
+    assert(la.isFullyDecompiled)
+    intercept[UnsupportedOperationException](la.renderSql("duckdb"))
     val ig = SqlDecompile.decompile(spark,
       "SELECT grp, any_value(name) IGNORE NULLS AS a FROM t1 GROUP BY grp ORDER BY grp")
-    assert(!ig.isFullyDecompiled, "IGNORE NULLS must degrade to opaque")
+    assert(ig.isFullyDecompiled)
+    intercept[UnsupportedOperationException](ig.renderSql("duckdb"))
   }
 
   test("ordinal GROUP BY / ORDER BY resolve against the select list, not a constant") {
