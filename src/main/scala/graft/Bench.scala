@@ -31,7 +31,7 @@ object Bench {
     "q80_control", "q101_control", "q101b_tpch5_bucketed",
     "q103_control", "q103b_tpch13_bucketed",
     "q114_skew_hot_salted", "q114b_skew_hot_plain",
-    "q202_control", "q204_control")
+    "q202_control", "q202b_ds27_bucketed", "q204_control")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,43 +29,14 @@ object TpcdsQueries {
   private def wmean(c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =
     round(sum(c.cast("decimal(38,4)")).over(w).cast("double") / count(c).over(w), 6)
 
-  val defs: Seq[QueryDef] = Seq(
 
-    // DS Q3 shape: brand revenue by year for one part type.
-    QueryDef("q201_ds3_brand_by_year", (s, dir) => {
-      val l = lineitem(s, dir); val p = part(s, dir); val o = orders(s, dir)
-      Table(l)
-        .join(Table(p).filter(p("p_type") === "PROMO"), l("l_partkey") === p("p_partkey"))
-        .join(Table(o), l("l_orderkey") === o("o_orderkey"))
-        .mutate("d_year" -> year(o("o_orderdate")))
-        .groupBy(col("d_year"), p("p_brand"))
-        .aggregate(dsum(rev()).as("sum_agg"))
-        .sort(SortKey.asc(col("d_year")), SortKey.desc(col("sum_agg")), SortKey.asc(col("p_brand")))
-        .df
-    }, Some("""
-      SELECT CAST(YEAR(o_orderdate) AS INT) AS d_year, p_brand,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_agg
-      FROM lineitem
-      JOIN part ON l_partkey = p_partkey
-      JOIN orders ON l_orderkey = o_orderkey
-      WHERE p_type = 'PROMO'
-      GROUP BY 1, 2 ORDER BY d_year, sum_agg DESC, p_brand""")),
-
-    // DS Q27 shape: ROLLUP averages over a (nation, segment) hierarchy.
-    // Plan: the rollup keys (n_name, c_mktsegment) are functionally
-    // dependent on c_custkey, and every aggregate is a decomposable
-    // sum/count — so collapse the fact side to per-customer partial sums
-    // FIRST (decimal sums are exact, so two-level summation is
-    // bit-identical to the single-pass oracle), then join the 100×
-    // smaller per-customer frame to customer + broadcast nation and
-    // expand ×3 over THAT. The naive join-then-rollup shape expands the
-    // full lineitem join output 3× before aggregating (measured 7.7× of
-    // DuckDB at SF10; this shape ~2×); at 100 TB the Expand over the
-    // fact table is the difference between shuffling 3× the corpus and
-    // shuffling |customers|.
-    QueryDef("q202_ds27_rollup_avgs", (s, dir) => {
-      val c = customer(s, dir); val o = orders(s, dir)
-      val l = lineitem(s, dir); val n = nation(s, dir)
+  /** q202's computation over given orders/lineitem frames (parquet or the
+    * bucketed warehouse layout — the q202b twin). See the cents note
+    * inside for the exactness argument. */
+  private def ds27Body(s: org.apache.spark.sql.SparkSession, dir: String,
+      o: org.apache.spark.sql.DataFrame,
+      l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = customer(s, dir); val n = nation(s, dir)
       // exact long-cents partials (round 13, A/B 1.46x at SF10): the
       // row-level cast to decimal(18,4) applies the SAME half-up scale-4
       // rounding as the oracle's DECIMAL(38,4); x10000-to-long makes the
@@ -108,6 +79,80 @@ object TpcdsQueries {
           (grouping(col("n_name")) * 2 + grouping(col("c_mktsegment"))).cast("int").as("lvl")))
         .sort(SortKey.asc(col("lvl")), SortKey.asc(col("n_name")), SortKey.asc(col("c_mktsegment")))
         .df
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // DS Q3 shape: brand revenue by year for one part type.
+    QueryDef("q201_ds3_brand_by_year", (s, dir) => {
+      val l = lineitem(s, dir); val p = part(s, dir); val o = orders(s, dir)
+      Table(l)
+        .join(Table(p).filter(p("p_type") === "PROMO"), l("l_partkey") === p("p_partkey"))
+        .join(Table(o), l("l_orderkey") === o("o_orderkey"))
+        .mutate("d_year" -> year(o("o_orderdate")))
+        .groupBy(col("d_year"), p("p_brand"))
+        .aggregate(dsum(rev()).as("sum_agg"))
+        .sort(SortKey.asc(col("d_year")), SortKey.desc(col("sum_agg")), SortKey.asc(col("p_brand")))
+        .df
+    }, Some("""
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS d_year, p_brand,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_agg
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_type = 'PROMO'
+      GROUP BY 1, 2 ORDER BY d_year, sum_agg DESC, p_brand""")),
+
+    // DS Q27 shape: ROLLUP averages over a (nation, segment) hierarchy.
+    // Plan: the rollup keys (n_name, c_mktsegment) are functionally
+    // dependent on c_custkey, and every aggregate is a decomposable
+    // sum/count — so collapse the fact side to per-customer partial sums
+    // FIRST (decimal sums are exact, so two-level summation is
+    // bit-identical to the single-pass oracle), then join the 100×
+    // smaller per-customer frame to customer + broadcast nation and
+    // expand ×3 over THAT. The naive join-then-rollup shape expands the
+    // full lineitem join output 3× before aggregating (measured 7.7× of
+    // DuckDB at SF10; this shape ~2×); at 100 TB the Expand over the
+    // fact table is the difference between shuffling 3× the corpus and
+    // shuffling |customers|.
+    QueryDef("q202_ds27_rollup_avgs", (s, dir) =>
+      ds27Body(s, dir, orders(s, dir), lineitem(s, dir)), Some("""
+      SELECT n_name, c_mktsegment,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_quantity), 6) AS agg1,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS agg2,
+        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_discount), 6) AS agg3,
+        CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS lvl
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      ORDER BY lvl, n_name NULLS LAST, c_mktsegment NULLS LAST""")),
+
+    // Layout-assisted twin (the q101b/q103b story, extended to the DS
+    // rollup): both fact sides pre-bucketed AND pre-sorted by orderkey
+    // remove the backbone's one wide exchange pair — the per-order
+    // aggregate runs bucket-local and the orders join arrives
+    // co-partitioned. Shares the q101b warehouse tables (same key, same
+    // bucket count); same oracle as q202. Excluded from the geomean.
+    QueryDef("q202b_ds27_bucketed", (s, dir) => {
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val buckets = sys.env.getOrElse("GRAFT_ORDER_BUCKETS", "64").toInt
+      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_b$buckets"
+      def ensure(tbl: String, key: String,
+          src: => org.apache.spark.sql.DataFrame): Unit =
+        if (!s.catalog.tableExists(tbl)) {
+          val loc = new java.io.File(s"spark-warehouse/$tbl")
+          if (loc.exists()) {
+            val ddl = s.read.parquet(loc.getAbsolutePath).schema.toDDL
+            s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
+              CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+              LOCATION '${loc.getAbsolutePath}'""")
+          } else Table(src).toBucketedTable(tbl, buckets, key)
+        }
+      ensure(s"orders_$suffix", "o_orderkey", orders(s, dir))
+      ensure(s"lineitem_$suffix", "l_orderkey", lineitem(s, dir))
+      ds27Body(s, dir, s.table(s"orders_$suffix"), s.table(s"lineitem_$suffix"))
     }, Some("""
       SELECT n_name, c_mktsegment,
         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_quantity), 6) AS agg1,
@@ -120,6 +165,7 @@ object TpcdsQueries {
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP (n_name, c_mktsegment)
       ORDER BY lvl, n_name NULLS LAST, c_mktsegment NULLS LAST""")),
+
 
     // Floor control for q202 (round-12 verdict #2): the eager-aggregation
     // BACKBONE alone — per-order partial sums below the orderkey exchange,

@@ -30,7 +30,7 @@ HEADLINE = [
 # it has no salting concept).
 CONTROLS = ["q80_control", "q101_control", "q101b_tpch5_bucketed",
             "q103_control", "q103b_tpch13_bucketed", "q114_skew_hot_salted",
-            "q202_control", "q204_control"]
+            "q202_control", "q202b_ds27_bucketed", "q204_control"]
 
 # Note on what the ratio compares (round-12 advice): the Spark side of
 # q202/q204 (and q03/q101) runs a hand-pre-aggregated eager-agg plan, while
