@@ -976,7 +976,8 @@ object SqlDecompile {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if Seq("rlike", "regexp", "regexp_like")
             .contains(f.nameParts.mkString(".").toLowerCase) &&
-            f.arguments.size == 2 && !f.isDistinct && f.filter.isEmpty =>
+            f.arguments.size == 2 && !f.isDistinct && f.filter.isEmpty &&
+            !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
         SqlExprLike("RLIKE", fromExpression(f.arguments(0)),
           fromExpression(f.arguments(1)))
       // Spark's parser (and .sql) spell infix LIKE/ILIKE as the function
@@ -984,7 +985,8 @@ object SqlDecompile {
       // such functions, so they must fold into the walkable infix node
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if Seq("like", "ilike").contains(f.nameParts.mkString(".").toLowerCase) &&
-            f.arguments.size == 2 && !f.isDistinct && f.filter.isEmpty =>
+            f.arguments.size == 2 && !f.isDistinct && f.filter.isEmpty &&
+            !f.ignoreNulls && f.orderingWithinGroup.isEmpty =>
         SqlExprLike(f.nameParts.mkString(".").toUpperCase,
           fromExpression(f.arguments(0)), fromExpression(f.arguments(1)))
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
@@ -1369,21 +1371,52 @@ object SqlDecompile {
       case SqlExprAggFilter(fn, c) =>
         s"${duckExpr(fn)} FILTER (WHERE ${duckExpr(c)})"
       // WITHIN GROUP: DuckDB shares the spelling for the percentile pair
-      // (probed incl. sort modifiers + FILTER composition); no duckdb
-      // form exists for listagg/mode ordered-set calls or IGNORE NULLS —
-      // refuse loudly rather than emit text that parses differently
+      // (probed incl. sort modifiers + FILTER composition). Ordered
+      // LISTAGG-family calls have a different duckdb spelling — the
+      // ordering moves INSIDE the call: string_agg(x, sep ORDER BY k)
+      // (probed incl. DISTINCT, NULLS modifiers, FILTER composition;
+      // verdict r13 #4 — the reference's GroupConcat(order_by=…),
+      // ibis/expr/operations/reductions.py:82). mode() WITHIN GROUP
+      // stays refused: spark's ordered form breaks frequency ties by the
+      // ordering while duckdb's mode(x) tie-break is unspecified — a
+      // rendering could evaluate differently, so it must refuse loudly.
       case SqlExprWithinGroup(fn, keys) =>
-        val inner = fn match {
+        def orderByText = "ORDER BY " + keys.map { case (e, a, n) =>
+          s"${duckExpr(e)} ${if (a) "ASC" else "DESC"} " +
+            s"NULLS ${if (n) "FIRST" else "LAST"}"
+        }.mkString(", ")
+        fn match {
           case SqlExprFunc(nm, _, _)
               if Seq("percentile_cont", "percentile_disc")
-                .contains(nm.toLowerCase) => duckExpr(fn)
+                .contains(nm.toLowerCase) =>
+            s"${duckExpr(fn)} WITHIN GROUP ($orderByText)"
+          case SqlExprFunc(nm, args, d)
+              if Seq("listagg", "string_agg", "group_concat")
+                .contains(nm.toLowerCase) && (args.size == 1 || args.size == 2) =>
+            // spark's one-arg LISTAGG defaults the separator to '' while
+            // duckdb's string_agg defaults to ',' — always render it
+            val sep = if (args.size == 2) duckExpr(args(1)) else "''"
+            s"string_agg(${if (d) "DISTINCT " else ""}${duckExpr(args(0))}, " +
+              s"$sep $orderByText)"
           case _ => throw new UnsupportedOperationException(
             s"duckdb dialect: no WITHIN GROUP spelling for ${fn.render}")
         }
-        s"$inner WITHIN GROUP (ORDER BY " + keys.map { case (e, a, n) =>
-          s"${duckExpr(e)} ${if (a) "ASC" else "DESC"} " +
-            s"NULLS ${if (n) "FIRST" else "LAST"}"
-        }.mkString(", ") + ")"
+      // IGNORE NULLS: duckdb spells the modifier INSIDE the call parens
+      // for the window navigation functions — lag(x, 1 IGNORE NULLS) —
+      // (probed; these names require OVER in spark, so the window context
+      // is implied by the name), and FIRST-style null-skipping aggregates
+      // are its any_value (documented "first non-null" — the same
+      // arbitrary-pick contract as spark's non-deterministic first).
+      // LAST-style stays refused: duckdb's arbitrary pick is first-ish,
+      // and rendering last(x) IGNORE NULLS as any_value could evaluate
+      // differently even on single-partition data.
+      case SqlExprIgnoreNulls(SqlExprFunc(nm, args, false))
+          if Seq("lag", "lead", "nth_value", "first_value", "last_value")
+            .contains(nm.toLowerCase) && args.nonEmpty =>
+        s"${nm.toLowerCase}(${args.map(duckExpr).mkString(", ")} IGNORE NULLS)"
+      case SqlExprIgnoreNulls(SqlExprFunc(nm, Seq(arg), false))
+          if Seq("first", "any_value").contains(nm.toLowerCase) =>
+        s"any_value(${duckExpr(arg)})"
       case SqlExprIgnoreNulls(fn) =>
         throw new UnsupportedOperationException(
           s"duckdb dialect: no IGNORE NULLS spelling for ${fn.render}")
@@ -1433,7 +1466,11 @@ object SqlDecompile {
         having: Option[String] = None,
         orderBy: Option[Seq[String]] = None,
         limit: Option[Long] = None,
-        offset: Option[Long] = None) {
+        offset: Option[Long] = None,
+        // relation names/aliases visible at this block's top-level FROM
+        // scope (NOT those inside nested derived-table bodies) — the
+        // ordinal-rewrite hazard check binds against these only
+        aliases: Set[String] = Set.empty) {
       def sql: String =
         s"SELECT ${if (distinct) "DISTINCT " else ""}" +
           items.getOrElse(Seq("*")).mkString(", ") + s" FROM $from" +
@@ -1447,8 +1484,10 @@ object SqlDecompile {
       def hasTail: Boolean = orderBy.nonEmpty || limit.nonEmpty || offset.nonEmpty
     }
 
-    private def wrap(b: Block): Block =
-      Block(from = s"(${b.sql}) AS ${freshAlias()}")
+    private def wrap(b: Block): Block = {
+      val a = freshAlias()
+      Block(from = s"(${b.sql}) AS $a", aliases = Set(a))
+    }
 
     private def sortKey(k: (String, Boolean, Boolean)): String = {
       val (e, asc, nullsFirst) = k
@@ -1462,8 +1501,11 @@ object SqlDecompile {
       * the name the bind is AMBIGUOUS there, while spark resolves against
       * the output list first. Where the hazard is visible (the name
       * appears qualified by ≥2 distinct relations in the rendered FROM
-      * text) the key rewrites to the select-list ORDINAL — unambiguous in
-      * both dialects; everywhere else keys render unchanged, so existing
+      * text, AND both qualifiers are top-level relation aliases of THIS
+      * block — not identifiers inside nested derived-table bodies or
+      * string literals, which `Block.aliases` tracks structurally) the
+      * key rewrites to the select-list ORDINAL — unambiguous in both
+      * dialects; everywhere else keys render unchanged, so existing
       * output text is stable. A hazard this heuristic misses still fails
       * LOUDLY at DuckDB's binder, never silently differently. */
     private def duckSafeSortKeys(b: Block,
@@ -1476,7 +1518,8 @@ object SqlDecompile {
         }.groupBy(_._1).map { case (nm, xs) => nm -> xs.map(_._2) }
       def ambiguousIn(from: String, nm: String): Boolean =
         s"($ident)\\.${java.util.regex.Pattern.quote(nm)}\\b".r
-          .findAllMatchIn(from).map(_.group(1)).toSet.size >= 2
+          .findAllMatchIn(from).map(_.group(1))
+          .filter(b.aliases).toSet.size >= 2
       ks.map {
         case k @ (e, asc, nf)
             if duck && e.matches(ident) &&
@@ -1526,12 +1569,21 @@ object SqlDecompile {
     /** A VALUES cell in the duckdb dialect (spark literals re-spelled). */
     def duckCell(s: String): String = duckExpr(parseExpr(s))
 
-    private def fromItem(op: SqlOp): String = op match {
-      case r: SqlRelation => relName(r)
-      case SqlAlias(r: SqlRelation, a) => s"${relName(r)} AS ${qid(a)}"
-      case v: SqlValues => valuesSql(v, freshAlias(), duck)
-      case SqlAlias(v: SqlValues, a) => valuesSql(v, a, duck)
-      case SqlAlias(in, a) => s"(${top(in)}) AS ${qid(a)}"
+    /** Renders a FROM item and collects into `acc` the relation names /
+      * aliases it exposes at the item's own (top) scope — nothing from
+      * inside nested derived-table bodies (the goldens pin the text;
+      * `acc` only feeds the sort-key ordinal-rewrite hazard check). */
+    private def fromItem(op: SqlOp,
+        acc: scala.collection.mutable.Set[String]): String = op match {
+      case r: SqlRelation =>
+        acc += (if (r.nameParts.nonEmpty) r.nameParts
+                else r.name.split("\\.", -1).toSeq).last
+        relName(r)
+      case SqlAlias(r: SqlRelation, a) => acc += a; s"${relName(r)} AS ${qid(a)}"
+      case v: SqlValues =>
+        val a = freshAlias(); acc += a; valuesSql(v, a, duck)
+      case SqlAlias(v: SqlValues, a) => acc += a; valuesSql(v, a, duck)
+      case SqlAlias(in, a) => acc += a; s"(${top(in)}) AS ${qid(a)}"
       case SqlJoin(l, r, how, cond) =>
         val kw = how match {
           case "inner" => "JOIN"
@@ -1544,8 +1596,9 @@ object SqlDecompile {
           case other => throw new UnsupportedOperationException(
             s"renderSql: unknown join type '$other'")
         }
-        s"${fromItem(l)} $kw ${fromItem(r)}${cond.fold("")(c => s" ON ${ex(c)}")}"
-      case other => s"(${top(other)}) AS ${freshAlias()}"
+        s"${fromItem(l, acc)} $kw ${fromItem(r, acc)}${cond.fold("")(c => s" ON ${ex(c)}")}"
+      case other =>
+        val a = freshAlias(); acc += a; s"(${top(other)}) AS $a"
     }
 
     private def block(op: SqlOp): Block = op match {
@@ -1620,7 +1673,7 @@ object SqlDecompile {
               "renderSql: only a plain explode over an array has a duckdb " +
                 s"spelling (got ${func}${if (outer) " OUTER" else ""})")
           }
-        b0.copy(from = b0.from + lateral)
+        b0.copy(from = b0.from + lateral, aliases = b0.aliases + alias)
       case SqlWindow(_, _) =>
         throw new UnsupportedOperationException(
           "renderSql: SqlWindow must sit directly below its SqlProject")
@@ -1628,7 +1681,10 @@ object SqlDecompile {
         throw new UnsupportedOperationException(
           "renderSql: tree is not fully decompiled (SqlOpaque) — " +
             "check isFullyDecompiled first")
-      case leafOrFrom => Block(from = fromItem(leafOrFrom))
+      case leafOrFrom =>
+        val acc = scala.collection.mutable.Set.empty[String]
+        val f = fromItem(leafOrFrom, acc)
+        Block(from = f, aliases = acc.toSet)
     }
 
     def top(op: SqlOp): String = op match {

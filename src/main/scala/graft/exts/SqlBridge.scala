@@ -16,4 +16,14 @@ object GraftSqlBridge {
   def ofPlan(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A full copy of the session (conf, temp views, UDFs) sharing the
+    * SparkContext — for queries that need a plan-shape conf override
+    * (e.g. subset-cluster-key co-partitioning for bucketed joins)
+    * without leaking it into the shared session. The conf must still be
+    * set when the returned DataFrame is EXECUTED (physical planning is
+    * lazy), so a set-then-restore inside the builder can't work; an
+    * isolated clone can. */
+  def cloneSession(s: SparkSession): SparkSession =
+    s.asInstanceOf[classic.SparkSession].cloneSession()
 }

@@ -66,6 +66,34 @@ object MiscQueries {
       "FROM customer AS t0 GROUP BY t0.c_nationkey " +
       "ORDER BY c_nationkey ASC NULLS FIRST"
 
+  /** q97l: ordered-set (WITHIN GROUP) aggregates composed with FILTER and
+    * nested under round() — the exact duckdb rendering, recorded via
+    * tools/RenderOne and executed by DuckDB as the oracle (ADVICE r13:
+    * the rendering must BE the oracle, not a contains() probe). This path
+    * goes through parse_sql (SqlDecompile.decompile), so the golden pins
+    * explicit ASC/DESC + NULLS ordering inside WITHIN GROUP and the
+    * FILTER composition in one string. */
+  val Q97lDuckGolden: String =
+    "SELECT c_nationkey, " +
+      "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal ASC NULLS FIRST), 4) AS med, " +
+      "round(percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal DESC NULLS LAST) " +
+      "FILTER (WHERE (c_mktsegment = 'BUILDING')), 4) AS p25b, " +
+      "count(1) FILTER (WHERE (c_acctbal > 0)) AS n_pos " +
+      "FROM customer GROUP BY c_nationkey " +
+      "ORDER BY c_nationkey ASC NULLS FIRST"
+
+  /** q97m: ordered LISTAGG-family aggregates translate to duckdb's
+    * in-call ordering spelling (string_agg(x, sep ORDER BY k)), and
+    * FIRST-style IGNORE NULLS to any_value — recorded via
+    * tools/RenderOne, executed by DuckDB as the oracle. */
+  val Q97mDuckGolden: String =
+    "SELECT c_nationkey, " +
+      "substring(string_agg(c_mktsegment, '|' ORDER BY c_custkey ASC NULLS FIRST), 1, 40) AS segs, " +
+      "string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment ASC NULLS FIRST) AS dsegs, " +
+      "any_value(CAST(c_nationkey AS STRING)) AS anyk " +
+      "FROM customer GROUP BY c_nationkey " +
+      "ORDER BY c_nationkey ASC NULLS FIRST"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Impure expressions (ibis ops.Impure — RandomScalar/RandomUUID/
@@ -491,16 +519,33 @@ object MiscQueries {
           |  count(*) FILTER (WHERE c_acctbal > 0) AS n_pos
           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
       require(op.isFullyDecompiled, "WITHIN GROUP shapes must stay walkable")
-      require(op.renderSql("duckdb").contains("WITHIN GROUP"),
-        "duckdb rendering lost the WITHIN GROUP clause")
+      val duck = op.renderSql("duckdb")
+      require(duck == Q97lDuckGolden,
+        s"WITHIN GROUP duckdb rendering drifted from the recorded oracle:\n$duck")
       op.table(s).df
-    }, Some("""
-      SELECT c_nationkey,
-        ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4) AS med,
-        ROUND(percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal DESC)
-          FILTER (WHERE c_mktsegment = 'BUILDING'), 4) AS p25b,
-        COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_pos
-      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+    }, Some(Q97lDuckGolden)),
+
+    // Ordered LISTAGG-family + FIRST-IGNORE NULLS duckdb translation
+    // (round 14, verdict r13 #4): the ordering moves INSIDE duckdb's
+    // call — string_agg(x, sep ORDER BY k) — instead of refusing; the
+    // reference's GroupConcat(order_by=…) (reductions.py:82) round-trips
+    // to duckdb text. Deterministic: ordered by the unique c_custkey /
+    // by the aggregated value itself, and the IGNORE NULLS column is
+    // constant per group. The oracle IS the duckdb rendering.
+    QueryDef("q97m_render_ordered_listagg", (s, dir) => {
+      customer(s, dir).createOrReplaceTempView("customer")
+      val op = graft.api.SqlDecompile.decompile(s,
+        """SELECT c_nationkey,
+          |  substring(listagg(c_mktsegment, '|') WITHIN GROUP (ORDER BY c_custkey), 1, 40) AS segs,
+          |  listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment) AS dsegs,
+          |  first(cast(c_nationkey AS string)) IGNORE NULLS AS anyk
+          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+      require(op.isFullyDecompiled, "ordered-listagg shapes must stay walkable")
+      val duck = op.renderSql("duckdb")
+      require(duck == Q97mDuckGolden,
+        s"ordered-listagg duckdb rendering drifted from the recorded oracle:\n$duck")
+      op.table(s).df
+    }, Some(Q97mDuckGolden)),
 
     // SQL passthrough (Table.sql / ibis SQLStringView).
     QueryDef("q97_sql_passthrough", (s, dir) => {

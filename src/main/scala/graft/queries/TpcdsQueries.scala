@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.api.{SortKey, Table}
+import org.apache.spark.sql.GraftSqlBridge
 import Tables._
 
 /** TPC-DS-shaped corpus (q201-q220), adapted to the driver's star schema.
@@ -135,24 +136,15 @@ object TpcdsQueries {
     // aggregate runs bucket-local and the orders join arrives
     // co-partitioned. Shares the q101b warehouse tables (same key, same
     // bucket count); same oracle as q202. Excluded from the geomean.
-    QueryDef("q202b_ds27_bucketed", (s, dir) => {
+    QueryDef("q202b_ds27_bucketed", (s0, dir) => {
+      // conf override on a CLONED session only: the flag must be live at
+      // execution time (planning is lazy, so set-then-restore here would
+      // undo it before it's read), and setting it on the shared session
+      // would leak a plan-shape conf into every later query (ADVICE r13)
+      val s = GraftSqlBridge.cloneSession(s0)
       s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      val buckets = sys.env.getOrElse("GRAFT_ORDER_BUCKETS", "64").toInt
-      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_b$buckets"
-      def ensure(tbl: String, key: String,
-          src: => org.apache.spark.sql.DataFrame): Unit =
-        if (!s.catalog.tableExists(tbl)) {
-          val loc = new java.io.File(s"spark-warehouse/$tbl")
-          if (loc.exists()) {
-            val ddl = s.read.parquet(loc.getAbsolutePath).schema.toDDL
-            s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
-              CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-              LOCATION '${loc.getAbsolutePath}'""")
-          } else Table(src).toBucketedTable(tbl, buckets, key)
-        }
-      ensure(s"orders_$suffix", "o_orderkey", orders(s, dir))
-      ensure(s"lineitem_$suffix", "l_orderkey", lineitem(s, dir))
-      ds27Body(s, dir, s.table(s"orders_$suffix"), s.table(s"lineitem_$suffix"))
+      val (ot, lt) = BucketedLayout.orderkeyTables(s, dir)
+      ds27Body(s, dir, s.table(ot), s.table(lt))
     }, Some("""
       SELECT n_name, c_mktsegment,
         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_quantity), 6) AS agg1,

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.api.{SortKey, Table}
+import org.apache.spark.sql.GraftSqlBridge
 import Tables._
 
 /** TPC-H-shaped corpus adapted to the driver's trimmed star schema (no
@@ -121,24 +122,15 @@ object TpchQueries {
     // Spark's per-row scan/probe/aggregate floor on this host, not plan
     // or shuffle. Closes the round-7 verdict's layout question: q103's
     // twin reaches 1.0×; q101's floor is row processing, recorded here.
-    QueryDef("q101b_tpch5_bucketed", (s, dir) => {
+    QueryDef("q101b_tpch5_bucketed", (s0, dir) => {
+      // conf override on a CLONED session only: the flag must be live at
+      // execution time (planning is lazy, so set-then-restore here would
+      // undo it before it's read), and setting it on the shared session
+      // would leak a plan-shape conf into every later query (ADVICE r13)
+      val s = GraftSqlBridge.cloneSession(s0)
       s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      val buckets = sys.env.getOrElse("GRAFT_ORDER_BUCKETS", "64").toInt
-      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_") + s"_b$buckets"
-      def ensure(tbl: String, key: String,
-          src: => org.apache.spark.sql.DataFrame): Unit =
-        if (!s.catalog.tableExists(tbl)) {
-          val loc = new java.io.File(s"spark-warehouse/$tbl")
-          if (loc.exists()) {
-            val ddl = s.read.parquet(loc.getAbsolutePath).schema.toDDL
-            s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
-              CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-              LOCATION '${loc.getAbsolutePath}'""")
-          } else Table(src).toBucketedTable(tbl, buckets, key)
-        }
-      ensure(s"orders_$suffix", "o_orderkey", orders(s, dir))
-      ensure(s"lineitem_$suffix", "l_orderkey", lineitem(s, dir))
-      tpch5Body(s, dir, s.table(s"orders_$suffix"), s.table(s"lineitem_$suffix"))
+      val (ot, lt) = BucketedLayout.orderkeyTables(s, dir)
+      tpch5Body(s, dir, s.table(ot), s.table(lt))
     }, Some("""
       SELECT n_name,
         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
@@ -258,20 +250,7 @@ object TpchQueries {
     // the source dir). Same oracle as q103 — identical results, cheaper
     // plan.
     QueryDef("q103b_tpch13_bucketed", (s, dir) => {
-      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val buckets = sys.env.getOrElse("GRAFT_CUST_BUCKETS", "64").toInt
-      val tbl = s"orders_bycust_${suffix}_b$buckets"
-      if (!s.catalog.tableExists(tbl)) {
-        val loc = new java.io.File(s"spark-warehouse/$tbl")
-        if (loc.exists()) {
-          // files persist across JVMs; the in-memory catalog doesn't —
-          // re-register the existing layout as an external bucketed table
-          val ddl = s.read.parquet(loc.getAbsolutePath).schema.toDDL
-          s.sql(s"""CREATE TABLE $tbl ($ddl) USING parquet
-            CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO $buckets BUCKETS
-            LOCATION '${loc.getAbsolutePath}'""")
-        } else Table(orders(s, dir)).toBucketedTable(tbl, buckets, "o_custkey")
-      }
+      val tbl = BucketedLayout.custkeyOrders(s, dir)
       val c = customer(s, dir)
       val o = s.table(tbl)
       val perCust = Table(o)

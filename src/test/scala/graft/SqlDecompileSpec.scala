@@ -80,7 +80,10 @@ class SqlDecompileSpec extends SparkSpec {
     roundTrip("SELECT id, first_value(name) IGNORE NULLS OVER (ORDER BY id) AS f " +
       "FROM t1 ORDER BY id")
     // duckdb dialect: the percentile pair shares the spelling (probed);
-    // listagg/mode ordered-set calls and IGNORE NULLS refuse LOUDLY
+    // ordered LISTAGG-family moves the ordering INSIDE the call
+    // (string_agg(x, sep ORDER BY k), round 14) and FIRST-style IGNORE
+    // NULLS becomes any_value; mode() WITHIN GROUP and LAST-style IGNORE
+    // NULLS have no value-faithful duckdb spelling — refuse LOUDLY
     val ok = SqlDecompile.decompile(spark,
       "SELECT grp, percentile_cont(0.5) WITHIN GROUP (ORDER BY id) AS p " +
         "FROM t1 GROUP BY grp ORDER BY grp")
@@ -89,11 +92,29 @@ class SqlDecompileSpec extends SparkSpec {
       "SELECT grp, listagg(name, ',') WITHIN GROUP (ORDER BY id) AS s " +
         "FROM t1 GROUP BY grp ORDER BY grp")
     assert(la.isFullyDecompiled)
-    intercept[UnsupportedOperationException](la.renderSql("duckdb"))
+    assert(la.renderSql("duckdb").contains("string_agg(name, ',' ORDER BY id"),
+      s"ordered listagg should translate: ${la.renderSql("duckdb")}")
+    // one-arg listagg: spark defaults the separator to '' while duckdb's
+    // string_agg defaults to ',' — the rendering must pin '' explicitly
+    val la1 = SqlDecompile.decompile(spark,
+      "SELECT grp, listagg(name) WITHIN GROUP (ORDER BY id) AS s " +
+        "FROM t1 GROUP BY grp ORDER BY grp")
+    assert(la1.renderSql("duckdb").contains("string_agg(name, '' ORDER BY id"),
+      s"one-arg listagg must pin the '' separator: ${la1.renderSql("duckdb")}")
     val ig = SqlDecompile.decompile(spark,
       "SELECT grp, any_value(name) IGNORE NULLS AS a FROM t1 GROUP BY grp ORDER BY grp")
     assert(ig.isFullyDecompiled)
-    intercept[UnsupportedOperationException](ig.renderSql("duckdb"))
+    assert(ig.renderSql("duckdb").contains("any_value(name)"),
+      s"FIRST-style IGNORE NULLS should become any_value: ${ig.renderSql("duckdb")}")
+    val md = SqlDecompile.decompile(spark,
+      "SELECT grp, mode() WITHIN GROUP (ORDER BY id) AS m " +
+        "FROM t1 GROUP BY grp ORDER BY grp")
+    assert(md.isFullyDecompiled)
+    intercept[UnsupportedOperationException](md.renderSql("duckdb"))
+    val lst = SqlDecompile.decompile(spark,
+      "SELECT grp, last(name) IGNORE NULLS AS l FROM t1 GROUP BY grp ORDER BY grp")
+    assert(lst.isFullyDecompiled)
+    intercept[UnsupportedOperationException](lst.renderSql("duckdb"))
   }
 
   test("ordinal GROUP BY / ORDER BY resolve against the select list, not a constant") {
