@@ -8,7 +8,23 @@ import org.apache.spark.sql.functions._
   *
   * Results are materialized with a noop-format write (not count(): count
   * lets Catalyst prune every column and skips most of the work being
-  * measured). AQE on, shuffle partitions sized for local[32]. */
+  * measured). AQE on, shuffle partitions sized for local[32].
+  *
+  * Round-14 ladder protocol (verdict r13 #1/#2 — three consecutive
+  * driver records died at rc=124 because the ladder outgrew the driver's
+  * global wall clock): (a) ONE global budget, SPARK_GRAFT_TOTAL_BUDGET_SEC
+  * (default 2400s, safely under the driver's observed ~50-min kill),
+  * checked before every section, every query, every control, and the
+  * streaming bench; (b) gate-scales-first section order — sf10 → sf100 →
+  * streaming → sf1 — so whatever gets truncated is floor/trend data
+  * nobody gates on, and sf1 is trimmed to a 5-query trend subset;
+  * (c) a q01 anchor is recorded at EVERY SF section and an
+  * anchor-normalized companion geomean (ratio_geomean_cal_*) is emitted
+  * alongside the raw one, so a reader can separate host-window factor
+  * from plan regression without cross-referencing BENCH_LARGE.md;
+  * (d) the bucketed-layout warehouse ingest runs UNTIMED before the
+  * controls (the r13 driver timed a full sf10 ingest inside the q202b
+  * control window: 188.7s recorded for a ~12s query). */
 object Bench {
 
   /** Headline subset: one per cost shape — scan+agg, multi-join, window,
@@ -24,6 +40,13 @@ object Bench {
     "q101_tpch5_local_volume", "q103_tpch13_custdist",
     "q202_ds27_rollup_avgs", "q204_ds47_yoy_monthly")
 
+  /** sf1 gates nothing (BASELINE.md floor-excludes it) yet a full section
+    * cost minutes of the driver's clock — keep a 5-query trend subset:
+    * scan+agg, multi-join, window, LSH dedup, DS rollup. */
+  private val sf1Trend = Seq(
+    "q01_agg", "q03_join_agg_top", "q12_window_rank", "q65_minhash_pairs",
+    "q202_ds27_rollup_avgs")
+
   /** Timed but excluded from the ratio geomean: q80_control is the bare-
     * groupBy floor measurement for q80 (verdict r2 #8); the q114 pair
     * measures salted vs plain join on a deliberate 90%-hot key (#9). */
@@ -33,7 +56,21 @@ object Bench {
     "q114_skew_hot_salted", "q114b_skew_hot_plain",
     "q202_control", "q202b_ds27_bucketed", "q204_control")
 
+  /** Steady healthy-window q01 warm seconds per section, from the
+    * BENCH_LARGE.md record (sf100: 3.55-4.25s across rounds 9-12 solo
+    * runs; sf10: ~1.3s steady per r12/r13; sf1: ~0.9s, r13 driver floor).
+    * The calibrated geomean divides by max(1, anchor/healthy) — it only
+    * ever DEFLATES a degraded-window reading, never inflates a healthy
+    * one. */
+  private val healthyAnchor = Map("sf1" -> 0.90, "sf10" -> 1.30, "sf100" -> 3.90)
+
   def main(args: Array[String]): Unit = {
+    val runStart = System.nanoTime()
+    def globalElapsed: Double = (System.nanoTime() - runStart) / 1e9
+    val totalBudget =
+      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_SEC", "2400").toDouble
+    def overBudget: Boolean = globalElapsed > totalBudget
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffleDir = {
@@ -185,6 +222,11 @@ object Bench {
     // compact line — SIGTERM runs shutdown hooks, and priority 0 sequences
     // AFTER Spark's context-stop (40s-range priorities), so the line lands
     // at the very tail of stdout even when the JVM is killed mid-section.
+    // Round 14 (ADVICE r13): until the final print sets `runCompleted`,
+    // the hook marks its reprint ,"partial":true — a mid-section SIGTERM
+    // reprints the LAST CHECKPOINT's line, whose totals silently exclude
+    // the in-flight section, and a parser must be able to tell.
+    @volatile var runCompleted = false
     def compactLineOf(withRatioMap: Boolean): String = {
       val ce = if (withRatioMap) compactExtra.toString
                else compactExtra.toString.replaceAll(""","ratio_sf100":\{[^}]*\}""", "")
@@ -208,200 +250,267 @@ object Bench {
       new Runnable {
         def run(): Unit = {
           val c = latestCompact.get()
-          if (c.nonEmpty) { println(c); System.out.flush() }
+          if (c.nonEmpty) {
+            val line = if (runCompleted) c
+              else c.patch(c.lastIndexOf('}'), ""","partial":true""", 0)
+            println(line); System.out.flush()
+            // stdout through an sbt pipe can be dropped when the child
+            // dies mid-kill — also append the marked line to the detail
+            // file (line 1 stays the last checkpoint's full record)
+            if (!runCompleted)
+              try java.nio.file.Files.writeString(
+                java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n",
+                java.nio.file.StandardOpenOption.CREATE,
+                java.nio.file.StandardOpenOption.APPEND)
+              catch { case _: Throwable => }
+          }
         }
       }, 0)
 
-    // Self-grading for the main (driver-chosen) SF dir too: when a DuckDB
-    // baseline measured over the SAME files is committed (bench/
-    // duckdb_<basename>.json, from tools/bench_duckdb.py), embed per-query
-    // ratios and the geomean so the one-line JSON carries the 2×-gate
-    // verdict directly — small-SF ratios are floor-dominated (BENCH_LARGE
-    // .md), but they should be readable without a separate join.
+    /** Embed per-query DuckDB ratios + geomean for a section when a
+      * committed baseline over the SAME files exists (bench/duckdb_<tag>
+      * .json, from tools/bench_duckdb.py). With a q01 anchor and a
+      * healthy-window reference, also emit the anchor-normalized
+      * companion geomean — raw stays the number of record; calibrated
+      * separates host factor from plan regression (verdict r13 #2). */
+    def embedRatios(tag: String, w: Seq[(String, Double)],
+        anchor: Option[Double]): Unit = {
+      val dj = new java.io.File(s"bench/duckdb_$tag.json")
+      if (!dj.exists()) return
+      val txt = new String(java.nio.file.Files.readAllBytes(dj.toPath))
+      val pat = "\"(q\\w+)\":\\s*([0-9.]+)".r
+      val duck = pat.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val ratios = w.collect { case (n, s) if duck.get(n).exists(_ > 0) => n -> s / duck(n) }
+      if (ratios.isEmpty) return
+      val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+      extra ++= s""","duckdb_$tag":${fmt(w.map(n => n._1 -> duck.getOrElse(n._1, -1.0)))}"""
+      extra ++= s""","ratio_$tag":${fmt(ratios)},"ratio_geomean_$tag":${f"$geo%.3f"}"""
+      compactExtra ++= s""","ratio_geomean_$tag":${f"$geo%.3f"}"""
+      for (a <- anchor; h <- healthyAnchor.get(tag)) {
+        val hostFactor = math.max(1.0, a / h)
+        val cal = geo / hostFactor
+        extra ++= f""","ratio_geomean_cal_$tag":$cal%.3f,"anchor_factor_$tag":$hostFactor%.2f"""
+        compactExtra ++= f""","ratio_geomean_cal_$tag":$cal%.3f"""
+      }
+      // per-query ratios at the biggest (compute-dominated) SF only —
+      // the one map the 2×-gate judgment actually reads
+      if (tag == "sf100") compactExtra ++= s""","ratio_sf100":${fmt(ratios)}"""
+    }
+
+    // Main (driver-chosen, floor-dominated) section: the warm q01 doubles
+    // as its anchor — the warm-up run already primed the session.
     locally {
       val mainTag = new java.io.File(sfDir).getName
-      val dj = new java.io.File(s"bench/duckdb_$mainTag.json")
-      if (dj.exists()) {
-        val txt = new String(java.nio.file.Files.readAllBytes(dj.toPath))
-        val pat = "\"(q\\w+)\":\\s*([0-9.]+)".r
-        val duck = pat.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val ratios = warm.collect { case (n, s) if duck.get(n).exists(_ > 0) => n -> s / duck(n) }
-        if (ratios.nonEmpty) {
-          val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
-          extra ++= s""","duckdb_$mainTag":${fmt(warm.map(n => n._1 -> duck.getOrElse(n._1, -1.0)))}"""
-          extra ++= s""","ratio_$mainTag":${fmt(ratios)},"ratio_geomean_$mainTag":${f"$geo%.3f"}"""
-          compactExtra ++= s""","ratio_geomean_$mainTag":${f"$geo%.3f"}"""
-        }
+      warm.find(_._1 == "q01_agg").foreach { case (_, a) =>
+        extra ++= f""","q01_anchor_$mainTag":$a%.3f"""
       }
+      embedRatios(mainTag, warm, None)
     }
     checkpoint()
 
-    // Large-SF sections (round-1 verdict: sf0.1 is all JVM floor — the 2×
-    // gate is only measurable where compute dominates). data/sfN is emitted
-    // by graft.tools.DataGen; bench/duckdb_sfN.json by tools/bench_duckdb.py
-    // on the SAME files. Ratio = spark_warm / duckdb.
-    //
-    // Protocol per tag: sf1/sf10 = cold pass + best-of-2 warm (±30% GC/IO
-    // noise at these sizes would swamp plan differences). sf100 = per-query
-    // ADJACENT best-of-2 after a q01 priming run AND a raw sequential read
-    // of every parquet file: shuffle-write pressure evicts the 9 GB dataset
-    // from the page cache between runs, so first-touch scans randomly paid
-    // disk (observed 4-15s swings on the same query; one recorded run had
-    // q01 at 64s vs its steady 4s). The byte-level pre-read warms the cache
-    // without touching the JVM, and back-to-back min per query keeps both
-    // attempts under the same session age — a single pass let one noisy
-    // attempt become the line of record, while the full cold+warm two-pass
-    // variant aged the block manager across the section so warm numbers
-    // measured session churn, not plans. The DuckDB baseline is warm
-    // best-of-3 over the same files, so best-of-2 warm is like-for-like.
-    for ((tag, protocol) <- Seq(("sf1", "coldThenBest2"), ("sf10", "coldThenBest2"), ("sf100", "adjacentBest3"))) {
+    /** Large-SF section (round-1 verdict: sf0.1 is all JVM floor — the 2×
+      * gate is only measurable where compute dominates). data/sfN is
+      * emitted by graft.tools.DataGen; bench/duckdb_sfN.json by
+      * tools/bench_duckdb.py on the SAME files. Ratio = spark_warm/duckdb.
+      *
+      * Protocol: sf1/sf10 = cold pass + best-of-2 warm (±30% GC/IO noise
+      * at these sizes would swamp plan differences), with a dedicated q01
+      * anchor read between the passes. sf100 = per-query ADJACENT
+      * best-of-3 after a q01 priming run AND a raw sequential read of
+      * every parquet file: shuffle-write pressure evicts the 9 GB dataset
+      * from the page cache between runs, so first-touch scans randomly
+      * paid disk (observed 4-15s swings on the same query; one recorded
+      * run had q01 at 64s vs its steady 4s). The byte-level pre-read warms
+      * the cache without touching the JVM, and back-to-back min per query
+      * keeps both attempts under the same session age. The DuckDB baseline
+      * is warm best-of-3 over the same files, so best-of-N warm is
+      * like-for-like. */
+    def runSection(tag: String, protocol: String, sectionNames: Seq[String]): Unit = {
       val dir = sys.env.getOrElse(s"SPARK_GRAFT_${tag.toUpperCase}_DIR", s"/root/repo/data/$tag")
-      if (new java.io.File(dir).exists() && !sys.env.contains("SPARK_GRAFT_SKIP_BIG")) {
-        // Scale the shuffle/scan sizing with the data: at sf100 (600M-row
-        // lineitem, ~9 GB parquet) 32 shuffle partitions put ~20M rows and
-        // a multi-hundred-MB SHJ build in every task — spill, not plan, is
-        // what 32 would measure. 256 partitions ≈ 150 MB post-shuffle each
-        // (the cluster-correct sizing rule); AQE coalesces any that come
-        // out small. Scan splits likewise: 4m is right for splitting tiny
-        // sf0.1 files across cores, pure scheduling overhead at 9 GB.
-        val (parts, splitBytes) = tag match {
-          case "sf100" => ("256", "64m")
-          case _       => (cpus, "4m")
-        }
-        spark.stop()
-        spark = newSession(parts, splitBytes)
-        spark.sparkContext.setLogLevel("WARN")
-        def timeAt(name: String): Double = {
-          val t0 = System.nanoTime()
-          try run(SparkEntry.queries(name)(spark, dir))
-          catch { case e: Throwable => System.err.println(s"[bench] $tag $name: ${e.getMessage}") }
-          val dt = (System.nanoTime() - t0) / 1e9
-          System.gc()
-          dt
-        }
-        warmPageCache(dir)
-        // the bucketed-layout controls read warehouse copies of the fact
-        // tables — warm those too, or their first timed run measures
-        // cold disk instead of the plan
-        locally {
-          val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
-          val wh = new java.io.File("spark-warehouse")
-          Option(wh.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName.contains(suffix))
-            .foreach(f => warmPageCache(f.getPath))
-        }
-        val names = headline.filter(SparkEntry.queries.contains)
-        // SF100 self-defense (round-12 verdict #1): the grown ladder in a
-        // degraded host window outlived the driver's wall-clock budget and
-        // SIGTERM'd the JVM mid-section, leaving NO record. Two graceful-
-        // degradation levers, both env-tunable: (a) the post-priming q01
-        // anchor read is compared against the 3-5s calibration band — out
-        // of band means the host window is degraded, so drop to adjacent
-        // best-of-2 and skip the two DS heavies (whose ~10 min of SF100
-        // attempts are what blew the round-12 budget) rather than record
-        // window noise at full protocol cost; (b) a section budget — once
-        // exceeded, remaining queries are skipped (counted in the record)
-        // instead of running the section to death.
-        var sectionBudget = Double.MaxValue
-        var sectionStart = System.nanoTime()
-        def sectionElapsed = (System.nanoTime() - sectionStart) / 1e9
-        val w0 = protocol match {
-          case "adjacentBest3" =>
-            // best-of-3 (was 2): single-query interference windows (host
-            // CPU steal / writeback bursts, 48g full-GC pauses landing
-            // inside a timed run) were observed to last past two adjacent
-            // attempts — a q01 steady at 4.5s once recorded 36.8s as the
-            // min of two. Three adjacent attempts bound one bad window.
-            timeAt("q01_agg") // priming: codegen + catalog + first-scan setup
-            val anchor = timeAt("q01_agg")
-            val anchorMax = sys.env.getOrElse("SPARK_GRAFT_SF100_ANCHOR_MAX", "6.0").toDouble
-            sectionBudget = sys.env.getOrElse("SPARK_GRAFT_SF100_BUDGET_SEC", "1500").toDouble
-            sectionStart = System.nanoTime()
-            val degraded = anchor > anchorMax
-            val attempts = if (degraded) 2 else 3
-            val skip: Set[String] =
-              if (degraded) Set("q202_ds27_rollup_avgs", "q204_ds47_yoy_monthly")
-              else Set.empty
-            if (degraded) {
-              System.err.println(f"[bench] $tag q01 anchor $anchor%.2fs > $anchorMax%.1fs " +
-                "calibration band: degrading to best-of-2 and skipping the DS heavies")
-              extra ++= f""","q01_anchor_$tag":$anchor%.3f,"${tag}_degraded":true"""
-              compactExtra ++= s""","${tag}_degraded":true"""
-            }
-            var truncated = 0
-            val res = names.flatMap { n =>
-              if (skip(n)) None
-              else if (sectionElapsed > sectionBudget) { truncated += 1; None }
-              else {
-                // the anchor read doubles as q01's first attempt
-                val first = if (n == "q01_agg") anchor else timeAt(n)
-                Some(n -> (first +: Seq.fill(attempts - 1)(timeAt(n))).min)
-              }
-            }
-            if (truncated > 0) {
-              System.err.println(s"[bench] $tag section budget ${sectionBudget}s exceeded: " +
-                s"$truncated queries skipped")
-              extra ++= s""","${tag}_truncated":$truncated"""
-              compactExtra ++= s""","${tag}_truncated":$truncated"""
-            }
-            res
-          case _ =>
-            names.foreach(timeAt) // cold pass
-            val w1 = names.map(n => n -> timeAt(n)).toMap
-            names.map(n => n -> math.min(w1(n), timeAt(n)))
-        }
-        // Self-defending calibration row: q01 is measured FIRST in the
-        // section, so a co-tenant interference window at section start can
-        // outlast all three adjacent attempts and become the line of record
-        // (round 6: 35.9 s recorded vs 6.4 s steady on the same plan). Re-
-        // measure it after the whole section — minutes later — and keep the
-        // better pair; the recheck value is recorded either way so the
-        // divergence itself is visible in the detail line.
-        val w = if (protocol == "adjacentBest3" && names.contains("q01_agg")) {
-          val recheck = Seq.fill(2)(timeAt("q01_agg")).min
-          extra ++= f""","q01_recheck_$tag":$recheck%.3f"""
-          w0.map { case ("q01_agg", v) => "q01_agg" -> math.min(v, recheck); case kv => kv }
-        } else w0
-        extra ++= s""","queries_${tag}_warm":${fmt(w)}"""
-        val dj = new java.io.File(s"bench/duckdb_$tag.json")
-        if (dj.exists()) {
-          val txt = new String(java.nio.file.Files.readAllBytes(dj.toPath))
-          val pat = "\"(q\\w+)\":\\s*([0-9.]+)".r
-          val duck = pat.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-          val ratios = w.collect { case (n, s) if duck.get(n).exists(_ > 0) => n -> s / duck(n) }
-          if (ratios.nonEmpty) {
-            val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
-            extra ++= s""","duckdb_$tag":${fmt(w.map(n => n._1 -> duck.getOrElse(n._1, -1.0)))}"""
-            extra ++= s""","ratio_$tag":${fmt(ratios)},"ratio_geomean_$tag":${f"$geo%.3f"}"""
-            compactExtra ++= s""","ratio_geomean_$tag":${f"$geo%.3f"}"""
-            // per-query ratios at the biggest (compute-dominated) SF only —
-            // the one map the 2×-gate judgment actually reads
-            if (tag == "sf100") compactExtra ++= s""","ratio_sf100":${fmt(ratios)}"""
-          }
-        }
-        // floor + skew controls at the compute-dominated SFs only; under a
-        // blown section budget the headline record outranks the floor
-        // attributions — skip rather than risk the whole-run record
-        if (tag != "sf1" && sectionElapsed <= sectionBudget) {
-          val ctl = controls.filter(SparkEntry.queries.contains)
-          val cw = ctl.map { n => val a = timeAt(n); n -> math.min(a, timeAt(n)) }
-          extra ++= s""","controls_$tag":${fmt(cw)}"""
-        }
+      if (!new java.io.File(dir).exists() || sys.env.contains("SPARK_GRAFT_SKIP_BIG")) return
+      if (overBudget) {
+        System.err.println(f"[bench] global budget ${totalBudget}s exhausted " +
+          f"(${globalElapsed}%.0fs elapsed) — skipping section $tag entirely")
+        extra ++= s""","${tag}_skipped":true"""
+        compactExtra ++= s""","${tag}_skipped":true"""
         checkpoint()
+        return
       }
+      // Scale the shuffle/scan sizing with the data: at sf100 (600M-row
+      // lineitem, ~9 GB parquet) 32 shuffle partitions put ~20M rows and
+      // a multi-hundred-MB SHJ build in every task — spill, not plan, is
+      // what 32 would measure. 256 partitions ≈ 150 MB post-shuffle each
+      // (the cluster-correct sizing rule); AQE coalesces any that come
+      // out small. Scan splits likewise: 4m is right for splitting tiny
+      // sf0.1 files across cores, pure scheduling overhead at 9 GB.
+      val (parts, splitBytes) = tag match {
+        case "sf100" => ("256", "64m")
+        case _       => (cpus, "4m")
+      }
+      spark.stop()
+      spark = newSession(parts, splitBytes)
+      spark.sparkContext.setLogLevel("WARN")
+      def timeAt(name: String): Double = {
+        val t0 = System.nanoTime()
+        try run(SparkEntry.queries(name)(spark, dir))
+        catch { case e: Throwable => System.err.println(s"[bench] $tag $name: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.gc()
+        dt
+      }
+      warmPageCache(dir)
+      // the bucketed-layout controls read warehouse copies of the fact
+      // tables — warm those too, or their first timed run measures
+      // cold disk instead of the plan
+      def warmWarehouse(): Unit = {
+        val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val wh = new java.io.File("spark-warehouse")
+        Option(wh.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.contains(suffix))
+          .foreach(f => warmPageCache(f.getPath))
+      }
+      warmWarehouse()
+      val names = sectionNames.filter(SparkEntry.queries.contains)
+      // SF100 self-defense (round-12 verdict #1, generalized round 14):
+      // (a) the post-priming q01 anchor read is compared against the
+      // healthy calibration band — out of band means the host window is
+      // degraded, so the sf100 protocol drops to adjacent best-of-2 and
+      // skips the two DS heavies (whose ~10 min of SF100 attempts are
+      // what blew the round-12 budget) rather than record window noise at
+      // full protocol cost; (b) a section budget (capped by the remaining
+      // GLOBAL budget at every scale) — once exceeded, remaining queries
+      // are skipped (counted in the record) instead of running the
+      // section to death.
+      var sectionBudget = math.max(0.0, totalBudget - globalElapsed)
+      var sectionStart = System.nanoTime()
+      def sectionElapsed = (System.nanoTime() - sectionStart) / 1e9
+      var truncated = 0
+      var anchor = Double.NaN
+      val w0 = protocol match {
+        case "adjacentBest3" =>
+          timeAt("q01_agg") // priming: codegen + catalog + first-scan setup
+          anchor = timeAt("q01_agg")
+          val anchorMax = sys.env.getOrElse("SPARK_GRAFT_SF100_ANCHOR_MAX", "6.0").toDouble
+          sectionBudget = math.min(
+            sys.env.getOrElse("SPARK_GRAFT_SF100_BUDGET_SEC", "1500").toDouble,
+            math.max(0.0, totalBudget - globalElapsed))
+          sectionStart = System.nanoTime()
+          val degraded = anchor > anchorMax
+          // best-of-3 (was 2): single-query interference windows (host
+          // CPU steal / writeback bursts, 48g full-GC pauses landing
+          // inside a timed run) were observed to last past two adjacent
+          // attempts — a q01 steady at 4.5s once recorded 36.8s as the
+          // min of two. Three adjacent attempts bound one bad window.
+          val attempts = if (degraded) 2 else 3
+          val skip: Set[String] =
+            if (degraded) Set("q202_ds27_rollup_avgs", "q204_ds47_yoy_monthly")
+            else Set.empty
+          if (degraded) {
+            System.err.println(f"[bench] $tag q01 anchor $anchor%.2fs > $anchorMax%.1fs " +
+              "calibration band: degrading to best-of-2 and skipping the DS heavies")
+            extra ++= s""","${tag}_degraded":true"""
+            compactExtra ++= s""","${tag}_degraded":true"""
+          }
+          names.flatMap { n =>
+            if (skip(n)) None
+            else if (sectionElapsed > sectionBudget) { truncated += 1; None }
+            else {
+              // the anchor read doubles as q01's first attempt
+              val first = if (n == "q01_agg") anchor else timeAt(n)
+              Some(n -> (first +: Seq.fill(attempts - 1)(timeAt(n))).min)
+            }
+          }
+        case _ =>
+          // cold pass (budget-guarded: a degraded-window cold pass at sf10
+          // is exactly what spent the r13 driver's clock)
+          names.foreach(n => if (sectionElapsed <= sectionBudget) timeAt(n))
+          // dedicated anchor read between the passes — doubles as q01's
+          // first warm attempt
+          anchor = timeAt("q01_agg")
+          val w1 = names.flatMap { n =>
+            if (sectionElapsed > sectionBudget) { truncated += 1; None }
+            else Some(n -> (if (n == "q01_agg") math.min(anchor, timeAt(n))
+                            else math.min(timeAt(n), timeAt(n))))
+          }
+          w1
+      }
+      if (truncated > 0) {
+        System.err.println(s"[bench] $tag section budget ${sectionBudget}s exceeded: " +
+          s"$truncated queries skipped")
+        extra ++= s""","${tag}_truncated":$truncated"""
+        compactExtra ++= s""","${tag}_truncated":$truncated"""
+      }
+      // Self-defending calibration row: q01 is measured FIRST in the
+      // section, so a co-tenant interference window at section start can
+      // outlast all three adjacent attempts and become the line of record
+      // (round 6: 35.9 s recorded vs 6.4 s steady on the same plan). Re-
+      // measure it after the whole section — minutes later — and keep the
+      // better pair; the recheck value is recorded either way so the
+      // divergence itself is visible in the detail line.
+      val w = if (protocol == "adjacentBest3" && w0.exists(_._1 == "q01_agg") &&
+          sectionElapsed <= sectionBudget) {
+        val recheck = Seq.fill(2)(timeAt("q01_agg")).min
+        extra ++= f""","q01_recheck_$tag":$recheck%.3f"""
+        w0.map { case ("q01_agg", v) => "q01_agg" -> math.min(v, recheck); case kv => kv }
+      } else w0
+      extra ++= f""","q01_anchor_$tag":$anchor%.3f"""
+      extra ++= s""","queries_${tag}_warm":${fmt(w)}"""
+      embedRatios(tag, w, Some(anchor))
+      // floor + skew controls at the compute-dominated SFs only; under a
+      // blown budget the headline record outranks the floor attributions —
+      // skip rather than risk the whole-run record. The bucketed-layout
+      // ingest runs UNTIMED first (r13: a full sf10 ingest was timed
+      // inside the q202b control window — 188.7s recorded for a ~12s
+      // query) and the fresh warehouse files are page-cache warmed.
+      if (tag != "sf1" && sectionElapsed <= sectionBudget && !overBudget) {
+        try {
+          graft.queries.BucketedLayout.ensureAll(spark, dir)
+          warmWarehouse()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $tag bucketed ingest: ${e.getMessage}")
+        }
+        val ctl = controls.filter(SparkEntry.queries.contains)
+        var ctlTruncated = 0
+        val cw = ctl.flatMap { n =>
+          if (overBudget) { ctlTruncated += 1; None }
+          else { val a = timeAt(n); Some(n -> math.min(a, timeAt(n))) }
+        }
+        if (ctlTruncated > 0)
+          extra ++= s""","${tag}_controls_truncated":$ctlTruncated"""
+        extra ++= s""","controls_$tag":${fmt(cw)}"""
+      }
+      checkpoint()
     }
+
+    // Gate scales FIRST (verdict r13 #1): whatever the driver's clock
+    // truncates is floor/trend data nobody gates on. Streaming runs before
+    // the sf1 trend subset for the same reason (funnel throughput is a
+    // carried verdict item; sf1 gates nothing).
+    runSection("sf10", "coldThenBest2", headline)
+    runSection("sf100", "adjacentBest3", headline)
+
     // Streaming throughput (round-2 verdict #10): rate-source micro-bench
     // for the tumble aggregation and the stateful funnel — rows/sec
     // actually processed over a fixed wall window. Streaming is a claimed
     // capability superset; this puts a performance number in the record.
     if (!sys.env.contains("SPARK_GRAFT_SKIP_STREAM")) {
-      spark.stop()
-      spark = newSession(cpus, "4m")
-      spark.sparkContext.setLogLevel("WARN")
-      val s = streamingBench(spark)
-      extra ++= s
-      compactExtra ++= s
+      if (globalElapsed > totalBudget - 180) {
+        System.err.println(f"[bench] global budget nearly exhausted " +
+          f"(${globalElapsed}%.0fs of ${totalBudget}s) — skipping streaming bench")
+        extra ++= s""","stream_skipped":true"""
+        compactExtra ++= s""","stream_skipped":true"""
+      } else {
+        spark.stop()
+        spark = newSession(cpus, "4m")
+        spark.sparkContext.setLogLevel("WARN")
+        val s = streamingBench(spark)
+        extra ++= s
+        compactExtra ++= s
+      }
+      checkpoint()
     }
+
+    runSection("sf1", "coldThenBest2", sf1Trend)
 
     // Compact line of record: the driver captures only the LAST ~2000 chars
     // of stdout, and round 6 proved the full line (~4 KB once per-SF maps
@@ -429,6 +538,7 @@ object Bench {
     // last stdout line so the 2000-char tail window contains it whole.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    runCompleted = true
     println(compact)
   }
 

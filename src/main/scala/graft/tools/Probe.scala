@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc perf probe: time one named query N times on a dir with the
-  * bench's large-SF session settings. Usage:
-  *   runMain graft.tools.Probe <dir> <queryName> [passes] [parts] [split]
+  * bench's large-SF session settings. Extra `key=value` args become
+  * session conf overrides (the A/B experiment lever). Usage:
+  *   runMain graft.tools.Probe <dir> <queryName> [passes] [parts] [split] [k=v ...]
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -13,7 +14,10 @@ object Probe {
     val passes = args.lift(2).map(_.toInt).getOrElse(3)
     val parts = args.lift(3).getOrElse("256")
     val split = args.lift(4).getOrElse("64m")
-    val spark = SparkSession.builder()
+    val overrides = args.drop(5).toSeq.map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }
+    val builder0 = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.exts.GraftExtensions)
       .config("spark.sql.shuffle.partitions", parts)
@@ -30,8 +34,12 @@ object Probe {
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.local.dir", "/dev/shm/graft_shuffle")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = overrides.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (overrides.nonEmpty)
+      println(s"[probe] overrides: ${overrides.map { case (k, v) => s"$k=$v" }.mkString(" ")}")
     for (i <- 1 to passes) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir)
