@@ -30,6 +30,8 @@ object Probe {
       .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "64000000")
       .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "671088640")
+      .config("spark.sql.codegen.aggregate.map.twolevel.partialOnly", "false")
+      .config("spark.sql.codegen.aggregate.fastHashMap.capacityBit", "20")
       .config("spark.sql.files.maxPartitionBytes", split)
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.local.dir", "/dev/shm/graft_shuffle")
