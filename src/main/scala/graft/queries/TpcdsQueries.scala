@@ -143,6 +143,14 @@ object TpcdsQueries {
       // would leak a plan-shape conf into every later query (ADVICE r13)
       val s = GraftSqlBridge.cloneSession(s0)
       s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // the bench session's final-agg fast map (partialOnly=false +
+      // capacityBit=20) destabilizes the BUCKET-LOCAL aggregate: 64
+      // bucket tasks × ~1M keys/task overflow the fast map and the dual
+      // structure thrashes memory (measured 7.7s steady with defaults vs
+      // 85-200s swings with the fast map at SF10) — restore the defaults
+      // on this query's isolated session
+      s.conf.set("spark.sql.codegen.aggregate.map.twolevel.partialOnly", "true")
+      s.conf.set("spark.sql.codegen.aggregate.fastHashMap.capacityBit", "16")
       val (ot, lt) = BucketedLayout.orderkeyTables(s, dir)
       ds27Body(s, dir, s.table(ot), s.table(lt))
     }, Some("""

@@ -129,6 +129,12 @@ object TpchQueries {
       // would leak a plan-shape conf into every later query (ADVICE r13)
       val s = GraftSqlBridge.cloneSession(s0)
       s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // restore the default aggregate fast-map sizing on this isolated
+      // session: the bucket-local per-order aggregate runs ~1M keys per
+      // bucket task, which overflows the bench session's 2^20 final-agg
+      // fast map and thrashes (see q202b's note; same backbone here)
+      s.conf.set("spark.sql.codegen.aggregate.map.twolevel.partialOnly", "true")
+      s.conf.set("spark.sql.codegen.aggregate.fastHashMap.capacityBit", "16")
       val (ot, lt) = BucketedLayout.orderkeyTables(s, dir)
       tpch5Body(s, dir, s.table(ot), s.table(lt))
     }, Some("""
