@@ -445,6 +445,15 @@ object Bench {
             else Some(n -> (if (n == "q01_agg") math.min(anchor, timeAt(n))
                             else math.min(timeAt(n), timeAt(n))))
           }
+          // end-of-section q01 recheck: the tail queries measure in a
+          // session aged by ~45 prior executions — recording the anchor
+          // drift makes within-section aging READABLE in the record (the
+          // r14 ladder's q204 read 1.4× beyond the window factor; without
+          // this row that residual is unattributable)
+          if (sectionElapsed <= sectionBudget) {
+            val recheck = timeAt("q01_agg")
+            extra ++= f""","q01_recheck_$tag":$recheck%.3f"""
+          }
           w1
       }
       if (truncated > 0) {
