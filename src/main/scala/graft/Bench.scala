@@ -25,6 +25,28 @@ import org.apache.spark.sql.functions._
   * (d) the bucketed-layout warehouse ingest runs UNTIMED before the
   * controls (the r13 driver timed a full sf10 ingest inside the q202b
   * control window: 188.7s recorded for a ~12s query). */
+/** The bench sessions' plan-shape SQLConfs, factored out so the
+  * conf-regression guard (verdict r14 #3: Verify opt-in via
+  * SPARK_GRAFT_BENCH_CONFS=1) sweeps EXACTLY the set the bench adopts —
+  * the round-14 lesson was a fast-map conf that won its A/B on the
+  * headline queries while thrashing a non-headline bucketed twin, and
+  * nothing ran the wide corpus under the new confs before a human did.
+  * All entries are runtime-settable (spark.conf.set) SQLConfs; the
+  * rationale for each lives on the .config lines in [[Bench.main]]. */
+object BenchConfs {
+  val planConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.join.preferSortMergeJoin" -> "false",
+    "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold" -> "512m",
+    "spark.sql.autoBroadcastJoinThreshold" -> "67108864",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "67108864",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> "64000000",
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> "671088640",
+    "spark.sql.codegen.aggregate.map.twolevel.partialOnly" -> "false",
+    "spark.sql.codegen.aggregate.fastHashMap.capacityBit" -> "20")
+}
+
 object Bench {
 
   /** Headline subset: one per cost shape — scan+agg, multi-join, window,
@@ -112,53 +134,50 @@ object Bench {
     // in a young session and 205s after the sf1+sf10 sections; the q80
     // bare-groupBy control inflated 1.5s -> 11s). Session teardown resets
     // the block manager; per-section sizing is baked into the builder.
-    def newSession(parts: String, splitBytes: String): SparkSession = SparkSession.builder()
+    def newSession(parts: String, splitBytes: String): SparkSession = {
+      val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.exts.GraftExtensions)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Shuffled-hash over sort-merge for the big equi-joins: when the
-      // smaller side's per-partition share fits executor memory (true for
-      // every bench join, and the normal case on a sized cluster) SHJ
-      // skips both sort passes — measured 1.4× on the SF10 TPC-H joins.
-      // AQE still re-plans skewed/oversized partitions.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      // preferSortMergeJoin=false only helps when the STATIC planner can
-      // prove the build side small; multi-join stats estimates explode and
-      // it falls back to SMJ (q101 at SF100 sorted 600M rows). This is
-      // AQE's runtime SMJ→SHJ conversion knob — default 0 = disabled; with
-      // exact post-shuffle sizes a 512m local map is the same bound a
-      // sized executor would carry. q101 SF100: 126s → 79s.
-      .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "512m")
-      // TPC-H dimension sides pruned to join columns run 12-200 MB; 10m
-      // misses supplier by 2 MB and a filtered customer by 3×. 64m is the
-      // routine sized-cluster setting (a 64 MB broadcast per executor is
-      // nothing against a 600M-row shuffle avoided).
-      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
-      // Runtime (semi-join) bloom filters: orders filtered to 1/5 prunes
-      // the 600M-row lineitem shuffle 5× before the exchange — but the
-      // defaults block it here: creation side must be <10 MB and the
-      // filter caps at 4M items. Allow 1 GB creation sides and size the
-      // filter for 64M keys (~80 MB bits ≈ what the creation-side agg
-      // would broadcast on a cluster). q101 SF100: 79s → 39s warm.
-      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
-      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "64000000")
-      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "671088640")
-      // Codegen fast hash map for FINAL aggregates too, sized to fit the
-      // per-order/per-customer key counts (round 14, verdict r13 #3): the
-      // default keeps the row-based fast map partial-only and caps it at
-      // 2^16 rows, so the DS heavies' final aggregates (15M orderkeys /
-      // 32 partitions ≈ 470k keys per task) ran entirely on the slow
-      // UnsafeFixedWidthAggregationMap path. Either knob alone is noise —
-      // enabling the final-agg fast map at 64k capacity just overflows to
-      // the regular map; 2^20 rows (≈4-8 MB bucket array per task, fine
-      // on a sized executor) makes it stick. Interleaved A/B at SF10
-      // (AbProbe, alternating arms in ONE session): q202 0.88-0.93×,
-      // q204 0.90-0.94×, q103 0.81-0.86×, q101/q03 ≤1.0×, q01 neutral.
-      .config("spark.sql.codegen.aggregate.map.twolevel.partialOnly", "false")
-      .config("spark.sql.codegen.aggregate.fastHashMap.capacityBit", "20")
+      // Plan-shape SQLConfs, shared with the Verify conf-regression guard
+      // via BenchConfs.planConfs. Rationale per conf:
+      // - adaptive.enabled: AQE re-plans skew/oversized partitions.
+      // - preferSortMergeJoin=false: shuffled-hash over sort-merge for the
+      //   big equi-joins — when the smaller side's per-partition share
+      //   fits executor memory (true for every bench join, and the normal
+      //   case on a sized cluster) SHJ skips both sort passes; measured
+      //   1.4× on the SF10 TPC-H joins.
+      // - shuffledHashJoinLocalMapThreshold=512m: preferSortMergeJoin only
+      //   helps when the STATIC planner can prove the build side small;
+      //   multi-join stats estimates explode and it falls back to SMJ
+      //   (q101 at SF100 sorted 600M rows). This is AQE's runtime SMJ→SHJ
+      //   conversion knob — default 0 = disabled; with exact post-shuffle
+      //   sizes a 512m local map is the same bound a sized executor would
+      //   carry. q101 SF100: 126s → 79s.
+      // - autoBroadcastJoinThreshold=64m (both): TPC-H dimension sides
+      //   pruned to join columns run 12-200 MB; 10m misses supplier by
+      //   2 MB and a filtered customer by 3×. 64m is the routine
+      //   sized-cluster setting (a 64 MB broadcast per executor is nothing
+      //   against a 600M-row shuffle avoided).
+      // - runtime.bloomFilter.*: orders filtered to 1/5 prunes the
+      //   600M-row lineitem shuffle 5× before the exchange — but the
+      //   defaults block it here: creation side must be <10 MB and the
+      //   filter caps at 4M items. Allow 1 GB creation sides and size the
+      //   filter for 64M keys (~80 MB bits ≈ what the creation-side agg
+      //   would broadcast on a cluster). q101 SF100: 79s → 39s warm.
+      // - twolevel.partialOnly=false + capacityBit=20: codegen fast hash
+      //   map for FINAL aggregates too, sized to fit the per-order/
+      //   per-customer key counts (round 14, verdict r13 #3): the default
+      //   keeps the row-based fast map partial-only and caps it at 2^16
+      //   rows, so the DS heavies' final aggregates (15M orderkeys / 32
+      //   partitions ≈ 470k keys per task) ran entirely on the slow
+      //   UnsafeFixedWidthAggregationMap path. Either knob alone is noise;
+      //   2^20 rows (≈4-8 MB bucket array per task) makes it stick.
+      //   Interleaved A/B at SF10: q202 0.88-0.93×, q204 0.90-0.94×,
+      //   q103 0.81-0.86×, q101/q03 ≤1.0×, q01 neutral.
+      BenchConfs.planConfs.foreach { case (k, v) => b.config(k, v) }
+      b
       // split small bench files across all cores; at cluster scale the
       // 128 MB default is right, at sf0.1 one file = one thread otherwise
       .config("spark.sql.files.maxPartitionBytes", splitBytes)
@@ -185,6 +204,7 @@ object Bench {
       .config("spark.local.dir", shuffleDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    }
 
     var spark = newSession(cpus, "4m")
     spark.sparkContext.setLogLevel("WARN")
@@ -268,11 +288,13 @@ object Bench {
               else c.patch(c.lastIndexOf('}'), ""","partial":true""", 0)
             println(line); System.out.flush()
             // stdout through an sbt pipe can be dropped when the child
-            // dies mid-kill — also append the marked line to the detail
-            // file (line 1 stays the last checkpoint's full record)
+            // dies mid-kill — also persist the marked line. A SIBLING
+            // file, not BENCH_LAST.json: appending here would turn the
+            // detail file into two JSON documents and break any consumer
+            // doing a whole-file json.load (ADVICE r14).
             if (!runCompleted)
               try java.nio.file.Files.writeString(
-                java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n",
+                java.nio.file.Paths.get("BENCH_LAST.partial.jsonl"), line + "\n",
                 java.nio.file.StandardOpenOption.CREATE,
                 java.nio.file.StandardOpenOption.APPEND)
               catch { case _: Throwable => }
@@ -287,7 +309,12 @@ object Bench {
       * companion geomean — raw stays the number of record; calibrated
       * separates host factor from plan regression (verdict r13 #2). */
     def embedRatios(tag: String, w: Seq[(String, Double)],
-        anchor: Option[Double]): Unit = {
+        anchor: Option[Double], keyTag: String = ""): Unit = {
+      // keyTag: JSON key suffix; defaults to tag. The main section passes a
+      // distinct suffix when SPARK_GRAFT_SF_DIR's basename collides with a
+      // ladder tag — otherwise the record carries duplicate keys and most
+      // parsers silently keep the last occurrence (ADVICE r14).
+      val kt = if (keyTag.isEmpty) tag else keyTag
       val dj = new java.io.File(s"bench/duckdb_$tag.json")
       if (!dj.exists()) return
       val txt = new String(java.nio.file.Files.readAllBytes(dj.toPath))
@@ -296,28 +323,29 @@ object Bench {
       val ratios = w.collect { case (n, s) if duck.get(n).exists(_ > 0) => n -> s / duck(n) }
       if (ratios.isEmpty) return
       val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
-      extra ++= s""","duckdb_$tag":${fmt(w.map(n => n._1 -> duck.getOrElse(n._1, -1.0)))}"""
-      extra ++= s""","ratio_$tag":${fmt(ratios)},"ratio_geomean_$tag":${f"$geo%.3f"}"""
-      compactExtra ++= s""","ratio_geomean_$tag":${f"$geo%.3f"}"""
+      extra ++= s""","duckdb_$kt":${fmt(w.map(n => n._1 -> duck.getOrElse(n._1, -1.0)))}"""
+      extra ++= s""","ratio_$kt":${fmt(ratios)},"ratio_geomean_$kt":${f"$geo%.3f"}"""
+      compactExtra ++= s""","ratio_geomean_$kt":${f"$geo%.3f"}"""
       for (a <- anchor; h <- healthyAnchor.get(tag)) {
         val hostFactor = math.max(1.0, a / h)
         val cal = geo / hostFactor
-        extra ++= f""","ratio_geomean_cal_$tag":$cal%.3f,"anchor_factor_$tag":$hostFactor%.2f"""
-        compactExtra ++= f""","ratio_geomean_cal_$tag":$cal%.3f"""
+        extra ++= f""","ratio_geomean_cal_$kt":$cal%.3f,"anchor_factor_$kt":$hostFactor%.2f"""
+        compactExtra ++= f""","ratio_geomean_cal_$kt":$cal%.3f"""
       }
       // per-query ratios at the biggest (compute-dominated) SF only —
       // the one map the 2×-gate judgment actually reads
-      if (tag == "sf100") compactExtra ++= s""","ratio_sf100":${fmt(ratios)}"""
+      if (kt == "sf100") compactExtra ++= s""","ratio_sf100":${fmt(ratios)}"""
     }
 
     // Main (driver-chosen, floor-dominated) section: the warm q01 doubles
     // as its anchor — the warm-up run already primed the session.
     locally {
-      val mainTag = new java.io.File(sfDir).getName
+      val base = new java.io.File(sfDir).getName
+      val mainTag = if (Set("sf1", "sf10", "sf100")(base)) s"main_$base" else base
       warm.find(_._1 == "q01_agg").foreach { case (_, a) =>
         extra ++= f""","q01_anchor_$mainTag":$a%.3f"""
       }
-      embedRatios(mainTag, warm, None)
+      embedRatios(base, warm, None, keyTag = mainTag)
     }
     checkpoint()
 
@@ -438,8 +466,11 @@ object Bench {
           // is exactly what spent the r13 driver's clock)
           names.foreach(n => if (sectionElapsed <= sectionBudget) timeAt(n))
           // dedicated anchor read between the passes — doubles as q01's
-          // first warm attempt
-          anchor = timeAt("q01_agg")
+          // first warm attempt. Budget-guarded (ADVICE r14): if the cold
+          // pass already spent the section budget, an extra timed q01 here
+          // would be a cold/degraded read feeding anchor_factor for a
+          // section whose warm results were all truncated anyway.
+          if (sectionElapsed <= sectionBudget) anchor = timeAt("q01_agg")
           val w1 = names.flatMap { n =>
             if (sectionElapsed > sectionBudget) { truncated += 1; None }
             else Some(n -> (if (n == "q01_agg") math.min(anchor, timeAt(n))
@@ -475,9 +506,9 @@ object Bench {
         extra ++= f""","q01_recheck_$tag":$recheck%.3f"""
         w0.map { case ("q01_agg", v) => "q01_agg" -> math.min(v, recheck); case kv => kv }
       } else w0
-      extra ++= f""","q01_anchor_$tag":$anchor%.3f"""
+      if (!anchor.isNaN) extra ++= f""","q01_anchor_$tag":$anchor%.3f"""
       extra ++= s""","queries_${tag}_warm":${fmt(w)}"""
-      embedRatios(tag, w, Some(anchor))
+      embedRatios(tag, w, if (anchor.isNaN) None else Some(anchor))
       // floor + skew controls at the compute-dominated SFs only; under a
       // blown budget the headline record outranks the floor attributions —
       // skip rather than risk the whole-run record. The bucketed-layout

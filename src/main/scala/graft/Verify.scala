@@ -2,7 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Conf-regression guard (verdict r14 #3): SPARK_GRAFT_BENCH_CONFS=1
+  * applies [[BenchConfs.planConfs]] — the exact plan-shape conf set the
+  * bench sessions adopt — to this session, and per-query wall times are
+  * always dumped to outDir/timings.json. A sweep is two Verify runs
+  * (baseline vs bench-confs) diffed with tools/diff_timings.py: any
+  * query whose wall time regresses >2× under the bench confs is exactly
+  * the class of interaction the round-14 q202b thrash was (a conf that
+  * won its headline A/B while destabilizing a non-headline query). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
@@ -23,15 +32,23 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_BENCH_CONFS").contains("1")) {
+      System.err.println("[verify] applying BenchConfs.planConfs " +
+        "(conf-regression sweep arm)")
+      BenchConfs.planConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
     new java.io.File(outDir).mkdirs()
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      timings(name) = (System.nanoTime() - t0) / 1e9
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -48,6 +65,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.map { case (k, v) => s"${q(k)}: ${f"$v%.3f"}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -1318,6 +1318,12 @@ object SqlDecompile {
     * the original query, not a tower of subselects. */
   private final class SqlRenderer(dialect: String) {
     private val duck = dialect == "duckdb"
+    // true while rendering the function text of an OVER clause — the
+    // IGNORE NULLS in-paren spelling is window-only in DuckDB, and
+    // first_value/last_value are ALSO plain aggregate aliases of
+    // first/last in Spark, so the name alone can't prove window context
+    // (ADVICE r14). Rendering is single-threaded per Renderer instance.
+    private var inOver = false
     private var n = 0
     private def freshAlias(): String = { n += 1; s"__g$n" }
 
@@ -1399,27 +1405,45 @@ object SqlDecompile {
             s"string_agg(${if (d) "DISTINCT " else ""}${duckExpr(args(0))}, " +
               s"$sep $orderByText)"
           case _ => throw new UnsupportedOperationException(
-            s"duckdb dialect: no WITHIN GROUP spelling for ${fn.render}")
+            s"duckdb dialect: no WITHIN GROUP spelling for ${fn.render}. " +
+              "For mode() WITHIN GROUP: spark breaks frequency ties by the " +
+              "ordering while duckdb's mode(x) tie-break is unspecified " +
+              "(ibis/expr/operations/reductions.py:354 Mode), so a " +
+              "rendering could evaluate differently. Value-safe rewrite: " +
+              "count per value and pick with arg_max — e.g. " +
+              "arg_max(x, (cnt, tiebreak_key)) over a GROUP BY x subquery " +
+              "— which makes the tie-break explicit in both dialects.")
         }
       // IGNORE NULLS: duckdb spells the modifier INSIDE the call parens
       // for the window navigation functions — lag(x, 1 IGNORE NULLS) —
-      // (probed; these names require OVER in spark, so the window context
-      // is implied by the name), and FIRST-style null-skipping aggregates
-      // are its any_value (documented "first non-null" — the same
-      // arbitrary-pick contract as spark's non-deterministic first).
-      // LAST-style stays refused: duckdb's arbitrary pick is first-ish,
-      // and rendering last(x) IGNORE NULLS as any_value could evaluate
-      // differently even on single-partition data.
+      // (probed; lag/lead/nth_value require OVER in spark, so the window
+      // context is implied by the name; first_value/last_value are ALSO
+      // plain aggregate aliases of first/last, so they take this branch
+      // only under an OVER clause — ADVICE r14), and FIRST-style
+      // null-skipping aggregates are its any_value (documented "first
+      // non-null" — the same arbitrary-pick contract as spark's
+      // non-deterministic first). LAST-style stays refused: duckdb's
+      // arbitrary pick is first-ish, and rendering last(x) IGNORE NULLS
+      // as any_value could evaluate differently even on single-partition
+      // data.
       case SqlExprIgnoreNulls(SqlExprFunc(nm, args, false))
-          if Seq("lag", "lead", "nth_value", "first_value", "last_value")
-            .contains(nm.toLowerCase) && args.nonEmpty =>
+          if args.nonEmpty &&
+            (Seq("lag", "lead", "nth_value").contains(nm.toLowerCase) ||
+              (inOver &&
+                Seq("first_value", "last_value").contains(nm.toLowerCase))) =>
         s"${nm.toLowerCase}(${args.map(duckExpr).mkString(", ")} IGNORE NULLS)"
       case SqlExprIgnoreNulls(SqlExprFunc(nm, Seq(arg), false))
-          if Seq("first", "any_value").contains(nm.toLowerCase) =>
+          if Seq("first", "any_value", "first_value").contains(nm.toLowerCase) =>
         s"any_value(${duckExpr(arg)})"
       case SqlExprIgnoreNulls(fn) =>
         throw new UnsupportedOperationException(
-          s"duckdb dialect: no IGNORE NULLS spelling for ${fn.render}")
+          s"duckdb dialect: no IGNORE NULLS spelling for ${fn.render}. " +
+            "DuckDB's arbitrary-pick (any_value) contract is first-ish, so " +
+            "a LAST-style rendering could evaluate differently " +
+            "(ibis/expr/operations/reductions.py:49 Last). Value-safe " +
+            "rewrite: reverse the ordering and use FIRST ... IGNORE NULLS " +
+            "(rendered as any_value), or use max_by/arg_max against an " +
+            "explicit ordering key.")
       // DuckDB has no <=> — the ANSI spelling is the portable form
       case SqlExprBin("<=>", l, r) =>
         s"(${duckExpr(l)} IS NOT DISTINCT FROM ${duckExpr(r)})"
@@ -1563,7 +1587,12 @@ object SqlDecompile {
       val fr = d.frame.fold("") { case (t, lo, hi) =>
         s"${t.toUpperCase} BETWEEN ${frameBound(lo)} AND ${frameBound(hi)}"
       }
-      s"${ex(d.func)} OVER (${Seq(pb, ob, fr).filter(_.nonEmpty).mkString(" ")})"
+      val fn = { // flag window context for duckExpr (ADVICE r14: bare vs
+                 // windowed first_value/last_value render differently)
+        val prev = inOver; inOver = true
+        try ex(d.func) finally inOver = prev
+      }
+      s"$fn OVER (${Seq(pb, ob, fr).filter(_.nonEmpty).mkString(" ")})"
     }
 
     /** A VALUES cell in the duckdb dialect (spark literals re-spelled). */

@@ -110,11 +110,42 @@ class SqlDecompileSpec extends SparkSpec {
       "SELECT grp, mode() WITHIN GROUP (ORDER BY id) AS m " +
         "FROM t1 GROUP BY grp ORDER BY grp")
     assert(md.isFullyDecompiled)
-    intercept[UnsupportedOperationException](md.renderSql("duckdb"))
+    // the refusal must carry the value-safe workaround (verdict r14 #6)
+    val mdEx = intercept[UnsupportedOperationException](md.renderSql("duckdb"))
+    assert(mdEx.getMessage.contains("arg_max"),
+      s"mode() refusal should suggest the arg_max rewrite: ${mdEx.getMessage}")
     val lst = SqlDecompile.decompile(spark,
       "SELECT grp, last(name) IGNORE NULLS AS l FROM t1 GROUP BY grp ORDER BY grp")
     assert(lst.isFullyDecompiled)
-    intercept[UnsupportedOperationException](lst.renderSql("duckdb"))
+    val lstEx = intercept[UnsupportedOperationException](lst.renderSql("duckdb"))
+    assert(lstEx.getMessage.contains("reverse the ordering"),
+      s"LAST refusal should suggest the reversed-order rewrite: ${lstEx.getMessage}")
+    // first_value/last_value are ALSO plain aggregate aliases of
+    // first/last in spark — the window-only in-paren IGNORE NULLS
+    // spelling must not fire outside an OVER context (ADVICE r14):
+    // bare first_value routes to any_value, bare last_value refuses
+    val fvAgg = SqlDecompile.decompile(spark,
+      "SELECT grp, first_value(name) IGNORE NULLS AS f " +
+        "FROM t1 GROUP BY grp ORDER BY grp")
+    assert(fvAgg.isFullyDecompiled)
+    assert(fvAgg.renderSql("duckdb").contains("any_value(name)"),
+      s"bare first_value IGNORE NULLS should become any_value: " +
+        s"${fvAgg.renderSql("duckdb")}")
+    val lvAgg = SqlDecompile.decompile(spark,
+      "SELECT grp, last_value(name) IGNORE NULLS AS l " +
+        "FROM t1 GROUP BY grp ORDER BY grp")
+    assert(lvAgg.isFullyDecompiled)
+    intercept[UnsupportedOperationException](lvAgg.renderSql("duckdb"))
+    // under OVER the in-paren spelling still applies to both
+    val fvWin = SqlDecompile.decompile(spark,
+      "SELECT id, first_value(name) IGNORE NULLS OVER (ORDER BY id) AS f, " +
+        "last_value(name) IGNORE NULLS OVER (ORDER BY id) AS l " +
+        "FROM t1 ORDER BY id")
+    assert(fvWin.isFullyDecompiled)
+    val fvTxt = fvWin.renderSql("duckdb")
+    assert(fvTxt.contains("first_value(name IGNORE NULLS)") &&
+      fvTxt.contains("last_value(name IGNORE NULLS)"),
+      s"windowed nav IGNORE NULLS should stay in-paren: $fvTxt")
   }
 
   test("ordinal GROUP BY / ORDER BY resolve against the select list, not a constant") {
