@@ -42,9 +42,38 @@ object BenchConfs {
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "67108864",
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
     "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> "64000000",
-    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> "671088640",
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> "671088640")
+
+  /** Final-agg codegen fast-hash-map sizing — SCALE-DEPENDENT (round 15).
+    * The 2^20-slot map wins 7-19% on the DS heavies at SF10+ (r14 A/B),
+    * where final aggregates carry ~470k keys/task; but every final-agg
+    * TASK pays the 2^20 bucket-array allocation+zeroing up front, which at
+    * small inputs dwarfs the aggregate itself (measured at sf0.1: a bare
+    * scan→groupBy→agg is 587ms with these confs vs 202ms default — ~12ms
+    * × 32 tasks of pure map setup for a ~1k-key aggregate; interleaved
+    * AbProbe medians over 4 headline agg queries: 0.48-0.90× with the
+    * defaults restored). The capacity should track expected keys/task,
+    * which scales with input size — so these confs are applied only when
+    * the section's input exceeds `bigAggThresholdBytes` (≈SF≥10; per-task
+    * final-agg key counts ≥~10^5), exactly like the per-section shuffle
+    * partition and scan-split sizing. */
+  val bigAggConfs: Seq[(String, String)] = Seq(
     "spark.sql.codegen.aggregate.map.twolevel.partialOnly" -> "false",
     "spark.sql.codegen.aggregate.fastHashMap.capacityBit" -> "20")
+
+  val bigAggThresholdBytes: Long = 1L << 30
+
+  def dirBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    val stream = java.nio.file.Files.walk(root)
+    try stream.filter(p => java.nio.file.Files.isRegularFile(p))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    finally stream.close()
+  }
+
+  def aggConfsFor(dir: String): Seq[(String, String)] =
+    if (dirBytes(dir) >= bigAggThresholdBytes) bigAggConfs else Seq.empty
 }
 
 object Bench {
@@ -134,7 +163,7 @@ object Bench {
     // in a young session and 205s after the sf1+sf10 sections; the q80
     // bare-groupBy control inflated 1.5s -> 11s). Session teardown resets
     // the block manager; per-section sizing is baked into the builder.
-    def newSession(parts: String, splitBytes: String): SparkSession = {
+    def newSession(parts: String, splitBytes: String, dataDir: String): SparkSession = {
       val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.exts.GraftExtensions)
@@ -166,17 +195,15 @@ object Bench {
       //   filter caps at 4M items. Allow 1 GB creation sides and size the
       //   filter for 64M keys (~80 MB bits ≈ what the creation-side agg
       //   would broadcast on a cluster). q101 SF100: 79s → 39s warm.
-      // - twolevel.partialOnly=false + capacityBit=20: codegen fast hash
-      //   map for FINAL aggregates too, sized to fit the per-order/
-      //   per-customer key counts (round 14, verdict r13 #3): the default
-      //   keeps the row-based fast map partial-only and caps it at 2^16
-      //   rows, so the DS heavies' final aggregates (15M orderkeys / 32
-      //   partitions ≈ 470k keys per task) ran entirely on the slow
-      //   UnsafeFixedWidthAggregationMap path. Either knob alone is noise;
-      //   2^20 rows (≈4-8 MB bucket array per task) makes it stick.
-      //   Interleaved A/B at SF10: q202 0.88-0.93×, q204 0.90-0.94×,
-      //   q103 0.81-0.86×, q101/q03 ≤1.0×, q01 neutral.
+      // - twolevel.partialOnly=false + capacityBit=20 (SCALE-DEPENDENT,
+      //   see BenchConfs.bigAggConfs): codegen fast hash map for FINAL
+      //   aggregates, sized for the DS heavies' ~470k keys/task at SF10+
+      //   (round 14, verdict r13 #3) — applied only when the section's
+      //   input is ≥1 GB, because at small inputs the per-task 2^20
+      //   bucket-array setup dominates the aggregate itself (round 15,
+      //   measured 0.48-0.90× medians at sf0.1 with defaults restored).
       BenchConfs.planConfs.foreach { case (k, v) => b.config(k, v) }
+      BenchConfs.aggConfsFor(dataDir).foreach { case (k, v) => b.config(k, v) }
       b
       // split small bench files across all cores; at cluster scale the
       // 128 MB default is right, at sf0.1 one file = one thread otherwise
@@ -206,7 +233,7 @@ object Bench {
       .getOrCreate()
     }
 
-    var spark = newSession(cpus, "4m")
+    var spark = newSession(cpus, "4m", sfDir)
     spark.sparkContext.setLogLevel("WARN")
 
     def run(df: DataFrame): Unit =
@@ -215,16 +242,27 @@ object Bench {
     // one warm-up query to absorb JVM/codegen/first-scan startup cost
     run(SparkEntry.queries("q01_agg")(spark, sfDir))
 
+    // Between-queries GC is SCALE-DEPENDENT (round 15): at big SFs a GC
+    // pass lets the ContextCleaner release the previous query's checkpoint/
+    // broadcast blocks (hundreds of MB each; measured session aging at
+    // SF100 without it). But the JVM runs -XX:+ExplicitGCInvokesConcurrent
+    // (a stop-the-world full GC once stalled local mode past the network
+    // timeout), so System.gc() returns while the concurrent G1 cycle is
+    // still running — INTO the next timed query. At sf0.1 the blocks are
+    // KBs and the cycle is pure interference: measured on q204 warm
+    // (GcNoise, same session, 8 passes each): with-gc med 2.32s / avg
+    // 2.68s / max 6.82s vs no-gc med 1.22s / avg 1.60s / max 3.45s.
+    def gcBetween(dir: String): Boolean =
+      BenchConfs.dirBytes(dir) >= BenchConfs.bigAggThresholdBytes
+    val gcMain = gcBetween(sfDir)
+
     def timeOne(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
-      // outside the timed window: a GC pass lets the ContextCleaner release
-      // checkpoint/broadcast blocks from the PREVIOUS query, so successive
-      // measurements don't degrade under accumulated block-manager pressure
-      System.gc()
+      if (gcMain) System.gc()
       dt
     }
 
@@ -389,14 +427,15 @@ object Bench {
         case _       => (cpus, "4m")
       }
       spark.stop()
-      spark = newSession(parts, splitBytes)
+      spark = newSession(parts, splitBytes, dir)
       spark.sparkContext.setLogLevel("WARN")
+      val gcHere = gcBetween(dir) // see the timeOne note: gc only at big SFs
       def timeAt(name: String): Double = {
         val t0 = System.nanoTime()
         try run(SparkEntry.queries(name)(spark, dir))
         catch { case e: Throwable => System.err.println(s"[bench] $tag $name: ${e.getMessage}") }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.gc()
+        if (gcHere) System.gc()
         dt
       }
       warmPageCache(dir)
@@ -557,7 +596,9 @@ object Bench {
         compactExtra ++= s""","stream_skipped":true"""
       } else {
         spark.stop()
-        spark = newSession(cpus, "4m")
+        // streaming sources are rate-generated (no on-disk input): the
+        // small-agg defaults are the right fast-map sizing here
+        spark = newSession(cpus, "4m", "")
         spark.sparkContext.setLogLevel("WARN")
         val s = streamingBench(spark)
         extra ++= s

@@ -33,9 +33,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.get("SPARK_GRAFT_BENCH_CONFS").contains("1")) {
-      System.err.println("[verify] applying BenchConfs.planConfs " +
+      System.err.println("[verify] applying BenchConfs.planConfs + bigAggConfs " +
         "(conf-regression sweep arm)")
-      BenchConfs.planConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // sweep bigAggConfs too: the bench only adopts them at ≥1 GB inputs
+      // (BenchConfs.aggConfsFor), but the guard's job is to exercise the
+      // FULL adoptable set against the wide corpus
+      (BenchConfs.planConfs ++ BenchConfs.bigAggConfs)
+        .foreach { case (k, v) => spark.conf.set(k, v) }
     }
     new java.io.File(outDir).mkdirs()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

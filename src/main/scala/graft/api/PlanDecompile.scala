@@ -120,7 +120,24 @@ object PlanDecompile {
     // physical-only nodes (repartition, hints) don't exist in SQL — strip
     // them on both sides before the semantic comparison; they change
     // layout, never values
-    def strip(p: LogicalPlan): LogicalPlan = p.transformUp {
+    def strip(p: LogicalPlan): LogicalPlan = {
+      // a partition-local sort above a 1-partition repartition/coalesce
+      // (Table.sortBounded, round 15) IS a total order — normalize it to a
+      // global Sort BEFORE the repartition nodes are stripped below, or
+      // the global flag mismatches the rendered ORDER BY. Descend through
+      // narrow (partition-count-preserving) Project/Filter nodes the
+      // optimizer may interpose.
+      def dropOnePart(q: LogicalPlan): Option[LogicalPlan] = q match {
+        case OnePartition(child) => Some(child)
+        case pr @ Project(_, c) => dropOnePart(c).map(n => pr.copy(child = n))
+        case f @ Filter(_, c) => dropOnePart(c).map(n => f.copy(child = n))
+        case _ => None
+      }
+      val pre = p.transformDown {
+        case s @ Sort(_, false, child, _) if dropOnePart(child).isDefined =>
+          s.copy(global = true, child = dropOnePart(child).get)
+      }
+      pre.transformUp {
       case Repartition(_, _, child) => child
       case RepartitionByExpression(_, child, _, _) => child
       case ResolvedHint(child, _) => child
@@ -138,6 +155,22 @@ object PlanDecompile {
       case Offset(limitLit(o), GlobalLimit(limitLit(l), c)) =>
         GlobalLimit(Literal(math.max(l - o, 0L).toInt),
           Offset(Literal(o.toInt), c))
+      // a stripped repartition can leave an adjacent Project pair the
+      // optimizer had no chance to merge (it ran before the strip) —
+      // collapse alias-free outer-over-inner projections so the pair
+      // compares equal to the rendered side's single Project
+      case Project(outer, Project(inner, c))
+          if outer.forall(_.isInstanceOf[AttributeReference]) &&
+             outer.forall(a => inner.exists(_.exprId == a.exprId)) =>
+        val byId = inner.map(i => i.exprId -> i).toMap
+        Project(outer.map(a => byId(a.exprId)), c)
+      // …and the mirrored shape: any outer projection over a pure
+      // column-pruning inner Project (attrs only) reads straight through
+      case Project(outer, Project(inner, c))
+          if inner.forall(_.isInstanceOf[AttributeReference]) &&
+             outer.flatMap(_.references).forall(r => inner.exists(_.exprId == r.exprId)) =>
+        Project(outer, c)
+    }
     }
     // rename-only aliases: a decompile-introduced disambiguation suffix
     // (uniquify) survives optimization as Alias(attr, newName) where the
@@ -676,6 +709,21 @@ object PlanDecompile {
       }
       (SqlSort(in, keys), env)
 
+    // sortWithinPartitions over a 1-partition repartition/coalesce (the
+    // Table.sortBounded shape, round 15): with a single partition the
+    // local sort IS a total order — render the pair as ORDER BY.
+    case Sort(order, false, OnePartition(child), _) =>
+      val (in0, env0) = dec(child, root)
+      val (in, env) = materialize(in0, child.output, env0)
+      val keys = order.map { case SortOrder(e, dir, nulls, _) =>
+        (rex(e, env), dir == Ascending, nulls == NullsFirst)
+      }
+      (SqlSort(in, keys), env)
+
+    // a bare 1-partition repartition/coalesce is layout-only — SQL has no
+    // spelling for it and needs none; values are unchanged
+    case OnePartition(child) => dec(child, root)
+
     case GlobalLimit(limitLit(n), LocalLimit(_, child)) =>
       val (in0, env0) = dec(child, root)
       val (in, env) = materialize(in0, child.output, env0)
@@ -823,6 +871,18 @@ object PlanDecompile {
     def unapply(e: Expression): Option[Long] = e match {
       case Literal(v: Int, _) => Some(v.toLong)
       case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** Matches a repartition/coalesce down to EXACTLY ONE partition —
+    * layout-only in SQL terms, and the context that makes a partition-
+    * local sort a total order (Table.sortBounded, round 15). */
+  private object OnePartition {
+    def unapply(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case Repartition(1, _, child) => Some(child)
+      case r: RepartitionByExpression if r.optNumPartitions.contains(1) =>
+        Some(r.child)
       case _ => None
     }
   }

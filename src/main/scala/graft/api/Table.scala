@@ -197,6 +197,18 @@ final class Table(val df: DataFrame) {
   def sort(keys: SortKey*): Table = new Table(df.orderBy(keys.map(_.spark): _*))
   def orderBy(cols: Column*): Table = sort(cols.map(SortKey.asc): _*)
 
+  /** Total-order sort of a provably BOUNDED result — one whose row count
+    * is fixed by group-key domains (nations × segments, flag values…),
+    * not by the input SF. Coalescing to a single partition first makes
+    * the plan SinglePartition, which already satisfies the sort's
+    * required distribution: Spark then plans one local SortExec instead
+    * of a RangePartitioning Exchange plus its range-bounds sampling pass
+    * (two scheduler round-trips per query at any scale). Same rows, same
+    * total order as [[sort]]. NOT for results that grow with the input —
+    * a single task would then sort the whole output. */
+  def sortBounded(keys: SortKey*): Table =
+    new Table(df.coalesce(1).sortWithinPartitions(keys.map(_.spark): _*))
+
   // ----------------------------------------------------------- aggregation
 
   /** ibis GroupedTable (ibis/expr/types/groupby.py). */

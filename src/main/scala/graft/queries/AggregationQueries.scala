@@ -195,7 +195,11 @@ object AggregationQueries {
         .count("cnt")
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("cnt").desc, col("qty_bucket").asc)
-      counted
+      // the counted frame is bounded by the (returnflag × qty-bucket)
+      // domain (~150 rows at any SF): merge the final-agg stage to one
+      // partition so the rank window and final sort run exchange-free
+      // (r15; the map-side partial aggregation above stays parallel)
+      Table(counted.df.coalesce(1))
         .mutate("rn" -> row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("l_returnflag"), col("qty_bucket").as("mode_qty"), col("cnt").as("mode_n"))

@@ -94,7 +94,9 @@ object PipelineQueries {
           dsum(col("avg_wlen")).as("sum_awl"),
           dsum(col("stop_ratio")).as("sum_stop"),
           countDistinct(col("fp")).as("n_fp"))
-        .sort(SortKey.asc(col("lang")), SortKey.asc(col("source")))
+        // output bounded by the (lang × source) domain (~35 rows at any
+        // SF): single-partition sort, no range exchange (r15)
+        .sortBounded(SortKey.asc(col("lang")), SortKey.asc(col("source")))
         .df
     }, Some("""
       WITH toks AS (
@@ -279,7 +281,10 @@ object PipelineQueries {
       Table(Dedup.exact(documents(s, dir).select("doc_id", "lang", "source"),
           Seq("lang", "source"), "doc_id"))
         .selectNames("doc_id", "lang", "source")
-        .sort(SortKey.asc(col("doc_id")))
+        // keep-first on (lang, source) emits one row per key pair — a
+        // domain-bounded (~35-row) result at any SF: single-partition
+        // sort, no range exchange + sampling pass (r15)
+        .sortBounded(SortKey.asc(col("doc_id")))
         .df
     }, Some("""
       SELECT doc_id, lang, source FROM documents
@@ -455,7 +460,10 @@ object PipelineQueries {
           e, "vec_id", "embedding",
           e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
         .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy(col("probe_id").asc, col("rank").asc)
+        // output bounded at probes × k (15 rows at any SF): single-
+        // partition sort, no range exchange + sampling pass (r15)
+        .coalesce(1)
+        .sortWithinPartitions(col("probe_id").asc, col("rank").asc)
     }, Some("""
       WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 3),
       scored AS (
@@ -1088,7 +1096,9 @@ object PipelineQueries {
           count(lit(1)).as("n_docs"),
           round(avg(col("n_tokens")), 6).as("avg_tokens"),
           sum(col("n_chars")).as("total_chars"))
-        .sort(SortKey.asc(col("lang")))
+        // output bounded by the lang domain (~5 rows at any SF):
+        // single-partition sort, no range exchange (r15)
+        .sortBounded(SortKey.asc(col("lang")))
         .df
     }, Some("""
       WITH q AS (

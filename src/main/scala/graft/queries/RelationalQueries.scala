@@ -33,7 +33,9 @@ object RelationalQueries {
           dmean(col("l_extendedprice")).as("avg_price"),
           dmean(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .sort(SortKey.asc(col("l_returnflag")), SortKey.asc(col("l_linestatus")))
+        // bounded output (returnflag × linestatus domains): single-
+        // partition sort skips the range exchange + sampling pass (r15)
+        .sortBounded(SortKey.asc(col("l_returnflag")), SortKey.asc(col("l_linestatus")))
         .df
     }, Some("""
       SELECT l_returnflag, l_linestatus,
@@ -81,13 +83,21 @@ object RelationalQueries {
       val perOrder = Table(l)
         .groupBy(l("l_orderkey"))
         .aggregate(dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("rev"))
+      // c_name is functionally dependent on c_custkey: aggregate on the
+      // bare int key and broadcast-attach the name to the |customers|
+      // result AFTER the reduction (r15) — the agg exchange carries no
+      // strings and the customer probe touches pre-reduced rows, the same
+      // strings-leave-the-plan shape q101 uses. Value-identical: the
+      // custkey↔name mapping is 1:1 and the join is on the agg's own key.
       Table(o)
         .join(perOrder, o("o_orderkey") === perOrder.df("l_orderkey"))
-        .join(Table(c), o("o_custkey") === c("c_custkey"))
-        .groupBy(c("c_custkey"), c("c_name"))
+        .groupBy(o("o_custkey"))
         .aggregate(
           dsum(col("rev")).as("revenue"),
           count(lit(1)).as("n_orders"))
+        .join(Table(c).selectNames("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .selectNames("c_custkey", "c_name", "revenue", "n_orders")
         .sort(SortKey.desc(col("revenue")), SortKey.asc(col("c_custkey")))
         .limit(10)
         .df
@@ -225,7 +235,13 @@ object RelationalQueries {
     // ibis ranking-function semantics: 0-indexed rank/dense_rank/row_number/
     // ntile (rewrites.py:490-498), default cumulative frame for running sum.
     QueryDef("q12_window_rank", (s, dir) => {
-      val o = Table(orders(s, dir)).filter(col("o_custkey") < 30)
+      // the o_custkey < 30 cut bounds the frame at ~300 rows at ANY SF
+      // (orders-per-customer is SF-invariant): ship the filtered rows to
+      // ONE partition up front — the scan stays parallel (repartition,
+      // not coalesce), SinglePartition satisfies every window spec and
+      // the final sort, so the whole tail is one exchange-free stage
+      // (r15; was hash exchange + range exchange + range-sampling pass)
+      val o = Table(orders(s, dir).filter(col("o_custkey") < 30).repartition(1))
       val wPrice = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       val wTier = Window.partitionBy(col("o_custkey"))

@@ -23,7 +23,11 @@ object StreamingQueries {
           metrics = Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
         .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
         .withColumn("window_end", date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss"))
-        .orderBy(col("window_start").asc, col("event_type").asc)
+        // the corpus event span is SF-invariant (70 days), so the output
+        // is bounded by hours × event types (~6.7k rows at any SF):
+        // single-partition sort, no range exchange + sampling pass (r15)
+        .coalesce(1)
+        .sortWithinPartitions(col("window_start").asc, col("event_type").asc)
     }, Some("""
       SELECT event_type, COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value,

@@ -78,7 +78,10 @@ object TpcdsQueries {
           avgOf("sp", "cp").as("agg2"),
           avgOf("sd", "cd").as("agg3"),
           (grouping(col("n_name")) * 2 + grouping(col("c_mktsegment"))).cast("int").as("lvl")))
-        .sort(SortKey.asc(col("lvl")), SortKey.asc(col("n_name")), SortKey.asc(col("c_mktsegment")))
+        // rollup output is bounded by the (nation × segment) domain
+        // (~176 rows at any SF): single-partition sort, no range exchange
+        // + sampling pass (r15)
+        .sortBounded(SortKey.asc(col("lvl")), SortKey.asc(col("n_name")), SortKey.asc(col("c_mktsegment")))
         .df
   }
 
@@ -281,7 +284,14 @@ object TpcdsQueries {
           .cast("double").as("r"))
       val wSeq = Window.partitionBy(col("n_name")).orderBy(col("yr"), col("mo"))
       val wYear = Window.partitionBy(col("n_name"), col("yr"))
-      monthly
+      // the monthly frame is bounded by the (nation × year × month)
+      // domain (~2100 rows at any SF): merge the final-agg stage to one
+      // partition so BOTH window specs, the year filter and the final
+      // sort run in a single exchange-free stage (r15; was a window hash
+      // exchange + a range exchange + its sampling pass — three scheduler
+      // round-trips moving <2100 rows). The per-order/monthly partial
+      // aggregation above stays fully parallel.
+      Table(monthly.df.coalesce(1))
         .mutate(
           "prev_m" -> lag(col("r"), 1).over(wSeq),
           "prev_y" -> lag(col("r"), 12).over(wSeq),

@@ -40,16 +40,22 @@ object TpchQueries {
       l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val n = nation(s, dir); val c = customer(s, dir); val r = region(s, dir)
       val su = supplier(s, dir)
+      // ONE admissible-nations subtree feeds BOTH dimension maps (r15):
+      // the old shape re-read region/nation per side, so each map paid its
+      // own region-filter + nation-join broadcast builds (~2 extra
+      // scheduler round-trips per query at every scale). The shared
+      // subtree is also canonically identical on both sides, so
+      // ReuseExchange collapses the two broadcast builds into one.
+      val asiaNations = Table(r).filter(r("r_name") === "ASIA")
+        .join(Table(n), r("r_regionkey") === n("n_regionkey"))
+        .selectNames("n_nationkey").df
       val asiaCust = Table(broadcast(
-        Table(r).filter(r("r_name") === "ASIA")
-          .join(Table(n), r("r_regionkey") === n("n_regionkey"))
-          .join(Table(c), n("n_nationkey") === c("c_nationkey"))
+        Table(c).join(Table(broadcast(asiaNations)),
+            c("c_nationkey") === col("n_nationkey"))
           .selectNames("c_custkey", "c_nationkey").df))
-      val r2 = region(s, dir); val n2 = nation(s, dir)
       val asiaSup = Table(broadcast(
-        Table(r2).filter(r2("r_name") === "ASIA")
-          .join(Table(n2), r2("r_regionkey") === n2("n_regionkey"))
-          .join(Table(su), n2("n_nationkey") === su("s_nationkey"))
+        Table(su).join(Table(broadcast(asiaNations)),
+            su("s_nationkey") === col("n_nationkey"))
           .selectNames("s_suppkey", "s_nationkey").df))
       val oAsia = Table(o).join(asiaCust, o("o_custkey") === asiaCust.df("c_custkey"))
         .selectNames("o_orderkey", "c_nationkey")
@@ -84,7 +90,9 @@ object TpchQueries {
         // exact units → double exactly like a decimal(38,4) cast would
         .mutate("revenue" -> (col("u").cast("decimal(38,0)") / 10000).cast("double"))
         .selectNames("n_name", "revenue")
-        .sort(SortKey.desc(col("revenue")), SortKey.asc(col("n_name")))
+        // bounded output (≤ nations in the region, 5 rows at any SF):
+        // single-partition sort, no range exchange + sampling pass (r15)
+        .sortBounded(SortKey.desc(col("revenue")), SortKey.asc(col("n_name")))
         .df
   }
 
@@ -234,7 +242,9 @@ object TpchQueries {
         .mutate("c_count" -> coalesce(col("n_ord"), lit(0L)))
         .groupBy(col("c_count"))
         .count("custdist")
-        .sort(SortKey.desc(col("custdist")), SortKey.desc(col("c_count")))
+        // output bounded by max orders-per-customer (SF-invariant, ~20
+        // distinct counts): single-partition sort, no range exchange (r15)
+        .sortBounded(SortKey.desc(col("custdist")), SortKey.desc(col("c_count")))
         .df
     }, Some("""
       SELECT c_count, COUNT(*) AS custdist FROM (
