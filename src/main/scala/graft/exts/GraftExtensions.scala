@@ -231,6 +231,12 @@ object exprs {
   def asofSearch(sortedArr: Column, key: Column): Column =
     co(AsofSearch(ex(sortedArr), ex(key)))
 
+  /** Fused per-document text-feature pass (see [[TextStats]]): one
+    * tokenization + one character scan yielding the primitives every
+    * TextAnalysis feature derives from. */
+  def textStats(text: Column, withFp: Boolean): Column =
+    co(TextStats(ex(text), withFp))
+
   /** Exact 4-decimal fixed-point money sum (see [[MoneySum4]]) — the fast
     * equivalent of `sum(x.cast("decimal(38,4)")).cast("double")`. */
   def moneySum4(x: Column): Column =

@@ -17,6 +17,16 @@ object GraftSqlBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Alias a column under an EXPLICIT metadata map. Needed where Spark's
+    * semantics ride on column metadata (the event-time watermark tag,
+    * spark.watermarkDelayMs) but the value expression is derived — a
+    * plain Alias only propagates metadata from a bare attribute, so e.g.
+    * unix_micros(ts) would silently lose its watermark. */
+  def aliasWithMetadata(c: Column, name: String,
+      metadata: org.apache.spark.sql.types.Metadata): Column =
+    column(catalyst.expressions.Alias(expression(c), name)(
+      explicitMetadata = Some(metadata)))
+
   /** A full copy of the session (conf, temp views, UDFs) sharing the
     * SparkContext — for queries that need a plan-shape conf override
     * (e.g. subset-cluster-key co-partitioning for bucketed joins)

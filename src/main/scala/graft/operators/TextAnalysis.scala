@@ -58,6 +58,48 @@ object TextAnalysis {
     (lenOk + stopOk + punctOk + digitOk) / 4.0
   }
 
+  // ---- fused feature path (round 15) -----------------------------------
+  // The declarative features above each re-tokenize the document through
+  // interpreted higher-order-function lambdas — a projection that wants
+  // token count + quality + fingerprint tokenizes every text ~6×.
+  // textStats runs ONE fused pass (exts.TextStats) and the *Of accessors
+  // derive the identical values from its counts; value identity is pinned
+  // by TextStatsFusionSpec and the q60b/q71 oracles.
+
+  /** One-pass stats struct (n_tokens, sum_wlen, n_stop, n_chars, n_punct,
+    * n_digit, fp_key). Ask for the fingerprint only when used — it is the
+    * expensive part (distinct + sort + join per document). */
+  def textStats(text: Column, withFingerprint: Boolean = false): Column =
+    graft.exts.exprs.textStats(text, withFingerprint)
+
+  def tokenCountOf(st: Column): Column = st.getField("n_tokens")
+
+  def avgWordLengthOf(st: Column): Column =
+    when(st.getField("n_tokens") === 0, lit(null)).otherwise(
+      st.getField("sum_wlen").cast("double") / st.getField("n_tokens"))
+
+  def stopwordRatioOf(st: Column): Column =
+    when(st.getField("n_tokens") === 0, lit(0.0)).otherwise(
+      st.getField("n_stop").cast("double") / st.getField("n_tokens"))
+
+  def punctRatioOf(st: Column): Column =
+    when(st.getField("n_chars") === 0, lit(0.0)).otherwise(
+      st.getField("n_punct").cast("double") / st.getField("n_chars"))
+
+  def digitRatioOf(st: Column): Column =
+    when(st.getField("n_chars") === 0, lit(0.0)).otherwise(
+      st.getField("n_digit").cast("double") / st.getField("n_chars"))
+
+  def qualityScoreOf(st: Column): Column = {
+    val lenOk = when(st.getField("n_tokens").between(10, 100000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatioOf(st) > 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatioOf(st) < 0.2, 1.0).otherwise(0.0)
+    val digitOk = when(digitRatioOf(st) < 0.3, 1.0).otherwise(0.0)
+    (lenOk + stopOk + punctOk + digitOk) / 4.0
+  }
+
+  def fingerprintKeyOf(st: Column): Column = st.getField("fp_key")
+
   /** Character n-gram profiles per language for heuristic language ID.
     * Tiny deterministic profiles — real deployments would plug larger
     * tables in; the operator shape (score-every-language, argmax) is what

@@ -79,13 +79,18 @@ object PipelineQueries {
     // with SF instead of measuring the scheduler floor on 50 rows
     // (round-3 verdict #4). Output stays ~35 rows at any SF.
     QueryDef("q60b_text_stats_full", (s, dir) => {
+      // ONE fused tokenize+scan per document (TextAnalysis.textStats,
+      // r15): the declarative feature set tokenized every text ~6× via
+      // interpreted HOF lambdas; identical values (TextStatsFusionSpec +
+      // this oracle)
       Table(documents(s, dir))
+        .mutate("st" -> TextAnalysis.textStats(col("text"), withFingerprint = true))
         .mutate(
-          "n_tokens" -> TextAnalysis.tokenCount(col("text")),
-          "avg_wlen" -> round(TextAnalysis.avgWordLength(col("text")), 6),
-          "stop_ratio" -> round(TextAnalysis.stopwordRatio(col("text")), 6),
-          "quality" -> TextAnalysis.qualityScore(col("text")),
-          "fp" -> md5(TextAnalysis.fingerprintKey(col("text"))))
+          "n_tokens" -> TextAnalysis.tokenCountOf(col("st")),
+          "avg_wlen" -> round(TextAnalysis.avgWordLengthOf(col("st")), 6),
+          "stop_ratio" -> round(TextAnalysis.stopwordRatioOf(col("st")), 6),
+          "quality" -> TextAnalysis.qualityScoreOf(col("st")),
+          "fp" -> md5(TextAnalysis.fingerprintKeyOf(col("st"))))
         .groupBy(col("lang"), col("source"))
         .aggregate(
           count(lit(1)).as("n_docs"),
@@ -1088,8 +1093,10 @@ object PipelineQueries {
     // End-to-end quality-filter pipeline: score → filter → per-lang stats.
     QueryDef("q71_quality_pipeline", (s, dir) => {
       Table(documents(s, dir))
-        .mutate("quality" -> TextAnalysis.qualityScore(col("text")),
-          "n_tokens" -> TextAnalysis.tokenCount(col("text")))
+        // fused single-pass features (r15) — see q60b
+        .mutate("st" -> TextAnalysis.textStats(col("text")))
+        .mutate("quality" -> TextAnalysis.qualityScoreOf(col("st")),
+          "n_tokens" -> TextAnalysis.tokenCountOf(col("st")))
         .filter(col("quality") >= 0.75)
         .groupBy(col("lang"))
         .aggregate(

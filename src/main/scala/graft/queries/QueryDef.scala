@@ -55,4 +55,18 @@ object Tables {
   /** Decimal-stable mean: exact fixed-point sum / count, double at the end. */
   def dmean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(graft.exts.exprs.moneySum4(c) / count(c), 6)
+
+  /** round-half-away of x·10⁴ as a long — value-identical to
+    * `(x.cast("decimal(18,4)") * 10000).cast("long")` on ≤4-decimal money
+    * inputs (the MoneySum4 units contract: double-grid values sit within
+    * ~1e-11 of the 4-decimal grid, far inside the 5e-5 half-step, so
+    * half-away on the double and HALF_UP on the shortest-repr decimal
+    * agree), with no per-row Decimal128 ops (round 15 — the q101 inline
+    * pattern, shared). ANSI mode still throws on non-finite input exactly
+    * like the decimal cast. */
+  def cents4(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scaled = x.cast("double") * lit(10000.0)
+    when(scaled >= 0, (scaled + 0.5).cast("long"))
+      .otherwise((scaled - 0.5).cast("long"))
+  }
 }

@@ -39,14 +39,15 @@ object TpcdsQueries {
       l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val c = customer(s, dir); val n = nation(s, dir)
       // exact long-cents partials (round 13, A/B 1.46x at SF10): the
-      // row-level cast to decimal(18,4) applies the SAME half-up scale-4
-      // rounding as the oracle's DECIMAL(38,4); x10000-to-long makes the
-      // two hot aggregate levels plain codegen long sums. Overflow-safe at
-      // any SF: per-order (<=7 lines) and per-customer (SF-invariant order
-      // count) sums are bounded; the unbounded rollup level sums as
+      // row-level scale-4 rounding matches the oracle's DECIMAL(38,4)
+      // cast; x10000-to-long makes the two hot aggregate levels plain
+      // codegen long sums. Round 15: the rounding runs in pure double
+      // (Tables.cents4, the q101 units pattern) — value-identical on
+      // money-grid inputs, no per-row Decimal128 multiply. Overflow-safe
+      // at any SF: per-order (<=7 lines) and per-customer (SF-invariant
+      // order count) sums are bounded; the unbounded rollup level sums as
       // decimal(38,0) over only |customers| rows.
-      def cents(x: org.apache.spark.sql.Column) =
-        (x.cast("decimal(18,4)") * 10000).cast("long")
+      def cents(x: org.apache.spark.sql.Column) = cents4(x)
       val perOrder = l.select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
         .groupBy(col("l_orderkey"))
@@ -181,8 +182,7 @@ object TpcdsQueries {
     // gives q101). Excluded from the bench ratio geomean.
     QueryDef("q202_control", (s, dir) => {
       val o = orders(s, dir); val l = lineitem(s, dir)
-      def cents(x: org.apache.spark.sql.Column) =
-        (x.cast("decimal(18,4)") * 10000).cast("long")
+      def cents(x: org.apache.spark.sql.Column) = cents4(x) // r15: see ds27Body
       val perOrder = l.select(col("l_orderkey"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
         .groupBy(col("l_orderkey"))
@@ -268,8 +268,7 @@ object TpcdsQueries {
       // monthly aggregates, decimal only for the final /10000 rescale
       val perOrder = l
         .select(col("l_orderkey"),
-          ((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)") * 10000).cast("long").as("lrev_c"))
+          cents4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lrev_c"))
         .groupBy(col("l_orderkey"))
         .agg(sum(col("lrev_c")).as("orev_c"))
       val monthly = Table(perOrder)
@@ -331,8 +330,7 @@ object TpcdsQueries {
       val c = customer(s, dir); val n = nation(s, dir)
       val perOrder = l
         .select(col("l_orderkey"),
-          ((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)") * 10000).cast("long").as("lrev_c"))
+          cents4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lrev_c"))
         .groupBy(col("l_orderkey"))
         .agg(sum(col("lrev_c")).as("orev_c"))
       Table(perOrder)

@@ -92,6 +92,24 @@ object StreamProbe {
         }, "append", "funnel")
       }
     println(f"[stream] variant=$variant rows_per_sec=$rps%.0f")
+    // second run in the SAME JVM: discriminates JIT-cold snowball from
+    // steady capacity (round-15 diagnosis)
+    sys.env.get("STREAM_TWICE").foreach { _ =>
+      val rps2 =
+        if (variant.startsWith("tumble")) 0.0
+        else {
+          measure(rate => {
+            val ev = rate.select(
+              (col("value") % 50000).as("user_id"),
+              element_at(array(lit("click"), lit("purchase"), lit("view")),
+                (col("value") % 3 + 1).cast("int")).as("event_type"),
+              col("timestamp").as("ts"))
+            Stateful.funnelPairs(Windows.withWatermark(ev, Watermark("ts", "2 seconds")),
+              "user_id", "event_type", "ts", "click", "purchase", "10 seconds")
+          }, "append", "funnel2")
+        }
+      println(f"[stream] variant=$variant SECOND rows_per_sec=$rps2%.0f")
+    }
     spark.stop()
   }
 }
