@@ -63,13 +63,31 @@ object BenchConfs {
 
   val bigAggThresholdBytes: Long = 1L << 30
 
+  // Cached per dir: large-SF dirs were re-walked on every newSession call.
+  private val dirBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def dirBytes(dir: String): Long = {
+    // Empty string is the "no on-disk input" sentinel (streaming sessions).
+    // Paths.get("") resolves to the CWD, so without this short-circuit the
+    // walk sized the whole checkout and silently applied bigAggConfs to the
+    // stream bench whenever the working tree exceeded 1 GB (ADVICE r15).
+    if (dir.isEmpty) return 0L
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(root)) return 0L
-    val stream = java.nio.file.Files.walk(root)
-    try stream.filter(p => java.nio.file.Files.isRegularFile(p))
-      .mapToLong(p => java.nio.file.Files.size(p)).sum()
-    finally stream.close()
+    dirBytesCache.computeIfAbsent(dir, _ => {
+      // an unreadable entry or a file deleted mid-walk must not abort the
+      // bench — treat unreadable subtrees as 0 bytes (ADVICE r15)
+      try {
+        val stream = java.nio.file.Files.walk(root)
+        try stream.filter(p => java.nio.file.Files.isRegularFile(p))
+          .mapToLong { p =>
+            try java.nio.file.Files.size(p)
+            catch { case _: java.io.IOException => 0L }
+          }.sum()
+        finally stream.close()
+      } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => 0L }
+    })
   }
 
   def aggConfsFor(dir: String): Seq[(String, String)] =
@@ -240,7 +258,8 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // one warm-up query to absorb JVM/codegen/first-scan startup cost
-    run(SparkEntry.queries("q01_agg")(spark, sfDir))
+    if (!sys.env.contains("SPARK_GRAFT_STREAM_ONLY"))
+      run(SparkEntry.queries("q01_agg")(spark, sfDir))
 
     // Between-queries GC is SCALE-DEPENDENT (round 15): at big SFs a GC
     // pass lets the ContextCleaner release the previous query's checkpoint/
@@ -266,11 +285,17 @@ object Bench {
       dt
     }
 
+    // Local-iteration aid (round 16, never set by the driver): skip the
+    // batch sections and run only the streaming bench — a stream protocol
+    // change otherwise costs a ~8-min full run per measurement.
+    val streamOnly = sys.env.contains("SPARK_GRAFT_STREAM_ONLY")
+
     // cold = first run (plan + codegen + scan); warm = second run, which is
     // the steady-state cost a long-lived session pays — the fixed JVM
     // per-query overhead dominates cold numbers at small SF.
-    val cold = headline.filter(SparkEntry.queries.contains).map(n => n -> timeOne(n))
-    val warm = headline.filter(SparkEntry.queries.contains).map(n => n -> timeOne(n))
+    val timedHeadline = if (streamOnly) Seq.empty else headline
+    val cold = timedHeadline.filter(SparkEntry.queries.contains).map(n => n -> timeOne(n))
+    val warm = timedHeadline.filter(SparkEntry.queries.contains).map(n => n -> timeOne(n))
     def fmt(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = cold.map(_._2).sum
@@ -405,6 +430,7 @@ object Bench {
       * is warm best-of-3 over the same files, so best-of-N warm is
       * like-for-like. */
     def runSection(tag: String, protocol: String, sectionNames: Seq[String]): Unit = {
+      if (streamOnly) return
       val dir = sys.env.getOrElse(s"SPARK_GRAFT_${tag.toUpperCase}_DIR", s"/root/repo/data/$tag")
       if (!new java.io.File(dir).exists() || sys.env.contains("SPARK_GRAFT_SKIP_BIG")) return
       if (overBudget) {
@@ -595,12 +621,20 @@ object Bench {
         extra ++= s""","stream_skipped":true"""
         compactExtra ++= s""","stream_skipped":true"""
       } else {
-        spark.stop()
-        // streaming sources are rate-generated (no on-disk input): the
-        // small-agg defaults are the right fast-map sizing here
-        spark = newSession(cpus, "4m", "")
-        spark.sparkContext.setLogLevel("WARN")
-        val s = streamingBench(spark)
+        // Fresh session PER STREAMING QUERY (round 16): the same
+        // session-aging effect the per-section fresh sessions exist for was
+        // visible here too — the in-ladder funnel read 7.5M rows/s while a
+        // fresh-JVM probe in the same window read ~12M (r13 saw the same
+        // solo-vs-ladder gap). A new session keeps the JVM's JIT/codegen
+        // caches but resets the block manager and state-store registries.
+        // Streaming sources are rate-generated (no on-disk input): the ""
+        // sentinel keeps the small-agg default fast-map sizing.
+        val s = streamingBench { () =>
+          spark.stop()
+          spark = newSession(cpus, "4m", "")
+          spark.sparkContext.setLogLevel("WARN")
+          spark
+        }
         extra ++= s
         compactExtra ++= s
       }
@@ -654,27 +688,43 @@ object Bench {
     } finally stream.close()
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** Runs each streaming job against an unthrottled rate source and reports
     * achieved rows/sec. Throughput is computed from the engine's own
     * per-batch trigger durations over completed micro-batches — a fixed
     * wall-clock sleep (the first cut) raced query startup + the first
     * macro-batch and could observe zero completed batches. */
-  private def streamingBench(spark: SparkSession): String = {
+  private def streamingBench(newSession: () => SparkSession): String = {
     import graft.streaming.{Watermark, Windows, Stateful}
 
     def measure(build: DataFrame => DataFrame, mode: String, name: String): Double = {
+      val spark = newSession()
       // one full stream run → (rows/sec over post-startup batches, how
       // many post-startup batches that rate rests on, the
       // startup-inclusive rate kept as the last-resort fallback)
       def once(): (Double, Int, Double) = {
+        // Offered rate 10M → 80M rows/s (round 16, measurement-bug fix,
+        // disclosed in OPTIMIZATION_r16.md): with the r15 JIT warm-up in
+        // place the engine keeps up with 10M/s from the first timed batch,
+        // so post-startup batches contain only ~1-2s of arrivals and the
+        // metric reads the SOURCE THROTTLE (~10M), not the engine. (The old
+        // 12.7M tumble record exceeded the offered rate itself — only
+        // possible while draining a JIT-cold backlog, i.e. it measured the
+        // pile-up.) 80M/s keeps every batch saturated, so rows/triggerSec
+        // is engine capacity; old-semantics numbers stay in BENCH_r15.json
+        // and earlier.
         val rate = spark.readStream.format("rate")
-          .option("rowsPerSecond", "10000000")
+          .option("rowsPerSecond", "80000000")
           .option("numPartitions", "8")
           .load()
+        val ckpt = java.nio.file.Files.createTempDirectory(s"bench_$name")
         val q = build(rate).writeStream.format("noop")
           .outputMode(mode)
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory(s"bench_$name").toString)
+          .option("checkpointLocation", ckpt.toString)
           .start()
         try {
           // wait for ≥3 data-carrying batches (first one absorbs startup —
@@ -699,7 +749,7 @@ object Bench {
           val all = q.recentProgress.filter(_.numInputRows > 0)
           val ps = all.drop(1)
           (rate(ps), ps.length, rate(all))
-        } finally q.stop()
+        } finally { q.stop(); deleteRecursively(ckpt.toFile) }
       }
       // JIT warm-up (round 15): a short throwaway stream of the same plan
       // before any timed attempt. The unthrottled rate source generates a
@@ -711,31 +761,42 @@ object Bench {
       // enough to outrun the backlog even cold). The timed attempts below
       // keep their exact semantics (post-startup batches only).
       locally {
+        val ckpt = java.nio.file.Files.createTempDirectory(s"warm_$name")
         val q = build(spark.readStream.format("rate")
             .option("rowsPerSecond", "1000000").option("numPartitions", "8").load())
           .writeStream.format("noop").outputMode(mode)
-          .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory(s"warm_$name").toString)
+          .option("checkpointLocation", ckpt.toString)
           .start()
         try {
           val deadline = System.nanoTime() + 25L * 1000 * 1000 * 1000
           while (q.recentProgress.count(_.numInputRows > 0) < 2 &&
                  System.nanoTime() < deadline) Thread.sleep(250)
-        } finally q.stop()
+          // a warm-up that burned its whole deadline without 2 data batches
+          // means the timed attempts start JIT-cold after all — make that
+          // visible instead of silent (ADVICE r15)
+          if (q.recentProgress.count(_.numInputRows > 0) < 2)
+            System.err.println(s"[bench] $name warm-up hit its 25s deadline " +
+              s"with <2 data batches — timed attempts may start JIT-cold")
+        } finally { q.stop(); deleteRecursively(ckpt.toFile) }
       }
       // prefer RE-RUNNING the stream to recording a known-biased number:
       // a run that produced <2 post-startup batches (co-tenant stall)
       // retries; if the host never yields a clean run, report the best
       // clean rate seen, falling back to the best startup-inclusive
-      // estimate — a marked-biased number still beats a false 0
+      // estimate — a marked-biased number still beats a false 0.
+      // Round 16: best of TWO clean runs (was: return the first clean one)
+      // — the batch sections already take best-of-2 warm for exactly this
+      // reason (a single attempt inherits whatever window it lands in; the
+      // r15 driver's tumble read 8.5M in a window where the same plan
+      // probed at 12M). Costs ~30s per stream query, bounded by 3 attempts.
       var bestClean = 0.0
       var bestBiased = 0.0
+      var cleanRuns = 0
       var attempt = 0
-      while (attempt < 3) {
+      while (attempt < 3 && cleanRuns < 2) {
         val (v, n, biased) = once()
-        bestClean = math.max(bestClean, v)
         bestBiased = math.max(bestBiased, biased)
-        if (n >= 2) return v
+        if (n >= 2) { cleanRuns += 1; bestClean = math.max(bestClean, v) }
         attempt += 1
       }
       if (bestClean > 0) bestClean else bestBiased

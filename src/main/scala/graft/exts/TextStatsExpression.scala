@@ -57,12 +57,12 @@ case class TextStats(child: Expression, withFp: Boolean)
   @transient private lazy val splitPattern =
     java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
 
-  // TextAnalysis.EnglishStopwords, frozen by the q60* oracles
+  // Built from TextAnalysis.EnglishStopwords (the single source of truth,
+  // frozen by the q60* oracles) — a hardcoded copy here could drift from
+  // the declarative path without the fusion spec's 12-doc corpus noticing
   @transient private lazy val stopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](64)
-    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
-      "it", "for", "on", "with", "as", "at", "by", "that", "this", "be",
-      "from").foreach(s.add)
+    graft.operators.TextAnalysis.EnglishStopwords.foreach(s.add)
     s
   }
 

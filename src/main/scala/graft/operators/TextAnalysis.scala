@@ -35,7 +35,11 @@ object TextAnalysis {
     when(length(text) === 0, lit(0.0)).otherwise(
       (length(text) - length(regexp_replace(text, cls, ""))).cast("double") / length(text))
 
-  private val EnglishStopwords = Seq(
+  /** Single source of truth for the stopword list: the fused
+    * exts.TextStats expression builds its lookup set from this same
+    * constant, so editing it cannot silently break the fused/declarative
+    * value identity (ADVICE r15). */
+  private[graft] val EnglishStopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was", "it",
     "for", "on", "with", "as", "at", "by", "that", "this", "be", "from")
 

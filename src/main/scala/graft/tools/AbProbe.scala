@@ -16,10 +16,15 @@ object AbProbe {
     val pairs = args.lift(2).map(_.toInt).getOrElse(4)
     val parts = args.lift(3).getOrElse("32")
     val split = args.lift(4).getOrElse("4m")
-    val overrides = args.drop(5).toSeq.map { kv =>
+    // k=v → SQLConf override; prop:k=v → JVM system property override
+    // (read at plan-build time — e.g. graft.sortBounded.off=1 restores the
+    // pre-r15 orderBy tails, giving an interleaved old-vs-new-tail A/B)
+    val (propOverrides, overrides) = args.drop(5).toSeq.map { kv =>
       val Array(k, v) = kv.split("=", 2); (k, v)
-    }
-    require(overrides.nonEmpty, "pass at least one k=v override for the B arm")
+    }.partition(_._1.startsWith("prop:"))
+    val props = propOverrides.map { case (k, v) => (k.stripPrefix("prop:"), v) }
+    require(overrides.nonEmpty || props.nonEmpty,
+      "pass at least one k=v (conf) or prop:k=v (sysprop) override for the B arm")
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.exts.GraftExtensions)
@@ -43,10 +48,15 @@ object AbProbe {
       k -> (try Some(spark.conf.get(k)) catch { case _: Exception => None })
     }
     def setArm(b: Boolean): Unit =
-      if (b) overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-      else baseVals.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
+      if (b) {
+        overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+        props.foreach { case (k, v) => sys.props(k) = v }
+      } else {
+        baseVals.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        props.foreach { case (k, _) => sys.props.remove(k) }
       }
     def once(): Double = {
       val t0 = System.nanoTime()

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * variants: tmp (checkpoint on java.io.tmpdir — the Bench default),
   * shm (checkpoint on /dev/shm), rocksdb (shm + RocksDB state store),
   * parts8 (shm + shuffle.partitions=8), tumble-tmp / tumble-shm
-  * (the stateless-agg control under the same two checkpoint dirs). */
+  * (the stateless-agg control under the same two checkpoint dirs),
+  * tumble-bigagg / shm-bigagg (same as tumble-shm/shm but with the 2^20
+  * final-agg fast-map confs the r15 dirBytes("") bug leaked in). */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val variant = args.headOption.getOrElse("tmp")
@@ -28,7 +30,14 @@ object StreamProbe {
       b0.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     else b0
-    val spark = b1.getOrCreate()
+    // *-bigagg: reproduce the r15 dirBytes("") bug — the stream bench
+    // session silently ran with the 2^20 final-agg fast-map confs whenever
+    // the checkout exceeded 1 GB (ADVICE r15); these variants measure what
+    // that conf leak costs each micro-batch so the fix's effect is recorded
+    val b2 = if (variant.endsWith("-bigagg"))
+      graft.BenchConfs.bigAggConfs.foldLeft(b1) { case (b, (k, v)) => b.config(k, v) }
+    else b1
+    val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def ckptDir(name: String): String =
